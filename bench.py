@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully via the `noop` sink (no driver-side collect,
+no result materialization cost in the timing)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_kafka_spark.queries import all_queries  # noqa: E402
+from flink_kafka_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    # reference-surface (streaming semantics on batch path)
+    "hot_items_topn",
+    "hot_items_sql",
+    "page_views",
+    "unique_visitors",
+    "channel_stats",
+    "login_fail_detect",
+    "order_timeout",
+    "sessionize",
+    "order_ship_interval_join",
+    # batch-relational headline
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    # training-data pipeline extensions
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    # warm the JVM/session (tiny action, not counted)
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = registry[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,280 @@
+"""Document deduplication operators (engine extension: training-data
+pipeline ops; no analog in the reference, which only dedups user ids
+via window state / Bloom filter — UvWithBloomFilter.java:95-155).
+
+All operators are pure DataFrame compositions (JVM-side, codegen'd) —
+no Python in the hot path except SimHash (genuinely bit-twiddly →
+vectorized Pandas UDF).
+
+Scale design (100 TB of documents):
+- exact dedup hashes the text once (md5) and shuffles hash→min(id):
+  one shuffle of (16-byte key, id) pairs, never the text bodies;
+- n-gram Jaccard is exact but quadratic in the worst case → it prunes
+  frequent shingles (stop-shingles) before the self-join, which bounds
+  bucket sizes; the production path for unknown corpora is MinHash+LSH;
+- MinHash+LSH: k=32 signatures from xxhash64, b=8 bands × r=4 rows.
+  Candidate generation shuffles (band-hash, id) pairs only; exact
+  Jaccard verification runs on candidates, not all pairs;
+- embedding near-dup joins on a blocking key first (here: the `label`
+  cluster id; in production an LSH/IVF cell id) so the cosine check
+  never sees the full n² cross product.
+"""
+
+import pandas as pd  # noqa: F401 — resolvable type hints for pandas_udf
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_STOP_DF = 200  # prune shingles appearing in more docs than this
+
+
+def normalized_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lowercase, whitespace-split token array — shared normalization
+    for every text/dedup operator."""
+    return df.withColumn("tokens", F.split(F.lower(F.col(text_col)), r"\s+"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per distinct
+    text, report the duplicate count. md5 on the normalized body means
+    the shuffle moves 16-byte keys, not documents."""
+    return (
+        df.select(id_col, F.md5(F.lower(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) exploded word n-grams, distinct per doc."""
+    expr = f"""
+      transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)),
+                i -> concat_ws(' ', slice(tokens, i, {n})))
+    """
+    return (
+        normalized_tokens(df)
+        .select(id_col, F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    stop_df: int = SHINGLE_STOP_DF,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    threshold). Stop-shingle pruning (document frequency > stop_df)
+    bounds the self-join fan-out; the surviving rare shingles still
+    witness any high-Jaccard pair on realistic corpora."""
+    sh = shingles(df, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= stop_df),
+        "shingle",
+    ).select(id_col, "shingle")
+    a = rare.withColumnRenamed(id_col, "id_a")
+    b = rare.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "size_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "size_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, n: int = 3, k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per doc: sig_i = min over
+    shingles of xxhash64(i || shingle). All JVM-side (higher-order
+    array functions over the shingle array — no shuffle, no Python)."""
+    sig_exprs = [
+        F.array_min(
+            F.expr(f"transform(shingle_arr, s -> xxhash64(concat('{i}|', s)))")
+        ).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    per_doc = (
+        shingles(df, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingle_arr"))
+    )
+    return per_doc.select(id_col, F.array(*sig_exprs).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with exact
+    Jaccard. b=bands bands of r=k/bands rows: a pair collides in ≥1
+    band with prob 1-(1-j^r)^b (~0.88 at j=0.5 for b=8, r=4).
+
+    Only (band-hash, id) pairs shuffle for candidate generation; exact
+    verification joins shingles for candidate ids only.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, n, k)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("signature")[b * r + j].cast("string") for j in range(r)])
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnRenamed(id_col, "id_b")
+    candidates = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = shingles(df, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sha = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col(id_col).alias("_vid_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        candidates.join(sha, "id_a")
+        .join(shb, (F.col("id_b") == F.col("_vid_b")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "size_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "size_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc from unigram token hashes, computed as a
+    vectorized Pandas UDF (bit-parallel numpy; genuinely awkward as SQL
+    expressions). Near-dup = small Hamming distance; callers bucket by
+    a bit-prefix for the scale path."""
+    @F.pandas_udf("long")
+    def _simhash(tokens: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for row, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for t in toks:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for b in range(bits):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            v = 0
+            for b in range(bits):
+                if acc[b] > 0:
+                    v |= 1 << b
+            out[row] = np.int64(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return normalized_tokens(df).select(id_col, _simhash("tokens").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs. Scale path: bucket on 4 × 16-bit chunks
+    (any pair within Hamming ≤ 3 of 64 bits shares at least one exact
+    16-bit chunk — pigeonhole) → equi-join per chunk, then exact
+    Hamming filter via bit_count(xor)."""
+    sh = simhash(df, id_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key (cluster/LSH
+    cell): equi-join on the block, JVM-side cosine via zip_with +
+    aggregate (no Python). The block join keeps the candidate set
+    ~n²/|blocks| instead of n²."""
+    v = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), "block", F.col("v").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    norm = "sqrt(aggregate(transform({0}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(f"({dot}) / (({norm.format('va')}) * ({norm.format('vb')}))"), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,64 @@
+"""Time-bounded joins (SURVEY.md §2.9 J1-J2).
+
+The reference's whole join surface is two streaming equi-key
+time-bounded joins: an interval join (``TxPayMatchByJoin.java:63-80``,
+receipt.ts ∈ [pay.ts-3s, pay.ts+5s]) and a connected-streams
+reconciliation with unmatched-side outputs
+(``TxPayMatch.java:71-141``). Batch Spark expresses both as ordinary
+joins — equi-key plus a range residual — and Catalyst picks
+broadcast / shuffled-hash / sort-merge; the streaming variants live in
+``flink_kafka_spark.streaming``.
+
+Side outputs (Flink ``OutputTag``) become a **tagged-union column**
+``result_type`` on one DataFrame — the engine-wide convention for
+multi-output operators (SURVEY.md §1.4).
+
+Scale notes: the equi-key carries the shuffle; the range predicate is
+evaluated as a join residual, not a cross product. Small sides should
+be broadcast by the caller (``F.broadcast``) or left to AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_ts: Column,
+    right_ts: Column,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """J1: inner join where right_ts ∈ [left_ts + lower_s, left_ts +
+    upper_s] and the equi-condition ``on`` holds."""
+    cond = (
+        on
+        & (right_ts >= left_ts + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (right_ts <= left_ts + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return left.join(right, cond, "inner")
+
+
+def reconcile_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_tag: str = "unmatched_left",
+    right_tag: str = "unmatched_right",
+) -> DataFrame:
+    """J2: full-outer equi-join; null-padded sides become the
+    'unmatched' side outputs, matched rows the main output — one
+    DataFrame with a ``result_type`` tag column."""
+    lk = left.columns[0]
+    rk = right.columns[0]
+    joined = left.join(right, on, "full_outer")
+    return joined.withColumn(
+        "result_type",
+        F.when(F.col(lk).isNotNull() & F.col(rk).isNotNull(), F.lit("matched"))
+        .when(F.col(rk).isNull(), F.lit(left_tag))
+        .otherwise(F.lit(right_tag)),
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators (engine extension: training-data pipeline).
+
+Everything is built-in-function SQL (JVM, codegen) — no UDFs: language
+ID is a marker-token heuristic, quality scoring is length/ratio
+features, token counting is a BPE-ish regex, fingerprinting is md5
+over a normalized body. These run as one projection over the scan, so
+they are bandwidth-bound at 100 TB (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+# (space spelled literally in the class — avoids backslash-escape
+# divergence between Spark SQL and DuckDB string literals)
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Marker stopwords per language for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "das", "und"),
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token/char counts + quality features per document."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    avg_tok = F.round((n_chars - (n_tokens - 1)) / n_tokens, 4)
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_calc"),
+        avg_tok.alias("avg_token_len"),
+        F.round(n_distinct / n_tokens, 4).alias("distinct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]: rewards mid-length docs
+    and lexical diversity (the usual cheap pre-filters before expensive
+    model-based scoring). Terms stay unrounded until the final round so
+    the result never lands exactly on a decimal half-point (where
+    engines' round() semantics diverge)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    length_term = F.least(n_tokens / F.lit(200.0), F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(0.5 * length_term + 0.5 * distinct_ratio, 4).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score each candidate language by
+    its marker-token frequency; argmax with deterministic tie-break on
+    language code, 'und' when nothing matches."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scored = df.select(F.col(id_col), toks.alias("toks"))
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            F.expr(f"size(filter(toks, t -> t IN ({in_list})))").alias(f"score_{lang}")
+        )
+    scored = scored.select(id_col, *score_cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select(id_col, pred.alias("pred_lang"))
+
+
+def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Regex pre-tokenizer count — the cheap token-budget estimator."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit-hex content fingerprint over the whitespace-normalized
+    lowercased body — stable across engines (md5)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    )

@@ -1,0 +1,122 @@
+"""Event-time windowed aggregation (SURVEY.md §2.6 W1-W8, §2.7 A1-A10).
+
+The reference hand-builds partial+final window counts
+(``AggregateFunction`` + ``WindowFunction``, e.g. reference
+``HotItemsAnalysis/.../HotItems.java:93-131``). In Spark the same
+semantics are one declarative ``groupBy(window(...), keys).agg(...)`` —
+Catalyst plans a partial aggregation before the shuffle automatically
+(HashAggregateExec partial → final), so the reference's manual
+salting/two-phase tricks (``PageView.java:73-88``) are unnecessary.
+
+Window boundaries are emitted as **epoch seconds (long)** columns
+``window_start_s`` / ``window_end_s``: integer output is stable across
+engines/timezones, which matters for the DuckDB oracle harness, and is
+cheaper to shuffle than a struct<timestamp,timestamp>.
+
+Scale notes: the shuffle key is (window, *keys). Sliding windows
+multiply rows by size/slide before the partial agg, but the partial agg
+collapses them map-side, so shuffled volume is ~(#distinct keys ×
+windows-per-row), not #rows. Keep size/slide ratios modest (≤ ~24) at
+100 TB; for very fine slides prefer tumbling-at-slide-granularity then
+roll up (see :func:`sliding_from_tumbling`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_window(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str | None = None,
+) -> DataFrame:
+    """Attach epoch-aligned window bounds (left-closed right-open, like
+    Flink's TimeWindow, reference README.md:109) as long columns."""
+    w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    return (
+        df.withColumn("_w", w)
+        .withColumn("window_start_s", F.col("_w.start").cast("long"))
+        .withColumn("window_end_s", F.col("_w.end").cast("long"))
+        .drop("_w")
+    )
+
+
+def windowed_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str | None = None,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """COUNT(*) (+ optional extra aggs) per key × event-time window.
+
+    Covers the reference's A1-A5, A8, A10 (per-item, per-url,
+    per-channel×behavior, global, per-province window counts) — key
+    choice is the only difference between them.
+    """
+    out_aggs = [F.count(F.lit(1)).alias("cnt"), *aggs]
+    return (
+        with_window(df, ts_col, size, slide)
+        .groupBy("window_start_s", "window_end_s", *keys)
+        .agg(*out_aggs)
+    )
+
+
+def windowed_distinct(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    distinct_col: str,
+    keys: Sequence[str] = (),
+    approximate: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """COUNT(DISTINCT x) per window — exact (reference A6,
+    ``UniqueVisitor.java:64-73``) or approximate via HLL++ (replacing
+    the reference's Redis-bitmap Bloom filter A7,
+    ``UvWithBloomFilter.java:95-155``; README sizes the BF at 64 MB for
+    1e8 users — HLL++ at rsd=0.02 needs a few KB per window and merges
+    map-side, so the external store disappears entirely)."""
+    agg = (
+        F.approx_count_distinct(distinct_col, rsd) if approximate else F.countDistinct(distinct_col)
+    ).alias("uv")
+    return (
+        with_window(df, ts_col, size)
+        .groupBy("window_start_s", "window_end_s", *keys)
+        .agg(agg)
+    )
+
+
+def sliding_from_tumbling(
+    df: DataFrame,
+    ts_col: str,
+    size_s: int,
+    slide_s: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Scale path for fine-grained slides: aggregate once at slide
+    granularity (tumbling), then roll partials into sliding windows.
+    Shuffles #distinct (slide-bucket × key) rows instead of replicating
+    every input row size/slide times — the right trade at 100 TB when
+    size/slide is large (e.g. the reference's 1h/5s windows W3).
+    """
+    per_slide = (
+        df.withColumn("_slide_start", (F.col(ts_col).cast("long") / slide_s).cast("long") * slide_s)
+        .groupBy("_slide_start", *keys)
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    n = size_s // slide_s
+    offsets = F.sequence(F.lit(0), F.lit(n - 1))
+    return (
+        per_slide.withColumn("_i", F.explode(offsets))
+        .withColumn("window_start_s", F.col("_slide_start") - F.col("_i") * slide_s)
+        .withColumn("window_end_s", F.col("window_start_s") + size_s)
+        .groupBy("window_start_s", "window_end_s", *keys)
+        .agg(F.sum("_partial").alias("cnt"))
+    )

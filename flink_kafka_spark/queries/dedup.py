@@ -1,0 +1,121 @@
+"""Deduplication query family (engine extension) on `documents` /
+`embeddings`. The synthetic corpus has no byte-identical docs (exact
+dedup returns 500 singleton groups) but does contain high-Jaccard
+near-dup pairs (max ≈ 0.99), so the n-gram/MinHash paths produce
+non-trivial output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..tables import load
+from . import Query
+
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.35
+
+# Shared DuckDB CTE: distinct word 3-gram shingles per doc.
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM toks
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200)
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard. Signature
+    hashing is Spark's xxhash64 (not reproducible in DuckDB) → rows-only
+    check; the exact-Jaccard twin `dedup_ngram_jaccard` is the
+    hash-checked oracle for the same semantics."""
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits, pigeonhole
+    16-bit-chunk bucketing). md5-derived token hashes → rows-only."""
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=COSINE_DUP_THRESHOLD
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+           (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+            sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6) AS cosine
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+QUERIES = [
+    Query("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "ext: exact dedup"),
+    Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "ext: ngram jaccard"),
+    Query("dedup_minhash_lsh", dedup_minhash_lsh, None, "ext: minhash+lsh"),
+    Query("dedup_simhash", dedup_simhash, None, "ext: simhash"),
+    Query(
+        "dedup_embedding_cosine",
+        dedup_embedding_cosine,
+        DEDUP_EMBEDDING_ORACLE,
+        "ext: embedding near-dup",
+    ),
+]

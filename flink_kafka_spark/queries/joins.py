@@ -1,0 +1,83 @@
+"""Join query family (SURVEY.md §2.9 J1-J2) on the TPC-H-ish tables.
+
+- interval join: lineitem shipped within 90 days of its order's date
+  (equi-key o_orderkey + time-range residual) — the batch shape of
+  TxPayMatchByJoin.java's pay↔receipt ±seconds join;
+- reconciliation: orders full-outer lineitem with matched /
+  unmatched-order / unmatched-line tagging — the batch shape of
+  TxPayMatch.java's CoProcessFunction with two unmatched side outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import interval_join, reconcile_full_outer
+from ..tables import load
+from . import Query
+
+
+def order_ship_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    joined = interval_join(
+        orders,
+        lineitem,
+        orders.o_orderkey == lineitem.l_orderkey,
+        orders.o_orderdate,
+        lineitem.l_shipdate,
+        0,
+        90 * 86400,
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("long").alias("order_ts_s"),
+        F.col("l_shipdate").cast("long").alias("ship_ts_s"),
+    )
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT o_orderkey, l_linenumber,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts_s,
+       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_ts_s
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+"""
+
+
+def order_line_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation with tagged unmatched sides. To make
+    both unmatched sides non-empty on the synthetic data, the 'pays'
+    side is high-priority orders and the 'receipts' side is
+    early-shipped lines."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    lines = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    out = reconcile_full_outer(
+        orders.select("o_orderkey"),
+        lines.select("l_orderkey", "l_linenumber"),
+        orders.o_orderkey == lines.l_orderkey,
+        left_tag="unmatched_order",
+        right_tag="unmatched_line",
+    )
+    return out.select("o_orderkey", "l_orderkey", "result_type")
+
+
+RECONCILE_ORACLE = """
+SELECT o_orderkey, l_orderkey,
+       CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 'matched'
+            WHEN l_orderkey IS NULL THEN 'unmatched_order'
+            ELSE 'unmatched_line' END AS result_type
+FROM (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+FULL OUTER JOIN
+     (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber = 1) l
+ON o_orderkey = l_orderkey
+"""
+
+
+QUERIES = [
+    Query("order_ship_interval_join", order_ship_interval_join, INTERVAL_JOIN_ORACLE, "J1"),
+    Query("order_line_reconciliation", order_line_reconciliation, RECONCILE_ORACLE, "J2 K2"),
+]

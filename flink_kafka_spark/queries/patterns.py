@@ -1,0 +1,148 @@
+"""Pattern-detection query family (SURVEY.md §2.10 T1-T5) on `events`.
+
+Mappings onto the driver's tables:
+- login-fail  → two consecutive 'error' events per user within 30 min
+  (reference: 2 consecutive fails within 2 s, LoginFailWithCep.java);
+- order-timeout → each 'click' (create) matched to the user's next
+  'purchase' (pay) within 30 min (reference: create→pay within 15 min,
+  OrderPayTimeOut.java / OrderTimeOutOnProcess.java);
+- blacklist  → users with > 3 'click' events in a day
+  (reference: > 100 ad clicks per user×ad per day,
+  AdStatisticsByProvince.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.patterns import (
+    consecutive_event_alert,
+    count_threshold_blacklist,
+    create_pay_timeout,
+)
+from ..tables import load
+from . import Query
+
+LOGIN_FAIL_GAP_S = 1800
+ORDER_TIMEOUT_S = 1800
+BLACKLIST_THRESHOLD = 3
+
+
+def login_fail_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return consecutive_event_alert(
+        events, "user_id", "ts", "event_type", "error", LOGIN_FAIL_GAP_S, "event_id"
+    )
+
+
+LOGIN_FAIL_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         lag(event_type) OVER w AS prev_type,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_ts_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       prev_ts_s AS first_fail_ts_s,
+       ts_s AS second_fail_ts_s,
+       '2 consecutive ''error'' within {LOGIN_FAIL_GAP_S}s' AS warning
+FROM seq
+WHERE event_type = 'error' AND prev_type = 'error'
+  AND ts_s - prev_ts_s <= {LOGIN_FAIL_GAP_S}
+"""
+
+
+def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return create_pay_timeout(
+        events, "user_id", "ts", "event_type", "click", "purchase", ORDER_TIMEOUT_S, "event_id"
+    )
+
+
+ORDER_TIMEOUT_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_pay_ts_s
+  FROM events
+)
+SELECT user_id,
+       ts_s AS create_ts_s,
+       next_pay_ts_s AS pay_ts_s,
+       CASE WHEN next_pay_ts_s IS NOT NULL
+                 AND next_pay_ts_s - ts_s <= {ORDER_TIMEOUT_S}
+            THEN 'payed' ELSE 'timeout' END AS result_state
+FROM seq WHERE event_type = 'click'
+"""
+
+
+def click_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return count_threshold_blacklist(
+        events.filter(F.col("event_type") == "click"), ["user_id"], "ts", BLACKLIST_THRESHOLD
+    ).select("user_id", "day", "cnt", "warning")
+
+
+BLACKLIST_ORACLE = f"""
+SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt,
+       'click >= {BLACKLIST_THRESHOLD + 1} today' AS warning
+FROM events WHERE event_type = 'click'
+GROUP BY 1, 2
+HAVING count(*) > {BLACKLIST_THRESHOLD}
+"""
+
+
+# --- sessionization (extension: guide "Common OLAP patterns") ---
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity): lag + cumulative
+    sum of gap-breaks per user — the batch equivalent of
+    session_window(). One shuffle on user_id."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(SESSIONIZE_SQL)
+
+
+# Identical ANSI text runs on Spark and DuckDB.
+SESSIONIZE_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS day,
+         CAST(floor(unix_seconds(ts)) AS BIGINT) AS ts_s,
+         lag(CAST(floor(unix_seconds(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts_s
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, ts_s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       max(ts_s) - min(ts_s) AS duration_s
+FROM sessions GROUP BY 1, 2
+"""
+
+SESSIONIZE_ORACLE = SESSIONIZE_SQL.replace("unix_seconds(ts)", "epoch(ts)")
+
+
+QUERIES = [
+    Query("login_fail_detect", login_fail_detect, LOGIN_FAIL_ORACLE, "T1 T2 W8"),
+    Query("order_timeout", order_timeout, ORDER_TIMEOUT_ORACLE, "T3 T4"),
+    Query("click_blacklist", click_blacklist, BLACKLIST_ORACLE, "T5 F7 W12"),
+    Query("sessionize", sessionize, SESSIONIZE_ORACLE, "extension: sessionization"),
+]

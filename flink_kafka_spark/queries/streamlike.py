@@ -1,0 +1,247 @@
+"""Windowed-aggregation + Top-N query family (SURVEY.md §2.6-2.8).
+
+These re-express the reference's five windowed-count pipelines on the
+driver's ``events`` table (event_id, ts, user_id, event_type, value,
+props-json):
+
+- hot-items Top-N per sliding window   (reference ``HotItems.java``,
+  ``HotItemsWithSql.java``: W1+A1+G1/G2+R1/R3)
+- total PV per tumbling window          (``PageView.java``: W5+A8+P3)
+- distinct UV per tumbling window       (``UniqueVisitor.java``: W6+A6;
+  Bloom-filter variant ``UvWithBloomFilter.java``: A7 → HLL++)
+- per-channel×behavior sliding counts   (``AppMarketingByChannel.java``:
+  W3+A3+G5) and the global variant      (``AppMarketingStatistics.java``:
+  A4+G8)
+- per-province sliding counts           (``AdStatisticsByProvince.java``:
+  W4+A5) — expressed on ``orders`` per day×priority.
+
+The DuckDB oracle emulates Spark's ``window()`` sliding semantics
+(epoch-aligned, left-closed-right-open) by cross-joining each row with
+``range(size/slide)`` slide offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topn import topn_counts_per_window
+from ..operators.windows import windowed_count, windowed_distinct
+from ..tables import load
+from . import Query
+
+
+def _hop_cte(table: str, ts: str, size_s: int, slide_s: int, cols: str) -> str:
+    """DuckDB CTE assigning each row its size/slide sliding windows,
+    epoch-aligned like Spark's window()/Flink's TimeWindow."""
+    n = size_s // slide_s
+    return f"""
+      SELECT {cols},
+             CAST(floor(epoch({ts})/{slide_s}) AS BIGINT)*{slide_s} - g.i*{slide_s}
+               AS window_start_s,
+             CAST(floor(epoch({ts})/{slide_s}) AS BIGINT)*{slide_s} - g.i*{slide_s} + {size_s}
+               AS window_end_s
+      FROM {table} CROSS JOIN range({n}) g(i)
+    """
+
+
+# --- hot items: top-5 users by event count per sliding 1h/15min window ---
+
+HOT_ITEMS_SIZE_S, HOT_ITEMS_SLIDE_S, HOT_ITEMS_N = 3600, 900, 5
+
+
+def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    counts = windowed_count(events, "ts", "1 hour", "15 minutes", keys=["user_id"])
+    return topn_counts_per_window(counts, "user_id", HOT_ITEMS_N).select(
+        "window_start_s", "window_end_s", "user_id", "cnt", "rank"
+    )
+
+
+HOT_ITEMS_ORACLE = f"""
+WITH hopped AS ({_hop_cte("events", "ts", HOT_ITEMS_SIZE_S, HOT_ITEMS_SLIDE_S, "user_id")}),
+counts AS (
+  SELECT window_start_s, window_end_s, user_id, count(*) AS cnt
+  FROM hopped GROUP BY 1, 2, 3
+)
+SELECT window_start_s, window_end_s, user_id, cnt, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start_s, window_end_s
+    ORDER BY cnt DESC, user_id ASC) AS rank
+  FROM counts
+) WHERE rank <= {HOT_ITEMS_N}
+"""
+
+
+# --- hot items, pure-SQL surface (A10/R3): HOP → window() TVF ---
+
+def hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one declarative query (HotItemsWithSql.java:80-89)
+    — ROW_NUMBER over a HOP-window count — as a single spark.sql()."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+      SELECT window_start_s, window_end_s, event_type, cnt, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_start_s, window_end_s
+          ORDER BY cnt DESC, event_type ASC) AS rank
+        FROM (
+          SELECT CAST(window.start AS LONG) AS window_start_s,
+                 CAST(window.end AS LONG) AS window_end_s,
+                 event_type, count(*) AS cnt
+          FROM events
+          GROUP BY window(ts, '2 hours', '30 minutes'), event_type
+        )
+      ) WHERE rank <= 3
+    """)
+
+
+HOT_ITEMS_SQL_ORACLE = f"""
+WITH hopped AS ({_hop_cte("events", "ts", 7200, 1800, "event_type")}),
+counts AS (
+  SELECT window_start_s, window_end_s, event_type, count(*) AS cnt
+  FROM hopped GROUP BY 1, 2, 3
+)
+SELECT window_start_s, window_end_s, event_type, cnt, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start_s, window_end_s
+    ORDER BY cnt DESC, event_type ASC) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
+# --- page views: global count per tumbling hour ---
+
+def page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        windowed_count(events.filter(F.col("event_type") == "view"), "ts", "1 hour")
+        .withColumnRenamed("cnt", "pv_cnt")
+        .select("window_start_s", "window_end_s", "pv_cnt")
+    )
+
+
+PAGE_VIEWS_ORACLE = """
+SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS window_start_s,
+       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600 AS window_end_s,
+       count(*) AS pv_cnt
+FROM events WHERE event_type = 'view'
+GROUP BY 1, 2
+"""
+
+
+# --- unique visitors: exact distinct users per tumbling day ---
+
+def unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return windowed_distinct(events, "ts", "1 day", "user_id").select(
+        "window_start_s", "window_end_s", "uv"
+    )
+
+
+UNIQUE_VISITORS_ORACLE = """
+SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS window_start_s,
+       CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 + 86400 AS window_end_s,
+       count(DISTINCT user_id) AS uv
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- approximate UV (HLL++ replaces the reference's Redis Bloom filter) ---
+
+def uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return windowed_distinct(events, "ts", "1 day", "user_id", approximate=True).select(
+        "window_start_s", "window_end_s", "uv"
+    )
+
+
+# --- channel stats: sliding 6h/1h counts per event_type ---
+
+def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return windowed_count(
+        events.filter(F.col("event_type") != "error"), "ts", "6 hours", "1 hour",
+        keys=["event_type"],
+    ).select("window_start_s", "window_end_s", "event_type", "cnt")
+
+
+CHANNEL_STATS_ORACLE = f"""
+WITH hopped AS (
+  {_hop_cte("(SELECT * FROM events WHERE event_type <> 'error')", "ts", 21600, 3600, "event_type")}
+)
+SELECT window_start_s, window_end_s, event_type, count(*) AS cnt
+FROM hopped GROUP BY 1, 2, 3
+"""
+
+
+# --- global marketing stats: sliding 6h/1h count, no key ---
+
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return windowed_count(events, "ts", "6 hours", "1 hour").select(
+        "window_start_s", "window_end_s", "cnt"
+    )
+
+
+GLOBAL_STATS_ORACLE = f"""
+WITH hopped AS ({_hop_cte("events", "ts", 21600, 3600, "event_id")})
+SELECT window_start_s, window_end_s, count(*) AS cnt
+FROM hopped GROUP BY 1, 2
+"""
+
+
+# --- "ad clicks per province" analog: orders per day × priority ---
+
+def orders_daily_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return windowed_count(orders, "o_orderdate", "1 day", keys=["o_orderpriority"]).select(
+        "window_start_s", "window_end_s", "o_orderpriority", "cnt"
+    )
+
+
+ORDERS_DAILY_ORACLE = """
+SELECT CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)*86400 AS window_start_s,
+       CAST(floor(epoch(o_orderdate)/86400) AS BIGINT)*86400 + 86400 AS window_end_s,
+       o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+# --- scalar-function / filter surface (P1-P6, F1-F5): project + json ---
+
+def high_value_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection + JSON extraction + date bucketing — the
+    reference's parse/filter surface (P1/P2, F1-F5) in one query."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.col("ts").cast("date").alias("day"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+    )
+
+
+HIGH_VALUE_ORACLE = """
+SELECT event_id, user_id, round(value, 2) AS value,
+       CAST(ts AS DATE) AS day,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events WHERE event_type = 'purchase' AND value > 100.0
+"""
+
+
+QUERIES = [
+    Query("hot_items_topn", hot_items_topn, HOT_ITEMS_ORACLE, "W1 A1 G1 G2 R1 R4"),
+    Query("hot_items_sql", hot_items_sql, HOT_ITEMS_SQL_ORACLE, "A10 R3 §2.11"),
+    Query("page_views", page_views, PAGE_VIEWS_ORACLE, "W5 A8 P3 F1"),
+    Query("unique_visitors", unique_visitors, UNIQUE_VISITORS_ORACLE, "W6 A6 G8"),
+    Query("uv_approx", uv_approx, None, "A7 W10"),  # HLL++ — no exact oracle
+    Query("channel_stats", channel_stats, CHANNEL_STATS_ORACLE, "W3 A3 G5 F4"),
+    Query("global_stats", global_stats, GLOBAL_STATS_ORACLE, "A4 G4 G8"),
+    Query("orders_daily_by_priority", orders_daily_by_priority, ORDERS_DAILY_ORACLE, "W4 A5 G7"),
+    Query("high_value_purchases", high_value_purchases, HIGH_VALUE_ORACLE, "P1 P2 P5 F1-F5"),
+]
