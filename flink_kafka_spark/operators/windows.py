@@ -29,20 +29,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_window(
-    df: DataFrame,
-    ts_col: str,
-    size: str,
-    slide: str | None = None,
-) -> DataFrame:
-    """Attach epoch-aligned window bounds (left-closed right-open, like
-    Flink's TimeWindow, reference README.md:109) as long columns."""
-    w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
-    return (
-        df.withColumn("_w", w)
-        .withColumn("window_start_s", F.col("_w.start").cast("long"))
-        .withColumn("window_end_s", F.col("_w.end").cast("long"))
-        .drop("_w")
+def _project_bounds(df: DataFrame, keys: Sequence[str], aggs: Sequence[str]) -> DataFrame:
+    """Replace the window struct with epoch-second long bounds."""
+    return df.select(
+        F.col("_w.start").cast("long").alias("window_start_s"),
+        F.col("_w.end").cast("long").alias("window_end_s"),
+        *keys,
+        *aggs,
     )
 
 
@@ -59,13 +52,16 @@ def windowed_count(
     Covers the reference's A1-A5, A8, A10 (per-item, per-url,
     per-channel×behavior, global, per-province window counts) — key
     choice is the only difference between them.
+
+    The groupBy is on the ``window()`` struct itself (not pre-computed
+    bounds) so Structured Streaming recognizes the event-time column
+    and the same code runs watermarked on streams; bounds are projected
+    to epoch-second longs after the aggregation.
     """
-    out_aggs = [F.count(F.lit(1)).alias("cnt"), *aggs]
-    return (
-        with_window(df, ts_col, size, slide)
-        .groupBy("window_start_s", "window_end_s", *keys)
-        .agg(*out_aggs)
-    )
+    w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    out = df.groupBy(w.alias("_w"), *keys).agg(F.count(F.lit(1)).alias("cnt"), *aggs)
+    agg_names = ["cnt", *[c for c in out.columns if c not in ("_w", "cnt", *keys)]]
+    return _project_bounds(out, keys, agg_names)
 
 
 def windowed_distinct(
@@ -82,15 +78,17 @@ def windowed_distinct(
     the reference's Redis-bitmap Bloom filter A7,
     ``UvWithBloomFilter.java:95-155``; README sizes the BF at 64 MB for
     1e8 users — HLL++ at rsd=0.02 needs a few KB per window and merges
-    map-side, so the external store disappears entirely)."""
+    map-side, so the external store disappears entirely).
+
+    Note for streaming: exact countDistinct isn't supported in a
+    streaming aggregation — use ``approximate=True`` (mergeable HLL++
+    sketch) or dropDuplicates upstream; the batch path is exact.
+    """
     agg = (
         F.approx_count_distinct(distinct_col, rsd) if approximate else F.countDistinct(distinct_col)
     ).alias("uv")
-    return (
-        with_window(df, ts_col, size)
-        .groupBy("window_start_s", "window_end_s", *keys)
-        .agg(agg)
-    )
+    out = df.groupBy(F.window(ts_col, size).alias("_w"), *keys).agg(agg)
+    return _project_bounds(out, keys, ["uv"])
 
 
 def sliding_from_tumbling(

@@ -1,0 +1,87 @@
+"""Watermarked streaming jobs: the reference's windowed pipelines in
+streaming mode, composed from the SAME batch operators
+(flink_kafka_spark.operators) plus ``withWatermark``.
+
+Watermark policy mirrors SURVEY.md §2.6: the reference mostly uses
+ascending-timestamp (0-delay) watermarks (W7) and 1-3 s bounded
+out-of-orderness (W8); ``allowedLateness`` + late side output (W9) has
+no exact Spark analog — `update` output mode re-emits corrected window
+aggregates while the watermark holds the window open, which covers the
+reference's in-lateness updates; truly-late capture is a downstream
+filter against the observed watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.topn import topn_counts_per_window
+from ..operators.windows import windowed_count, windowed_distinct
+
+
+def hot_items_stream(user_behavior: DataFrame, delay: str = "1 second") -> DataFrame:
+    """HotItems.java:75-79: filter pv → per-item sliding 1h/5min count.
+    Ranking (R1) happens per micro-batch via `rank_hot_items` in a
+    foreachBatch sink — Top-N needs the window's rows together, which
+    streaming append mode can't give until the window closes."""
+    return windowed_count(
+        user_behavior.withWatermark("ts", delay).filter(F.col("behavior") == "pv"),
+        "ts",
+        "1 hour",
+        "5 minutes",
+        keys=["item_id"],
+    )
+
+
+def rank_hot_items(counts_batch: DataFrame, n: int = 5) -> DataFrame:
+    """R1 finisher for foreachBatch: Top-N items per closed window."""
+    return topn_counts_per_window(counts_batch, "item_id", n)
+
+
+def page_view_stream(user_behavior: DataFrame, delay: str = "1 second") -> DataFrame:
+    """PageView.java:59-70: pv filter → tumbling 1h global count."""
+    return windowed_count(
+        user_behavior.withWatermark("ts", delay).filter(F.col("behavior") == "pv"),
+        "ts",
+        "1 hour",
+    )
+
+
+def unique_visitor_stream(
+    user_behavior: DataFrame, delay: str = "1 second", approximate: bool = False
+) -> DataFrame:
+    """UniqueVisitor.java:53-56 (exact) / UvWithBloomFilter.java:56-60
+    (approx — HLL++ replaces the Redis bitmap Bloom filter)."""
+    return windowed_distinct(
+        user_behavior.withWatermark("ts", delay).filter(F.col("behavior") == "pv"),
+        "ts",
+        "1 hour",
+        "user_id",
+        approximate=approximate,
+    )
+
+
+def channel_stats_stream(marketing: DataFrame, delay: str = "1 second") -> DataFrame:
+    """AppMarketingByChannel.java:48-52: drop UNINSTALL → per
+    channel×behavior sliding 1h/5s count."""
+    return windowed_count(
+        marketing.withWatermark("ts", delay).filter(F.col("behavior") != "UNINSTALL"),
+        "ts",
+        "1 hour",
+        "5 seconds",
+        keys=["channel", "behavior"],
+    )
+
+
+def hot_pages_stream(apache_log: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """HotPages.java:68-79: GET + static-resource regex filter →
+    per-url sliding 10min/5s count. The reference's allowedLateness(1m)
+    maps to the 1-minute watermark delay here (update-mode re-emission
+    replaces late re-fires — W9 note in module docstring)."""
+    filtered = (
+        apache_log.withWatermark("ts", delay)
+        .filter(F.col("method") == "GET")
+        .filter(~F.col("url").rlike(r"\.(css|js|png|ico)$"))
+    )
+    return windowed_count(filtered, "ts", "10 minutes", "5 seconds", keys=["url"])

@@ -1,0 +1,290 @@
+"""Stateful streaming operators (SURVEY.md §2.10 T1-T5, §2.9 J2) via
+``applyInPandasWithState`` — per-key state + event-time timeouts, the
+Spark analog of Flink's KeyedProcessFunction/CoProcessFunction/CEP.
+
+Semantics ported (and cited) from the reference:
+- login-fail: LoginFail.java:126-170 (event-driven variant: each fail
+  compared with the previous fail, success clears) and the CEP twin
+  LoginFailWithCep.java:52-97 (strict contiguity `next` + within 2s);
+- order timeout: OrderTimeOutOnProcess.java:63-146 (four outcome
+  states, out-of-order create/pay both directions, timer at
+  create + timeout);
+- tx reconciliation: TxPayMatch.java:82-141 (first-arriving side
+  waits in state; match emits pair; event-time timers divert
+  unmatched pays/receipts to side outputs).
+
+All outputs use the engine's tagged-union convention: one stream with
+a ``result_type`` column (side outputs = downstream filters).
+
+Scale notes: state is one small tuple per live key, dropped on match/
+timeout/success — bounded by construction. Each operator is a single
+shuffle on its key; batches arrive per-key as Arrow frames. Rows are
+processed in event-time order within each micro-batch (explicit sort)
+so out-of-order arrival inside a batch can't corrupt the state
+machine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def login_fail_stream(events: DataFrame, max_gap_s: int = 2, max_fails: int = 2) -> DataFrame:
+    """T1/T2: warn when two consecutive fails for a user arrive within
+    ``max_gap_s`` seconds (event time); an intervening success resets.
+
+    Input: login_event schema (user_id, ip, login_state, ts) with a
+    watermark already attached. Output: (user_id, first_fail_ts_s,
+    second_fail_ts_s, result_type='warning').
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_fail_ts = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for _, row in pdf.iterrows():
+                ts_s = int(row["ts"].timestamp())
+                if row["login_state"] == "fail":
+                    if last_fail_ts is not None and ts_s - last_fail_ts <= max_gap_s:
+                        out.append((user_id, last_fail_ts, ts_s, "warning"))
+                    last_fail_ts = ts_s
+                else:  # success clears (LoginFail.java:159-163)
+                    last_fail_ts = None
+        if last_fail_ts is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((last_fail_ts,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "first_fail_ts_s", "second_fail_ts_s", "result_type"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, first_fail_ts_s long, second_fail_ts_s long, result_type string",
+        "last_fail_ts long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def order_timeout_stream(orders: DataFrame, timeout_s: int = 900) -> DataFrame:
+    """T3/T4: per order_id, match create→pay within ``timeout_s``
+    event-time seconds. Four outcomes (OrderTimeOutOnProcess.java:
+    75-131): 'payed', 'payed but already timeout', 'payed but not
+    found created log', 'order timeout' (via event-time timer at
+    create_ts + timeout).
+
+    Input: order_event schema with watermark. Output: (order_id,
+    create_ts_s, pay_ts_s, result_type).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (order_id,) = key
+        out = []
+        if state.hasTimedOut:
+            create_ts, pay_ts = state.get
+            # timer fired: one side still missing (…java:117-131)
+            if pay_ts is not None and create_ts is None:
+                out.append((order_id, None, pay_ts, "payed but not found created log"))
+            elif create_ts is not None:
+                out.append((order_id, create_ts, None, "order timeout"))
+            state.remove()
+        else:
+            create_ts, pay_ts = state.get if state.exists else (None, None)
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for _, row in pdf.iterrows():
+                    ts_s = int(row["ts"].timestamp())
+                    if row["event_type"] == "create":
+                        if pay_ts is not None:  # pay arrived first (…java:86-97)
+                            tag = (
+                                "payed"
+                                if pay_ts <= ts_s + timeout_s
+                                else "payed but already timeout"
+                            )
+                            out.append((order_id, ts_s, pay_ts, tag))
+                            create_ts = pay_ts = None
+                        else:
+                            create_ts = ts_s
+                    else:  # pay
+                        if create_ts is not None:  # (…java:75-85)
+                            tag = (
+                                "payed"
+                                if ts_s <= create_ts + timeout_s
+                                else "payed but already timeout"
+                            )
+                            out.append((order_id, create_ts, ts_s, tag))
+                            create_ts = pay_ts = None
+                        else:
+                            pay_ts = ts_s
+            if create_ts is None and pay_ts is None:
+                if state.exists:
+                    state.remove()
+            else:
+                base = create_ts if create_ts is not None else pay_ts
+                timer_ms = (base + timeout_s) * 1000
+                if timer_ms <= state.getCurrentWatermarkMs():
+                    # event arrived with its timer already expired
+                    # (late vs watermark): resolve immediately
+                    if pay_ts is not None and create_ts is None:
+                        out.append((order_id, None, pay_ts, "payed but not found created log"))
+                    else:
+                        out.append((order_id, create_ts, None, "order timeout"))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update((create_ts, pay_ts))
+                    state.setTimeoutTimestamp(timer_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["order_id", "create_ts_s", "pay_ts_s", "result_type"]
+            )
+
+    return orders.groupBy("order_id").applyInPandasWithState(
+        fn,
+        "order_id long, create_ts_s long, pay_ts_s long, result_type string",
+        "create_ts long, pay_ts long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def tx_match_stream(
+    orders: DataFrame,
+    receipts: DataFrame,
+    pay_wait_s: int = 5,
+    receipt_wait_s: int = 3,
+) -> DataFrame:
+    """J2: two-stream reconciliation on tx_id (TxPayMatch.java:82-141).
+    First-arriving side waits in state; the partner's arrival emits
+    'matched'; an event-time timer diverts lone pays/receipts to
+    'unmatched_pay' / 'unmatched_receipt' after their wait.
+
+    Inputs: order_event (pay rows only are relevant; filtered here,
+    TxPayMatch.java:54) and receipt_event, both watermarked. The two
+    streams are unioned into one tagged stream — Spark's stateful op
+    takes one input, so `connect` becomes union + per-row side tag.
+
+    Output: (tx_id, pay_ts_s, receipt_ts_s, result_type).
+    """
+    pays = orders.filter((F.col("event_type") == "pay") & (F.col("tx_id") != "")).select(
+        "tx_id", F.lit("pay").alias("side"), "ts"
+    )
+    rec = receipts.select("tx_id", F.lit("receipt").alias("side"), "ts")
+    both = pays.unionByName(rec)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (tx_id,) = key
+        out = []
+        if state.hasTimedOut:
+            pay_ts, receipt_ts = state.get
+            if pay_ts is not None:
+                out.append((tx_id, pay_ts, None, "unmatched_pay"))
+            if receipt_ts is not None:
+                out.append((tx_id, None, receipt_ts, "unmatched_receipt"))
+            state.remove()
+        else:
+            pay_ts, receipt_ts = state.get if state.exists else (None, None)
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for _, row in pdf.iterrows():
+                    ts_s = int(row["ts"].timestamp())
+                    if row["side"] == "pay":
+                        if receipt_ts is not None:
+                            out.append((tx_id, ts_s, receipt_ts, "matched"))
+                            pay_ts = receipt_ts = None
+                        else:
+                            pay_ts = ts_s
+                    else:
+                        if pay_ts is not None:
+                            out.append((tx_id, pay_ts, ts_s, "matched"))
+                            pay_ts = receipt_ts = None
+                        else:
+                            receipt_ts = ts_s
+            if pay_ts is None and receipt_ts is None:
+                if state.exists:
+                    state.remove()
+            else:
+                wait = pay_wait_s if pay_ts is not None else receipt_wait_s
+                base = pay_ts if pay_ts is not None else receipt_ts
+                timer_ms = (base + wait) * 1000
+                if timer_ms <= state.getCurrentWatermarkMs():
+                    if pay_ts is not None:
+                        out.append((tx_id, pay_ts, None, "unmatched_pay"))
+                    if receipt_ts is not None:
+                        out.append((tx_id, None, receipt_ts, "unmatched_receipt"))
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update((pay_ts, receipt_ts))
+                    state.setTimeoutTimestamp(timer_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["tx_id", "pay_ts_s", "receipt_ts_s", "result_type"]
+            )
+
+    return both.groupBy("tx_id").applyInPandasWithState(
+        fn,
+        "tx_id string, pay_ts_s long, receipt_ts_s long, result_type string",
+        "pay_ts long, receipt_ts long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def blacklist_stream(clicks: DataFrame, threshold: int = 100) -> DataFrame:
+    """T5: click-fraud filter (AdStatisticsByProvince.java:104-160) —
+    per (user_id, ad_id) count clicks; when the count crosses
+    ``threshold`` emit ONE warning row and drop further clicks; pass
+    others through tagged 'click'. The reference's midnight-reset
+    processing-time timer becomes a per-event-day state key component
+    (bounded state, deterministic in event time)."""
+    keyed = clicks.withColumn("day", F.to_date("ts"))
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, ad_id, day = key
+        cnt, warned = state.get if state.exists else (0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for _, row in pdf.iterrows():
+                ts_s = int(row["ts"].timestamp())
+                cnt += 1
+                if cnt > threshold:
+                    if not warned:
+                        out.append(
+                            (user_id, ad_id, ts_s, f"click over {threshold} times today", "warning")
+                        )
+                        warned = 1
+                else:
+                    out.append((user_id, ad_id, ts_s, None, "click"))
+        state.update((cnt, warned))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ad_id", "ts_s", "warning", "result_type"]
+            )
+
+    return keyed.groupBy("user_id", "ad_id", "day").applyInPandasWithState(
+        fn,
+        "user_id long, ad_id long, ts_s long, warning string, result_type string",
+        "cnt long, warned int",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

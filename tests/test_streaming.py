@@ -1,0 +1,220 @@
+"""Deterministic Structured Streaming tests: file-replay sources +
+memory sinks + availableNow/processAllAvailable, per SURVEY.md §5's
+test strategy (the reference itself has no tests — these encode its
+README golden semantics on small crafted fixtures)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_spark.schemas import (
+    LOGIN_EVENT,
+    ORDER_EVENT,
+    RECEIPT_EVENT,
+    USER_BEHAVIOR,
+    parse_csv_lines,
+)
+from flink_kafka_spark.streaming.jobs import hot_items_stream, rank_hot_items
+from flink_kafka_spark.streaming.sources import csv_replay_source
+from flink_kafka_spark.streaming.stateful import (
+    login_fail_stream,
+    order_timeout_stream,
+    tx_match_stream,
+)
+
+
+def _run_stream(df, name, mode="append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _run_stream_until(spark, df, name, min_rows, mode="append", timeout_s=60):
+    """Continuous-trigger run: process all data, then let no-data
+    micro-batches fire pending event-time timers until the memory sink
+    holds ``min_rows`` (availableNow can terminate before a final
+    no-data batch, leaving timers unfired)."""
+    import time
+
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) FROM {name}").first()[0] >= min_rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+
+def _write_lines(path, lines, mtime=None):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    if mtime is not None:
+        # FileStreamSource batches files in timestamp order; pin mtimes
+        # so multi-batch replays are deterministic
+        os.utime(path, (mtime, mtime))
+
+
+# --- windowed agg parity: streaming result == batch result ---
+
+
+def test_hot_items_stream_matches_batch(spark, tmp_path):
+    # user_behavior rows: user,item,cat,behavior,ts(s) — ascending ts
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    lines = []
+    for i in range(200):
+        item = 100 + (i % 3)
+        lines.append(f"{i},{item},1,pv,{base + i * 30}")
+    # far-future sentinel must PASS the pv filter: Catalyst pushes the
+    # filter below the watermark collector, so filtered rows never
+    # advance the watermark. Its own windows stay open (end > wm).
+    sentinel_ts = base + 86400
+    lines.append(f"9999,999,1,pv,{sentinel_ts}")
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+
+    stream = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    _run_stream(hot_items_stream(stream), "hot_items_out")
+    got = spark.sql("SELECT * FROM hot_items_out")
+
+    batch_src = parse_csv_lines(
+        spark.read.text(str(tmp_path / "in")), USER_BEHAVIOR
+    )
+    from flink_kafka_spark.operators.windows import windowed_count
+
+    want = windowed_count(
+        batch_src.filter(F.col("behavior") == "pv"), "ts", "1 hour", "5 minutes", ["item_id"]
+    )
+    # streaming append emits only windows closed by the final watermark
+    wm_s = sentinel_ts - 1
+    want = want.filter(F.col("window_end_s") <= wm_s)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # and the foreachBatch ranking finisher works on the emitted rows
+    ranked = rank_hot_items(got, n=2)
+    assert ranked.groupBy("window_start_s").count().agg(F.max("count")).first()[0] <= 2
+
+
+# --- login-fail stateful detector (T1/T2) ---
+
+
+def test_login_fail_stream(spark, tmp_path):
+    t = 1_700_000_000
+    lines = [
+        # user 1: two fails 1s apart -> warning
+        f"1,ip,fail,{t}",
+        f"1,ip,fail,{t + 1}",
+        # user 2: fail, success, fail -> no warning (reset)
+        f"2,ip,fail,{t}",
+        f"2,ip,success,{t + 1}",
+        f"2,ip,fail,{t + 2}",
+        # user 3: fails 5s apart -> no warning (gap > 2s)
+        f"3,ip,fail,{t}",
+        f"3,ip,fail,{t + 5}",
+        # user 4: three consecutive fails 1s apart -> two warnings
+        f"4,ip,fail,{t}",
+        f"4,ip,fail,{t + 1}",
+        f"4,ip,fail,{t + 2}",
+    ]
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+    stream = csv_replay_source(spark, str(tmp_path / "in"), LOGIN_EVENT).withWatermark(
+        "ts", "3 seconds"
+    )
+    _run_stream(login_fail_stream(stream, max_gap_s=2), "login_out")
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM login_out").collect())
+    )
+    assert got == [
+        (1, t, t + 1, "warning"),
+        (4, t, t + 1, "warning"),
+        (4, t + 1, t + 2, "warning"),
+    ]
+
+
+# --- order timeout stateful detector (T3/T4) with event-time timer ---
+
+
+def test_order_timeout_stream(spark, tmp_path):
+    t = 1_700_000_000
+    # batch 1: order 1 create+pay (payed); order 2 create only (will time out);
+    #          order 4 pay only (never created)
+    _write_lines(
+        str(tmp_path / "in" / "b1.csv"),
+        [
+            f"1,create,,{t}",
+            f"1,pay,tx1,{t + 100}",
+            f"2,create,,{t}",
+            f"4,pay,tx4,{t + 10}",
+        ],
+        mtime=1_000_000,
+    )
+    # batch 2: far-future event advances the watermark past all timers
+    _write_lines(
+        str(tmp_path / "in" / "b2.csv"), [f"3,create,,{t + 10000}"], mtime=2_000_000
+    )
+
+    stream = csv_replay_source(
+        spark, str(tmp_path / "in"), ORDER_EVENT, max_files_per_trigger=1
+    ).withWatermark("ts", "0 seconds")
+    _run_stream_until(spark, order_timeout_stream(stream, timeout_s=900), "orders_out", 3)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM orders_out").collect()))
+    assert (1, t, t + 100, "payed") in got
+    assert (2, t, None, "order timeout") in got
+    assert (4, None, t + 10, "payed but not found created log") in got
+
+
+# --- two-stream reconciliation (J2) ---
+
+
+def test_tx_match_stream(spark, tmp_path):
+    t = 1_700_000_000
+    _write_lines(
+        str(tmp_path / "orders" / "b1.csv"),
+        [
+            f"10,pay,txA,{t}",       # matched
+            f"11,pay,txB,{t + 2}",   # unmatched pay
+        ],
+        mtime=1_000_000,
+    )
+    # sentinel must be a PAY row: creates are filtered out before the
+    # watermark collector (predicate pushdown), so they don't advance it
+    _write_lines(
+        str(tmp_path / "orders" / "b2.csv"), [f"12,pay,txZ2,{t + 10000}"], mtime=2_000_000
+    )
+    _write_lines(
+        str(tmp_path / "receipts" / "b1.csv"),
+        [
+            f"txA,wechat,{t + 1}",   # matches order 10
+            f"txC,alipay,{t + 3}",   # unmatched receipt
+        ],
+        mtime=1_000_000,
+    )
+    _write_lines(
+        str(tmp_path / "receipts" / "b2.csv"), [f"txZ,alipay,{t + 10000}"], mtime=2_000_000
+    )
+
+    orders = csv_replay_source(
+        spark, str(tmp_path / "orders"), ORDER_EVENT, max_files_per_trigger=1
+    ).withWatermark("ts", "0 seconds")
+    receipts = csv_replay_source(
+        spark, str(tmp_path / "receipts"), RECEIPT_EVENT, max_files_per_trigger=1
+    ).withWatermark("ts", "0 seconds")
+    _run_stream_until(spark, tx_match_stream(orders, receipts), "tx_out", 3)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM tx_out").collect()))
+    assert ("txA", t, t + 1, "matched") in got
+    assert ("txB", t + 2, None, "unmatched_pay") in got
+    assert ("txC", None, t + 3, "unmatched_receipt") in got
