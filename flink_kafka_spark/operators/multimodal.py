@@ -1,0 +1,259 @@
+"""Multimodal (image / audio / video) column handling.
+
+The reference has no multimodal surface (SURVEY.md §1.1: flat
+long/int/string POJOs only); this module is the training-data-pipeline
+extension scope from the build brief. Media are modeled as opaque
+``binary`` payload columns plus typed metadata, and processed with
+Arrow-batched ``mapInPandas`` so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real even though the
+actual codec work is stubbed (no image/audio libraries exist in this
+container; see :func:`decode_image` / :func:`resample_audio`).
+
+Scale design (100 TB):
+- Every operator here is a **narrow** transformation — no shuffle. A
+  1000-executor cluster processes payload partitions fully in parallel
+  with zero network traffic beyond the scan.
+- Payloads stream through Arrow record batches (``mapInPandas``
+  iterator form), never a full-partition materialization and never a
+  driver collect. Batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- Metadata-only consumers drop the payload column immediately after
+  extraction; Parquet column pruning then skips the heavy bytes at scan
+  time for any downstream query that re-reads the output.
+- Input split sizing is governed by ``spark.sql.files.maxPartitionBytes``
+  — large media files split per-row-group without repartitioning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+#: Schema of a media table: opaque payload + typed source metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("byte_len", LongType()),
+                    StructField("source", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents``.
+
+    The container has no real image/audio fixtures, so the UTF-8 bytes
+    of ``text`` stand in as the opaque payload (documents are ASCII, so
+    byte semantics are reproducible in any oracle). ``kind`` cycles
+    image/audio/video by ``doc_id % 3``. Entirely JVM-side expressions
+    — no Python in this step.
+    """
+    kind = F.element_at(F.array(*[F.lit(k) for k in MEDIA_KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return documents.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.octet_length("text").cast("long").alias("byte_len"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("checksum", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_media_meta(media: DataFrame) -> DataFrame:
+    """"Decode" each payload into typed metadata via ``mapInPandas``.
+
+    The decode itself is a deterministic fake (real codecs are not in
+    this container — the gated entry points are :func:`decode_image` /
+    :func:`resample_audio`): width/height derive from the first payload
+    bytes, duration from the byte length. The *plumbing* is the real
+    thing being exercised: Arrow iterator-of-batches in, declared
+    result schema out, payload column consumed and dropped so
+    downstream stages never carry the heavy bytes.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            kinds = pdf["kind"]
+            visual = kinds.isin(["image", "video"]).to_numpy()
+            timed = kinds.isin(["audio", "video"]).to_numpy()
+            n = pd.Series([len(p) for p in payloads], index=pdf.index, dtype="int64")
+            first = pd.Series([p[0] if p else 0 for p in payloads], index=pdf.index, dtype="int64")
+            second = pd.Series([p[1] if len(p) > 1 else 0 for p in payloads], index=pdf.index, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": kinds,
+                    "byte_len": n,
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                    "width": pd.array((64 + first).where(visual), dtype="Int64"),
+                    "height": pd.array((64 + second).where(visual), dtype="Int64"),
+                    "duration_ms": pd.array((n * 40).where(timed), dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(decode, DECODED_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Split each payload into fixed-size frames (video frame-sampling
+    shape): one output row per ``frame_bytes`` chunk, with per-frame
+    checksum. Narrow row-explosion inside ``mapInPandas`` — output rows
+    stay on the producing partition, no shuffle.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), frame_bytes):
+                    chunk = data[i : i + frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i // frame_bytes)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_md5": md5s}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("dim", IntegerType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Fixed-size float feature vector per payload (strided byte means)
+    — the shape of an embedding/feature-extraction stage. NumPy inside
+    Arrow batches; vectorized, never per-row Python in the hot loop.
+    """
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    out.append([0.0] * dim)
+                    continue
+                out.append(
+                    [round(float(arr[j::dim].mean()) if arr[j::dim].size else 0.0, 4) for j in range(dim)]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": out, "dim": [dim] * len(pdf)}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
+
+
+# --- gated real-codec entry points -------------------------------------
+
+def decode_image(payload: bytes):
+    """Real image decode (Pillow). The container ships no image libs;
+    the gate keeps the API surface honest without a hard dependency."""
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError as exc:  # pragma: no cover - no PIL in container
+        raise NotImplementedError(
+            "real image decode requires Pillow; this environment has no image "
+            "libraries — use decode_media_meta() (deterministic fake) instead"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def resample_audio(payload: bytes, rate: int):
+    """Real audio resample (soundfile/librosa) — gated like
+    :func:`decode_image`."""
+    try:
+        import soundfile  # type: ignore  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no audio libs
+        raise NotImplementedError(
+            "real audio resampling requires soundfile/librosa; not available "
+            "in this environment"
+        ) from exc
+    raise NotImplementedError("resample not implemented")  # pragma: no cover
+
+
+def resize_image_batch(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage stub: validates the pipeline shape (binary in →
+    binary out, metadata updated) with a deterministic fake "resize"
+    that truncates/pads the payload to width*height bytes."""
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                (bytes(p)[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "meta": [
+                        {"byte_len": target, "source": m["source"]} for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(resize, MEDIA_SCHEMA)

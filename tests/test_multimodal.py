@@ -1,0 +1,70 @@
+"""Multimodal plumbing: synthesized media table, mapInPandas decode /
+frame-sample / feature-extract, and the gated real-codec entry points.
+Oracle equivalence for decode/frame-sample runs via test_oracle.py; here
+we pin the non-SQL pieces against pure-Python references."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from flink_kafka_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    resize_image_batch,
+    synthesize_media,
+)
+from flink_kafka_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return synthesize_media(load(spark, sf_dir, "documents")).cache()
+
+
+def test_media_schema_and_payload(media, spark, sf_dir):
+    row = media.orderBy("doc_id").first()
+    doc = load(spark, sf_dir, "documents").orderBy("doc_id").first()
+    assert bytes(row.payload) == doc.text.encode("utf-8")
+    assert row.kind in ("image", "audio", "video")
+    assert row.meta.byte_len == len(doc.text.encode("utf-8"))
+
+
+def test_extract_features_matches_numpy_reference(media, spark, sf_dir):
+    dim = 8
+    got = {r.doc_id: list(r.features) for r in extract_features(media, dim).collect()}
+    docs = {r.doc_id: r.text.encode() for r in load(spark, sf_dir, "documents").collect()}
+    assert set(got) == set(docs)
+    for doc_id, payload in list(docs.items())[:25]:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        want = [round(float(arr[j::dim].mean()) if arr[j::dim].size else 0.0, 4) for j in range(dim)]
+        assert got[doc_id] == pytest.approx(want, abs=1e-4), doc_id
+
+
+def test_frame_sample_reassembles(media, spark, sf_dir):
+    frames = frame_sample(media, 64).collect()
+    docs = {r.doc_id: r.text.encode() for r in load(spark, sf_dir, "documents").collect()}
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    assert set(by_doc) == set(docs)
+    for doc_id, fs in list(by_doc.items())[:25]:
+        fs.sort(key=lambda f: f.frame_idx)
+        payload = docs[doc_id]
+        assert [f.frame_idx for f in fs] == list(range(len(fs)))
+        assert sum(f.frame_len for f in fs) == len(payload)
+        for f in fs:
+            chunk = payload[f.frame_idx * 64 : f.frame_idx * 64 + 64]
+            assert f.frame_md5 == hashlib.md5(chunk).hexdigest()
+
+
+def test_resize_truncates_and_pads(media):
+    out = resize_image_batch(media, 8, 4).collect()
+    assert all(len(bytes(r.payload)) == 32 for r in out)
+    assert all(r.meta.byte_len == 32 for r in out)
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\x89PNG")
