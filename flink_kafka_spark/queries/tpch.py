@@ -166,9 +166,396 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join shape (TPC-H Q4, adapted: no l_commitdate column, the
+    EXISTS predicate is l_shipdate > o_orderdate): orders with at least
+    one late-shipped line, counted per priority. LEFT SEMI keeps only
+    the order key + priority flowing — no lineitem payload after the
+    join, and the probe side deduplicates in the join itself."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+TPCH_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+_Q7_SUPP = ("NATION_1", "NATION_2", "NATION_3")
+_Q7_CUST = ("NATION_4", "NATION_5", "NATION_6")
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping shape (TPC-H Q7): revenue between two nation
+    groups per year. supplier/customer/nation are broadcast dims; the
+    only shuffles are the l⋈o fact join and the final small agg."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q7_SUPP)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q7_CUST)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+    )
+
+
+TPCH_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND n1.n_name IN {_Q7_SUPP} AND n2.n_name IN {_Q7_CUST}
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue Top-20 (TPC-H Q10). Exact decimal revenue
+    plus a total-order tiebreak (revenue DESC, c_custkey) makes the
+    LIMIT deterministic across engines."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+TPCH_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+_HIGH_PRIO = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation shape (TPC-H Q12, adapted: grouped by
+    l_linestatus since the slim schema has no l_shipmode)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.expr(f"sum(CASE WHEN {_HIGH_PRIO} THEN 1 ELSE 0 END)").alias("high_line_count"),
+            F.expr(f"sum(CASE WHEN {_HIGH_PRIO} THEN 0 ELSE 1 END)").alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_ORACLE = f"""
+SELECT l_linestatus,
+       sum(CASE WHEN {_HIGH_PRIO} THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN {_HIGH_PRIO} THEN 0 ELSE 1 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# q14-shape ratio: identical textual formula on both engines — exact
+# decimal sums cast to double, one FP division, floor-based 4-dp round.
+_Q14_RATIO = (
+    f"floor(CAST(100 * sum(CASE WHEN p_type = 'ECONOMY' THEN {_DISC_PRICE} "
+    f"ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) "
+    f"/ CAST(sum({_DISC_PRICE}) AS DOUBLE) * 10000 + 0.5) / 10000"
+)
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-revenue-ratio shape (TPC-H Q14): part dim broadcast, one
+    scalar output row."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.expr(_Q14_RATIO).alias("economy_revenue_ratio"))
+    )
+
+
+TPCH_Q14_ORACLE = f"""
+SELECT {_Q14_RATIO} AS economy_revenue_ratio
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier shape (TPC-H Q15): scalar-max subquery. The max is
+    a 1-row aggregate cross-broadcast back onto the per-supplier
+    revenues — no single-partition window, no second scan shuffle."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top._max_rev)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+    )
+
+
+TPCH_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = l_suppkey
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+_Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count shape (TPC-H Q16, adapted: lineitem is the
+    part↔supplier bridge since the slim schema has no partsupp).
+    Distinct-agg after a broadcast dim join."""
+    p = load(spark, sf_dir, "part").filter(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2") & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_ORACLE = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey
+  AND p_brand NOT IN ('Brand#1', 'Brand#2')
+  AND p_size IN {_Q16_SIZES}
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# q17: l_quantity is integral (1..50) so sum/avg are exact in FP; the
+# 0.2*avg threshold is the same double on both engines.
+_Q17_REV = f"CAST(round(CAST(sum({_EP}) AS DOUBLE) / 7.0 * 100 + 0.5, 0) / 100 AS DOUBLE)"
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): correlated AVG
+    subquery decorrelated into a per-part aggregate joined back to
+    lineitem. The per-part thresholds re-shuffle on l_partkey once;
+    AQE turns the join broadcast when the agg side is small."""
+    l = load(spark, sf_dir, "lineitem")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(thresholds, l.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.expr(_Q17_REV).alias("avg_yearly"))
+    )
+
+
+TPCH_Q17_ORACLE = f"""
+SELECT {_Q17_REV} AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey) t
+  ON l.l_partkey = t.t_partkey
+WHERE l.l_quantity < t.qty_threshold
+"""
+
+
+_Q18_QTY = 150
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18): HAVING-subquery shape. The
+    qualifying order keys come from one groupBy; a semi join restricts
+    the re-aggregation to those orders only."""
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("long").alias("orderdate_s"),
+            "o_totalprice",
+        )
+        .agg(F.expr(f"CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2))").alias("sum_qty"))
+    )
+
+
+TPCH_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_s,
+       o_totalprice,
+       CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2)) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY})
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+_Q19_PRED = """
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate join (TPC-H Q19): the equi-key join plus
+    an OR-of-conjunctions residual filter — broadcast the part dim so
+    the residual evaluates without a shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(F.expr(_Q19_PRED))
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+    )
+
+
+TPCH_Q19_ORACLE = f"""
+SELECT CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND ({_Q19_PRED})
+"""
+
+
+# q22: the avg threshold is derived from the exact decimal sum with the
+# same textual formula on both engines — no order-dependent double sum.
+_ACCTBAL_AVG = (
+    "CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)"
+)
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity shape (TPC-H Q22, adapted: grouped by
+    c_nationkey, anti join on recent orders instead of all orders since
+    every synthetic customer has some order). Scalar-avg subquery
+    broadcast + LEFT ANTI join."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.expr(_ACCTBAL_AVG).alias("_avg_bal"))
+    recent = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr("CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2))")
+            .alias("totacctbal"),
+        )
+    )
+
+
+TPCH_Q22_ORACLE = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_ACCTBAL_AVG} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = [
     Query("tpch_q1", tpch_q1, TPCH_Q1_ORACLE, "batch agg (beyond ref)", ("bench",)),
     Query("tpch_q3", tpch_q3, TPCH_Q3_ORACLE, "batch join+agg (beyond ref)", ("bench",)),
+    Query("tpch_q4", tpch_q4, TPCH_Q4_ORACLE, "semi join (beyond ref)", ("bench",)),
     Query("tpch_q5", tpch_q5, TPCH_Q5_ORACLE, "batch star join (beyond ref)", ("bench",)),
     Query("tpch_q6", tpch_q6, TPCH_Q6_ORACLE, "batch scan-agg (beyond ref)", ("bench",)),
+    Query("tpch_q7", tpch_q7, TPCH_Q7_ORACLE, "multi-dim broadcast join (beyond ref)"),
+    Query("tpch_q10", tpch_q10, TPCH_Q10_ORACLE, "top-n join+agg (beyond ref)", ("bench",)),
+    Query("tpch_q12", tpch_q12, TPCH_Q12_ORACLE, "conditional agg (beyond ref)"),
+    Query("tpch_q14", tpch_q14, TPCH_Q14_ORACLE, "agg ratio (beyond ref)"),
+    Query("tpch_q15", tpch_q15, TPCH_Q15_ORACLE, "scalar-max subquery (beyond ref)"),
+    Query("tpch_q16", tpch_q16, TPCH_Q16_ORACLE, "distinct agg (beyond ref)"),
+    Query("tpch_q17", tpch_q17, TPCH_Q17_ORACLE, "correlated-avg subquery (beyond ref)"),
+    Query("tpch_q18", tpch_q18, TPCH_Q18_ORACLE, "having subquery semi join (beyond ref)", ("bench",)),
+    Query("tpch_q19", tpch_q19, TPCH_Q19_ORACLE, "disjunctive-pred join (beyond ref)"),
+    Query("tpch_q22", tpch_q22, TPCH_Q22_ORACLE, "anti join + scalar subquery (beyond ref)"),
 ]
