@@ -33,12 +33,17 @@ BENCH_QUERIES = [
     # batch-relational headline
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     # training-data pipeline extensions
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_stats",
+    "media_decode_meta",
+    "media_frame_sample",
 ]
 
 
@@ -48,15 +53,31 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
-    # warm the JVM/session (tiny action, not counted)
-    spark.range(1).count()
+    # Warm the JVM once per query shape at the smallest SF (codegen
+    # compilation, parquet reader init, broadcast machinery) so the
+    # timed runs measure steady-state throughput, not first-call
+    # compilation. Not counted.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            try:
+                registry[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+    else:
+        spark.range(1).count()
 
+    # median of 3 runs per query: single-JVM local mode has noticeable
+    # run-to-run GC/JIT variance; the median is the steady-state number
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         q = registry[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     print(
         json.dumps(

@@ -21,7 +21,7 @@ Scale design (100 TB of documents):
 """
 
 import pandas as pd  # noqa: F401 — resolvable type hints for pandas_udf
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SHINGLE_STOP_DF = 200  # prune shingles appearing in more docs than this
@@ -98,22 +98,53 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, n: int = 3, k: int = 32) -> DataFrame:
-    """k-permutation MinHash signature per doc: sig_i = min over
-    shingles of xxhash64(i || shingle). All JVM-side (higher-order
-    array functions over the shingle array — no shuffle, no Python)."""
-    sig_exprs = [
+def shingle_sets(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle_arr) — the distinct word-n-gram set per doc as one
+    array column, built without any shuffle: array_distinct over the
+    per-row n-gram transform (a narrow map), not explode+groupBy."""
+    expr = f"""
+      array_distinct(transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)),
+                               i -> concat_ws(' ', slice(tokens, i, {n}))))
+    """
+    return normalized_tokens(df).select(id_col, F.expr(expr).alias("shingle_arr"))
+
+
+def _splitmix64(i: int) -> int:
+    """Deterministic 64-bit mix (SplitMix64 finalizer) for per-
+    permutation affine constants — pure Python, evaluated at plan time."""
+    z = (i + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _sig_exprs(k: int) -> list[Column]:
+    """k MinHash values from ONE base string hash per shingle: the
+    variable-length xxhash64 over the shingle text runs once, then each
+    permutation re-mixes the resulting fixed-width long with a distinct
+    salt (two-long xxhash64 — cheap, and ANSI-safe unlike wrapping
+    multiply-add)."""
+    return [
         F.array_min(
-            F.expr(f"transform(shingle_arr, s -> xxhash64(concat('{i}|', s)))")
+            F.expr(f"transform(hash_arr, h -> xxhash64({_to_i64(_splitmix64(i))}L, h))")
         ).alias(f"sig_{i}")
         for i in range(k)
     ]
-    per_doc = (
-        shingles(df, id_col, n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("shingle_arr"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, n: int = 3, k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per doc. All JVM-side (higher-
+    order array functions over the shingle array — no shuffle, no
+    Python); see :func:`_sig_exprs` for the one-base-hash trick."""
+    return (
+        shingle_sets(df, id_col, n)
+        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
+        .select(id_col, F.array(*_sig_exprs(k)).alias("signature"))
     )
-    return per_doc.select(id_col, F.array(*sig_exprs).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -132,7 +163,11 @@ def minhash_lsh_pairs(
     verification joins shingles for candidate ids only.
     """
     r = k // bands
-    sigs = minhash_signatures(df, id_col, n, k)
+    base = shingle_sets(df, id_col, n)
+    # one pass: shingle set + signature per doc (narrow, no shuffle)
+    sigs = base.withColumn(
+        "hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))")
+    ).select(id_col, "shingle_arr", F.array(*_sig_exprs(k)).alias("signature"))
     banded = sigs.select(
         id_col,
         F.explode(
@@ -157,25 +192,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification on candidates only
-    sh = shingles(df, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sha = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
-    shb = sh.select(F.col(id_col).alias("_vid_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        candidates.join(sha, "id_a")
-        .join(shb, (F.col("id_b") == F.col("_vid_b")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "size_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "size_b")
+    # exact verification on candidates only: join each side's shingle
+    # set back in and intersect the arrays — candidate cardinality is
+    # tiny relative to the corpus, so carrying the arrays through two
+    # equi-joins beats re-exploding every shingle of every doc
+    sets = base.select(F.col(id_col).alias("_sid"), "shingle_arr")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(sets.select(F.col("_sid").alias("id_a"), F.col("shingle_arr").alias("arr_a")), "id_a")
+        .join(sets.select(F.col("_sid").alias("id_b"), F.col("shingle_arr").alias("arr_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6),
+            F.round(
+                F.col("n_inter")
+                / (F.size("arr_a") + F.size("arr_b") - F.col("n_inter")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
