@@ -208,6 +208,41 @@ FROM orders GROUP BY 1, 2, 3
 """
 
 
+# --- hot pages analog (F2/F3 + R2): regex-excluded per-group Top-N ---
+
+def hot_sources_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's HotPages shape (HotPages.java:71-77,128-198) on
+    the documents table: drop "static-asset" sources via a negative
+    regex (F3's css/js/png/ico exclusion), count per lang×source, rank
+    top-3 sources per lang (R2's MapState+timer ranking, declaratively).
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.filter(~F.col("source").rlike("1[0-9]$"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from ..operators.topn import topn_per_partition
+
+    return topn_per_partition(
+        counts, ["lang"], [F.col("cnt").desc(), F.col("source").asc()], 3
+    ).select("lang", "source", "cnt", "rank")
+
+
+HOT_SOURCES_ORACLE = """
+SELECT lang, source, cnt, rank FROM (
+  SELECT lang, source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, source ASC) AS rank
+  FROM (
+    SELECT lang, source, count(*) AS cnt
+    FROM documents
+    WHERE NOT regexp_matches(source, '1[0-9]$')
+    GROUP BY lang, source
+  )
+) WHERE rank <= 3
+"""
+
+
 # --- scalar-function / filter surface (P1-P6, F1-F5): project + json ---
 
 def high_value_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,5 +278,6 @@ QUERIES = [
     Query("channel_stats", channel_stats, CHANNEL_STATS_ORACLE, "W3 A3 G5 F4"),
     Query("global_stats", global_stats, GLOBAL_STATS_ORACLE, "A4 G4 G8"),
     Query("orders_daily_by_priority", orders_daily_by_priority, ORDERS_DAILY_ORACLE, "W4 A5 G7"),
+    Query("hot_sources_topn", hot_sources_topn, HOT_SOURCES_ORACLE, "F2 F3 R2 G3"),
     Query("high_value_purchases", high_value_purchases, HIGH_VALUE_ORACLE, "P1 P2 P5 F1-F5"),
 ]
