@@ -82,6 +82,92 @@ def srp_bucket(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> D
     return v.withColumn("bucket", F.expr(" + ".join(bit_exprs)))
 
 
+def ivf_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: KMeans centroids over the corpus (Spark
+    ML, JVM-side Lloyd iterations), corpus vectors assigned to their
+    nearest cell. Returns (assigned corpus DF with ``cell``, centroid
+    list as plain Python floats for broadcast-literal probing).
+
+    Scale notes: training samples/iterates distributed; assignment is
+    one narrow model.transform. The centroid table is k×dim doubles —
+    kilobytes — so query-side probing is a literal expression, not a
+    join."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    v = _as_double(corpus, id_col, vec_col, id_col, "v")
+    feat = v.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(feat)
+    assigned = model.transform(feat).select(id_col, "v", "cell")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_cells_expr(centroids: list[list[float]], nprobe: int) -> str:
+    """SQL expr: the nprobe cell ids whose centroids are nearest (L2)
+    to column ``v`` — centroids inlined as array literals."""
+    dists = []
+    for cell_id, c in enumerate(centroids):
+        arr = f"array({', '.join(f'CAST({x} AS DOUBLE)' for x in c)})"
+        d = (
+            f"aggregate(zip_with(v, {arr}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        dists.append(f"named_struct('d', {d}, 'cell', {cell_id})")
+    return (
+        f"transform(slice(array_sort(array({', '.join(dists)}), "
+        f"(l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1 "
+        f"WHEN l.cell < r.cell THEN -1 ELSE 1 END), 1, {nprobe}), s -> s.cell)"
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus partitioned into KMeans cells,
+    each query probes its ``nprobe`` nearest cells only — the
+    candidate set shrinks ~n_cells/nprobe-fold vs brute force, and the
+    cell equi-join shuffles each corpus vector once."""
+    assigned, centroids = ivf_cells(corpus, id_col, vec_col, n_cells, seed)
+    q = _as_double(queries, id_col, vec_col, "query_id", "v").withColumn(
+        "cell", F.explode(F.expr(_nearest_cells_expr(centroids, nprobe)))
+    ).select("query_id", F.col("v").alias("qv"), "cell")
+    c = assigned.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell")
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(
+                    f"({_DOT.format(a='qv', b='cv')}) / "
+                    f"(({_NORM.format(v='qv')}) * ({_NORM.format(v='cv')}))"
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -89,11 +175,29 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     k: int = 10,
     n_planes: int = 8,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucket both sides, equi-join on bucket,
-    exact cosine + rank within the bucket's candidates."""
-    q = srp_bucket(queries, id_col, vec_col, n_planes).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    exact cosine + rank within the bucket's candidates.
+
+    Multi-probe: each query also probes buckets within Hamming distance
+    ``probe_hamming`` of its own (flip ≤h sign bits) — the standard
+    recall fix for SRP without growing the corpus-side index. Probe
+    count is 1+n_planes for h=1; corpus rows still shuffle once."""
+    probes = [0]
+    if probe_hamming >= 1:
+        probes += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    q = (
+        srp_bucket(queries, id_col, vec_col, n_planes)
+        .withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probes])),
+        )
+        .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket")
     )
     c = srp_bucket(corpus, id_col, vec_col, n_planes).select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh
 from ..tables import load
 from . import Query
 
@@ -42,13 +42,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant: SRP-LSH bucketing (xxhash64-derived
     hyperplanes — not reproducible in DuckDB → rows-only check; the
-    exact twin `ann_cosine_topk` carries the hash-checked oracle)."""
+    exact twin `ann_cosine_topk` carries the hash-checked oracle).
+
+    4 planes + Hamming-1 multi-probe: the synthetic embeddings are
+    near-uniform (true top-10 cosines ≈ 0.25-0.39), so narrow buckets
+    would degenerate to sampling; on a corpus with genuine near-dups
+    more planes prune harder at the same recall."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return cosine_topk_lsh(queries, emb, k=TOP_K)
+    return cosine_topk_lsh(queries, emb, k=TOP_K, n_planes=4, probe_hamming=1)
+
+
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF variant: KMeans coarse quantizer + nprobe cell probing
+    (model-dependent cell assignment → rows-only check; recall vs the
+    exact twin is pinned in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_ivf(queries, emb, k=TOP_K)
 
 
 QUERIES = [
     Query("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "ext: brute-force ANN"),
     Query("ann_cosine_topk_lsh", ann_cosine_topk_lsh, None, "ext: SRP-LSH ANN"),
+    Query("ann_cosine_topk_ivf", ann_cosine_topk_ivf, None, "ext: IVF ANN"),
 ]
