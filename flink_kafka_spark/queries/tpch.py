@@ -542,6 +542,35 @@ GROUP BY c_nationkey
 """
 
 
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (priority → status → grand
+    total) — the multi-level aggregation surface the reference lacks
+    entirely (SURVEY.md §2.7 note: no grouping sets/cube/rollup).
+    One Expand + one aggregation exchange, same as a plain groupBy."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2))"
+            ).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORDERS_ROLLUP_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2))
+         AS total_price,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES = [
     Query("tpch_q1", tpch_q1, TPCH_Q1_ORACLE, "batch agg (beyond ref)", ("bench",)),
     Query("tpch_q3", tpch_q3, TPCH_Q3_ORACLE, "batch join+agg (beyond ref)", ("bench",)),
@@ -558,4 +587,5 @@ QUERIES = [
     Query("tpch_q18", tpch_q18, TPCH_Q18_ORACLE, "having subquery semi join (beyond ref)", ("bench",)),
     Query("tpch_q19", tpch_q19, TPCH_Q19_ORACLE, "disjunctive-pred join (beyond ref)"),
     Query("tpch_q22", tpch_q22, TPCH_Q22_ORACLE, "anti join + scalar subquery (beyond ref)"),
+    Query("orders_rollup", orders_rollup, ORDERS_ROLLUP_ORACLE, "rollup/grouping-sets (beyond ref)"),
 ]

@@ -85,3 +85,17 @@ def hot_pages_stream(apache_log: DataFrame, delay: str = "1 minute") -> DataFram
         .filter(~F.col("url").rlike(r"\.(css|js|png|ico)$"))
     )
     return windowed_count(filtered, "ts", "10 minutes", "5 seconds", keys=["url"])
+
+
+def dedup_stream(
+    events: DataFrame, id_cols: list[str] | None = None, delay: str = "1 hour"
+) -> DataFrame:
+    """Exact streaming deduplication with watermark-bounded state
+    (training-data-pipeline extension; the reference's motivation for
+    its Redis-bitmap Bloom filter, UvWithBloomFilter.java:95-155 —
+    Spark's dedup state is per-key-hash in the state store and the
+    watermark evicts keys older than ``delay``, so memory is bounded
+    without an external store)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        id_cols or ["user_id"]
+    )

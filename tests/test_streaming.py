@@ -218,3 +218,24 @@ def test_tx_match_stream(spark, tmp_path):
     assert ("txA", t, t + 1, "matched") in got
     assert ("txB", t + 2, None, "unmatched_pay") in got
     assert ("txC", None, t + 3, "unmatched_receipt") in got
+
+
+# --- streaming exact dedup with watermark-bounded state ---
+
+
+def test_dedup_stream(spark, tmp_path):
+    from flink_kafka_spark.streaming.jobs import dedup_stream
+
+    t = 1_700_000_000
+    lines = [
+        f"1,100,1,pv,{t}",
+        f"1,101,1,pv,{t + 10}",   # duplicate user 1 within watermark -> dropped
+        f"2,100,1,pv,{t + 5}",
+        f"3,100,1,pv,{t + 6}",
+        f"2,102,1,pv,{t + 7}",    # duplicate user 2 -> dropped
+    ]
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+    stream = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    _run_stream(dedup_stream(stream, ["user_id"]), "dedup_out")
+    got = spark.sql("SELECT user_id FROM dedup_out").collect()
+    assert sorted(r.user_id for r in got) == [1, 2, 3]
