@@ -79,5 +79,5 @@ ON o_orderkey = l_orderkey
 
 QUERIES = [
     Query("order_ship_interval_join", order_ship_interval_join, INTERVAL_JOIN_ORACLE, "J1"),
-    Query("order_line_reconciliation", order_line_reconciliation, RECONCILE_ORACLE, "J2 K2"),
+    Query("order_line_reconciliation", order_line_reconciliation, RECONCILE_ORACLE, "J2 K2 F5"),
 ]

@@ -143,6 +143,6 @@ SESSIONIZE_ORACLE = SESSIONIZE_SQL.replace("unix_seconds(ts)", "epoch(ts)")
 QUERIES = [
     Query("login_fail_detect", login_fail_detect, LOGIN_FAIL_ORACLE, "T1 T2 W8"),
     Query("order_timeout", order_timeout, ORDER_TIMEOUT_ORACLE, "T3 T4"),
-    Query("click_blacklist", click_blacklist, BLACKLIST_ORACLE, "T5 F7 W12"),
+    Query("click_blacklist", click_blacklist, BLACKLIST_ORACLE, "T5 F7 G6 W12"),
     Query("sessionize", sessionize, SESSIONIZE_ORACLE, "extension: sessionization"),
 ]

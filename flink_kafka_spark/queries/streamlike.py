@@ -271,7 +271,7 @@ FROM events WHERE event_type = 'purchase' AND value > 100.0
 
 QUERIES = [
     Query("hot_items_topn", hot_items_topn, HOT_ITEMS_ORACLE, "W1 A1 G1 G2 R1 R4"),
-    Query("hot_items_sql", hot_items_sql, HOT_ITEMS_SQL_ORACLE, "A10 R3 §2.11"),
+    Query("hot_items_sql", hot_items_sql, HOT_ITEMS_SQL_ORACLE, "A10 R3 F6 §2.11"),
     Query("page_views", page_views, PAGE_VIEWS_ORACLE, "W5 A8 P3 F1"),
     Query("unique_visitors", unique_visitors, UNIQUE_VISITORS_ORACLE, "W6 A6 G8"),
     Query("uv_approx", uv_approx, None, "A7 W10"),  # HLL++ — no exact oracle

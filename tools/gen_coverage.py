@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Regenerate COVERAGE.md: SURVEY.md §2 operator inventory → engine
+artifacts (query registry entries, operator modules, streaming jobs,
+tests). Run after adding queries: python tools/gen_coverage.py"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_kafka_spark.queries import all_queries  # noqa: E402
+
+# SURVEY §2 id → (description, non-registry artifacts that also cover it)
+SURVEY_IDS: dict[str, tuple[str, str]] = {
+    "S1": ("Kafka consumer source", "streaming/sources.py:kafka_source"),
+    "S2": ("Text-file source (CSV replay)", "streaming/sources.py:csv_replay_source; schemas.py:parse_csv_lines; tests/test_streaming.py"),
+    "S3": ("Socket source", "streaming/sources.py:socket_source"),
+    "S4": ("Synthetic generator source", "streaming/sources.py:rate_marketing_source"),
+    "S5": ("Kafka producer feed", "streaming/sinks.py:kafka_sink"),
+    "K1": ("Console/print sink", "streaming/sinks.py:console_sink / memory sink in tests"),
+    "K2": ("Side-output streams", "tagged result_type column: streaming/stateful.py (order_timeout/tx_match outputs)"),
+    "K3": ("Redis bitmap/hash sink", "replaced by HLL++/state store (SURVEY §4); generic external sink = foreachBatch, streaming/sinks.py"),
+    "K4": ("Retract/changelog stream", "update output mode, tests/test_streaming.py"),
+    "P1": ("CSV line → typed record", "schemas.py:parse_csv_lines; tests/test_reference_parity.py"),
+    "P2": ("Log line parse w/ date format", "schemas.py:parse_apache_log_lines; tests/test_reference_parity.py"),
+    "P3": ("Constant-key projection", "global aggs (no grouping key)"),
+    "P4": ("Random-key salting projection", "unnecessary on Spark: map-side partial agg (SURVEY §4); documented"),
+    "P5": ("Timestamp formatting", "epoch-second long window bounds convention (queries/__init__.py)"),
+    "P6": ("Top-N report formatting", "structured output kept; formatting is a sink concern"),
+    "F1": ("behavior == 'pv'", ""),
+    "F2": ("method == 'GET'", "tests/test_reference_parity.py (apache.log)"),
+    "F3": ("static-asset negative regex", "streaming/jobs.py:hot_pages_stream; tests/test_reference_parity.py"),
+    "F4": ("behavior != UNINSTALL", "streaming/jobs.py:channel_stats_stream"),
+    "F5": ("txId != ''", "streaming/stateful.py:tx_match_stream"),
+    "F6": ("SQL WHERE filter", ""),
+    "F7": ("Stateful blacklist filter", "streaming/stateful.py:blacklist_stream"),
+    "G1": ("keyBy itemId", ""),
+    "G2": ("keyBy windowEnd (rank regroup)", ""),
+    "G3": ("keyBy url / method-ref keys", ""),
+    "G4": ("keyBy tuple position", ""),
+    "G5": ("composite key channel×behavior", ""),
+    "G6": ("composite key userId×adId", ""),
+    "G7": ("keyBy province/userId/orderId/txId", ""),
+    "G8": ("global (non-keyed) windowing", ""),
+    "W1": ("sliding 1h/5min", "streaming/jobs.py:hot_items_stream"),
+    "W2": ("sliding 10min/5s", "streaming/jobs.py:hot_pages_stream; tests/test_reference_parity.py"),
+    "W3": ("sliding 1h/5s", "streaming/jobs.py:channel_stats_stream"),
+    "W4": ("sliding 1h/5min (ad province)", "tests/test_reference_parity.py"),
+    "W5": ("tumbling 1h", "streaming/jobs.py:page_view_stream"),
+    "W6": ("tumbling all-window (global)", "streaming/jobs.py:unique_visitor_stream"),
+    "W7": ("ascending watermark", "withWatermark throughout streaming/jobs.py"),
+    "W8": ("bounded out-of-orderness watermark", "tests/test_streaming.py (3s delay login test)"),
+    "W9": ("allowedLateness + late side output", "update-mode re-emission; semantic delta documented streaming/jobs.py docstring"),
+    "W10": ("FIRE_AND_PURGE per-element trigger", "n/a: incremental streaming agg state (SURVEY §4); uv_approx covers intent"),
+    "W11": ("event-time timers windowEnd+1/+60s", "watermark window close; state timeouts streaming/stateful.py"),
+    "W12": ("processing-time midnight reset", "group-by-local-date in blacklist ops"),
+    "A1": ("count per item×window", ""),
+    "A2": ("count per url×window", "tests/test_reference_parity.py"),
+    "A3": ("count per channel×behavior×window", ""),
+    "A4": ("global count per window", ""),
+    "A5": ("count per province×window", "tests/test_reference_parity.py"),
+    "A6": ("exact distinct per window", ""),
+    "A7": ("approx distinct (Bloom→HLL++)", ""),
+    "A8": ("windowed SUM", ""),
+    "A9": ("two-phase skew-safe count", "map-side partial agg is automatic (SURVEY §4); single groupBy"),
+    "A10": ("SQL HOP-window count", ""),
+    "R1": ("Top-5 per window (procedural)", "streaming/jobs.py:rank_hot_items (foreachBatch)"),
+    "R2": ("Top-3 pages, late-update-safe", "tests/test_reference_parity.py"),
+    "R3": ("Top-N via SQL ROW_NUMBER", ""),
+    "R4": ("sort comparators", "orderBy desc in topn"),
+    "J1": ("interval join (event-time range)", ""),
+    "J2": ("reconciliation full-outer w/ timeout", "streaming/stateful.py:tx_match_stream; tests/test_streaming.py"),
+    "J3": ("order lifecycle co-processing", "see T2/T4"),
+    "T1": ("CEP 2 consecutive fails (strict)", "streaming/stateful.py:login_fail_stream"),
+    "T2": ("procedural login-fail detect", "same operator (consecutive_event_alert)"),
+    "T3": ("CEP create→pay within timeout", "streaming/stateful.py:order_timeout_stream"),
+    "T4": ("procedural order-timeout machine", "same stateful op; tests/test_streaming.py"),
+    "T5": ("click-fraud blacklist", "streaming/stateful.py:blacklist_stream"),
+}
+
+EXTENSIONS = [
+    ("dedup", "exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine"),
+    ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"),
+    ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
+    ("text", "lang-id / quality / token counts / fingerprints"),
+    ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"),
+]
+
+
+def main() -> None:
+    qs = all_queries()
+    by_id: dict[str, list[str]] = {}
+    for name, q in qs.items():
+        for tok in q.survey.replace(",", " ").split():
+            if tok in SURVEY_IDS:
+                by_id.setdefault(tok, []).append(name)
+
+    lines = [
+        "# COVERAGE — SURVEY.md §2 operator inventory → engine artifacts",
+        "",
+        "Generated by tools/gen_coverage.py — do not edit by hand.",
+        "Query names refer to the registry in `flink_kafka_spark/queries/`",
+        "(each has a `queries()` entry; ✓oracle = DuckDB-hash-checked).",
+        "",
+        "| id | reference operator | registry queries | other artifacts |",
+        "|---|---|---|---|",
+    ]
+    for sid, (desc, extra) in SURVEY_IDS.items():
+        names = ", ".join(
+            f"{n}{'' if qs[n].oracle is None else ' ✓'}" for n in sorted(by_id.get(sid, []))
+        )
+        lines.append(f"| {sid} | {desc} | {names} | {extra} |")
+
+    lines += [
+        "",
+        "## Extension scope (training-data pipeline, beyond the reference)",
+        "",
+        "| family | coverage |",
+        "|---|---|",
+    ]
+    for fam, desc in EXTENSIONS:
+        lines.append(f"| {fam} | {desc} |")
+
+    lines += [
+        "",
+        f"Registry: {len(qs)} queries, "
+        f"{sum(1 for q in qs.values() if q.oracle)} with DuckDB oracles.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
