@@ -1,0 +1,129 @@
+"""Property-based semantics checks (hypothesis): the pattern/join
+operators must agree with straight-line pure-Python reference
+implementations on arbitrary event sequences — catching edge cases the
+fixed fixtures can't (ties, duplicates, boundary gaps, empty keys).
+
+Examples are kept small and few (each runs a Spark job); the Python
+oracles are deliberately naive O(n²) code."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_kafka_spark.operators.joins import interval_join
+from flink_kafka_spark.operators.patterns import consecutive_event_alert, create_pay_timeout
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # user
+        st.integers(0, 30),           # ts offset (collisions likely)
+        st.sampled_from(["fail", "success"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(events=events_strategy)
+@settings(**SETTINGS)
+def test_consecutive_alert_matches_python(spark, events):
+    base = 1_700_000_000
+    rows = [
+        (user, f"seq{i}", state, base + off) for i, (user, off, state) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ip string, login_state string, ts_l long")
+    df = df.withColumn("ts", F.timestamp_seconds("ts_l")).drop("ts_l")
+    got = sorted(
+        (r.user_id, r.first_fail_ts_s, r.second_fail_ts_s)
+        for r in consecutive_event_alert(df, "user_id", "ts", "login_state", "fail", 2, "ip").collect()
+    )
+    # python oracle: per user, sort by (ts, ip); adjacent fail pairs within 2s
+    want = []
+    for user in {r[0] for r in rows}:
+        seq = sorted((ts, ip, state) for (u, ip, state, ts) in rows if u == user)
+        for (t1, _, s1), (t2, _, s2) in zip(seq, seq[1:]):
+            if s1 == s2 == "fail" and t2 - t1 <= 2:
+                want.append((user, t1, t2))
+    assert got == sorted(want)
+
+
+order_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 4),                      # order id
+        st.integers(0, 40),                     # ts offset
+        st.sampled_from(["create", "pay"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(events=order_strategy)
+@settings(**SETTINGS)
+def test_create_pay_timeout_matches_python(spark, events):
+    base = 1_700_000_000
+    rows = [
+        (oid, typ, f"tx{i}", base + off) for i, (oid, off, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "order_id long, event_type string, tx_id string, ts_l long")
+    df = df.withColumn("ts", F.timestamp_seconds("ts_l")).drop("ts_l")
+    got = sorted(
+        tuple(r)
+        for r in create_pay_timeout(
+            df, "order_id", "ts", "event_type", "create", "pay", 10, "tx_id"
+        ).collect()
+    )
+    # python oracle: per create (in (ts, tx) order), earliest pay at-or-
+    # after it in the key's sequence; 'payed' iff within 10s
+    want = []
+    for oid in {r[0] for r in rows}:
+        seq = sorted((ts, tx, typ) for (o, typ, tx, ts) in rows if o == oid)
+        for i, (t, _, typ) in enumerate(seq):
+            if typ != "create":
+                continue
+            pays = [pt for (pt, _, pty) in seq[i:] if pty == "pay"]
+            nxt = min(pays) if pays else None
+            state = "payed" if nxt is not None and nxt - t <= 10 else "timeout"
+            want.append((oid, t, nxt, state))
+    assert got == sorted(want)
+
+
+pair_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20)), max_size=12),
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20)), max_size=12),
+)
+
+
+@given(data=pair_strategy)
+@settings(**SETTINGS)
+def test_interval_join_matches_python(spark, data):
+    lefts, rights = data
+    base = 1_700_000_000
+    lrows = [(k, i, base + off) for i, (k, off) in enumerate(lefts)]
+    rrows = [(k, i, base + off) for i, (k, off) in enumerate(rights)]
+    ldf = spark.createDataFrame(lrows, "lk long, lid long, lts_l long").withColumn(
+        "lts", F.timestamp_seconds("lts_l")
+    )
+    rdf = spark.createDataFrame(rrows, "rk long, rid long, rts_l long").withColumn(
+        "rts", F.timestamp_seconds("rts_l")
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            ldf, rdf, F.col("lk") == F.col("rk"), F.col("lts"), F.col("rts"), -3, 5
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for (lk, lid, lt) in lrows
+        for (rk, rid, rt) in rrows
+        if lk == rk and lt - 3 <= rt <= lt + 5
+    )
+    assert got == want

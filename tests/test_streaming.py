@@ -239,3 +239,33 @@ def test_dedup_stream(spark, tmp_path):
     _run_stream(dedup_stream(stream, ["user_id"]), "dedup_out")
     got = spark.sql("SELECT user_id FROM dedup_out").collect()
     assert sorted(r.user_id for r in got) == [1, 2, 3]
+
+
+# --- click-fraud blacklist (T5): threshold warning + drop, per day ---
+
+
+def test_blacklist_stream(spark, tmp_path):
+    from flink_kafka_spark.streaming.stateful import blacklist_stream
+    from flink_kafka_spark.schemas import AD_CLICK
+
+    t = 1_700_000_000
+    lines = []
+    # user 1 / ad 7: 5 clicks -> 3 pass, then 1 warning, further dropped
+    for i in range(5):
+        lines.append(f"1,7,p,c,{t + i}")
+    # user 2 / ad 7: 2 clicks -> all pass
+    lines.append(f"2,7,p,c,{t}")
+    lines.append(f"2,7,p,c,{t + 1}")
+    # user 1 / ad 7 NEXT DAY: counter reset, click passes
+    lines.append(f"1,7,p,c,{t + 86400}")
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+    stream = csv_replay_source(spark, str(tmp_path / "in"), AD_CLICK).withWatermark(
+        "ts", "0 seconds"
+    )
+    _run_stream(blacklist_stream(stream, threshold=3), "blk_out")
+    rows = spark.sql("SELECT * FROM blk_out").collect()
+    warnings = [tuple(r) for r in rows if r.result_type == "warning"]
+    clicks = [tuple(r) for r in rows if r.result_type == "click"]
+    assert warnings == [(1, 7, t + 3, "click over 3 times today", "warning")]
+    assert len([c for c in clicks if c[0] == 1]) == 3 + 1  # 3 same-day + 1 next-day
+    assert len([c for c in clicks if c[0] == 2]) == 2
