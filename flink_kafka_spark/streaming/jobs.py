@@ -99,3 +99,27 @@ def dedup_stream(
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
         id_cols or ["user_id"]
     )
+
+
+def session_stats_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """True streaming sessionization: ``session_window`` merges a key's
+    events separated by less than ``gap`` into one growing window whose
+    state the watermark closes (batch twin: the lag+cumsum 'sessionize'
+    query — same semantics, ANSI-SQL-checkable). One shuffle on the
+    session key."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("_w"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("_w.start").cast("long").alias("session_start_s"),
+            F.col("_w.end").cast("long").alias("session_end_s"),
+            key,
+            "n_events",
+        )
+    )

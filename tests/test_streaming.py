@@ -269,3 +269,38 @@ def test_blacklist_stream(spark, tmp_path):
     assert warnings == [(1, 7, t + 3, "click over 3 times today", "warning")]
     assert len([c for c in clicks if c[0] == 1]) == 3 + 1  # 3 same-day + 1 next-day
     assert len([c for c in clicks if c[0] == 2]) == 2
+
+
+# --- true streaming sessionization (session_window) ---
+
+
+def test_session_stats_stream(spark, tmp_path):
+    from flink_kafka_spark.streaming.jobs import session_stats_stream
+
+    t = 1_700_000_000
+    lines = [
+        # user 1: two sessions (events 10s apart, then a 2h gap)
+        f"1,100,1,pv,{t}",
+        f"1,101,1,pv,{t + 10}",
+        f"1,102,1,pv,{t + 7200}",
+        # user 2: one session
+        f"2,100,1,pv,{t + 5}",
+        # sentinel far in the future closes all sessions
+        f"9,999,1,pv,{t + 90000}",
+    ]
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+    stream = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    _run_stream(
+        session_stats_stream(stream, gap="30 minutes", delay="0 seconds"), "sess_out"
+    )
+    got = sorted(
+        (r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+        if r.user_id != 9
+    )
+    gap = 1800
+    assert got == [
+        (1, t, t + 10 + gap, 2),
+        (1, t + 7200, t + 7200 + gap, 1),
+        (2, t + 5, t + 5 + gap, 1),
+    ]
