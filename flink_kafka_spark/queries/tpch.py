@@ -542,6 +542,69 @@ GROUP BY c_nationkey
 """
 
 
+# q8 market-share ratio: same textual formula both engines (exact
+# decimal sums -> double division -> floor-based 6-dp round)
+_Q8_SHARE = (
+    f"floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume "
+    f"ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE) "
+    f"/ CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) / 1000000"
+)
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8): one nation's revenue fraction
+    inside one region's market per year. Seven-table join — the two
+    fact tables shuffle on their keys once, every dim is broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(f"CAST({_DISC_PRICE} AS DECIMAL(16,4))").alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(F.expr(_Q8_SHARE).alias("mkt_share"))
+
+
+TPCH_Q8_ORACLE = f"""
+SELECT o_year, {_Q8_SHARE} AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST({_DISC_PRICE} AS DECIMAL(16,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND p_type = 'ECONOMY'
+)
+GROUP BY o_year
+"""
+
+
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP (priority → status → grand
     total) — the multi-level aggregation surface the reference lacks
@@ -578,6 +641,7 @@ QUERIES = [
     Query("tpch_q5", tpch_q5, TPCH_Q5_ORACLE, "batch star join (beyond ref)", ("bench",)),
     Query("tpch_q6", tpch_q6, TPCH_Q6_ORACLE, "batch scan-agg (beyond ref)", ("bench",)),
     Query("tpch_q7", tpch_q7, TPCH_Q7_ORACLE, "multi-dim broadcast join (beyond ref)"),
+    Query("tpch_q8", tpch_q8, TPCH_Q8_ORACLE, "7-table join + share ratio (beyond ref)"),
     Query("tpch_q10", tpch_q10, TPCH_Q10_ORACLE, "top-n join+agg (beyond ref)", ("bench",)),
     Query("tpch_q12", tpch_q12, TPCH_Q12_ORACLE, "conditional agg (beyond ref)"),
     Query("tpch_q14", tpch_q14, TPCH_Q14_ORACLE, "agg ratio (beyond ref)"),
