@@ -118,3 +118,27 @@ def sliding_from_tumbling(
         .groupBy("window_start_s", "window_end_s", *keys)
         .agg(F.sum("_partial").alias("cnt"))
     )
+
+
+def salted_count(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted COUNT(*) for pathologically hot keys — the
+    reference's manual skew fix (A9, ``PageView.java:73-88``: random
+    key 0-9 then re-aggregate by window).
+
+    Spark's map-side partial aggregation already handles ordinary
+    skew (each task pre-aggregates before the shuffle), so this is an
+    OPT-IN for the extreme case where even the partial-agg hash table
+    on a single hot key's input partitions becomes the bottleneck:
+    phase 1 shuffles on (key, salt) spreading one key over ``n_salts``
+    reducers; phase 2 rolls the ≤n_salts partials per key together.
+    Result is identical to ``groupBy(keys).count()``.
+    """
+    salt = (F.rand(seed=7) * n_salts).cast("int").alias("_salt")
+    phase1 = df.select(*keys, salt).groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return phase1.groupBy(*keys).agg(F.sum("_partial").alias("cnt"))

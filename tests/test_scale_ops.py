@@ -1,0 +1,41 @@
+"""Scale-path operators: salted aggregation equivalence and HLL++
+approximate-distinct accuracy."""
+
+from pyspark.sql import functions as F
+
+from flink_kafka_spark.operators.windows import (
+    salted_count,
+    windowed_distinct,
+)
+from flink_kafka_spark.tables import load
+
+
+def test_salted_count_equals_plain(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    got = sorted(map(tuple, salted_count(events, ["event_type"]).collect()))
+    want = sorted(
+        map(tuple, events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect())
+    )
+    assert got == want
+    # and the plan really has the two-phase shape: shuffle on
+    # (key, salt) then on key
+    plan = salted_count(events, ["event_type"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_uv_approx_within_rsd(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    exact = {
+        (r.window_start_s): r.uv
+        for r in windowed_distinct(events, "ts", "1 day", "user_id").collect()
+    }
+    approx = {
+        (r.window_start_s): r.uv
+        for r in windowed_distinct(
+            events, "ts", "1 day", "user_id", approximate=True, rsd=0.02
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for w, ex in exact.items():
+        # HLL++ at rsd=0.02: allow 5 sigma
+        assert abs(approx[w] - ex) <= max(0.1 * ex, 5), (w, ex, approx[w])
