@@ -40,6 +40,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     we truncate to microseconds — matching DuckDB's ns→µs truncation —
     and cast to TimestampType.
     """
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS): Spark has no nanos
+        # type and a plain session fails with PARQUET_TYPE_ILLEGAL.
+        # Set the (runtime-settable) legacy flag defensively so the
+        # engine works under ANY caller-provided SparkSession (the
+        # driver harness builds its own), not just session.get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
