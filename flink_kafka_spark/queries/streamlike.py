@@ -208,6 +208,30 @@ FROM orders GROUP BY 1, 2, 3
 """
 
 
+# --- scale-path sliding windows: tumbling partials rolled up ---
+
+def global_stats_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as a window('6 hours','30 minutes') count, computed
+    the scale way (operators.windows.sliding_from_tumbling): aggregate
+    at slide granularity first, then roll 12 partials per window —
+    shuffles #distinct slide buckets instead of replicating every
+    input row 12x (the right trade for the reference's 1h/5s windows
+    W3 at 100 TB)."""
+    from ..operators.windows import sliding_from_tumbling
+
+    events = load(spark, sf_dir, "events")
+    return sliding_from_tumbling(events, "ts", 21600, 1800).select(
+        "window_start_s", "window_end_s", "cnt"
+    )
+
+
+GLOBAL_STATS_FINE_ORACLE = f"""
+WITH hopped AS ({_hop_cte("events", "ts", 21600, 1800, "event_id")})
+SELECT window_start_s, window_end_s, count(*) AS cnt
+FROM hopped GROUP BY 1, 2
+"""
+
+
 # --- hot pages analog (F2/F3 + R2): regex-excluded per-group Top-N ---
 
 def hot_sources_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +301,7 @@ QUERIES = [
     Query("uv_approx", uv_approx, None, "A7 W10"),  # HLL++ — no exact oracle
     Query("channel_stats", channel_stats, CHANNEL_STATS_ORACLE, "W3 A3 G5 F4"),
     Query("global_stats", global_stats, GLOBAL_STATS_ORACLE, "A4 G4 G8"),
+    Query("global_stats_fine", global_stats_fine, GLOBAL_STATS_FINE_ORACLE, "A9 W3 scale-path"),
     Query("orders_daily_by_priority", orders_daily_by_priority, ORDERS_DAILY_ORACLE, "W4 A5 G7"),
     Query("hot_sources_topn", hot_sources_topn, HOT_SOURCES_ORACLE, "F2 F3 R2 G3"),
     Query("high_value_purchases", high_value_purchases, HIGH_VALUE_ORACLE, "P1 P2 P5 F1-F5"),
