@@ -46,6 +46,25 @@ def kafka_sink(
     return w.option("checkpointLocation", checkpoint) if checkpoint else w
 
 
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+) -> DataStreamWriter:
+    """Production file sink: append-mode parquet with a checkpoint for
+    end-to-end exactly-once (file-sink manifest + WAL offsets mean a
+    restarted query neither loses nor duplicates batches). Partition
+    columns give downstream readers pruning for free."""
+    w = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    return w.partitionBy(*partition_cols) if partition_cols else w
+
+
 def foreach_batch_sink(
     df: DataFrame, fn: Callable[[DataFrame, int], None], mode: str = "update"
 ) -> DataStreamWriter:

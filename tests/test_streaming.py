@@ -304,3 +304,34 @@ def test_session_stats_stream(spark, tmp_path):
         (1, t + 7200, t + 7200 + gap, 1),
         (2, t + 5, t + 5 + gap, 1),
     ]
+
+
+# --- parquet file sink: exactly-once across restarts ---
+
+
+def test_parquet_sink_exactly_once(spark, tmp_path):
+    from flink_kafka_spark.streaming.sinks import parquet_sink
+
+    t = 1_700_000_000
+    lines = [f"{i},{100 + i},1,pv,{t + i}" for i in range(10)]
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+    stream = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = parquet_sink(stream, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 10
+
+    # restart with the same checkpoint and no new input: the committed
+    # batch must not be re-emitted (no duplicates)
+    stream2 = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    q2 = parquet_sink(stream2, out, ckpt).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 10
+
+    # new file arrives -> exactly the new rows appear after restart
+    _write_lines(str(tmp_path / "in" / "part1.csv"), [f"99,999,1,pv,{t + 100}"])
+    stream3 = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    q3 = parquet_sink(stream3, out, ckpt).trigger(availableNow=True).start()
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 11
