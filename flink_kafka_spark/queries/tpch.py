@@ -542,6 +542,35 @@ GROUP BY c_nationkey
 """
 
 
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13, adapted: the
+    join residual filters a priority class instead of the absent
+    o_comment regex). LEFT OUTER join preserving order-less customers,
+    then two aggregations — count per customer, customers per count."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+TPCH_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 # q8 market-share ratio: same textual formula both engines (exact
 # decimal sums -> double division -> floor-based 6-dp round)
 _Q8_SHARE = (
@@ -644,6 +673,7 @@ QUERIES = [
     Query("tpch_q8", tpch_q8, TPCH_Q8_ORACLE, "7-table join + share ratio (beyond ref)"),
     Query("tpch_q10", tpch_q10, TPCH_Q10_ORACLE, "top-n join+agg (beyond ref)", ("bench",)),
     Query("tpch_q12", tpch_q12, TPCH_Q12_ORACLE, "conditional agg (beyond ref)"),
+    Query("tpch_q13", tpch_q13, TPCH_Q13_ORACLE, "outer join + distribution agg (beyond ref)"),
     Query("tpch_q14", tpch_q14, TPCH_Q14_ORACLE, "agg ratio (beyond ref)"),
     Query("tpch_q15", tpch_q15, TPCH_Q15_ORACLE, "scalar-max subquery (beyond ref)"),
     Query("tpch_q16", tpch_q16, TPCH_Q16_ORACLE, "distinct agg (beyond ref)"),
