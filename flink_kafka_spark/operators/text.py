@@ -9,7 +9,7 @@ they are bandwidth-bound at 100 TB (no shuffle at all).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
@@ -42,50 +42,54 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic quality score in [0,1]: rewards mid-length docs
-    and lexical diversity (the usual cheap pre-filters before expensive
-    model-based scoring). Terms stay unrounded until the final round so
+def quality_expr(text_col: str = "text") -> Column:
+    """Quality score in [0,1] as a single expression (composable into
+    one-pass pipelines). Terms stay unrounded until the final round so
     the result never lands exactly on a decimal half-point (where
     engines' round() semantics diverge)."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
     length_term = F.least(n_tokens / F.lit(200.0), F.lit(1.0))
-    return df.select(
-        F.col(id_col),
-        F.round(0.5 * length_term + 0.5 * distinct_ratio, 4).alias("quality_score"),
-    )
+    return F.round(0.5 * length_term + 0.5 * distinct_ratio, 4)
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]: rewards mid-length docs
+    and lexical diversity (the usual cheap pre-filters before expensive
+    model-based scoring)."""
+    return df.select(F.col(id_col), quality_expr(text_col).alias("quality_score"))
+
+
+def pred_lang_expr(text_col: str = "text") -> Column:
+    """Stopword-marker language ID as a single expression: argmax of
+    marker-token frequency, deterministic tie-break on language code,
+    'und' when nothing matches."""
+    def score(lang: str) -> Column:
+        in_list = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return F.expr(
+            f"size(filter(split(lower({text_col}), '\\\\s+'), t -> t IN ({in_list})))"
+        )
+
+    scores = {lang: score(lang) for lang in sorted(LANG_MARKERS)}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return pred
 
 
 def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-marker language ID: score each candidate language by
-    its marker-token frequency; argmax with deterministic tie-break on
-    language code, 'und' when nothing matches."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    scored = df.select(F.col(id_col), toks.alias("toks"))
-    score_cols = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        in_list = ", ".join(f"'{m}'" for m in markers)
-        score_cols.append(
-            F.expr(f"size(filter(toks, t -> t IN ({in_list})))").alias(f"score_{lang}")
-        )
-    scored = scored.select(id_col, *score_cols)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
-    pred = F.lit("und")
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        pred = F.when((best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)).otherwise(pred)
-    return scored.select(id_col, pred.alias("pred_lang"))
+    return df.select(F.col(id_col), pred_lang_expr(text_col).alias("pred_lang"))
+
+
+def bpe_count_expr(text_col: str = "text") -> Column:
+    """Regex pre-tokenizer count — the cheap token-budget estimator."""
+    return F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)"))
 
 
 def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Regex pre-tokenizer count — the cheap token-budget estimator."""
-    return df.select(
-        F.col(id_col),
-        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")).alias(
-            "n_bpe_tokens"
-        ),
-    )
+    return df.select(F.col(id_col), bpe_count_expr(text_col).alias("n_bpe_tokens"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -4,11 +4,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..operators.text import (
     LANG_MARKERS,
     TOKEN_REGEX,
+    bpe_count_expr,
     fingerprint,
     language_id,
+    pred_lang_expr,
+    quality_expr,
     quality_score,
     token_count_bpe,
     token_stats,
@@ -106,8 +111,80 @@ FROM documents
 """
 
 
+# synthetic docs score 0.33-0.54 (median ~0.38): 0.40 keeps the upper
+# ~40% — a real filter that still leaves a corpus
+CORPUS_QUALITY_MIN = 0.40
+
+
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data prep pipeline as ONE composition: exact
+    content dedup (keep min doc_id per normalized hash) → quality +
+    language + token-budget features computed in a single projection →
+    filter to identified-language, mid+-quality docs.
+
+    Scale shape: one scan, one shuffle (the dedup groupBy); every
+    feature is a JVM expression over the same pass — no joins between
+    feature stages, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5(F.lower("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            pred_lang_expr().alias("pred_lang"),
+            quality_expr().alias("quality_score"),
+            bpe_count_expr().alias("n_bpe_tokens"),
+        )
+        .filter((F.col("quality_score") >= CORPUS_QUALITY_MIN) & (F.col("pred_lang") != "und"))
+    )
+
+
+CORPUS_PREP_ORACLE = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))
+),
+feats AS (
+  SELECT d.doc_id,
+         (SELECT CASE WHEN greatest(
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("de")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("en")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("es")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("fr")})))) = 0 THEN 'und'
+           WHEN len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("de")}))) = greatest(
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("de")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("en")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("es")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("fr")})))) THEN 'de'
+           WHEN len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("en")}))) = greatest(
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("de")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("en")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("es")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("fr")})))) THEN 'en'
+           WHEN len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("es")}))) = greatest(
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("de")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("en")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("es")}))),
+             len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t IN ({_markers_sql("fr")})))) THEN 'es'
+           ELSE 'fr' END) AS pred_lang,
+         round(0.5 * least(len(regexp_split_to_array(lower(d.text), '\\s+')) / 200.0, 1.0)
+               + 0.5 * (len(list_distinct(regexp_split_to_array(lower(d.text), '\\s+')))
+                        / len(regexp_split_to_array(lower(d.text), '\\s+'))), 4) AS quality_score,
+         len(regexp_extract_all(lower(d.text), '{TOKEN_REGEX}')) AS n_bpe_tokens
+  FROM documents d JOIN keep USING (doc_id)
+)
+SELECT doc_id, pred_lang, quality_score, n_bpe_tokens
+FROM feats
+WHERE quality_score >= {CORPUS_QUALITY_MIN} AND pred_lang <> 'und'
+"""
+
+
 QUERIES = [
     Query("text_stats", text_stats, TEXT_STATS_ORACLE, "ext: quality features"),
+    Query("corpus_prep", corpus_prep, CORPUS_PREP_ORACLE, "ext: composed prep pipeline"),
     Query("text_quality", text_quality, TEXT_QUALITY_ORACLE, "ext: quality score"),
     Query("lang_id", lang_id, LANG_ID_ORACLE, "ext: language id"),
     Query("bpe_token_count", bpe_token_count, BPE_COUNT_ORACLE, "ext: token budget"),
