@@ -35,10 +35,20 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     """Collect every registered query, keyed by name."""
-    from . import dedup, joins, multimodal, patterns, similarity, streamlike, textops, tpch
+    from . import (
+        analytics,
+        dedup,
+        joins,
+        multimodal,
+        patterns,
+        similarity,
+        streamlike,
+        textops,
+        tpch,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (streamlike, patterns, joins, tpch, dedup, similarity, textops, multimodal):
+    for mod in (streamlike, patterns, joins, tpch, analytics, dedup, similarity, textops, multimodal):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")

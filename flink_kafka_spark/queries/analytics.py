@@ -1,0 +1,90 @@
+"""Analytic window-function family (beyond the reference: its only
+window function is ROW_NUMBER — SURVEY.md §2.8). Running totals,
+moving averages, lag deltas, and exact interpolated percentiles, each
+one shuffle on its partition key."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from . import Query
+
+
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence analytics: cumulative spend, 3-order
+    moving average, gap since previous order — the lag/rows-between
+    surface. Deterministic: exact decimal money, total order within
+    each customer by (date, orderkey)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("long").alias("orderdate_s"),
+        F.expr("CAST(o_totalprice AS DECIMAL(12,2))").alias("price"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("orderdate_s", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "orderdate_s",
+        F.expr("CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY orderdate_s, o_orderkey "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))")
+        .alias("cum_spend"),
+        F.expr(
+            "floor(CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY orderdate_s, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            "/ count(*) OVER (PARTITION BY o_custkey ORDER BY orderdate_s, o_orderkey "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000"
+        ).alias("ma3"),
+        (F.col("orderdate_s") - F.lag("orderdate_s").over(w)).alias("gap_s"),
+    )
+
+
+CUSTOMER_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_s,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_cum AS DECIMAL(18,2)) AS cum_spend,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_ma AS DOUBLE)
+             / count(*) OVER w_ma * 10000 + 0.5) / 10000 AS ma3,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT)
+         - lag(CAST(floor(epoch(o_orderdate)) AS BIGINT)) OVER w_seq AS gap_s
+FROM orders
+WINDOW
+  w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_ma  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of l_quantity per return flag
+    (quantities are integral, so the linear interpolation is the same
+    pair of doubles on both engines)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+    )
+
+
+QUANTITY_PCTL_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       quantile_cont(l_quantity, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = [
+    Query("customer_running_totals", customer_running_totals, CUSTOMER_RUNNING_ORACLE,
+          "analytic windows (beyond ref)"),
+    Query("quantity_percentiles", quantity_percentiles, QUANTITY_PCTL_ORACLE,
+          "exact percentiles (beyond ref)"),
+]
