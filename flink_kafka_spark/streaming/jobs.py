@@ -123,3 +123,44 @@ def session_stats_stream(
             "n_events",
         )
     )
+
+
+def tx_interval_join_stream(
+    orders: DataFrame,
+    receipts: DataFrame,
+    lower_s: int = -3,
+    upper_s: int = 5,
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """J1 as a true stream-stream join (TxPayMatchByJoin.java:63-80:
+    receipt.ts ∈ [pay.ts-3s, pay.ts+5s] per tx_id): inner equi-join
+    with a time-range residual. Watermarks on BOTH sides + the range
+    condition bound the join state — each side's buffered rows are
+    dropped once the other side's watermark passes the range, so state
+    does not grow with the stream."""
+    pays = (
+        orders.filter(F.col("tx_id") != "")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("order_id"), F.col("tx_id"), F.col("ts").alias("pay_ts")
+        )
+    )
+    rcpts = receipts.withWatermark("ts", delay).select(
+        F.col("tx_id").alias("r_tx_id"),
+        F.col("pay_channel"),
+        F.col("ts").alias("receipt_ts"),
+    )
+    return pays.join(
+        rcpts,
+        F.expr(
+            f"tx_id = r_tx_id AND receipt_ts BETWEEN pay_ts + INTERVAL {lower_s} SECONDS "
+            f"AND pay_ts + INTERVAL {upper_s} SECONDS"
+        ),
+        "inner",
+    ).select(
+        "order_id",
+        "tx_id",
+        "pay_channel",
+        F.col("pay_ts").cast("long").alias("pay_ts_s"),
+        F.col("receipt_ts").cast("long").alias("receipt_ts_s"),
+    )

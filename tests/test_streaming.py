@@ -335,3 +335,64 @@ def test_parquet_sink_exactly_once(spark, tmp_path):
     q3 = parquet_sink(stream3, out, ckpt).trigger(availableNow=True).start()
     q3.awaitTermination(120)
     assert spark.read.parquet(out).count() == 11
+
+
+# --- stream-stream interval join (J1) with watermark-bounded state ---
+
+
+def test_tx_interval_join_stream(spark, tmp_path):
+    from flink_kafka_spark.streaming.jobs import tx_interval_join_stream
+
+    t = 1_700_000_000
+    _write_lines(
+        str(tmp_path / "orders" / "b1.csv"),
+        [
+            f"10,pay,txA,{t}",        # receipt 1s later -> in [-3,+5] match
+            f"11,pay,txB,{t + 20}",   # receipt 10s later -> outside range
+            f"12,pay,txC,{t + 40}",   # no receipt
+        ],
+    )
+    _write_lines(
+        str(tmp_path / "receipts" / "b1.csv"),
+        [
+            f"txA,wechat,{t + 1}",
+            f"txB,alipay,{t + 30}",
+        ],
+    )
+    orders = csv_replay_source(spark, str(tmp_path / "orders"), ORDER_EVENT)
+    receipts = csv_replay_source(spark, str(tmp_path / "receipts"), RECEIPT_EVENT)
+    _run_stream(tx_interval_join_stream(orders, receipts), "ij_out")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ij_out").collect()))
+    assert got == [(10, "txA", "wechat", t, t + 1)]
+
+
+# --- synthetic rate source (S4) smoke ---
+
+
+def test_marketing_rate_source(spark):
+    import time
+
+    from flink_kafka_spark.streaming.sources import marketing_rate_source
+
+    df = marketing_rate_source(spark, rows_per_second=50)
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_out")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) FROM rate_out").first()[0]
+            if n >= 10:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM rate_out").collect()
+    assert len(rows) >= 10
+    assert all(r.behavior in ("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL") for r in rows)
+    assert all(r.channel in ("app store", "wechat", "weibo") for r in rows)
+    assert all(0 <= r.user_id < 1000 for r in rows)
