@@ -175,8 +175,10 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # multi-arg xxhash64 over the band's r sig longs —
+                        # no string materialization in the hot loop
                         F.xxhash64(
-                            F.concat_ws(",", *[F.col("signature")[b * r + j].cast("string") for j in range(r)])
+                            *[F.col("signature")[b * r + j] for j in range(r)]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)

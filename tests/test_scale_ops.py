@@ -39,3 +39,28 @@ def test_uv_approx_within_rsd(spark, sf_dir):
     for w, ex in exact.items():
         # HLL++ at rsd=0.02: allow 5 sigma
         assert abs(approx[w] - ex) <= max(0.1 * ex, 5), (w, ex, approx[w])
+
+
+def test_simhash_matches_python(spark, sf_dir):
+    import hashlib
+
+    from flink_kafka_spark.operators.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents").limit(25)
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+
+    def py_simhash(text, bits=64):
+        toks = [t for t in text.lower().split()]
+        acc = [0] * bits
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for b in range(bits):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(bits):
+            if acc[b] > 0:
+                v |= 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for r in docs.collect():
+        assert got[r.doc_id] == py_simhash(r.text), r.doc_id
