@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_stats",
+    "corpus_prep",
     "media_decode_meta",
     "media_frame_sample",
 ]
