@@ -6,9 +6,16 @@ column pruning for free (SURVEY.md §2.9 note, §4). These queries are
 the engine's headline batch path and the primary bench workload:
 
 - q1: wide aggregation (8 aggs, 2 group keys) — partial-agg heavy;
-- q3: 3-table join + agg — customer broadcast;
+- q3: 3-table join + agg;
 - q5: 5-table star join — region/nation broadcast, AQE reorders;
 - q6: selective scan-agg — predicate pushdown to parquet.
+
+Broadcast-hint policy (100 TB discipline): explicit ``F.broadcast`` only
+on tables whose size is bounded by construction — nation (25) and
+region (5 rows) — and on 1-row scalar aggregates. customer / supplier /
+part scale linearly with the dataset, so their join strategy is left to
+AQE, which broadcasts them at runtime when (and only when) the filtered
+side is actually small.
 
 Cross-engine determinism: money math is done in DECIMAL (exact sums,
 identical half-away-from-zero rounding on the final cast in both Spark
@@ -82,7 +89,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
         .select(
@@ -216,9 +223,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
@@ -252,7 +259,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
@@ -324,7 +331,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(F.expr(_Q14_RATIO).alias("economy_revenue_ratio"))
     )
 
@@ -352,7 +359,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(top), rev.total_revenue == top._max_rev)
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
     )
 
@@ -385,7 +392,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -451,7 +458,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(big, "l_orderkey", "left_semi")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",
@@ -490,7 +497,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(F.expr(_Q19_PRED))
         .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
     )
@@ -599,12 +606,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
