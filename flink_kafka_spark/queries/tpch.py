@@ -443,30 +443,29 @@ _Q18_QTY = 150
 
 
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Large-volume customers (TPC-H Q18): HAVING-subquery shape. The
-    qualifying order keys come from one groupBy; a semi join restricts
-    the re-aggregation to those orders only."""
+    """Large-volume customers (TPC-H Q18): HAVING-subquery shape. One
+    pass over lineitem computes the per-order quantity sum; the HAVING
+    filter and the output column reuse that single aggregate (no second
+    lineitem scan), then orders/customer attach by key."""
     l = load(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
-        .filter(F.col("_q") > _Q18_QTY)
-        .select("l_orderkey")
+        .agg(F.expr(f"CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2))").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
     )
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        l.join(big, "l_orderkey", "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        big.join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("long").alias("orderdate_s"),
             "o_totalprice",
+            "sum_qty",
         )
-        .agg(F.expr(f"CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2))").alias("sum_qty"))
     )
 
 
