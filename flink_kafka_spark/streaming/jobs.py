@@ -52,13 +52,27 @@ def unique_visitor_stream(
     user_behavior: DataFrame, delay: str = "1 second", approximate: bool = False
 ) -> DataFrame:
     """UniqueVisitor.java:53-56 (exact) / UvWithBloomFilter.java:56-60
-    (approx — HLL++ replaces the Redis bitmap Bloom filter)."""
-    return windowed_distinct(
-        user_behavior.withWatermark("ts", delay).filter(F.col("behavior") == "pv"),
-        "ts",
-        "1 hour",
-        "user_id",
-        approximate=approximate,
+    (approx — HLL++ replaces the Redis bitmap Bloom filter).
+
+    Streaming forbids COUNT(DISTINCT), so the exact path is the
+    dedup-then-count chain: dropDuplicates on (window, user) — state
+    evicted by the watermark through the window's event-time column —
+    feeding a plain windowed count (multi-stateful-operator query).
+    The approx path is a normal mergeable HLL++ aggregation."""
+    pv = user_behavior.withWatermark("ts", delay).filter(F.col("behavior") == "pv")
+    if approximate:
+        return windowed_distinct(pv, "ts", "1 hour", "user_id", approximate=True)
+    deduped = pv.select(
+        F.window("ts", "1 hour").alias("_w"), F.col("user_id")
+    ).dropDuplicates(["_w", "user_id"])
+    return (
+        deduped.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("uv"))
+        .select(
+            F.col("_w.start").cast("long").alias("window_start_s"),
+            F.col("_w.end").cast("long").alias("window_end_s"),
+            "uv",
+        )
     )
 
 

@@ -396,3 +396,36 @@ def test_marketing_rate_source(spark):
     assert all(r.behavior in ("CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL") for r in rows)
     assert all(r.channel in ("app store", "wechat", "weibo") for r in rows)
     assert all(0 <= r.user_id < 1000 for r in rows)
+
+
+# --- exact + approx streaming UV (dedup-then-count chain) ---
+
+
+def test_unique_visitor_stream(spark, tmp_path):
+    from flink_kafka_spark.streaming.jobs import unique_visitor_stream
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    lines = [
+        f"1,100,1,pv,{base + 10}",
+        f"1,101,1,pv,{base + 20}",    # duplicate user in window
+        f"2,100,1,pv,{base + 30}",
+        f"3,100,1,buy,{base + 40}",   # filtered (not pv)
+        f"4,100,1,pv,{base + 3700}",  # next window
+        f"9,999,1,pv,{base + 90000}", # sentinel closes windows
+    ]
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+    stream = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    _run_stream(unique_visitor_stream(stream), "uv_exact_out")
+    got = sorted(
+        (r.window_start_s, r.uv)
+        for r in spark.sql("SELECT * FROM uv_exact_out").collect()
+    )
+    assert got == [(base, 2), (base + 3600, 1)]
+
+    stream2 = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    _run_stream(unique_visitor_stream(stream2, approximate=True), "uv_approx_out")
+    approx = sorted(
+        (r.window_start_s, r.uv)
+        for r in spark.sql("SELECT * FROM uv_approx_out").collect()
+    )
+    assert approx == [(base, 2), (base + 3600, 1)]  # tiny counts: HLL exact
