@@ -429,3 +429,54 @@ def test_unique_visitor_stream(spark, tmp_path):
         for r in spark.sql("SELECT * FROM uv_approx_out").collect()
     )
     assert approx == [(base, 2), (base + 3600, 1)]  # tiny counts: HLL exact
+
+
+# --- every streaming job starts and produces a valid plan ---
+
+
+def test_all_jobs_smoke(spark, tmp_path):
+    """Each remaining job runs end-to-end on a minimal fixture (the
+    detailed-semantics tests above cover the rest)."""
+    from flink_kafka_spark.schemas import APACHE_LOG, MARKETING_USER_BEHAVIOR
+    from flink_kafka_spark.streaming.jobs import (
+        channel_stats_stream,
+        hot_pages_stream,
+        page_view_stream,
+    )
+    from flink_kafka_spark.streaming.sources import file_stream_source
+
+    t = 1_700_000_000
+    _write_lines(
+        str(tmp_path / "ub" / "a.csv"),
+        [f"1,100,1,pv,{t}", f"2,100,1,pv,{t + 10}", f"9,9,1,pv,{t + 90000}"],
+    )
+    ub = csv_replay_source(spark, str(tmp_path / "ub"), USER_BEHAVIOR)
+    _run_stream(page_view_stream(ub), "pv_smoke")
+    assert spark.sql("SELECT sum(cnt) FROM pv_smoke").first()[0] == 2
+
+    _write_lines(
+        str(tmp_path / "mk" / "a.csv"),
+        [f"1,CLICK,wechat,{t * 1000}", f"2,UNINSTALL,weibo,{t * 1000 + 5000}",
+         f"9,CLICK,weibo,{(t + 90000) * 1000}"],
+    )
+    mk = csv_replay_source(spark, str(tmp_path / "mk"), MARKETING_USER_BEHAVIOR, sec_ts=False)
+    _run_stream(channel_stats_stream(mk), "ch_smoke")
+    rows = spark.sql("SELECT * FROM ch_smoke").collect()
+    assert all(r.behavior != "UNINSTALL" for r in rows)
+    assert sum(r.cnt for r in rows if r.behavior == "CLICK") > 0
+
+    _write_lines(
+        str(tmp_path / "log" / "a.log"),
+        [
+            "1.1.1.1 - - 17/05/2015:10:05:03 +0000 GET /page/one",
+            "1.1.1.1 - - 17/05/2015:10:05:04 +0000 GET /style.css",
+            "1.1.1.1 - - 17/05/2015:10:05:05 +0000 POST /page/two",
+            "1.1.1.1 - - 18/05/2015:20:00:00 +0000 GET /sentinel",
+        ],
+    )
+    from flink_kafka_spark.schemas import parse_apache_log_lines
+
+    log = parse_apache_log_lines(spark.readStream.text(str(tmp_path / "log")))
+    _run_stream(hot_pages_stream(log), "hp_smoke")
+    urls = {r.url for r in spark.sql("SELECT * FROM hp_smoke").collect()}
+    assert "/page/one" in urls and "/style.css" not in urls and "/page/two" not in urls
