@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Scale probe: run headline operator shapes on synthetic data 10-100x
+larger than sf0.1 (generated distributed via spark.range — no files),
+printing one JSON line of timings. Evidence that the operator shapes
+scale, complementing bench.py's fixed-SF measurements.
+
+Usage: python tools/stress.py [n_events] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_kafka_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from flink_kafka_spark.operators.topn import topn_counts_per_window  # noqa: E402
+from flink_kafka_spark.operators.windows import windowed_count, windowed_distinct  # noqa: E402
+from flink_kafka_spark.session import get_spark  # noqa: E402
+
+
+def synth_events(spark, n: int):
+    """Deterministic synthetic event stream: ~1 week of data, zipf-ish
+    hot users (hash-squared skew), 5 event types."""
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.xxhash64("id"), F.lit(604_800))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("view", "click", "purchase", "error", "scroll")]),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+
+
+def synth_docs(spark, n: int):
+    """Synthetic documents: ~40-token bodies from a deterministic
+    vocabulary, with every 10th doc a near-duplicate of its neighbor."""
+    words = F.expr(
+        "transform(sequence(0, 39), i -> concat('w', pmod(xxhash64(id - pmod(id, 10) "
+        "+ CASE WHEN pmod(id, 10) = 9 THEN 1 ELSE pmod(id, 10) END, i), 500)))"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
+    )
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark(app_name="stress")
+    timings = {}
+
+    ev = synth_events(spark, n_events)
+    t0 = time.perf_counter()
+    counts = windowed_count(ev, "ts", "1 hour", "15 minutes", keys=["user_id"])
+    topn_counts_per_window(counts, "user_id", 5).write.format("noop").mode("overwrite").save()
+    timings[f"hot_items_topn_{n_events}"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    windowed_distinct(ev, "ts", "1 day", "user_id", approximate=True).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings[f"uv_approx_{n_events}"] = round(time.perf_counter() - t0, 2)
+
+    docs = synth_docs(spark, n_docs)
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    n_pairs = pairs.count()
+    timings[f"minhash_lsh_{n_docs}"] = round(time.perf_counter() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "stress timings",
+                "unit": "sec",
+                "n_events": n_events,
+                "n_docs": n_docs,
+                "near_dup_pairs": n_pairs,
+                "timings": timings,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
