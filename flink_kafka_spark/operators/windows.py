@@ -39,6 +39,23 @@ def _project_bounds(df: DataFrame, keys: Sequence[str], aggs: Sequence[str]) -> 
     )
 
 
+_UNIT_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+#: batch sliding counts switch to the tumbling-rollup plan at this
+#: size/slide ratio (Expand would multiply every input row by it)
+FINE_SLIDE_RATIO = 16
+
+
+def _interval_s(spec: str) -> int:
+    n, unit = spec.strip().split()
+    return int(n) * _UNIT_S[unit.lower()]
+
+
 def windowed_count(
     df: DataFrame,
     ts_col: str,
@@ -57,7 +74,22 @@ def windowed_count(
     bounds) so Structured Streaming recognizes the event-time column
     and the same code runs watermarked on streams; bounds are projected
     to epoch-second longs after the aggregation.
+
+    Batch plan selection: a fine slide (size/slide ≥ FINE_SLIDE_RATIO,
+    e.g. the reference's 1h/5s W3 = 720×) would Expand every input row
+    ratio-fold; pure counts on the batch path switch to the
+    tumbling-partials rollup (:func:`sliding_from_tumbling`) which
+    shuffles slide buckets instead. Streaming always uses window()
+    (chained aggregations are unsupported in streaming queries).
     """
+    if (
+        slide is not None
+        and not aggs
+        and not df.isStreaming
+        and _interval_s(size) // _interval_s(slide) >= FINE_SLIDE_RATIO
+        and _interval_s(size) % _interval_s(slide) == 0
+    ):
+        return sliding_from_tumbling(df, ts_col, _interval_s(size), _interval_s(slide), keys)
     w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
     out = df.groupBy(w.alias("_w"), *keys).agg(F.count(F.lit(1)).alias("cnt"), *aggs)
     agg_names = ["cnt", *[c for c in out.columns if c not in ("_w", "cnt", *keys)]]

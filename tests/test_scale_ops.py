@@ -64,3 +64,31 @@ def test_simhash_matches_python(spark, sf_dir):
 
     for r in docs.collect():
         assert got[r.doc_id] == py_simhash(r.text), r.doc_id
+
+
+def test_fine_slide_rollup_equals_expand(spark, sf_dir):
+    from flink_kafka_spark.operators.windows import _project_bounds, windowed_count
+
+    events = load(spark, sf_dir, "events")
+    # 2h/2min = ratio 60 -> auto rollup path
+    got = sorted(
+        map(tuple, windowed_count(events, "ts", "2 hours", "2 minutes", ["event_type"]).collect())
+    )
+    w = F.window("ts", "2 hours", "2 minutes")
+    want = sorted(
+        map(
+            tuple,
+            _project_bounds(
+                events.groupBy(w.alias("_w"), "event_type").agg(F.count(F.lit(1)).alias("cnt")),
+                ["event_type"],
+                ["cnt"],
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the rollup plan must NOT contain the ratio-fold Expand
+    plan = (
+        windowed_count(events, "ts", "2 hours", "2 minutes", ["event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
