@@ -480,3 +480,43 @@ def test_all_jobs_smoke(spark, tmp_path):
     _run_stream(hot_pages_stream(log), "hp_smoke")
     urls = {r.url for r in spark.sql("SELECT * FROM hp_smoke").collect()}
     assert "/page/one" in urls and "/style.css" not in urls and "/page/two" not in urls
+
+
+# --- W9 analog: update-mode re-emission of late-corrected windows ---
+
+
+def test_late_data_update_mode(spark, tmp_path):
+    """The reference's allowedLateness(1m) re-fires a window when late
+    rows arrive before the lateness bound (HotPages.java:78-79). Spark
+    analog: a watermark delay holds window state open; update output
+    mode re-emits the corrected aggregate when a late row lands."""
+    from flink_kafka_spark.operators.windows import windowed_count
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    # batch 1: 2 events in window W, plus a row 30 min ahead (watermark
+    # moves to ~+30min - 10min delay = W+20min; W still open)
+    _write_lines(
+        str(tmp_path / "in" / "b1.csv"),
+        [f"1,100,1,pv,{base + 10}", f"2,100,1,pv,{base + 20}", f"3,100,1,pv,{base + 1800}"],
+        mtime=1_000_000,
+    )
+    # batch 2: LATE row for W (ts < watermark position but within the
+    # 10-minute delay bound? no — late relative to max event time seen,
+    # still >= watermark) -> W count corrected 3 -> 4
+    _write_lines(
+        str(tmp_path / "in" / "b2.csv"),
+        [f"4,100,1,pv,{base + 25}", f"9,9,1,pv,{base + 90000}"],
+        mtime=2_000_000,
+    )
+    stream = csv_replay_source(
+        spark, str(tmp_path / "in"), USER_BEHAVIOR, max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
+    counts = windowed_count(stream.filter(F.col("behavior") == "pv"), "ts", "1 hour")
+    _run_stream(counts, "late_out", mode="update")
+    rows = spark.sql(
+        f"SELECT cnt FROM late_out WHERE window_start_s = {base}"
+    ).collect()
+    # W was emitted at least twice: once per micro-batch that touched it,
+    # with the final emission carrying the corrected count of 4
+    cnts = [r.cnt for r in rows]
+    assert cnts[-1] == 4 and len(cnts) >= 2, cnts
