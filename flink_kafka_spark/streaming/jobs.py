@@ -178,3 +178,47 @@ def tx_interval_join_stream(
         F.col("pay_ts").cast("long").alias("pay_ts_s"),
         F.col("receipt_ts").cast("long").alias("receipt_ts_s"),
     )
+
+
+def tx_match_join_stream(
+    orders: DataFrame,
+    receipts: DataFrame,
+    lower_s: int = -3,
+    upper_s: int = 5,
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """J2 in its Spark-native form (SURVEY.md §2.9): a FULL OUTER
+    stream-stream join with the same equi-key + time-range condition as
+    :func:`tx_interval_join_stream`. When a buffered row's match window
+    passes both watermarks, Spark emits it null-padded — exactly the
+    reference's unmatched-pays / unmatched-receipts side outputs
+    (TxPayMatch.java:76-77) without a custom state machine. The
+    stateful-op twin (streaming.stateful.tx_match_stream) provides the
+    precise per-side timeout variant; this one is the built-in path."""
+    pays = (
+        orders.filter(F.col("tx_id") != "")
+        .withWatermark("ts", delay)
+        .select("order_id", "tx_id", F.col("ts").alias("pay_ts"))
+    )
+    rcpts = receipts.withWatermark("ts", delay).select(
+        F.col("tx_id").alias("r_tx_id"),
+        F.col("pay_channel"),
+        F.col("ts").alias("receipt_ts"),
+    )
+    joined = pays.join(
+        rcpts,
+        F.expr(
+            f"tx_id = r_tx_id AND receipt_ts BETWEEN pay_ts + INTERVAL {lower_s} SECONDS "
+            f"AND pay_ts + INTERVAL {upper_s} SECONDS"
+        ),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("tx_id", "r_tx_id").alias("tx_id"),
+        F.col("pay_ts").cast("long").alias("pay_ts_s"),
+        F.col("receipt_ts").cast("long").alias("receipt_ts_s"),
+        F.when(F.col("tx_id").isNotNull() & F.col("r_tx_id").isNotNull(), F.lit("matched"))
+        .when(F.col("r_tx_id").isNull(), F.lit("unmatched_pay"))
+        .otherwise(F.lit("unmatched_receipt"))
+        .alias("result_type"),
+    )

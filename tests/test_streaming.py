@@ -520,3 +520,39 @@ def test_late_data_update_mode(spark, tmp_path):
     # with the final emission carrying the corrected count of 4
     cnts = [r.cnt for r in rows]
     assert cnts[-1] == 4 and len(cnts) >= 2, cnts
+
+
+# --- J2 via built-in full-outer stream-stream join ---
+
+
+def test_tx_match_join_stream(spark, tmp_path):
+    from flink_kafka_spark.streaming.jobs import tx_match_join_stream
+
+    t = 1_700_000_000
+    _write_lines(
+        str(tmp_path / "orders" / "b1.csv"),
+        [f"10,pay,txA,{t}", f"11,pay,txB,{t + 2}"],
+        mtime=1_000_000,
+    )
+    _write_lines(
+        str(tmp_path / "orders" / "b2.csv"), [f"12,pay,txZ2,{t + 10000}"], mtime=2_000_000
+    )
+    _write_lines(
+        str(tmp_path / "receipts" / "b1.csv"),
+        [f"txA,wechat,{t + 1}", f"txC,alipay,{t + 3}"],
+        mtime=1_000_000,
+    )
+    _write_lines(
+        str(tmp_path / "receipts" / "b2.csv"), [f"txZ,alipay,{t + 10000}"], mtime=2_000_000
+    )
+    orders = csv_replay_source(
+        spark, str(tmp_path / "orders"), ORDER_EVENT, max_files_per_trigger=1
+    )
+    receipts = csv_replay_source(
+        spark, str(tmp_path / "receipts"), RECEIPT_EVENT, max_files_per_trigger=1
+    )
+    _run_stream_until(spark, tx_match_join_stream(orders, receipts), "txj_out", 3)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM txj_out").collect()}
+    assert ("txA", t, t + 1, "matched") in got
+    assert ("txB", t + 2, None, "unmatched_pay") in got
+    assert ("txC", None, t + 3, "unmatched_receipt") in got
