@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def interval_join(
@@ -61,4 +62,53 @@ def reconcile_full_outer(
         F.when(F.col(lk).isNotNull() & F.col(rk).isNotNull(), F.lit("matched"))
         .when(F.col(rk).isNull(), F.lit(left_tag))
         .otherwise(F.lit(right_tag)),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` for the same key (timestamp ties resolved
+    by the greatest ``tiebreak`` value — deterministic).
+
+    Spark has no ASOF JOIN; a naive range join explodes candidates.
+    This is the scale-correct union+window formulation: tag both
+    sides, sort each key's timeline once (right rows before left rows
+    at equal timestamps), and carry the last-seen right payload
+    forward with last(ignorenulls) — ONE shuffle on the key, no range
+    fan-out, any key cardinality. Output: left columns + asof_<payload>
+    (null when no right row precedes).
+    """
+    lt = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).cast("long").alias("_ts_s"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    rt = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).cast("long").alias("_ts_s"),
+        F.lit(0).alias("_is_left"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts_s").asc(), F.col("_is_left").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = merged.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    return merged.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.joins import interval_join, reconcile_full_outer
+from ..operators.joins import asof_join, interval_join, reconcile_full_outer
 from ..tables import load
 from . import Query
 
@@ -77,7 +77,43 @@ ON o_orderkey = l_orderkey
 """
 
 
+def event_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension: the reference has no as-of semantics):
+    for each event, the user's latest order at or before the event
+    time — union+window formulation, one shuffle on the key (no range
+    fan-out; scale-correct for any key cardinality)."""
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders")
+    out = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=["o_orderkey"],
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+    )
+
+
+ASOF_ORACLE = """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       (SELECT o.o_orderkey FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey
+FROM events e
+"""
+
+
 QUERIES = [
     Query("order_ship_interval_join", order_ship_interval_join, INTERVAL_JOIN_ORACLE, "J1"),
     Query("order_line_reconciliation", order_line_reconciliation, RECONCILE_ORACLE, "J2 K2 F5"),
+    Query("event_asof_order", event_asof_order, ASOF_ORACLE, "ext: as-of join"),
 ]
