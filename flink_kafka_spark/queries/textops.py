@@ -190,3 +190,30 @@ QUERIES = [
     Query("bpe_token_count", bpe_token_count, BPE_COUNT_ORACLE, "ext: token budget"),
     Query("doc_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE, "ext: fingerprint"),
 ]
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (extension: sampling/splitting surface). Pure projection — no
+    shuffle, stable across runs and partitionings."""
+    from ..operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(docs, "doc_id")
+
+
+from ..operators.sampling import split_bucket_sql  # noqa: E402
+
+_BUCKET = split_bucket_sql("doc_id")
+
+DATASET_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+QUERIES.append(
+    Query("dataset_split", dataset_split, DATASET_SPLIT_ORACLE, "ext: train/val/test split")
+)

@@ -92,3 +92,29 @@ def test_fine_slide_rollup_equals_expand(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" not in plan
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    from flink_kafka_spark.operators.sampling import stratified_sample, train_val_test_split
+
+    events = load(spark, sf_dir, "events")
+    fr = {"view": 0.5, "click": 0.2}
+    s1 = stratified_sample(events, "event_type", fr, seed=7)
+    s2 = stratified_sample(events, "event_type", fr, seed=7)
+    # deterministic for a fixed seed+partitioning
+    assert sorted(r.event_id for r in s1.collect()) == sorted(r.event_id for r in s2.collect())
+    # only requested strata survive; fractions approximately honored
+    got = {r.event_type: r.cnt for r in s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    tot = {r.event_type: r.cnt for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got) <= set(fr)
+    for k, f in fr.items():
+        assert abs(got.get(k, 0) / tot[k] - f) < 0.15, (k, got.get(k), tot[k])
+
+    # split assignment is a pure function of the id: stable under repartition
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id: r.split for r in train_val_test_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in train_val_test_split(docs.repartition(13), "doc_id").collect()}
+    assert a == b
+    from collections import Counter
+    dist = Counter(a.values())
+    assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
