@@ -640,6 +640,82 @@ GROUP BY o_year
 """
 
 
+_Q21_NATIONS = ("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+_Q21_LATE = "l_shipdate > o_orderdate + INTERVAL 60 DAY"
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting shape (TPC-H Q21, adapted: no
+    l_commitdate/l_receiptdate in the testdata, so "late" is
+    l_shipdate > o_orderdate + 60 days). Counts late lines of suppliers
+    who were the *only* late supplier on a multi-supplier 'F' order.
+
+    The canonical form is EXISTS + NOT-EXISTS self-joins on lineitem —
+    three scans and two extra orderkey shuffles at 100 TB (and Spark
+    plans the correlated subqueries as two *independent* re-scans of
+    the per-supplier aggregate). This plan makes one pass: aggregate
+    per (order, supplier) late-line stats, then qualify each supplier
+    with window functions over the orderkey partition — no join-back,
+    one lineitem scan, two exchanges total before the tiny dim joins."""
+    from pyspark.sql.window import Window
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_supp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", F.expr(f"CAST(({_Q21_LATE}) AS INT)").alias("is_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("is_late").alias("late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        per_supp.select(
+            "l_orderkey",
+            "l_suppkey",
+            "late_lines",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum((F.col("late_lines") > 0).cast("int")).over(w).alias("n_late_supp"),
+        )
+        .filter((F.col("late_lines") > 0) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q21_NATIONS))
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_ORACLE = f"""
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.{_Q21_LATE}
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.{_Q21_LATE})
+  AND s_nationkey = n_nationkey
+  AND n_name IN {_Q21_NATIONS}
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP (priority → status → grand
     total) — the multi-level aggregation surface the reference lacks
@@ -686,6 +762,7 @@ QUERIES = [
     Query("tpch_q17", tpch_q17, TPCH_Q17_ORACLE, "correlated-avg subquery (beyond ref)"),
     Query("tpch_q18", tpch_q18, TPCH_Q18_ORACLE, "having subquery semi join (beyond ref)", ("bench",)),
     Query("tpch_q19", tpch_q19, TPCH_Q19_ORACLE, "disjunctive-pred join (beyond ref)"),
+    Query("tpch_q21", tpch_q21, TPCH_Q21_ORACLE, "exists/not-exists self-join (beyond ref)"),
     Query("tpch_q22", tpch_q22, TPCH_Q22_ORACLE, "anti join + scalar subquery (beyond ref)"),
     Query("orders_rollup", orders_rollup, ORDERS_ROLLUP_ORACLE, "rollup/grouping-sets (beyond ref)"),
 ]
