@@ -312,3 +312,57 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id),
+    cluster_id = min member id. This is the step that turns pairwise
+    dedup output into dedupable groups (pick one canonical doc per
+    component, drop the rest).
+
+    Hash-to-min label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (transitive chains
+    of high-Jaccard docs), so a handful of rounds suffice.
+
+    Scale design (100 TB): the symmetrized edge set is pre-partitioned
+    on src and persisted once, so per round only the (node, label)
+    pairs shuffle — never document payloads. `localCheckpoint` after
+    each round truncates the lineage (iterative DataFrame plans grow
+    without bound otherwise); on a real cluster with unreliable
+    executors use `checkpoint()` to HDFS instead. Convergence is
+    detected with a 1-row aggregate on the label sum, which is
+    strictly decreasing until fixpoint (labels only ever shrink) —
+    no per-round join against the previous labels needed.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .repartition("src")
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))

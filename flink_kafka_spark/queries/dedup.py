@@ -9,7 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..operators.dedup import (
+    connected_components,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -107,11 +110,68 @@ SELECT id_a, id_b, cosine FROM (
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: n-gram-Jaccard pairs → connected
+    components → (doc_id, cluster_id, keep). keep=1 marks the
+    canonical (min-id) member; filtering keep=1 is the actual dedup.
+    The iterative hash-to-min loop is oracle-checked against a DuckDB
+    recursive CTE computing min-reachable-id per node."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cc = connected_components(pairs, docs, id_col="doc_id")
+    return cc.withColumn(
+        "keep", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200)
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           n_inter * 1.0 / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+  ) WHERE round(jaccard, 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id,
+       CAST(min(comp) = node AS INT) AS keep
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = [
     Query("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "ext: exact dedup"),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "ext: ngram jaccard"),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, None, "ext: minhash+lsh"),
     Query("dedup_simhash", dedup_simhash, None, "ext: simhash"),
+    Query(
+        "dedup_clusters",
+        dedup_clusters,
+        DEDUP_CLUSTERS_ORACLE,
+        "ext: near-dup cluster formation (iterative CC)",
+    ),
     Query(
         "dedup_embedding_cosine",
         dedup_embedding_cosine,

@@ -118,3 +118,22 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
     from collections import Counter
     dist = Counter(a.values())
     assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 12-node chain needs multiple hash-to-min rounds (diameter >
+    1); isolated nodes must come out as their own singleton clusters."""
+    from flink_kafka_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)]          # one 12-node component
+    pair = [(200, 201)]                                    # one 2-node component
+    edges = spark.createDataFrame(chain + pair, ["id_a", "id_b"])
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(100, 112)] + [(200,), (201,), (300,)], ["doc_id"]
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges, nodes, id_col="doc_id").collect()
+    }
+    want = {(i, 100) for i in range(100, 112)} | {(200, 200), (201, 200), (300, 300)}
+    assert got == want
