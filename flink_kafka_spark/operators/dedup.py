@@ -164,10 +164,22 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     base = shingle_sets(df, id_col, n)
-    # one pass: shingle set + signature per doc (narrow, no shuffle)
-    sigs = base.withColumn(
-        "hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))")
-    ).select(id_col, "shingle_arr", F.array(*_sig_exprs(k)).alias("signature"))
+    # one pass: shingle set + signature per doc (narrow, no shuffle).
+    # Persisted because three downstream branches consume it (both
+    # sides of the band self-join + the verification set lookup) —
+    # without it Spark re-tokenizes and re-hashes the corpus per
+    # branch, which at 100 TB is 3 extra full scans. MEMORY_AND_DISK
+    # spills cleanly when the signature table outgrows executor memory.
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = (
+        base.withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
+        .select(id_col, "shingle_arr", F.array(*_sig_exprs(k)).alias("signature"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Eagerly materialize: the three consumers otherwise race to fill
+    # the cache in parallel and each computes the full subtree.
+    sigs.count()
     banded = sigs.select(
         id_col,
         F.explode(
@@ -198,7 +210,7 @@ def minhash_lsh_pairs(
     # set back in and intersect the arrays — candidate cardinality is
     # tiny relative to the corpus, so carrying the arrays through two
     # equi-joins beats re-exploding every shingle of every doc
-    sets = base.select(F.col(id_col).alias("_sid"), "shingle_arr")
+    sets = sigs.select(F.col(id_col).alias("_sid"), "shingle_arr")
     return (
         candidates.join(sets.select(F.col("_sid").alias("id_a"), F.col("shingle_arr").alias("arr_a")), "id_a")
         .join(sets.select(F.col("_sid").alias("id_b"), F.col("shingle_arr").alias("arr_b")), "id_b")
