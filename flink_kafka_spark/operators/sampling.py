@@ -51,3 +51,42 @@ def stratified_sample(
     for partitioning-independent sampling use a bucket threshold on
     :func:`split_bucket_expr` instead."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 1024,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document to the
+    fixed-size context window (bin) its first token lands in, the way
+    a pretraining pipeline concatenates a shard's documents and slices
+    the stream into `budget`-token windows.
+
+    Documents are first bucketed into deterministic hash shards (so the
+    window sort never sees more than corpus/n_shards rows per
+    partition — the scale knob), then ordered by id within the shard
+    and run through a cumulative token sum:
+
+        start_offset = cumsum(n_tokens) - n_tokens   (per shard)
+        bin_id       = floor(start_offset / budget)
+
+    One shuffle (by shard) + one in-partition sort; no state, no
+    Python. Deterministic across runs and partitionings because both
+    the shard and the order are pure functions of the id.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("shard", split_bucket_expr(id_col, n_shards))
+        .withColumn("start_offset", F.sum(n_tokens_col).over(w) - F.col(n_tokens_col))
+        .withColumn("bin_id", F.floor(F.col("start_offset") / budget))
+        .select(id_col, "shard", n_tokens_col, "start_offset", "bin_id")
+    )

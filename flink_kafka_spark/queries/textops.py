@@ -217,3 +217,48 @@ FROM documents
 QUERIES.append(
     Query("dataset_split", dataset_split, DATASET_SPLIT_ORACLE, "ext: train/val/test split")
 )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of documents into 1024-token context
+    windows within 8 deterministic hash shards (extension: training-
+    data assembly). Token counts are the BPE-ish regex estimator, so
+    the whole plan is one projection + one shard shuffle + sort."""
+    from ..operators.sampling import pack_sequences
+    from ..operators.text import bpe_count_expr
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", bpe_count_expr().alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=1024, n_shards=8)
+
+
+_SHARD = split_bucket_sql("doc_id", 8)
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_tokens,
+         {_SHARD} AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 1024) AS BIGINT) AS bin_id
+FROM cum
+"""
+
+QUERIES.append(
+    Query(
+        "sequence_packing",
+        sequence_packing,
+        SEQUENCE_PACKING_ORACLE,
+        "ext: context-window sequence packing",
+    )
+)
