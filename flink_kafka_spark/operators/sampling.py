@@ -90,3 +90,65 @@ def pack_sequences(
         .withColumn("bin_id", F.floor(F.col("start_offset") / budget))
         .select(id_col, "shard", n_tokens_col, "start_offset", "bin_id")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, int],
+    budget_permille: int = 500,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    default_weight: int = 1,
+) -> DataFrame:
+    """Domain-mixture resampling under a token budget: mark which
+    documents to keep so the kept corpus totals ~budget_permille/1000
+    of the input tokens, distributed across sources in proportion to
+    `weights` (a source → integer-weight map; unknown sources get
+    `default_weight`), capped at each source's actual size.
+
+    Mechanics: one tiny per-source aggregate (+ its grand total) is
+    broadcast-joined back onto the corpus; each doc keeps iff its
+    deterministic hash bucket (of 1e6) falls under the source's
+    keep-threshold. Pure functions of (id, source) end-to-end — a
+    re-run, a different partitioning, or an incremental top-up keeps
+    exactly the same documents.
+
+    Threshold math stays in BIGINT/DECIMAL(38,0) so any ANSI engine
+    reproduces it bit-for-bit: per-source target tokens =
+    grand * budget_permille/1000 * w/Σw, keep-threshold =
+    min(1e6, floor(target * 1e6 / source_tokens)).
+    """
+    wsum = sum(weights.values()) or default_weight
+    case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN {w}" for s, w in sorted(weights.items())
+    ) + f" ELSE {default_weight} END"
+    totals = df.groupBy(source_col).agg(F.sum(n_tokens_col).alias("src_tokens"))
+    grand = totals.agg(F.sum("src_tokens").alias("grand_tokens"))
+    thresholds = (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn("w", F.expr(case))
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"CAST(floor(CAST(grand_tokens AS DECIMAL(38,0)) * {budget_permille} * w "
+                f"/ ({wsum} * 1000)) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "keep_thresh",
+            F.expr(
+                "least(1000000L, CAST(floor(CAST(target_tokens AS DECIMAL(38,0)) * 1000000 "
+                "/ src_tokens) AS BIGINT))"
+            ),
+        )
+        .select(source_col, "keep_thresh")
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .withColumn(
+            "keep",
+            (split_bucket_expr(id_col, 1_000_000) < F.col("keep_thresh")).cast("int"),
+        )
+        .select(id_col, source_col, n_tokens_col, "keep")
+    )

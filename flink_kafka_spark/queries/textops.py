@@ -262,3 +262,59 @@ QUERIES.append(
         "ext: context-window sequence packing",
     )
 )
+
+
+_MIX_WEIGHTS = {f"src{i}": (3 if i % 2 == 0 else 1) for i in range(20)}
+_MIX_BP = 500  # keep ~half the corpus tokens
+
+
+def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain-mixture resampling (extension: training-data
+    assembly): reweight even-numbered sources 3:1 over odd ones inside
+    a 50%-of-corpus token budget, deterministic keep decisions."""
+    from ..operators.sampling import mixture_resample
+    from ..operators.text import bpe_count_expr
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", bpe_count_expr().alias("n_tokens")
+    )
+    return mixture_resample(docs, _MIX_WEIGHTS, budget_permille=_MIX_BP)
+
+
+_MIX_CASE = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items()))
+    + " ELSE 1 END"
+)
+_MIX_WSUM = sum(_MIX_WEIGHTS.values())
+_MIX_BUCKET = split_bucket_sql("doc_id", 1_000_000)
+
+MIXTURE_RESAMPLE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS n_tokens
+  FROM documents
+),
+totals AS (SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY 1),
+grand AS (SELECT sum(src_tokens) AS grand_tokens FROM totals),
+th AS (
+  SELECT source,
+         least(1000000, CAST(floor(
+           CAST(CAST(floor(CAST(grand_tokens AS DECIMAL(38,0)) * {_MIX_BP} * ({_MIX_CASE})
+                           / ({_MIX_WSUM} * 1000)) AS BIGINT) AS DECIMAL(38,0)) * 1000000
+           / src_tokens) AS BIGINT)) AS keep_thresh
+  FROM totals, grand
+)
+SELECT t.doc_id, t.source, t.n_tokens,
+       CAST(({_MIX_BUCKET} < keep_thresh) AS INT) AS keep
+FROM toks t JOIN th USING (source)
+"""
+
+QUERIES.append(
+    Query(
+        "mixture_resample",
+        mixture_resample_q,
+        MIXTURE_RESAMPLE_ORACLE,
+        "ext: token-budget domain-mixture resampling",
+    )
+)
