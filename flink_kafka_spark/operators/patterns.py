@@ -128,3 +128,78 @@ def count_threshold_blacklist(
         .filter(F.col("cnt") > threshold)
         .withColumn("warning", F.concat(F.lit("click >= "), F.lit(threshold + 1), F.lit(" today")))
     )
+
+
+def match_sequence(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    steps: list[tuple[str, str]],
+    within_s: int,
+    contiguity: str = "relaxed",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Generic CEP sequence matcher — the reusable form of Flink CEP's
+    ``Pattern.begin(p0).next/followedBy(p1)...within(t)`` surface
+    (LoginFailWithCep.java:52-76 strict; OrderPayTimeOut.java:56-70
+    relaxed), for any number of steps.
+
+    ``steps`` is an ordered list of (name, SQL boolean expression over
+    the row); the output has one row per completed chain with columns
+    ``key, ts_<name>...`` (epoch seconds per matched step).
+
+    - ``contiguity='strict'`` (Flink ``next``): the steps must be
+      consecutive events of the key — one window pass; step i's flag
+      is read at ``lead(i)``, so the whole match costs a single
+      per-key sort, no joins. Requires ``order_tiebreak`` for a total
+      event order.
+    - ``contiguity='relaxed'`` (Flink ``followedBy``, skip-till-next):
+      step i matches the EARLIEST event strictly after step i-1's
+      event. k-1 equi-joins on the key, each immediately reduced by a
+      min-aggregate — all shuffles share the key partitioning, and
+      each join's build side is only that step's filtered events, so
+      at 100 TB the cost is k passes over pre-filtered slices, never
+      a per-row state machine.
+
+    ``within_s`` bounds the whole chain (last - first), matching
+    Flink's window-per-match semantics.
+    """
+    ts_s = F.expr(f"CAST(floor(unix_seconds({ts_col})) AS BIGINT)")
+    names = [n for n, _ in steps]
+    out_cols = [f"ts_{n}" for n in names]
+    if contiguity == "strict":
+        if order_tiebreak is None:
+            raise ValueError("strict contiguity needs order_tiebreak for a total order")
+        w = Window.partitionBy(key).orderBy(
+            F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+        )
+        flagged = df.select(
+            F.col(key),
+            F.col(ts_col),
+            ts_s.alias("_ts_s"),
+            F.col(order_tiebreak),
+            *[F.expr(p).alias(f"_m_{i}") for i, (_, p) in enumerate(steps)],
+        )
+        cond = F.col("_m_0")
+        sel = [F.col(key), F.col("_ts_s").alias(out_cols[0])]
+        for i in range(1, len(steps)):
+            cond = cond & F.coalesce(F.lead(f"_m_{i}", i).over(w), F.lit(False))
+            sel.append(F.lead("_ts_s", i).over(w).alias(out_cols[i]))
+        return (
+            flagged.select(F.col(key), F.col("_ts_s"), cond.alias("_ok"), *sel[1:])
+            .filter(F.col("_ok") & (F.col(out_cols[-1]) - F.col(out_cols[0]) <= within_s))
+            .select(key, *out_cols)
+        )
+    m = df.filter(F.expr(steps[0][1])).select(F.col(key), ts_s.alias(out_cols[0]))
+    for i, (_, pred) in enumerate(steps[1:], start=1):
+        s = df.filter(F.expr(pred)).select(F.col(key), ts_s.alias("_ts"))
+        prev = out_cols[:i]
+        m = (
+            m.join(s, key)
+            .filter(F.col("_ts") > F.col(prev[-1]))
+            .groupBy(key, *prev)
+            .agg(F.min("_ts").alias(out_cols[i]))
+        )
+    return m.filter(F.col(out_cols[-1]) - F.col(out_cols[0]) <= within_s).select(
+        key, *out_cols
+    )

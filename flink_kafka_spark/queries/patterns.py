@@ -146,3 +146,54 @@ QUERIES = [
     Query("click_blacklist", click_blacklist, BLACKLIST_ORACLE, "T5 F7 G6 W12"),
     Query("sessionize", sessionize, SESSIONIZE_ORACLE, "extension: sessionization"),
 ]
+
+
+def funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step CEP funnel (extension of T1/T3 to a generic matcher):
+    view → click → purchase per user, skip-till-next (each step is the
+    earliest event after the previous), whole chain within 1 day (the events table spans ~30 days, so hour-scale chains are vanishingly rare)."""
+    from ..operators.patterns import match_sequence
+
+    return match_sequence(
+        load(spark, sf_dir, "events"),
+        key="user_id",
+        ts_col="ts",
+        steps=[
+            ("view", "event_type = 'view'"),
+            ("click", "event_type = 'click'"),
+            ("purchase", "event_type = 'purchase'"),
+        ],
+        within_s=86400,
+        contiguity="relaxed",
+    )
+
+
+FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type FROM events
+),
+m0 AS (SELECT user_id, ts_s AS ts_view FROM e WHERE event_type = 'view'),
+m1 AS (
+  SELECT m0.user_id, ts_view, min(e.ts_s) AS ts_click
+  FROM m0 JOIN e ON e.user_id = m0.user_id
+   AND e.event_type = 'click' AND e.ts_s > m0.ts_view
+  GROUP BY 1, 2
+),
+m2 AS (
+  SELECT m1.user_id, ts_view, ts_click, min(e.ts_s) AS ts_purchase
+  FROM m1 JOIN e ON e.user_id = m1.user_id
+   AND e.event_type = 'purchase' AND e.ts_s > m1.ts_click
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, ts_view, ts_click, ts_purchase
+FROM m2 WHERE ts_purchase - ts_view <= 86400
+"""
+
+QUERIES.append(
+    Query(
+        "funnel_conversions",
+        funnel_conversions,
+        FUNNEL_ORACLE,
+        "T1 T3 generalized: k-step CEP matcher",
+    )
+)

@@ -137,3 +137,41 @@ def test_connected_components_chain_and_singletons(spark):
     }
     want = {(i, 100) for i in range(100, 112)} | {(200, 200), (201, 200), (300, 300)}
     assert got == want
+
+
+def test_match_sequence_strict_vs_relaxed(spark):
+    """fail,fail with an intervening success must match relaxed but
+    not strict; consecutive fails match both; within bound enforced."""
+    import datetime as dt
+
+    from flink_kafka_spark.operators.patterns import match_sequence
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: fail, success, fail  -> relaxed only
+        (1, 1, t(0), "fail"), (1, 2, t(1), "success"), (1, 3, t(2), "fail"),
+        # user 2: fail, fail           -> both
+        (2, 4, t(10), "fail"), (2, 5, t(11), "fail"),
+        # user 3: fail ... fail too far apart for within=5
+        (3, 6, t(20), "fail"), (3, 7, t(40), "fail"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "state"])
+    steps = [("f1", "state = 'fail'"), ("f2", "state = 'fail'")]
+    strict = {
+        (r.user_id, r.ts_f1, r.ts_f2)
+        for r in match_sequence(
+            df, "user_id", "ts", steps, within_s=5,
+            contiguity="strict", order_tiebreak="event_id",
+        ).collect()
+    }
+    relaxed = {
+        (r.user_id, r.ts_f1, r.ts_f2)
+        for r in match_sequence(
+            df, "user_id", "ts", steps, within_s=5, contiguity="relaxed"
+        ).collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC epoch
+    assert strict == {(2, base + 10, base + 11)}
+    assert relaxed == {(1, base + 0, base + 2), (2, base + 10, base + 11)}
