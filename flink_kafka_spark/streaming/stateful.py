@@ -288,3 +288,102 @@ def blacklist_stream(clicks: DataFrame, threshold: int = 100) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def sequence_match_stream(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list[tuple[str, str]],
+    within_s: int,
+    key_type: str = "long",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.match_sequence``
+    (relaxed / skip-till-next contiguity): the generic form of Flink
+    CEP's ``followedBy ... within`` on a live stream
+    (OrderPayTimeOut.java:56-70 generalized to any step list).
+
+    Event-time-correct like Flink's CEP operator: arrivals are
+    buffered in state and only processed once the watermark passes
+    their timestamp, in timestamp order — so out-of-order arrival
+    across micro-batches cannot corrupt match order. Step predicates
+    are evaluated JVM-side into a per-event bitmask before the
+    stateful op; Python only walks small per-key buffers.
+
+    State per key: pending events (ts + step bitmask) inside the
+    watermark horizon and active partial chains; chains expire as soon
+    as the watermark proves they can no longer complete (t0 + within
+    passed), so state is bounded by the within-window — the analog of
+    the reference's timer-based GC. An event-time timeout re-fires
+    the key on watermark advance even with no new arrivals.
+
+    Emits one row per completed chain: (key, ts_<name>... epoch-s).
+    """
+    k = len(steps)
+    names = [n for n, _ in steps]
+    mask_expr = " + ".join(
+        f"CAST(({p}) AS LONG) * {1 << i}" for i, (_, p) in enumerate(steps)
+    )
+    flagged = events.select(
+        F.col(key_col), F.col(ts_col).alias("_ts"), F.expr(mask_expr).alias("_mask")
+    )
+    out_cols = [key_col] + [f"ts_{n}" for n in names]
+    out_schema = f"{key_col} {key_type}, " + ", ".join(f"ts_{n} long" for n in names)
+    state_schema = "buf_ts array<long>, buf_mask array<long>, chains array<array<long>>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        buf_ts, buf_mask, chains = ([], [], [])
+        if state.exists:
+            s = state.get
+            buf_ts = list(s[0] or [])
+            buf_mask = list(s[1] or [])
+            # chain = [next_step, t0, t1, ... t_{next_step-1}]
+            chains = [list(c) for c in (s[2] or [])]
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                buf_ts.append(int(row["_ts"].timestamp()))
+                buf_mask.append(int(row["_mask"]))
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        pending = sorted(zip(buf_ts, buf_mask))
+        ready = [(t, m) for t, m in pending if t <= wm_s]
+        held = [(t, m) for t, m in pending if t > wm_s]
+        completed: set[tuple] = set()
+        for t, m in ready:
+            advanced: list[list[int]] = []
+            for c in chains:
+                nxt, t_last = c[0], c[-1]
+                if (m >> nxt) & 1 and t > t_last and t - c[1] <= within_s:
+                    if nxt == k - 1:
+                        completed.add(tuple(c[1:] + [t]))
+                        continue  # chain consumed
+                    advanced.append([nxt + 1, *c[1:], t])
+                else:
+                    advanced.append(c)
+            chains = advanced
+            if m & 1:
+                if k == 1:
+                    completed.add((t,))
+                else:
+                    chains.append([1, t])
+        # GC: drop chains the watermark has proven dead, dedupe
+        chains = [c for c in chains if c[1] + within_s >= wm_s]
+        chains = [list(c) for c in {tuple(c) for c in chains}]
+        if held or chains:
+            state.update(
+                ([t for t, _ in held], [m for _, m in held], chains)
+            )
+            # re-fire on watermark advance even without new arrivals
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000)
+        elif state.exists:
+            state.remove()
+        if completed:
+            yield pd.DataFrame(
+                [(key_val, *ts) for ts in sorted(completed)], columns=out_cols
+            )
+
+    return flagged.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -556,3 +556,53 @@ def test_tx_match_join_stream(spark, tmp_path):
     assert ("txA", t, t + 1, "matched") in got
     assert ("txB", t + 2, None, "unmatched_pay") in got
     assert ("txC", None, t + 3, "unmatched_receipt") in got
+
+
+def test_sequence_match_stream_out_of_order(spark, tmp_path):
+    """Generic streaming CEP: fail followedBy success within 10s.
+    User 3's fail arrives one micro-batch AFTER its success — the
+    buffer-until-watermark semantics must still match them in event
+    time (a process-on-arrival implementation would miss it). Result
+    must equal the batch match_sequence on the same rows."""
+    from flink_kafka_spark.operators.patterns import match_sequence
+    from flink_kafka_spark.streaming.stateful import sequence_match_stream
+
+    t = 1_700_000_000
+    steps = [("fail", "login_state = 'fail'"), ("ok", "login_state = 'success'")]
+    b1 = [
+        f"1,ip,fail,{t}",
+        f"1,ip,success,{t + 3}",    # user 1 completes in-batch
+        f"2,ip,fail,{t}",
+        f"3,ip,success,{t + 5}",    # user 3: success arrives FIRST
+    ]
+    b2 = [
+        f"3,ip,fail,{t + 1}",       # ...then the earlier fail (out of order)
+        f"2,ip,success,{t + 20}",   # outside within=10 -> no match
+        f"999,ip,success,{t + 1000}",  # sentinel advances the watermark
+    ]
+    _write_lines(str(tmp_path / "in" / "b1.csv"), b1, mtime=1_000_000)
+    _write_lines(str(tmp_path / "in" / "b2.csv"), b2, mtime=2_000_000)
+    stream = csv_replay_source(
+        spark, str(tmp_path / "in"), LOGIN_EVENT, max_files_per_trigger=1
+    ).withWatermark("ts", "10 seconds")
+    _run_stream(
+        sequence_match_stream(stream, "user_id", "ts", steps, within_s=10),
+        "seq_out",
+    )
+    got = sorted(map(tuple, spark.sql("SELECT * FROM seq_out").collect()))
+    assert got == [(1, t, t + 3), (3, t + 1, t + 5)]
+
+    batch = spark.createDataFrame(
+        [r.split(",") for r in b1 + b2], ["user_id", "ip", "login_state", "ts_raw"]
+    ).selectExpr(
+        "CAST(user_id AS LONG) user_id",
+        "login_state",
+        "timestamp_seconds(CAST(ts_raw AS LONG)) AS ts",
+    )
+    want = sorted(
+        (r.user_id, r.ts_fail, r.ts_ok)
+        for r in match_sequence(
+            batch, "user_id", "ts", steps, within_s=10, contiguity="relaxed"
+        ).collect()
+    )
+    assert got == want
