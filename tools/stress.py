@@ -18,7 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from flink_kafka_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from flink_kafka_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    minhash_lsh_pairs,
+)
 from flink_kafka_spark.operators.topn import topn_counts_per_window  # noqa: E402
 from flink_kafka_spark.operators.windows import windowed_count, windowed_distinct  # noqa: E402
 from flink_kafka_spark.session import get_spark  # noqa: E402
@@ -75,6 +78,21 @@ def main() -> None:
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     n_pairs = pairs.count()
     timings[f"minhash_lsh_{n_docs}"] = round(time.perf_counter() - t0, 2)
+
+    # connected components on a graph with known structure: chains of
+    # length 10 (every doc i linked to i+1 except at decade borders)
+    # -> exactly n/10 components, diameter 9 forces multiple rounds
+    t0 = time.perf_counter()
+    edges = (
+        spark.range(n_docs)
+        .filter("pmod(id, 10) < 9")
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    nodes = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    cc = connected_components(edges, nodes, id_col="doc_id")
+    n_components = cc.select("cluster_id").distinct().count()
+    timings[f"connected_components_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert n_components == n_docs // 10, n_components
 
     print(
         json.dumps(
