@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "corpus_prep",
     "media_decode_meta",
     "media_frame_sample",
+    "sequence_packing",
+    "mixture_resample",
+    "funnel_conversions",
 ]
 
 

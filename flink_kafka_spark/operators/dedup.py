@@ -69,6 +69,7 @@ def ngram_jaccard_pairs(
     bounds the self-join fan-out; the surviving rare shingles still
     witness any high-Jaccard pair on realistic corpora."""
     sh = shingles(df, id_col, n).cache()
+    sh.count()  # eager: 3 consumers below would race to fill the cache
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= stop_df),
@@ -344,23 +345,41 @@ def connected_components(
     diameter) rounds — near-dup clusters are shallow (transitive chains
     of high-Jaccard docs), so a handful of rounds suffice.
 
-    Scale design (100 TB): the symmetrized edge set is pre-partitioned
-    on src and persisted once, so per round only the (node, label)
-    pairs shuffle — never document payloads. `localCheckpoint` after
-    each round truncates the lineage (iterative DataFrame plans grow
-    without bound otherwise); on a real cluster with unreliable
+    Scale design (100 TB): only nodes that APPEAR IN AN EDGE enter the
+    loop — on a real corpus the near-dup graph is a tiny fraction of
+    the documents, and every isolated doc is trivially its own
+    singleton cluster (unioned back in at the end, no shuffle beyond
+    one anti-join). The symmetrized edge set is built with a single
+    explode pass (a union of two selects would compute the upstream
+    pair pipeline twice), pre-partitioned on src and persisted once;
+    per round only (node, label) pairs shuffle. `localCheckpoint`
+    after each round truncates the lineage (iterative DataFrame plans
+    grow without bound otherwise); on a cluster with unreliable
     executors use `checkpoint()` to HDFS instead. Convergence is
     detected with a 1-row aggregate on the label sum, which is
     strictly decreasing until fixpoint (labels only ever shrink) —
     no per-round join against the previous labels needed.
     """
     sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .repartition("src")
         .persist()
     )
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
@@ -377,4 +396,10 @@ def connected_components(
             break
         prev_sum = cur_sum
     sym.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
+    in_graph = labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(in_graph.select(id_col), id_col, "left_anti")
+        .withColumn("cluster_id", F.col(id_col))
+    )
+    return in_graph.unionByName(singletons)
