@@ -381,6 +381,7 @@ def connected_components(
         "comp", F.col("node")
     ).localCheckpoint(eager=True)
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("comp")
@@ -393,9 +394,16 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
+    if not converged:
+        # a silent partial result would split real clusters — refuse
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     in_graph = labels.select(F.col("node").alias(id_col), F.col("comp").alias("cluster_id"))
     singletons = (
         nodes.select(F.col(id_col))

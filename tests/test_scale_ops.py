@@ -175,3 +175,15 @@ def test_match_sequence_strict_vs_relaxed(spark):
     base = 1704067200  # 2024-01-01 00:00:00 UTC epoch
     assert strict == {(2, base + 10, base + 11)}
     assert relaxed == {(1, base + 0, base + 2), (2, base + 10, base + 11)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from flink_kafka_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(50)]  # diameter 50 > max_iter 3
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(51)], ["doc_id"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, id_col="doc_id", max_iter=3)
