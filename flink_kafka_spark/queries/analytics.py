@@ -29,8 +29,11 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "orderdate_s",
+        # DOUBLE (not DECIMAL) in the output projection: the decimal
+        # window sum is exact, and both engines render the same double —
+        # Spark Decimal objects vs DuckDB float64 hash differently.
         F.expr("CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY orderdate_s, o_orderkey "
-               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))")
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)")
         .alias("cum_spend"),
         F.expr(
             "floor(CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY orderdate_s, o_orderkey "
@@ -45,7 +48,7 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_RUNNING_ORACLE = """
 SELECT o_custkey, o_orderkey,
        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_s,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_cum AS DECIMAL(18,2)) AS cum_spend,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_cum AS DOUBLE) AS cum_spend,
        floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_ma AS DOUBLE)
              / count(*) OVER w_ma * 10000 + 0.5) / 10000 AS ma3,
        CAST(floor(epoch(o_orderdate)) AS BIGINT)

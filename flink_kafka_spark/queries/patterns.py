@@ -127,8 +127,10 @@ marked AS (
 ),
 sessions AS (
   SELECT user_id, ts_s,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         -- BIGINT cast: DuckDB integer sum() is HUGEINT (-> float64 in
+         -- pandas) while Spark is already BIGINT; same text both engines
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id,

@@ -244,9 +244,12 @@ WITH toks AS (
 ),
 cum AS (
   SELECT doc_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           - n_tokens AS start_offset
+         -- BIGINT cast: DuckDB integer sum() OVER is HUGEINT (float64
+         -- in pandas) while Spark is BIGINT — same driver-hash class
+         -- as sessionize's session_id
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
   FROM toks
 )
 SELECT doc_id, shard, n_tokens, start_offset,

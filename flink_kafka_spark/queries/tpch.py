@@ -23,6 +23,15 @@ and DuckDB — double sums are order-dependent and round() semantics
 diverge at decimal half-points). Averages are derived from the exact
 decimal sums with an explicit floor-based half-up, which is a pure
 function of identical doubles on both engines.
+
+Output-dtype policy (round-2 hash fix): the FINAL projection casts
+every decimal aggregate to DOUBLE and every integer sum to BIGINT, on
+BOTH engines. In the pandas/Arrow comparison path Spark renders
+DECIMAL as Decimal objects and integer sums as int64, while DuckDB
+renders DECIMAL and HUGEINT sums as float64 — same values, different
+serialized hashes. The values are exactly rounded before the cast, so
+the double is the same bit pattern on both engines. Internal math
+stays DECIMAL; only the output projection changes.
 """
 
 from __future__ import annotations
@@ -55,10 +64,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(f"CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2))").alias("sum_qty"),
-            F.expr(f"CAST(round(sum({_EP}), 2) AS DECIMAL(18,2))").alias("sum_base_price"),
-            F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("sum_disc_price"),
-            F.expr(f"CAST(round(sum({_CHARGE}), 2) AS DECIMAL(18,2))").alias("sum_charge"),
+            F.expr(f"CAST(round(sum({_QTY}), 2) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(round(sum({_EP}), 2) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(round(sum({_CHARGE}), 2) AS DOUBLE)").alias("sum_charge"),
             F.expr(_avg4(f"sum({_QTY})")).alias("avg_qty"),
             F.expr(_avg4(f"sum({_EP})")).alias("avg_price"),
             F.expr(_avg4(f"sum({_DISC})")).alias("avg_disc"),
@@ -69,10 +78,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(round(sum({_EP}), 2) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-       CAST(round(sum({_CHARGE}), 2) AS DECIMAL(18,2)) AS sum_charge,
+       CAST(round(sum({_QTY}), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum({_EP}), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum({_CHARGE}), 2) AS DOUBLE) AS sum_charge,
        {_avg4(f"sum({_QTY})")} AS avg_qty,
        {_avg4(f"sum({_EP})")} AS avg_price,
        {_avg4(f"sum({_DISC})")} AS avg_disc,
@@ -91,7 +100,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE)").alias("revenue"))
         .select(
             "o_orderkey",
             F.col("o_orderdate").cast("long").alias("orderdate_s"),
@@ -105,7 +114,7 @@ TPCH_Q3_ORACLE = f"""
 SELECT o_orderkey,
        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_s,
        o_orderpriority,
-       CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+       CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -132,13 +141,13 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE)").alias("revenue"))
     )
 
 
 TPCH_Q5_ORACLE = f"""
 SELECT n_name,
-       CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+       CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
 FROM region, nation, customer, orders, lineitem
 WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
   AND c_nationkey = n_nationkey AND o_custkey = c_custkey
@@ -159,12 +168,12 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.expr(f"CAST(round(sum({_EP} * {_DISC}), 4) AS DECIMAL(18,4))").alias("revenue"))
+        .agg(F.expr(f"CAST(round(sum({_EP} * {_DISC}), 4) AS DOUBLE)").alias("revenue"))
     )
 
 
 TPCH_Q6_ORACLE = f"""
-SELECT CAST(round(sum({_EP} * {_DISC}), 4) AS DECIMAL(18,4)) AS revenue
+SELECT CAST(round(sum({_EP} * {_DISC}), 4) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -228,14 +237,14 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE)").alias("revenue"))
     )
 
 
 TPCH_Q7_ORACLE = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+       CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
 FROM lineitem, orders, customer, supplier, nation n1, nation n2
 WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
   AND l_suppkey = s_suppkey
@@ -262,7 +271,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE)").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -270,7 +279,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_ORACLE = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+       CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND c_nationkey = n_nationkey AND l_returnflag = 'R'
@@ -296,16 +305,16 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
-            F.expr(f"sum(CASE WHEN {_HIGH_PRIO} THEN 1 ELSE 0 END)").alias("high_line_count"),
-            F.expr(f"sum(CASE WHEN {_HIGH_PRIO} THEN 0 ELSE 1 END)").alias("low_line_count"),
+            F.expr(f"CAST(sum(CASE WHEN {_HIGH_PRIO} THEN 1 ELSE 0 END) AS BIGINT)").alias("high_line_count"),
+            F.expr(f"CAST(sum(CASE WHEN {_HIGH_PRIO} THEN 0 ELSE 1 END) AS BIGINT)").alias("low_line_count"),
         )
     )
 
 
 TPCH_Q12_ORACLE = f"""
 SELECT l_linestatus,
-       sum(CASE WHEN {_HIGH_PRIO} THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN {_HIGH_PRIO} THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN {_HIGH_PRIO} THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN {_HIGH_PRIO} THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -353,7 +362,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     rev = l.groupBy("l_suppkey").agg(
-        F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("total_revenue")
+        F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE)").alias("total_revenue")
     )
     top = rev.agg(F.max("total_revenue").alias("_max_rev"))
     s = load(spark, sf_dir, "supplier")
@@ -367,7 +376,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q15_ORACLE = f"""
 WITH revenue AS (
   SELECT l_suppkey,
-         CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS total_revenue
+         CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -450,7 +459,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.expr(f"CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2))").alias("sum_qty"))
+        .agg(F.expr(f"CAST(round(sum({_QTY}), 2) AS DOUBLE)").alias("sum_qty"))
         .filter(F.col("sum_qty") > _Q18_QTY)
     )
     o = load(spark, sf_dir, "orders")
@@ -473,7 +482,7 @@ TPCH_Q18_ORACLE = f"""
 SELECT c_name, c_custkey, o_orderkey,
        CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_s,
        o_totalprice,
-       CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2)) AS sum_qty
+       CAST(round(sum({_QTY}), 2) AS DOUBLE) AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                      GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY})
@@ -498,12 +507,12 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .filter(F.expr(_Q19_PRED))
-        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2))").alias("revenue"))
+        .agg(F.expr(f"CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE)").alias("revenue"))
     )
 
 
 TPCH_Q19_ORACLE = f"""
-SELECT CAST(round(sum({_DISC_PRICE}), 2) AS DECIMAL(18,2)) AS revenue
+SELECT CAST(round(sum({_DISC_PRICE}), 2) AS DOUBLE) AS revenue
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND ({_Q19_PRED})
 """
@@ -530,7 +539,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.expr("CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2))")
+            F.expr("CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)")
             .alias("totacctbal"),
         )
     )
@@ -538,7 +547,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q22_ORACLE = f"""
 SELECT c_nationkey, count(*) AS numcust,
-       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT {_ACCTBAL_AVG} FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -727,7 +736,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.expr(
-                "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2))"
+                "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)"
             ).alias("total_price"),
             F.grouping_id().alias("gid"),
         )
@@ -737,7 +746,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_ROLLUP_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        count(*) AS n_orders,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2))
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
          AS total_price,
        GROUPING(o_orderpriority, o_orderstatus) AS gid
 FROM orders
