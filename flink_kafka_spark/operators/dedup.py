@@ -64,10 +64,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     stop_df: int = SHINGLE_STOP_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
-    threshold). Stop-shingle pruning (document frequency > stop_df)
-    bounds the self-join fan-out; the surviving rare shingles still
-    witness any high-Jaccard pair on realistic corpora."""
+    """N-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    threshold), where the reported ``jaccard`` is a LOWER BOUND on the
+    true Jaccard: stop-shingle pruning (document frequency > stop_df)
+    bounds the self-join fan-out, so the intersection counts only rare
+    shingles while the denominator uses the full shingle-set sizes —
+    |rare ∩| / |full ∪| ≤ |∩| / |∪|.
+
+    Consequences (deliberate precision/recall trade):
+    - every emitted pair is guaranteed to satisfy the threshold on its
+      TRUE Jaccard (no false positives from the pruning);
+    - a pair witnessed mainly by frequent shingles can be silently
+      missed (recall loss) — tests/test_properties.py documents the
+      construction. Raise ``stop_df`` (or inspect
+      :func:`shingle_prune_stats`) when the corpus has heavy shingle
+      reuse; MinHash+LSH is the production path for unknown corpora."""
     sh = shingles(df, id_col, n).cache()
     sh.count()  # eager: 3 consumers below would race to fill the cache
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -96,6 +107,27 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def shingle_prune_stats(
+    df: DataFrame, id_col: str = "doc_id", n: int = 3, stop_df: int = SHINGLE_STOP_DF
+) -> DataFrame:
+    """1-row visibility companion to :func:`ngram_jaccard_pairs`: how
+    much the stop-shingle heuristic actually prunes on this corpus —
+    distinct shingles dropped, and the fraction of (doc, shingle)
+    occurrences those carried. A high ``occurrence_pruned_frac`` means
+    the lower-bound jaccard is loose and ``stop_df`` should be raised."""
+    sh = shingles(df, id_col, n)
+    per = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("df_") > stop_df).cast("long")).alias("n_stop_shingles"),
+        F.round(
+            F.sum(F.when(F.col("df_") > stop_df, F.col("df_")).otherwise(0))
+            / F.sum("df_"),
+            6,
+        ).alias("occurrence_pruned_frac"),
     )
 
 

@@ -157,7 +157,9 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
             ids, idxs, lens, md5s = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                for i in range(0, max(len(data), 1), frame_bytes):
+                # empty payloads emit zero frames, matching the oracle's
+                # ceil(length/frame_bytes) row count
+                for i in range(0, len(data), frame_bytes):
                     chunk = data[i : i + frame_bytes]
                     ids.append(doc_id)
                     idxs.append(i // frame_bytes)

@@ -19,13 +19,22 @@ _KNUTH = 2654435761  # 2^32 * golden ratio conjugate
 
 def split_bucket_expr(id_col: str, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets): Knuth multiplicative mix
-    of the integer id — identical formula expressible in plain SQL."""
-    return F.expr(f"pmod(({id_col} * {_KNUTH}L) % 1000000007, {n_buckets})")
+    of the integer id — identical formula expressible in plain SQL.
+
+    The id is reduced mod 1000000007 BEFORE the multiply: a raw
+    ``id * _KNUTH`` overflows int64 for ids ≥ ~3.47e9 (ANSI mode
+    errors; non-ANSI wraps while a HUGEINT engine promotes — divergent
+    buckets). ``pmod(id, p) * _KNUTH`` stays < 2^62 for any BIGINT id,
+    and is identical to the unreduced form for ids < p."""
+    return F.expr(
+        f"pmod((pmod({id_col}, 1000000007) * {_KNUTH}L) % 1000000007, {n_buckets})"
+    )
 
 
 def split_bucket_sql(id_col: str, n_buckets: int = 100) -> str:
-    """The DuckDB/ANSI twin of :func:`split_bucket_expr`."""
-    return f"(({id_col} * {_KNUTH}) % 1000000007) % {n_buckets}"
+    """The DuckDB/ANSI twin of :func:`split_bucket_expr` (operands are
+    non-negative after the inner reduction, so ``%`` == pmod)."""
+    return f"(((({id_col} % 1000000007) * {_KNUTH}) % 1000000007) % {n_buckets})"
 
 
 def train_val_test_split(

@@ -69,13 +69,18 @@ def srp_bucket(df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8) -> D
     """Sign-random-projection bucket id: bit i = sign(v · h_i) where
     hyperplane h_i is a deterministic pseudo-random ±1 vector derived
     from xxhash64(i, dim-index) — reproducible across runs/engines with
-    no stored model."""
+    no stored model.
+
+    pmod (not %) extracts the hash bit: Spark's % keeps the dividend's
+    sign, so ``% 2`` over a signed hash yields {-1, 0, 1} and the
+    component set {-1, 1, 3} — positively biased hyperplanes that skew
+    bucket occupancy. ``pmod(h, 2) * 2 - 1`` is an unbiased ±1."""
     v = _as_double(df, id_col, vec_col, id_col, "v")
     bit_exprs = []
     for i in range(n_planes):
         proj = (
             f"aggregate(zip_with(v, sequence(0, size(v) - 1), "
-            f"(x, j) -> x * (CAST(xxhash64(concat('{i}|', CAST(j AS STRING))) % 2 AS DOUBLE) * 2 + 1)), "
+            f"(x, j) -> x * (CAST(pmod(xxhash64(concat('{i}|', CAST(j AS STRING))), 2) AS DOUBLE) * 2 - 1)), "
             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         bit_exprs.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << i} ELSE 0 END)")

@@ -12,11 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    SHINGLE_STOP_DF,
     connected_components,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_prune_stats,
     simhash_pairs,
 )
 from ..tables import load
@@ -24,6 +26,10 @@ from . import Query
 
 JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.35
+# Stop-shingle cutoff surfaced at the query layer: the reported jaccard
+# is a lower bound under this pruning (see ngram_jaccard_pairs), and
+# dedup_prune_stats reports how much it actually drops on this corpus.
+NGRAM_STOP_DF = SHINGLE_STOP_DF
 
 # Shared DuckDB CTE: distinct word 3-gram shingles per doc.
 _SHINGLES_CTE = """
@@ -51,8 +57,31 @@ FROM documents GROUP BY 1
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+        load(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        stop_df=NGRAM_STOP_DF,
     )
+
+
+def dedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visibility row for the stop-shingle heuristic: what fraction of
+    shingle occurrences the df > stop_df pruning removes before the
+    Jaccard self-join (high fraction → the lower bound is loose)."""
+    return shingle_prune_stats(
+        load(spark, sf_dir, "documents"), stop_df=NGRAM_STOP_DF
+    )
+
+
+DEDUP_PRUNE_STATS_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+per AS (SELECT shingle, count(*) AS df_ FROM sh GROUP BY 1)
+SELECT count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df_ > {NGRAM_STOP_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stop_shingles,
+       round(sum(CASE WHEN df_ > {NGRAM_STOP_DF} THEN df_ ELSE 0 END) * 1.0
+             / sum(df_), 6) AS occurrence_pruned_frac
+FROM per
+"""
 
 
 DEDUP_NGRAM_ORACLE = f"""
@@ -164,6 +193,12 @@ FROM reach GROUP BY node
 QUERIES = [
     Query("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "ext: exact dedup"),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "ext: ngram jaccard"),
+    Query(
+        "dedup_prune_stats",
+        dedup_prune_stats,
+        DEDUP_PRUNE_STATS_ORACLE,
+        "ext: stop-shingle pruning visibility",
+    ),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, None, "ext: minhash+lsh"),
     Query("dedup_simhash", dedup_simhash, None, "ext: simhash"),
     Query(

@@ -11,6 +11,7 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+from flink_kafka_spark.operators.dedup import ngram_jaccard_pairs, shingle_prune_stats
 from flink_kafka_spark.operators.joins import interval_join
 from flink_kafka_spark.operators.patterns import consecutive_event_alert, create_pay_timeout
 
@@ -127,3 +128,24 @@ def test_interval_join_matches_python(spark, data):
         if lk == rk and lt - 3 <= rt <= lt + 5
     )
     assert got == want
+
+
+def test_ngram_jaccard_stop_shingle_miss_is_documented(spark):
+    """The known recall gap of stop-shingle pruning, pinned as a test:
+    a duplicate pair witnessed ONLY by frequent shingles (df > stop_df)
+    is silently missed at the default pruning, found when stop_df is
+    raised, and visible in shingle_prune_stats. The reported jaccard is
+    a lower bound — emitted pairs are never false positives."""
+    # 5 docs sharing one identical text → every shingle has df = 5
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id long, text string"
+    )
+    missed = ngram_jaccard_pairs(docs, threshold=0.5, stop_df=2)
+    assert missed.count() == 0  # true jaccard of every pair is 1.0
+    found = ngram_jaccard_pairs(docs, threshold=0.5, stop_df=10)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in found.collect()}
+    assert len(rows) == 10 and all(j == 1.0 for j in rows.values())
+    stats = shingle_prune_stats(docs, stop_df=2).collect()[0]
+    assert stats.n_stop_shingles == stats.n_shingles  # everything pruned
+    assert stats.occurrence_pruned_frac == 1.0
