@@ -156,6 +156,20 @@ def uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bloom-membership UV: the reference's actual A7 semantics ---
+
+def uv_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-dedup unique visitors (UvWithBloomFilter.java:95-155
+    fidelity variant): Bloom bit-test + count++, not a cardinality
+    sketch. False positives undercount only; at this corpus scale
+    (≤ ~10⁵ users/window vs 2^22 bits) fpp < 1e-9, so the exact
+    COUNT(DISTINCT) oracle holds."""
+    from ..operators.windows import windowed_uv_bloom
+
+    events = load(spark, sf_dir, "events")
+    return windowed_uv_bloom(events, "ts", "1 day", "user_id")
+
+
 # --- channel stats: sliding 6h/1h counts per event_type ---
 
 def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +313,8 @@ QUERIES = [
     Query("page_views", page_views, PAGE_VIEWS_ORACLE, "W5 A8 P3 F1"),
     Query("unique_visitors", unique_visitors, UNIQUE_VISITORS_ORACLE, "W6 A6 G8"),
     Query("uv_approx", uv_approx, None, "A7 W10"),  # HLL++ — no exact oracle
+    # Bloom membership-dedup twin: fpp-free at oracle scale (see docstring)
+    Query("uv_bloom", uv_bloom, UNIQUE_VISITORS_ORACLE, "A7 K3 fidelity"),
     Query("channel_stats", channel_stats, CHANNEL_STATS_ORACLE, "W3 A3 G5 F4"),
     Query("global_stats", global_stats, GLOBAL_STATS_ORACLE, "A4 G4 G8"),
     Query("global_stats_fine", global_stats_fine, GLOBAL_STATS_FINE_ORACLE, "A9 W3 scale-path"),

@@ -353,6 +353,82 @@ def blacklist_stream(clicks: DataFrame, threshold: int = 100) -> DataFrame:
     )
 
 
+def late_split_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    delay_s: int = 0,
+    allowed_lateness_s: int = 60,
+    n_shards: int = 32,
+) -> DataFrame:
+    """W9: true late-data side output (HotPages.java:68,78-79,83 —
+    ``allowedLateness(1m)`` + ``sideOutputLateData(lateTag)``). Every
+    input row passes through tagged ``result_type`` 'on_time' or
+    'late' (the engine's tagged-union side-output convention); 'late'
+    rows are those a Flink pipeline would divert to the late tag:
+    older than ``watermark - allowed_lateness`` at arrival.
+
+    Spark's built-in ``withWatermark`` cannot express this — stateful
+    operators DROP later-than-watermark rows before any user code sees
+    them. So the operator maintains its own Flink-style
+    bounded-out-of-orderness watermark (wm = max observed event time −
+    ``delay_s``) in per-shard state and never attaches a Spark
+    watermark, so no row is ever silently dropped.
+
+    Scale/semantics notes:
+    - state is ONE long per shard (``n_shards`` total, key-hash
+      sharded) — no serialization point, no growth with the stream;
+    - a shard's watermark tracks the max event time of its own keys;
+      with hash sharding, event-time progress is statistically uniform
+      across shards, so shard wm ≈ global wm (Flink's watermark is
+      likewise the min across parallel source partitions);
+    - lateness is judged at micro-batch granularity: rows in a batch
+      compare against the watermark as of the END of the previous
+      batch (deterministic under file replay), then the batch's max
+      advances it.
+
+    Output: input columns minus ``ts_col``, plus ``ts_s``/``wm_s``
+    (epoch s; wm_s −1 before any watermark exists) + ``result_type``.
+    """
+    passthrough = [f for f in events.schema.fields if f.name != ts_col]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in passthrough]
+        + ["ts_s long", "wm_s long", "result_type string"]
+    )
+    out_cols = [f.name for f in passthrough] + ["ts_s", "wm_s", "result_type"]
+    sharded = events.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        max_ts = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = _epoch_s(pdf, ts_col)
+            wm = max_ts - delay_s if max_ts is not None else None
+            out = pdf.drop(columns=[ts_col, "_shard"])
+            out["ts_s"] = ts
+            out["wm_s"] = wm if wm is not None else -1
+            late = (
+                ts < wm - allowed_lateness_s
+                if wm is not None
+                else np.zeros(len(ts), dtype=bool)
+            )
+            out["result_type"] = np.where(late, "late", "on_time")
+            batch_max = int(ts.max())
+            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+            yield out[out_cols]
+        if max_ts is not None:
+            state.update((max_ts,))
+
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        fn, out_schema, "max_ts long", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def sequence_match_stream(
     events: DataFrame,
     key_col: str,

@@ -522,6 +522,100 @@ def test_late_data_update_mode(spark, tmp_path):
     assert cnts[-1] == 4 and len(cnts) >= 2, cnts
 
 
+# --- A7 fidelity: Bloom membership-dedup UV, batch + streaming ---
+
+
+def test_uv_bloom_stream_matches_exact(spark, tmp_path):
+    """UvWithBloomFilter semantics: per-window bitmap membership dedup.
+    The bloom state must carry across micro-batches (user 1 reappearing
+    in batch 2 must NOT increment), and at test scale (no collisions)
+    the final per-window uv equals the exact distinct count."""
+    from flink_kafka_spark.operators.windows import windowed_uv_bloom
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    _write_lines(
+        str(tmp_path / "in" / "b1.csv"),
+        [f"1,100,1,pv,{base + 10}", f"1,101,1,pv,{base + 20}", f"2,100,1,pv,{base + 30}"],
+        mtime=1_000_000,
+    )
+    _write_lines(
+        str(tmp_path / "in" / "b2.csv"),
+        # user 1 repeats (no increment); user 3 is new; next window user 4
+        [f"1,102,1,pv,{base + 40}", f"3,100,1,pv,{base + 50}", f"4,100,1,pv,{base + 3700}"],
+        mtime=2_000_000,
+    )
+    stream = csv_replay_source(
+        spark, str(tmp_path / "in"), USER_BEHAVIOR, max_files_per_trigger=1
+    )
+    _run_stream(
+        windowed_uv_bloom(stream, "ts", "1 hour", "user_id", m_bits=1 << 16),
+        "uvb_out",
+    )
+    rows = spark.sql("SELECT * FROM uvb_out").collect()
+    # last emission per window carries the final membership count
+    final = {}
+    for r in rows:
+        final[r.window_start_s] = r.uv
+    assert final == {base: 3, base + 3600: 1}
+    # batch twin on the same rows agrees
+    batch_src = parse_csv_lines(spark.read.text(str(tmp_path / "in")), USER_BEHAVIOR)
+    got = {
+        (r.window_start_s, r.uv)
+        for r in windowed_uv_bloom(
+            batch_src, "ts", "1 hour", "user_id", m_bits=1 << 16
+        ).collect()
+    }
+    assert got == {(base, 3), (base + 3600, 1)}
+
+
+# --- W9 true late side output: rows past allowedLateness diverted ---
+
+
+def test_late_split_stream(spark, tmp_path):
+    """HotPages.java:78-79,83 semantics: with allowedLateness(60s), a
+    row older than watermark-60s goes to the late side output instead
+    of being dropped. Batch 1 advances the operator's own watermark to
+    t+600; batch 2 then delivers one row inside the lateness bound
+    (on_time) and one beyond it (late). Spark's built-in watermark
+    would have silently dropped the late row — the whole point of the
+    operator is that it still surfaces, tagged."""
+    from flink_kafka_spark.streaming.stateful import late_split_stream
+
+    t = 1_700_000_000
+    _write_lines(
+        str(tmp_path / "in" / "b1.csv"),
+        [f"1,100,1,pv,{t}", f"1,101,1,pv,{t + 10}", f"1,102,1,pv,{t + 600}"],
+        mtime=1_000_000,
+    )
+    _write_lines(
+        str(tmp_path / "in" / "b2.csv"),
+        # wm after b1 = t+600 (delay 0). t+590 >= wm-60 -> on_time;
+        # t+5 < wm-60 -> late side output
+        [f"1,103,1,pv,{t + 590}", f"1,104,1,pv,{t + 5}"],
+        mtime=2_000_000,
+    )
+    stream = csv_replay_source(
+        spark, str(tmp_path / "in"), USER_BEHAVIOR, max_files_per_trigger=1
+    )
+    _run_stream(
+        late_split_stream(
+            stream, key_col="user_id", delay_s=0, allowed_lateness_s=60
+        ),
+        "late_split_out",
+    )
+    got = {
+        (r.item_id, r.ts_s, r.wm_s, r.result_type)
+        for r in spark.sql("SELECT * FROM late_split_out").collect()
+    }
+    assert got == {
+        (100, t, -1, "on_time"),          # batch 1: no watermark yet
+        (101, t + 10, -1, "on_time"),
+        (102, t + 600, -1, "on_time"),
+        (103, t + 590, t + 600, "on_time"),  # within allowedLateness
+        (104, t + 5, t + 600, "late"),       # diverted, not dropped
+    }
+
+
 # --- J2 via built-in full-outer stream-stream join ---
 
 
@@ -556,6 +650,73 @@ def test_tx_match_join_stream(spark, tmp_path):
     assert ("txA", t, t + 1, "matched") in got
     assert ("txB", t + 2, None, "unmatched_pay") in got
     assert ("txC", None, t + 3, "unmatched_receipt") in got
+
+
+# --- K4 explicit retract/changelog stream via snapshot-diff sink ---
+
+
+def test_changelog_sink_retraction(spark, tmp_path):
+    """HotItemsWithSql.java:91-92 retract semantics: when a late row
+    corrects a window count, the changelog must carry the retraction
+    of the old value (Flink's ``(false, row)``) followed by the
+    corrected row — not just a silent re-emission. Replaying the log
+    must reconstruct the final result table exactly."""
+    from flink_kafka_spark.operators.windows import windowed_count
+    from flink_kafka_spark.streaming.sinks import changelog_sink
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    # batch 1: window W gets 2 pv rows (+ a row keeping W open)
+    _write_lines(
+        str(tmp_path / "in" / "b1.csv"),
+        [f"1,100,1,pv,{base + 10}", f"2,100,1,pv,{base + 20}", f"3,100,1,pv,{base + 1800}"],
+        mtime=1_000_000,
+    )
+    # batch 2: late row for W -> count corrected 3 -> 4
+    _write_lines(
+        str(tmp_path / "in" / "b2.csv"),
+        [f"4,100,1,pv,{base + 25}", f"9,9,1,pv,{base + 90000}"],
+        mtime=2_000_000,
+    )
+    stream = csv_replay_source(
+        spark, str(tmp_path / "in"), USER_BEHAVIOR, max_files_per_trigger=1
+    ).withWatermark("ts", "10 minutes")
+    counts = windowed_count(stream.filter(F.col("behavior") == "pv"), "ts", "1 hour")
+    out_dir, state_dir = str(tmp_path / "clog"), str(tmp_path / "snap")
+    q = changelog_sink(
+        counts, ["window_start_s", "window_end_s"], state_dir, out_dir
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    log = spark.read.parquet(out_dir)
+    w_rows = sorted(
+        (r.batch_id, r.op, r.cnt)
+        for r in log.filter(F.col("window_start_s") == base).collect()
+    )
+    # insert of the initial count, then retract+update after the late row
+    assert w_rows[0][1:] == ("+I", 3)
+    assert ("-U", 3) in {r[1:] for r in w_rows} and ("+U", 4) in {r[1:] for r in w_rows}
+    retract_b, update_b = (
+        next(r.batch_id for r in log.collect() if r.op == "-U"),
+        next(r.batch_id for r in log.collect() if r.op == "+U"),
+    )
+    assert retract_b == update_b  # retraction pairs with its correction
+
+    # replaying the changelog reconstructs the exact final result table
+    signed = log.withColumn(
+        "sgn", F.when(F.col("op") == "-U", -1).otherwise(1)
+    )
+    replayed = (
+        signed.groupBy("window_start_s", "window_end_s")
+        .agg(F.sum(F.col("sgn") * F.col("cnt")).alias("cnt"), F.sum("sgn").alias("n"))
+        .filter(F.col("n") == 1)  # exactly one live row per key
+        .select("window_start_s", "window_end_s", "cnt")
+    )
+    final_snap = spark.read.parquet(state_dir + "/snapshot")
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, final_snap.select("window_start_s", "window_end_s", "cnt").collect())
+    )
+    w_final = {r.window_start_s: r.cnt for r in final_snap.collect()}
+    assert w_final[base] == 4
 
 
 def test_sequence_match_stream_out_of_order(spark, tmp_path):
