@@ -19,6 +19,8 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     shingle_prune_stats,
+    shingle_sets,
+    simhash,
     simhash_pairs,
 )
 from ..tables import load
@@ -190,6 +192,124 @@ FROM reach GROUP BY node
 """
 
 
+# --- property oracles for the hash-dependent (no_oracle) approx paths -
+#
+# The approx operators' outputs depend on Spark-side hashing (xxhash64,
+# md5 simhash) that DuckDB can't reproduce, so the driver recorded them
+# as "runs = OK" in round 1. These check queries turn their INVARIANTS
+# into driver-hashable rows: each emitted pair must satisfy the exact
+# predicate recomputed independently (precision), and the approx path
+# must find at least a fixed fraction of the exact twin's pairs
+# (recall). The oracle is the constant the invariants must equal —
+# if the bucketing breaks, the Spark side deviates and the hash fails.
+
+MINHASH_RECALL_BOUND = 0.8  # 1-(1-j^4)^8 ≈ 0.88 at j=0.5, higher above
+
+
+def _flag(cond) -> F.Column:
+    return F.when(cond, 1).otherwise(0).cast("int")
+
+
+def dedup_minhash_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    approx = minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    exact = ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, stop_df=NGRAM_STOP_DF
+    )
+    sets = shingle_sets(docs, "doc_id")
+    rechecked = (
+        approx.join(
+            sets.select(F.col("doc_id").alias("id_a"), F.col("shingle_arr").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("id_b"), F.col("shingle_arr").alias("arr_b")),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "true_j",
+            F.round(
+                F.col("n_inter") / (F.size("arr_a") + F.size("arr_b") - F.col("n_inter")), 6
+            ),
+        )
+    )
+    precision = rechecked.agg(
+        F.coalesce(
+            F.sum(
+                _flag(
+                    (F.col("true_j") < JACCARD_THRESHOLD)
+                    | (F.col("true_j") != F.col("jaccard"))
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("precision_violations")
+    )
+    e_pairs = exact.select("id_a", "id_b")
+    hits = e_pairs.join(approx.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    recall = (
+        e_pairs.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_h")))
+        .select(
+            _flag(
+                (F.col("_n") == 0) | (F.col("_h") / F.col("_n") >= MINHASH_RECALL_BOUND)
+            ).alias("recall_ok")
+        )
+    )
+    return precision.crossJoin(recall)
+
+
+DEDUP_MINHASH_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS precision_violations, CAST(1 AS INT) AS recall_ok
+"""
+
+
+def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash invariants: (a) every emitted pair's Hamming distance,
+    recomputed independently from the signature table, matches and is
+    within the bound; (b) the pigeonhole bucketing misses NOTHING — an
+    all-pairs sweep of the signature table (check-scale only; the
+    operator itself never goes quadratic) finds no Hamming≤3 pair
+    absent from the output."""
+    docs = load(spark, sf_dir, "documents")
+    approx = simhash_pairs(docs, max_hamming=3)
+    sh = simhash(docs)
+    sh.persist()
+    sh.count()  # two consumers below
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    rechecked = (
+        approx.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("h2", F.bit_count(F.expr("sim_a ^ sim_b")))
+    )
+    violations = rechecked.agg(
+        F.coalesce(
+            F.sum(_flag((F.col("h2") != F.col("hamming")) | (F.col("h2") > 3))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("hamming_violations")
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b")
+    )
+    missed = brute.join(approx.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("missed_pairs")
+    )
+    return violations.crossJoin(missed)
+
+
+DEDUP_SIMHASH_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS hamming_violations, CAST(0 AS BIGINT) AS missed_pairs
+"""
+
+
 QUERIES = [
     Query("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE, "ext: exact dedup"),
     Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "ext: ngram jaccard"),
@@ -200,7 +320,19 @@ QUERIES = [
         "ext: stop-shingle pruning visibility",
     ),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, None, "ext: minhash+lsh"),
+    Query(
+        "dedup_minhash_lsh_check",
+        dedup_minhash_lsh_check,
+        DEDUP_MINHASH_CHECK_ORACLE,
+        "ext: minhash+lsh property oracle",
+    ),
     Query("dedup_simhash", dedup_simhash, None, "ext: simhash"),
+    Query(
+        "dedup_simhash_check",
+        dedup_simhash_check,
+        DEDUP_SIMHASH_CHECK_ORACLE,
+        "ext: simhash property oracle",
+    ),
     Query(
         "dedup_clusters",
         dedup_clusters,

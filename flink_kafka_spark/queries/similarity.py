@@ -62,8 +62,72 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(queries, emb, k=TOP_K)
 
 
+# --- property oracles for the hash/model-dependent ANN paths ---
+#
+# Same pattern as the dedup check queries: the approx result can't be
+# reproduced in DuckDB (xxhash64 hyperplanes / KMeans model), but its
+# invariants can be driver-hashed — every returned cosine must equal
+# the independently recomputed true cosine, and recall vs the exact
+# brute-force twin must clear a bound. The synthetic embeddings are
+# near-uniform (true top-10 cosines ≈ 0.25-0.39) so bucketing recall
+# is structurally low — bounds are set from the collision probability,
+# not near 1.0 (see ann_cosine_topk_lsh docstring).
+
+ANN_LSH_RECALL_BOUND = 0.25
+ANN_IVF_RECALL_BOUND = 0.5
+
+
+def _ann_check(spark: SparkSession, approx: DataFrame, exact: DataFrame, bound: float) -> DataFrame:
+    a = approx.select("query_id", "neighbor_id", F.col("cosine").alias("a_cos"))
+    e = exact.select("query_id", "neighbor_id", F.col("cosine").alias("e_cos"))
+    joined = a.join(e, ["query_id", "neighbor_id"], "left_outer")
+    flag = F.when(
+        F.col("e_cos").isNotNull() & (F.col("a_cos") != F.col("e_cos")), 1
+    ).otherwise(0)
+    mismatches = joined.agg(
+        F.coalesce(F.sum(flag), F.lit(0)).cast("bigint").alias("cosine_mismatches")
+    )
+    hits = e.join(a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+    recall = (
+        e.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_h")))
+        .select(
+            F.when((F.col("_n") == 0) | (F.col("_h") / F.col("_n") >= bound), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("recall_ok")
+        )
+    )
+    return mismatches.crossJoin(recall)
+
+
+ANN_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS cosine_mismatches, CAST(1 AS INT) AS recall_ok
+"""
+
+
+def ann_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_check(
+        spark,
+        ann_cosine_topk_lsh(spark, sf_dir),
+        ann_cosine_topk(spark, sf_dir),
+        ANN_LSH_RECALL_BOUND,
+    )
+
+
+def ann_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_check(
+        spark,
+        ann_cosine_topk_ivf(spark, sf_dir),
+        ann_cosine_topk(spark, sf_dir),
+        ANN_IVF_RECALL_BOUND,
+    )
+
+
 QUERIES = [
     Query("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "ext: brute-force ANN"),
     Query("ann_cosine_topk_lsh", ann_cosine_topk_lsh, None, "ext: SRP-LSH ANN"),
     Query("ann_cosine_topk_ivf", ann_cosine_topk_ivf, None, "ext: IVF ANN"),
+    Query("ann_lsh_check", ann_lsh_check, ANN_CHECK_ORACLE, "ext: LSH ANN property oracle"),
+    Query("ann_ivf_check", ann_ivf_check, ANN_CHECK_ORACLE, "ext: IVF ANN property oracle"),
 ]
