@@ -5,7 +5,16 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query executes fully via the `noop` sink (no driver-side collect,
-no result materialization cost in the timing)."""
+no result materialization cost in the timing).
+
+Regression guardrail: per-query medians are compared against the
+committed round-1 baseline (BENCH_BASELINE.json, same sf only); any
+query slower than REGRESSION_FACTOR x its baseline is listed in the
+JSON line's "regressions" field and on stderr. Exit code stays 0 so
+the driver's bench recording never breaks on single-JVM variance; run
+``python bench.py --check`` to exit 1 on regressions instead
+(pre-commit usage). Sub-0.3 s baselines are exempt (pure JVM-warmup
+noise at that scale)."""
 
 from __future__ import annotations
 
@@ -83,17 +92,45 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline queries wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    regressions = _regressions(timings, sf)
+    out = {
+        "metric": "headline queries wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if regressions:
+        out["regressions"] = regressions
+        print(f"REGRESSION vs BENCH_BASELINE.json: {regressions}", file=sys.stderr)
+    print(json.dumps(out))
+    if regressions and "--check" in sys.argv:
+        sys.exit(1)
+
+
+REGRESSION_FACTOR = 1.5
+MIN_BASELINE_S = 0.3  # below this, medians are dominated by JVM noise
+
+
+def _regressions(timings: dict[str, float], sf: str) -> dict[str, str]:
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if not os.path.isfile(base_path):
+        return {}
+    try:
+        with open(base_path) as f:
+            doc = json.load(f)
+        parsed = doc.get("parsed", doc)
+        if str(parsed.get("sf")) != sf:
+            return {}
+        baseline = parsed.get("queries", {})
+    except (json.JSONDecodeError, AttributeError):
+        return {}
+    out = {}
+    for name, t in timings.items():
+        b = baseline.get(name)
+        if b and b >= MIN_BASELINE_S and t > REGRESSION_FACTOR * b:
+            out[name] = f"{t:.3f}s vs baseline {b:.3f}s ({t / b:.2f}x)"
+    return out
 
 
 if __name__ == "__main__":
