@@ -51,3 +51,48 @@ def topn_counts_per_window(
         [F.col("cnt").desc(), F.col(key_col).asc()],
         n,
     )
+
+
+def format_topn_report(
+    ranked: DataFrame,
+    key_col: str,
+    rank_col: str = "rank",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """P6 (HotItems.java:177-195): render each window's ranking as the
+    reference's human-readable report block — one string row per
+    window:
+
+        ==== window <start_s>-<end_s> ====
+        No1: <key>=<id> cnt=<n>
+        No2: ...
+
+    Window bounds stay epoch seconds (the engine's P5 convention).
+    Implementation is pure aggregation-side string building:
+    collect_list of (rank, line) structs per window, sort_array for
+    rank order (collect_list has no ordering guarantee), array_join —
+    one shuffle on the window key, all JVM-side."""
+    line = F.concat(
+        F.lit("No"), F.col(rank_col).cast("string"),
+        F.lit(f": {key_col}="), F.col(key_col).cast("string"),
+        F.lit(" cnt="), F.col(cnt_col).cast("string"),
+    )
+    entries = F.sort_array(
+        F.collect_list(F.struct(F.col(rank_col).alias("r"), line.alias("l")))
+    )
+    return (
+        ranked.groupBy("window_start_s", "window_end_s")
+        .agg(entries.alias("_e"))
+        .select(
+            "window_start_s",
+            "window_end_s",
+            F.concat(
+                F.lit("==== window "),
+                F.col("window_start_s").cast("string"),
+                F.lit("-"),
+                F.col("window_end_s").cast("string"),
+                F.lit(" ====\n"),
+                F.array_join(F.expr("transform(_e, e -> e.l)"), "\n"),
+            ).alias("report"),
+        )
+    )

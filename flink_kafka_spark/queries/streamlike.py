@@ -73,6 +73,46 @@ SELECT window_start_s, window_end_s, user_id, cnt, rank FROM (
 """
 
 
+# --- formatted Top-N report strings (P6, HotItems.java:177-195) ---
+
+def hot_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: the reference's console report block per window, built
+    aggregation-side (see operators.topn.format_topn_report). The
+    structured hot_items_topn stays the primary surface; this is the
+    sink-formatting twin."""
+    from ..operators.topn import format_topn_report
+
+    return format_topn_report(hot_items_topn(spark, sf_dir), "user_id")
+
+
+HOT_ITEMS_REPORT_ORACLE = f"""
+WITH hopped AS ({_hop_cte("events", "ts", HOT_ITEMS_SIZE_S, HOT_ITEMS_SLIDE_S, "user_id")}),
+counts AS (
+  SELECT window_start_s, window_end_s, user_id, count(*) AS cnt
+  FROM hopped GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY window_start_s, window_end_s
+      ORDER BY cnt DESC, user_id ASC) AS rank
+    FROM counts
+  ) WHERE rank <= {HOT_ITEMS_N}
+),
+lines AS (
+  SELECT window_start_s, window_end_s, rank,
+         'No' || CAST(rank AS VARCHAR) || ': user_id=' ||
+         CAST(user_id AS VARCHAR) || ' cnt=' || CAST(cnt AS VARCHAR) AS l
+  FROM ranked
+)
+SELECT window_start_s, window_end_s,
+       '==== window ' || CAST(window_start_s AS VARCHAR) || '-' ||
+       CAST(window_end_s AS VARCHAR) || ' ====' || chr(10) ||
+       array_to_string(list(l ORDER BY rank), chr(10)) AS report
+FROM lines GROUP BY 1, 2
+"""
+
+
 # --- hot items, pure-SQL surface (A10/R3): HOP → window() TVF ---
 
 def hot_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +349,7 @@ FROM events WHERE event_type = 'purchase' AND value > 100.0
 
 QUERIES = [
     Query("hot_items_topn", hot_items_topn, HOT_ITEMS_ORACLE, "W1 A1 G1 G2 R1 R4"),
+    Query("hot_items_report", hot_items_report, HOT_ITEMS_REPORT_ORACLE, "P6 sink formatting"),
     Query("hot_items_sql", hot_items_sql, HOT_ITEMS_SQL_ORACLE, "A10 R3 F6 §2.11"),
     Query("page_views", page_views, PAGE_VIEWS_ORACLE, "W5 A8 P3 F1"),
     Query("unique_visitors", unique_visitors, UNIQUE_VISITORS_ORACLE, "W6 A6 G8"),
