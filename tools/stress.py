@@ -94,6 +94,63 @@ def main() -> None:
     timings[f"connected_components_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert n_components == n_docs // 10, n_components
 
+    # streaming stateful ops (round-2 vectorization evidence): per-key
+    # Arrow frames of thousands of rows exercise the numpy batch scans
+    # that replaced the per-row iterrows() loops — the round-1 scale
+    # bottleneck. File replay -> applyInPandasWithState -> noop sink.
+    n_stream = int(sys.argv[3]) if len(sys.argv) > 3 else 500_000
+    import tempfile
+
+    from flink_kafka_spark.schemas import AD_CLICK, LOGIN_EVENT
+    from flink_kafka_spark.streaming.sources import csv_replay_source
+    from flink_kafka_spark.streaming.stateful import blacklist_stream, login_fail_stream
+
+    def run_stream(df, ckpt):
+        q = (
+            df.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        login_src = os.path.join(tmp, "login")
+        spark.range(n_stream).select(
+            F.concat_ws(
+                ",",
+                F.pmod(F.col("id"), F.lit(200)).cast("string"),
+                F.lit("ip"),
+                F.when(F.pmod(F.xxhash64("id"), F.lit(4)) == 0, "success").otherwise("fail"),
+                (F.lit(1_700_000_000) + (F.col("id") / 200).cast("long")).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(login_src)
+        t0 = time.perf_counter()
+        stream = csv_replay_source(spark, login_src, LOGIN_EVENT).withWatermark(
+            "ts", "1 second"
+        )
+        run_stream(login_fail_stream(stream, max_gap_s=2), os.path.join(tmp, "ck1"))
+        timings[f"login_fail_stream_{n_stream}"] = round(time.perf_counter() - t0, 2)
+
+        click_src = os.path.join(tmp, "clicks")
+        spark.range(n_stream).select(
+            F.concat_ws(
+                ",",
+                F.pmod(F.col("id"), F.lit(100)).cast("string"),
+                F.pmod(F.col("id"), F.lit(10)).cast("string"),
+                F.lit("p"),
+                F.lit("c"),
+                (F.lit(1_700_000_000) + (F.col("id") / 1000).cast("long")).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(click_src)
+        t0 = time.perf_counter()
+        clicks = csv_replay_source(spark, click_src, AD_CLICK).withWatermark(
+            "ts", "1 second"
+        )
+        run_stream(blacklist_stream(clicks, threshold=100), os.path.join(tmp, "ck2"))
+        timings[f"blacklist_stream_{n_stream}"] = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -101,6 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_events": n_events,
                 "n_docs": n_docs,
+                "n_stream": n_stream,
                 "near_dup_pairs": n_pairs,
                 "timings": timings,
             }
