@@ -196,6 +196,31 @@ def uv_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def uv_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property oracle for the HLL++ path (same pattern as the dedup/
+    ANN check queries): per window, the estimate must sit within
+    5×rsd of the exact COUNT(DISTINCT) — windows outside the bound
+    are counted, expected constant 0. Turns the A7 sketch from a
+    runs-only row into a driver-hashable error bound."""
+    rsd = 0.02
+    approx = uv_approx(spark, sf_dir).withColumnRenamed("uv", "uv_est")
+    exact = unique_visitors(spark, sf_dir)
+    joined = approx.join(exact, ["window_start_s", "window_end_s"], "full_outer")
+    bad = (
+        F.col("uv").isNull()
+        | F.col("uv_est").isNull()
+        | (F.abs(F.col("uv_est") - F.col("uv")) > 5 * rsd * F.col("uv"))
+    )
+    return joined.agg(
+        F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("windows_out_of_bound")
+    )
+
+
+UV_APPROX_CHECK_ORACLE = "SELECT CAST(0 AS BIGINT) AS windows_out_of_bound"
+
+
 # --- Bloom-membership UV: the reference's actual A7 semantics ---
 
 def uv_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +379,7 @@ QUERIES = [
     Query("page_views", page_views, PAGE_VIEWS_ORACLE, "W5 A8 P3 F1"),
     Query("unique_visitors", unique_visitors, UNIQUE_VISITORS_ORACLE, "W6 A6 G8"),
     Query("uv_approx", uv_approx, None, "A7 W10"),  # HLL++ — no exact oracle
+    Query("uv_approx_check", uv_approx_check, UV_APPROX_CHECK_ORACLE, "A7 property oracle"),
     # Bloom membership-dedup twin: fpp-free at oracle scale (see docstring)
     Query("uv_bloom", uv_bloom, UNIQUE_VISITORS_ORACLE, "A7 K3 fidelity"),
     Query("channel_stats", channel_stats, CHANNEL_STATS_ORACLE, "W3 A3 G5 F4"),
