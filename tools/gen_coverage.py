@@ -22,13 +22,13 @@ SURVEY_IDS: dict[str, tuple[str, str]] = {
     "K1": ("Console/print sink", "streaming/sinks.py:console_sink / memory sink in tests"),
     "K2": ("Side-output streams", "tagged result_type column: streaming/stateful.py (order_timeout/tx_match outputs)"),
     "K3": ("Redis bitmap/hash sink", "replaced by HLL++/state store (SURVEY §4); generic external sink = foreachBatch, streaming/sinks.py"),
-    "K4": ("Retract/changelog stream", "update output mode, tests/test_streaming.py"),
+    "K4": ("Retract/changelog stream", "explicit +I/-U/+U changelog_sink (snapshot-diff foreachBatch), streaming/sinks.py; retraction test tests/test_streaming.py"),
     "P1": ("CSV line → typed record", "schemas.py:parse_csv_lines; tests/test_reference_parity.py"),
     "P2": ("Log line parse w/ date format", "schemas.py:parse_apache_log_lines; tests/test_reference_parity.py"),
     "P3": ("Constant-key projection", "global aggs (no grouping key)"),
     "P4": ("Random-key salting projection", "unnecessary on Spark: map-side partial agg (SURVEY §4); documented"),
     "P5": ("Timestamp formatting", "epoch-second long window bounds convention (queries/__init__.py)"),
-    "P6": ("Top-N report formatting", "structured output kept; formatting is a sink concern"),
+    "P6": ("Top-N report formatting", "operators/topn.py:format_topn_report (aggregation-side string build)"),
     "F1": ("behavior == 'pv'", ""),
     "F2": ("method == 'GET'", "tests/test_reference_parity.py (apache.log)"),
     "F3": ("static-asset negative regex", "streaming/jobs.py:hot_pages_stream; tests/test_reference_parity.py"),
@@ -52,7 +52,7 @@ SURVEY_IDS: dict[str, tuple[str, str]] = {
     "W6": ("tumbling all-window (global)", "streaming/jobs.py:unique_visitor_stream"),
     "W7": ("ascending watermark", "withWatermark throughout streaming/jobs.py"),
     "W8": ("bounded out-of-orderness watermark", "tests/test_streaming.py (3s delay login test)"),
-    "W9": ("allowedLateness + late side output", "update-mode re-emission; semantic delta documented streaming/jobs.py docstring"),
+    "W9": ("allowedLateness + late side output", "true late capture: streaming/stateful.py:late_split_stream (own bounded-OOO watermark, rows past allowedLateness tagged 'late'); in-bound updates via update mode"),
     "W10": ("FIRE_AND_PURGE per-element trigger", "n/a: incremental streaming agg state (SURVEY §4); uv_approx covers intent"),
     "W11": ("event-time timers windowEnd+1/+60s", "watermark window close; state timeouts streaming/stateful.py"),
     "W12": ("processing-time midnight reset", "group-by-local-date in blacklist ops"),
