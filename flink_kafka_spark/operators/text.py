@@ -92,6 +92,70 @@ def token_count_bpe(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return df.select(F.col(id_col), bpe_count_expr(text_col).alias("n_bpe_tokens"))
 
 
+# PII patterns kept to syntax that behaves identically under Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+PII_URL = "https?://[^ ]+"
+PII_DIGIT_RUN = "[0-9]{6,}"
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII surface counts (emails, URLs, long digit runs
+    — the cheap pre-redaction scan every training-data pipeline runs
+    before release). Pure single projection, no shuffle; the same
+    regexes drive :func:`redact_pii`."""
+    def n(pat: str) -> Column:
+        return F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+
+    n_emails, n_urls, n_digits = n(PII_EMAIL), n(PII_URL), n(PII_DIGIT_RUN)
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_digits.alias("n_digit_runs"),
+        ((n_emails + n_urls + n_digits) > 0).cast("int").alias("has_pii"),
+    )
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Replace PII spans with typed placeholder tokens — the
+    release-time counterpart of :func:`pii_scan`, same narrow
+    projection shape."""
+    red = F.col(text_col)
+    for pat, tag in ((PII_EMAIL, "<EMAIL>"), (PII_URL, "<URL>"), (PII_DIGIT_RUN, "<NUM>")):
+        red = F.regexp_replace(red, f"(?i){pat}", tag)
+    return df.select(F.col(id_col), red.alias("redacted_text"))
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many
+    distinct word n-grams it shares with the benchmark set (the
+    standard contamination signal before training; docs over a
+    threshold get dropped). Returns (id, n_overlap) for docs with any
+    overlap.
+
+    Scale design: the benchmark's distinct shingles are tiny relative
+    to the corpus (benchmarks are MBs, corpora are TBs) — broadcast
+    them; the corpus side is one explode + broadcast-semi-join +
+    re-aggregate on the id, a single shuffle of (id, 1) pairs. The
+    corpus never self-joins."""
+    from .dedup import shingles
+
+    doc_sh = shingles(docs, id_col, n)
+    bench_sh = shingles(benchmark, id_col, n).select("shingle").distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit-hex content fingerprint over the whitespace-normalized
     lowercased body — stable across engines (md5)."""

@@ -8,13 +8,19 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     LANG_MARKERS,
+    PII_DIGIT_RUN,
+    PII_EMAIL,
+    PII_URL,
     TOKEN_REGEX,
     bpe_count_expr,
+    contamination_overlap,
     fingerprint,
     language_id,
+    pii_scan,
     pred_lang_expr,
     quality_expr,
     quality_score,
+    redact_pii,
     token_count_bpe,
     token_stats,
 )
@@ -182,8 +188,80 @@ WHERE quality_score >= {CORPUS_QUALITY_MIN} AND pred_lang <> 'und'
 """
 
 
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan(load(spark, sf_dir, "documents"))
+
+
+PII_SCAN_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(lower(text), '{PII_URL}')) AS n_urls,
+         len(regexp_extract_all(lower(text), '{PII_DIGIT_RUN}')) AS n_digit_runs
+  FROM documents
+)
+SELECT doc_id, n_emails, n_urls, n_digit_runs,
+       CAST((n_emails + n_urls + n_digit_runs) > 0 AS INT) AS has_pii
+FROM n
+"""
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(load(spark, sf_dir, "documents"))
+
+
+PII_REDACT_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{PII_EMAIL}', '<EMAIL>', 'gi'),
+         '{PII_URL}', '<URL>', 'gi'),
+         '{PII_DIGIT_RUN}', '<NUM>', 'gi') AS redacted_text
+FROM documents
+"""
+
+
+# Benchmark set = every 97th doc (deterministic stand-in for a held-out
+# eval set); corpus = the rest. 5-grams keep incidental overlap low.
+DECON_MOD = 97
+DECON_N = 5
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct
+    word 5-gram with the benchmark subset, with overlap counts —
+    the pre-training contamination signal. Benchmark shingles
+    broadcast; corpus shuffles (id, 1) pairs once."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
+    return contamination_overlap(
+        docs.filter(~is_bench), docs.filter(is_bench), n=DECON_N
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - {DECON_N - 1}, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0)
+SELECT doc_id, count(*) AS n_overlap
+FROM sh JOIN bench USING (shingle)
+WHERE doc_id % {DECON_MOD} <> 0
+GROUP BY 1
+"""
+
+
 QUERIES = [
     Query("text_stats", text_stats, TEXT_STATS_ORACLE, "ext: quality features"),
+    Query("pii_scan", pii_scan_q, PII_SCAN_ORACLE, "ext: PII surface scan"),
+    Query("pii_redact", pii_redact, PII_REDACT_ORACLE, "ext: PII redaction"),
+    Query("decontaminate", decontaminate, DECONTAMINATE_ORACLE, "ext: benchmark decontamination"),
     Query("corpus_prep", corpus_prep, CORPUS_PREP_ORACLE, "ext: composed prep pipeline"),
     Query("text_quality", text_quality, TEXT_QUALITY_ORACLE, "ext: quality score"),
     Query("lang_id", lang_id, LANG_ID_ORACLE, "ext: language id"),

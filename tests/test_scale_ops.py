@@ -187,3 +187,47 @@ def test_connected_components_nonconvergence_raises(spark):
     nodes = spark.createDataFrame([(i,) for i in range(51)], ["doc_id"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, id_col="doc_id", max_iter=3)
+
+
+def test_pii_scan_and_redact_on_crafted_text(spark):
+    """The documents fixture is PII-free word soup (all-zero counts
+    only prove plumbing) — crafted rows prove the patterns actually
+    catch and redact emails, URLs, and long digit runs."""
+    from flink_kafka_spark.operators.text import pii_scan, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact Bob.Smith+hr@Example.ORG or call 5551234567 now"),
+            (2, "see https://spark.apache.org/docs for details"),
+            (3, "plain text with short digits 12345 only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert (got[1].n_emails, got[1].n_digit_runs, got[1].has_pii) == (1, 1, 1)
+    assert (got[2].n_urls, got[2].has_pii) == (1, 1)
+    assert (got[3].n_emails, got[3].n_urls, got[3].n_digit_runs, got[3].has_pii) == (0, 0, 0, 0)
+    red = {r.doc_id: r.redacted_text for r in redact_pii(docs).collect()}
+    assert red[1] == "contact <EMAIL> or call <NUM> now"
+    assert red[2] == "see <URL> for details"
+    assert red[3] == "plain text with short digits 12345 only"
+
+
+def test_contamination_overlap_crafted(spark):
+    """A corpus doc containing a benchmark 5-gram is flagged with the
+    right overlap count; disjoint docs are not."""
+    from flink_kafka_spark.operators.text import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains both benchmark 5-grams (positions 1-5 and 2-6)
+            (1, "x alpha beta gamma delta epsilon zeta y"),
+            (2, "totally different words with no shared phrases at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_overlap for r in contamination_overlap(corpus, bench, n=5).collect()}
+    assert got == {1: 2}
