@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "sequence_packing",
     "mixture_resample",
     "funnel_conversions",
+    # round-2 additions (no round-1 baseline; guardrail skips them)
+    "decontaminate",
+    "uv_bloom",
 ]
 
 
