@@ -13,8 +13,8 @@ query slower than REGRESSION_FACTOR x its baseline is listed in the
 JSON line's "regressions" field and on stderr. Exit code stays 0 so
 the driver's bench recording never breaks on single-JVM variance; run
 ``python bench.py --check`` to exit 1 on regressions instead
-(pre-commit usage). Sub-0.3 s baselines are exempt (pure JVM-warmup
-noise at that scale)."""
+(pre-commit usage). Sub-0.5 s baselines are exempt (run-to-run noise
+is ~±0.2 s at that scale)."""
 
 from __future__ import annotations
 
@@ -112,7 +112,10 @@ def main() -> None:
 
 
 REGRESSION_FACTOR = 1.5
-MIN_BASELINE_S = 0.3  # below this, medians are dominated by JVM noise
+# Below this, medians are dominated by JVM noise: observed run-to-run
+# amplitude on this harness is ~±0.2 s, so a 0.3 s query flaps the
+# 1.5x threshold without any code change.
+MIN_BASELINE_S = 0.5
 
 
 def _regressions(timings: dict[str, float], sf: str) -> dict[str, str]:
