@@ -44,6 +44,56 @@ def interval_join(
     return left.join(right, cond, "inner")
 
 
+def interval_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: tuple[str, str],
+    ts_cols: tuple[str, str],
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """J1 scale path for BIG-BIG interval joins: when neither side
+    fits in a broadcast, a plain range residual degenerates (the
+    equi-key may be skewed or absent, and the planner falls back to
+    BNLJ for pure range predicates). Standard fix: quantize time into
+    bins of width = (upper−lower), explode the LEFT side to the 2
+    bins its match window can touch, and equi-join on (key, bin) —
+    each right row shuffles once, each left row twice, and the exact
+    range predicate filters the residual. Never a cross product, no
+    broadcast requirement, partition count scales with data.
+
+    Equivalent to :func:`interval_join` (inner, right_ts ∈
+    [left_ts+lower, left_ts+upper]); parity is pinned in
+    tests/test_properties.py."""
+    lk, rk = key_cols
+    lts, rts = ts_cols
+    width = max(upper_s - lower_s, 1)
+    lt = left.withColumn("_lts_s", F.col(lts).cast("long"))
+    rt = right.withColumn("_rts_s", F.col(rts).cast("long"))
+    # left row's window [lts+lower, lts+upper] spans ≤2 width-sized bins
+    lt = lt.withColumn(
+        "_lbin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("_lts_s") + lower_s) / width),
+                    F.floor((F.col("_lts_s") + upper_s) / width),
+                )
+            )
+        ),
+    )
+    rt = rt.withColumn("_rbin", F.floor(F.col("_rts_s") / width))
+    joined = lt.join(
+        rt,
+        (lt[lk] == rt[rk])
+        & (lt["_lbin"] == rt["_rbin"])
+        & (rt["_rts_s"] >= lt["_lts_s"] + lower_s)
+        & (rt["_rts_s"] <= lt["_lts_s"] + upper_s),
+        "inner",
+    )
+    return joined.drop("_lbin", "_rbin", "_lts_s", "_rts_s")
+
+
 def reconcile_full_outer(
     left: DataFrame,
     right: DataFrame,

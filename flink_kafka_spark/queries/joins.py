@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.joins import asof_join, interval_join, reconcile_full_outer
+from ..operators.joins import (
+    asof_join,
+    interval_join,
+    interval_join_binned,
+    reconcile_full_outer,
+)
 from ..tables import load
 from . import Query
 
@@ -46,6 +51,28 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= o_orderdate
   AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
 """
+
+
+def order_ship_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BIG-BIG scale path of the same interval join (neither side
+    broadcast: time-bin equi-join + exact residual) — same rows, same
+    oracle as order_ship_interval_join."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    joined = interval_join_binned(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem.select("l_orderkey", "l_linenumber", "l_shipdate"),
+        key_cols=("o_orderkey", "l_orderkey"),
+        ts_cols=("o_orderdate", "l_shipdate"),
+        lower_s=0,
+        upper_s=90 * 86400,
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("long").alias("order_ts_s"),
+        F.col("l_shipdate").cast("long").alias("ship_ts_s"),
+    )
 
 
 def order_line_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,6 +141,12 @@ FROM events e
 
 QUERIES = [
     Query("order_ship_interval_join", order_ship_interval_join, INTERVAL_JOIN_ORACLE, "J1"),
+    Query(
+        "order_ship_interval_join_binned",
+        order_ship_interval_join_binned,
+        INTERVAL_JOIN_ORACLE,
+        "J1 big-big scale path",
+    ),
     Query("order_line_reconciliation", order_line_reconciliation, RECONCILE_ORACLE, "J2 K2 F5"),
     Query("event_asof_order", event_asof_order, ASOF_ORACLE, "ext: as-of join"),
 ]

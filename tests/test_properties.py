@@ -12,7 +12,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from flink_kafka_spark.operators.dedup import ngram_jaccard_pairs, shingle_prune_stats
-from flink_kafka_spark.operators.joins import interval_join
+from flink_kafka_spark.operators.joins import interval_join, interval_join_binned
 from flink_kafka_spark.operators.patterns import consecutive_event_alert, create_pay_timeout
 
 SETTINGS = dict(
@@ -128,6 +128,16 @@ def test_interval_join_matches_python(spark, data):
         if lk == rk and lt - 3 <= rt <= lt + 5
     )
     assert got == want
+    # the big-big scale path (time-bin equi-join + residual) must be
+    # row-identical to the broadcast/residual formulation — bin
+    # boundaries are the bug surface, so the hypothesis sweep matters
+    binned = sorted(
+        (r.lid, r.rid)
+        for r in interval_join_binned(
+            ldf, rdf, ("lk", "rk"), ("lts", "rts"), -3, 5
+        ).collect()
+    )
+    assert binned == want
 
 
 def test_ngram_jaccard_stop_shingle_miss_is_documented(spark):
