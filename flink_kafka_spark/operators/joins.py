@@ -115,6 +115,34 @@ def reconcile_full_outer(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Opt-in hot-key equi-join (the manual form of AQE's skew-join
+    split, for when runtime stats miss the skew or AQE is off): the
+    big/skewed LEFT side gets a random salt in [0, n_salts); the RIGHT
+    side is replicated n_salts-fold; the join key becomes (key, salt),
+    spreading one hot key over n_salts reducers. Row-identical to the
+    plain equi-join.
+
+    Cost model: right side inflates n_salts× — use only when right is
+    moderate (but too big / too dynamic to broadcast) and a single hot
+    key would otherwise serialize one reducer. Inner join only (outer
+    variants would need null-side dedup across salt replicas)."""
+    l = left.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        l.join(r, (l[left_key] == r[right_key]) & (l["_salt"] == r["_salt"]), "inner")
+        .drop("_salt")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

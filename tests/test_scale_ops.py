@@ -231,3 +231,29 @@ def test_contamination_overlap_crafted(spark):
     )
     got = {r.doc_id: r.n_overlap for r in contamination_overlap(corpus, bench, n=5).collect()}
     assert got == {1: 2}
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    """salted_join (manual hot-key spread) must be row-identical to
+    the plain equi-join on skewed data (one key carrying half the
+    rows)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.joins import salted_join
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1000, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (1500, "cold"), (9999, "miss")], "rk long, tag string"
+    )
+    got = sorted(
+        (r.lid, r.tag)
+        for r in salted_join(left, right, "k", "rk", n_salts=8).collect()
+    )
+    want = sorted(
+        (r.lid, r.tag)
+        for r in left.join(right, left.k == right.rk, "inner").collect()
+    )
+    assert got == want and len(want) == 1001  # 1000 hot + 1 cold

@@ -522,6 +522,39 @@ def test_late_data_update_mode(spark, tmp_path):
     assert cnts[-1] == 4 and len(cnts) >= 2, cnts
 
 
+# --- batch text operators run unchanged on streams ---
+
+
+def test_text_ops_streamable(spark, tmp_path):
+    """The text/PII operators are pure projections, so the SAME
+    functions must run on a readStream DataFrame without modification
+    — the engine's shared batch/streaming operator contract."""
+    import json
+
+    from flink_kafka_spark.operators.text import pii_scan, quality_score, token_count_bpe
+
+    docs = [
+        {"doc_id": 1, "text": "mail me at a.b@example.com today"},
+        {"doc_id": 2, "text": "just plain words here"},
+    ]
+    os.makedirs(tmp_path / "in", exist_ok=True)
+    (tmp_path / "in" / "docs.json").write_text(
+        "\n".join(json.dumps(d) for d in docs) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(tmp_path / "in"))
+    )
+    _run_stream(pii_scan(stream), "pii_stream_out")
+    got = {r.doc_id: (r.n_emails, r.has_pii) for r in spark.sql("SELECT * FROM pii_stream_out").collect()}
+    assert got == {1: (1, 1), 2: (0, 0)}
+    _run_stream(token_count_bpe(stream), "tok_stream_out")
+    toks = {r.doc_id: r.n_bpe_tokens for r in spark.sql("SELECT * FROM tok_stream_out").collect()}
+    assert toks[2] == 4
+    _run_stream(quality_score(stream), "q_stream_out")
+    assert spark.sql("SELECT count(*) FROM q_stream_out").first()[0] == 2
+
+
 # --- A7 fidelity: Bloom membership-dedup UV, batch + streaming ---
 
 
