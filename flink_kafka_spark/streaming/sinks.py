@@ -105,7 +105,13 @@ def changelog_sink(
     parquet (the snapshot doubles as the recovery point — the diff of
     a replayed batch against the already-upserted snapshot is empty,
     so restarts don't duplicate changelog rows). One shuffle per batch
-    on the key — same cost class as the upstream stateful agg."""
+    on the key — same cost class as the upstream stateful agg.
+
+    Deployment note: the atomic snapshot swap here is a local-FS
+    ``os.rename`` (correct for this harness). On HDFS/S3 swap via the
+    Hadoop FileSystem API or make the snapshot a table format with
+    atomic overwrite (Delta/Iceberg ``replaceWhere``) — the diff/
+    upsert plan is unchanged, only the commit primitive differs."""
     import os
 
     snap_dir = os.path.join(state_dir, "snapshot")
