@@ -161,3 +161,31 @@ def mixture_resample(
         )
         .select(id_col, source_col, n_tokens_col, "keep")
     )
+
+
+def stratified_cap(
+    df: DataFrame, strata_cols: list[str], id_col: str, k: int
+) -> DataFrame:
+    """Keep at most `k` rows per stratum, chosen by deterministic hash
+    order of the id (NOT first-k-by-id, which would bias toward old
+    rows). The balancing step for over-represented (lang, source)
+    cells before mixing a training corpus.
+
+    One shuffle (hash-partition by stratum) + per-stratum sort. The
+    ORDER BY key is the 1e6-bucket Knuth hash with the raw id as
+    tiebreak — a pure function of the id, so re-runs and repartitions
+    keep the same rows. At extreme stratum sizes (≫ executor memory)
+    swap the exact row_number for a two-pass threshold: sample the
+    hash-bucket distribution, keep rows under the ~k-quantile bucket,
+    then exact-trim the small remainder.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        split_bucket_expr(id_col, 1_000_000).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

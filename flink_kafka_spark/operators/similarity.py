@@ -227,3 +227,39 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = 127 / max|x|, q_i = round-half-up(x_i · scale) ∈ [-127,127]
+    — the standard storage/bandwidth compression before ANN serving
+    (4× smaller than float32, dot products stay rank-faithful).
+
+    Returns the long form (id, pos, q, scale): one row per component,
+    scalar columns only, so the result is oracle-hashable and feeds
+    columnar sinks directly. All math is double-precision IEEE on
+    exact float32 inputs — bit-identical on any engine; `floor(x·s +
+    0.5)` is the engine-agnostic round-half-up. Zero vectors quantize
+    to NULL (nullif guard) rather than erroring.
+
+    Scale shape: narrow projection + posexplode, zero shuffle — pure
+    bandwidth at 100 TB.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
+    ).withColumn(
+        "scale",
+        127.0 / F.expr("nullif(array_max(transform(_v, x -> abs(x))), CAST(0.0 AS DOUBLE))"),
+    )
+    return v.select(
+        id_col,
+        F.posexplode(
+            F.expr("transform(_v, x -> CAST(floor(x * scale + 0.5) AS BIGINT))")
+        ).alias("pos", "q"),
+        "scale",
+    ).select(
+        id_col, F.col("pos").cast("bigint").alias("pos"), "q", "scale"
+    )

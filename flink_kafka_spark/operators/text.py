@@ -156,6 +156,86 @@ def contamination_overlap(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows (`chunk`
+    tokens every `stride`) — the standard context-window chunking step
+    before embedding or packing long documents. Tokens are the BPE-ish
+    regex pre-tokenizer so the chunk boundary is the same budget unit
+    the rest of the pipeline uses.
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens, so
+    a doc always yields ceil(n/stride) chunks and trailing chunks may
+    be short — deterministic and engine-agnostic.
+
+    Scale shape: one narrow projection + explode; no shuffle. The
+    explode multiplies rows ~n/stride× but each output row carries only
+    the chunk slice, never the full body, so the post-chunk stage
+    (embedding, dedup) sees bounded-size rows.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_REGEX}', 0)")
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.posexplode(F.expr(f"sequence(0, size(_toks) - 1, {stride})")).alias(
+                "chunk_id", "_start"
+            ),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.expr(f"size(slice(_toks, _start + 1, {chunk}))").alias("n_chunk_tokens"),
+            F.expr(f"array_join(slice(_toks, _start + 1, {chunk}), ' ')").alias("chunk_text"),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    belonging to the most-frequent unigram / bigram, and the duplicate-
+    token fraction. High values flag boilerplate / degenerate text that
+    length and lexical-diversity scores miss.
+
+    Implementation note: max-multiplicity is computed with array
+    lambdas (distinct × filter), O(distinct·n) per doc with ZERO
+    shuffle — right for web-scale corpora of short/medium docs. For
+    book-length documents prefer an explode + two-level groupBy (one
+    shuffle) instead of the quadratic per-row scan.
+    """
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), ws.alias("ws"))
+    big = F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")
+    d = d.select(id_col, "ws", big.alias("bg"))
+
+    def top_frac(arr: str) -> Column:
+        # nullif guards the 1-token doc (empty bigram list): NULL frac
+        # on both engines instead of an ANSI divide-by-zero error.
+        # floor-based round-half-up: k/n ratios land exactly on decimal
+        # half-points (e.g. 1/32), where engines' round() diverge.
+        return F.expr(
+            f"floor(array_max(transform(array_distinct({arr}),"
+            f" d -> size(filter({arr}, t -> t = d))))"
+            f" / nullif(size({arr}), 0) * 10000 + 0.5) / 10000"
+        )
+
+    return d.select(
+        id_col,
+        F.size("ws").alias("n_tokens"),
+        top_frac("ws").alias("top_unigram_frac"),
+        top_frac("bg").alias("top_bigram_frac"),
+        F.expr(
+            "floor((1 - size(array_distinct(ws)) / size(ws)) * 10000 + 0.5) / 10000"
+        ).alias("dup_token_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit-hex content fingerprint over the whitespace-normalized
     lowercased body — stable across engines (md5)."""

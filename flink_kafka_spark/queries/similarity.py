@@ -131,3 +131,38 @@ QUERIES = [
     Query("ann_lsh_check", ann_lsh_check, ANN_CHECK_ORACLE, "ext: LSH ANN property oracle"),
     Query("ann_ivf_check", ann_ivf_check, ANN_CHECK_ORACLE, "ext: IVF ANN property oracle"),
 ]
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (extension:
+    ANN serving compression). Long form (vec_id, pos, q, scale)."""
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         127.0 / nullif(list_max(list_transform(e, x -> abs(x))), 0.0) AS scale
+  FROM v
+)
+SELECT vec_id,
+       unnest(range(0, len(e))) AS pos,
+       unnest(list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS q,
+       scale
+FROM s
+"""
+
+QUERIES.append(
+    Query(
+        "embedding_quantize",
+        embedding_quantize,
+        EMBEDDING_QUANTIZE_ORACLE,
+        "ext: int8 embedding quantization",
+    )
+)

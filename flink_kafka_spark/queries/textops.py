@@ -399,3 +399,96 @@ QUERIES.append(
         "ext: token-budget domain-mixture resampling",
     )
 )
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token context windows every 48 tokens (extension:
+    document chunking before embedding/packing)."""
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+DOC_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start FROM t
+)
+SELECT doc_id,
+       start // {CHUNK_STRIDE} AS chunk_id,
+       len(toks[start + 1 : start + {CHUNK_SIZE}]) AS n_chunk_tokens,
+       array_to_string(toks[start + 1 : start + {CHUNK_SIZE}], ' ') AS chunk_text
+FROM s
+"""
+
+QUERIES.append(Query("doc_chunk", doc_chunk, DOC_CHUNK_ORACLE, "ext: context-window chunking"))
+
+
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (extension: boilerplate
+    / degenerate-text filters)."""
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+  FROM t
+)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       floor(list_max(list_transform(list_distinct(ws), d -> len(list_filter(ws, t -> t = d))))
+             / nullif(len(ws), 0) * 10000 + 0.5) / 10000 AS top_unigram_frac,
+       floor(list_max(list_transform(list_distinct(bg), d -> len(list_filter(bg, t -> t = d))))
+             / nullif(len(bg), 0) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+       floor((1 - len(list_distinct(ws)) / len(ws)) * 10000 + 0.5) / 10000 AS dup_token_frac
+FROM b
+"""
+
+QUERIES.append(
+    Query(
+        "repetition_stats", repetition_stats_q, REPETITION_ORACLE, "ext: repetition quality filters"
+    )
+)
+
+
+STRATA_CAP_K = 3
+
+
+def stratified_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every (lang, source) stratum at 3 docs by deterministic hash
+    order (extension: corpus balancing before mixing)."""
+    from ..operators.sampling import stratified_cap
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_cap(docs, ["lang", "source"], "doc_id", k=STRATA_CAP_K)
+
+
+_CAP_ORD = split_bucket_sql("doc_id", 1_000_000)
+
+STRATIFIED_CAP_ORACLE = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY {_CAP_ORD} ASC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {STRATA_CAP_K}
+"""
+
+QUERIES.append(
+    Query("stratified_cap", stratified_cap_q, STRATIFIED_CAP_ORACLE, "ext: stratum balancing cap")
+)
