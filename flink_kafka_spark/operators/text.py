@@ -244,3 +244,69 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
     )
+
+
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """Posting-list inverted index over whitespace tokens: one row per
+    (term, document) with the term's document frequency attached —
+    the retrieval-side artifact a search/RAG pipeline builds from the
+    corpus. Terms below `min_df` are dropped (hapaxes dominate the
+    vocabulary but never match multi-doc queries).
+
+    Scale shape: explode → distinct (one shuffle on (term, id)) → df
+    via a window over the term — the postings stay co-partitioned by
+    term for the downstream merge, no second shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    postings = df.select(F.col(id_col), F.explode(ws).alias("term")).distinct()
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    return (
+        postings.withColumn("dfreq", dfreq)
+        .filter(F.col("dfreq") >= min_df)
+        .select("term", "dfreq", id_col)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf with a
+    RATIONAL idf (N/df instead of log(N/df)): the ranking is the same
+    for any monotone idf, and integer-ratio math is bit-identical on
+    every engine while `ln` can differ in the last ulp across libm
+    implementations (a rank flip an oracle would flag).
+
+    score = (count_in_doc · N) / (n_tokens · df)
+
+    Scale shape: one explode, a (id, term) count, a term-level df
+    aggregate rejoined on term (co-partitioned — same key), a scalar
+    doc count broadcast, and a per-doc top-k window. Three shuffles
+    total, each on a natural key; no data passes through Python.
+    """
+    from pyspark.sql.window import Window
+
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    ex = df.select(F.col(id_col), F.size(ws).alias("n_tokens"), F.explode(ws).alias("term"))
+    tc = ex.groupBy(id_col, "n_tokens", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tc.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_score", (F.col("cnt") * F.col("n_docs")) / (F.col("n_tokens") * F.col("dfreq")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.expr("floor(_score * 10000 + 0.5) / 10000").alias("score"),
+            "rank",
+        )
+    )

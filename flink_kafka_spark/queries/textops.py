@@ -492,3 +492,71 @@ SELECT doc_id, lang, source FROM (
 QUERIES.append(
     Query("stratified_cap", stratified_cap_q, STRATIFIED_CAP_ORACLE, "ext: stratum balancing cap")
 )
+
+
+INDEX_MIN_DF = 2
+
+
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list inverted index with document frequency (extension:
+    retrieval-side artifact for search/RAG)."""
+    from ..operators.text import inverted_index
+
+    return inverted_index(load(spark, sf_dir, "documents"), min_df=INDEX_MIN_DF)
+
+
+INVERTED_INDEX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+postings AS (
+  SELECT DISTINCT doc_id, unnest(ws) AS term FROM t
+)
+SELECT term, dfreq, doc_id FROM (
+  SELECT term, doc_id, count(*) OVER (PARTITION BY term) AS dfreq FROM postings
+) WHERE dfreq >= {INDEX_MIN_DF}
+"""
+
+QUERIES.append(
+    Query("inverted_index", inverted_index_q, INVERTED_INDEX_ORACLE, "ext: inverted index")
+)
+
+
+TFIDF_K = 3
+
+
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by rational-idf tf·idf
+    (extension: keyword extraction / doc characterization)."""
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+TFIDF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+ex AS (
+  SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS term FROM t
+),
+tc AS (
+  SELECT doc_id, n_tokens, term, count(*) AS cnt FROM ex GROUP BY 1, 2, 3
+),
+dfc AS (SELECT term, count(*) AS dfreq FROM tc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term,
+         (tc.cnt * n.n_docs) / (tc.n_tokens * dfc.dfreq) AS raw_score
+  FROM tc JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, floor(raw_score * 10000 + 0.5) / 10000 AS score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY raw_score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_K}
+"""
+
+QUERIES.append(
+    Query("tfidf_top_terms", tfidf_top_terms_q, TFIDF_ORACLE, "ext: tf-idf keyword extraction")
+)
