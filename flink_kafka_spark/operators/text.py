@@ -310,3 +310,61 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+# BM25 constants spelled as literals so the Spark and DuckDB formula
+# strings are textually identical (same double parsing, same IEEE ops)
+BM25_K1, BM25_B = "1.2", "0.75"
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Execute a keyword query over the corpus with BM25 ranking and a
+    RATIONAL idf ((N − df + 0.5)/(df + 0.5), no log — monotone in df,
+    bit-identical across engines; see :func:`tfidf_top_terms`).
+
+    Because the query terms are literals, per-term tf is an array
+    `filter` expression in the scan projection — no explode, no
+    posting-list join. Corpus-level stats (N, Σdl, per-term df) are ONE
+    1-row aggregate broadcast back, and the final top-k is
+    orderBy+limit (TakeOrderedAndProject: per-partition heads merged on
+    the driver — never a single-partition window). Total cost: two
+    narrow passes over the scan + k rows.
+    """
+    from pyspark.sql.window import Window
+
+    ws = f"split(lower({text_col}), '\\\\s+')"
+    tf_cols = [
+        F.expr(f"size(filter({ws}, t -> t = '{t}'))").alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = df.select(F.col(id_col), F.expr(f"size({ws})").alias("dl"), *tf_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("int")).alias(f"df_{i}")
+        for i in range(len(query_terms))
+    ]
+    stats = base.agg(*aggs).withColumn(
+        "avgdl", F.col("sum_dl").cast("double") / F.col("n_docs")
+    )
+    contribs = " + ".join(
+        f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * 2.2)"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(query_terms))
+    )
+    scored = base.crossJoin(F.broadcast(stats)).withColumn("_raw", F.expr(contribs))
+    top = scored.orderBy(F.col("_raw").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        F.expr("floor(_raw * 10000 + 0.5) / 10000").alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )

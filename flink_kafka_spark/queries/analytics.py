@@ -91,3 +91,61 @@ QUERIES = [
     Query("quantity_percentiles", quantity_percentiles, QUANTITY_PCTL_ORACLE,
           "exact percentiles (beyond ref)"),
 ]
+
+
+PCTL_ACCURACY = 1000  # approx_percentile rank error <= N/accuracy
+
+
+def quantity_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for percentiles: ``approx_percentile`` (t-digest-like
+    sketch, mergeable partials — no per-group full sort, the only plan
+    that survives 100 TB groups). Element results depend on sketch
+    internals → rows-only driver check; the rank-error bound is pinned
+    by `quantity_percentiles_approx_check`."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, 0.5, {PCTL_ACCURACY})").alias("p50"),
+        F.expr(f"approx_percentile(l_quantity, 0.9, {PCTL_ACCURACY})").alias("p90"),
+        F.expr(f"approx_percentile(l_quantity, 0.99, {PCTL_ACCURACY})").alias("p99"),
+    )
+
+
+def quantity_percentiles_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property oracle: every approx percentile must sit within the
+    documented rank error (±N/accuracy, +2 rows small-group slack) of
+    its target rank. A broken sketch/merge fails the driver hash."""
+    l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    approx = quantity_percentiles_approx(spark, sf_dir)
+    joined = l.join(F.broadcast(approx), "l_returnflag")
+    per_flag = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("l_quantity") <= F.col(c)).cast("bigint")).alias(f"le_{c}")
+            for c in ("p50", "p90", "p99")
+        ],
+        *[
+            F.sum((F.col("l_quantity") < F.col(c)).cast("bigint")).alias(f"lt_{c}")
+            for c in ("p50", "p90", "p99")
+        ],
+    )
+    eps = 2.0 / PCTL_ACCURACY
+    viol = None
+    for c, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        bad = (
+            (F.col(f"le_{c}") < (p - eps) * F.col("n") - 2)
+            | (F.col(f"lt_{c}") > (p + eps) * F.col("n") + 2)
+        ).cast("bigint")
+        viol = bad if viol is None else viol + bad
+    return per_flag.agg(F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("violations"))
+
+
+PCTL_APPROX_CHECK_ORACLE = "SELECT CAST(0 AS BIGINT) AS violations"
+
+QUERIES.append(
+    Query("quantity_percentiles_approx", quantity_percentiles_approx, None,
+          "approx percentiles (scale path)")
+)
+QUERIES.append(
+    Query("quantity_percentiles_approx_check", quantity_percentiles_approx_check,
+          PCTL_APPROX_CHECK_ORACLE, "approx percentile rank-error property oracle")
+)

@@ -560,3 +560,55 @@ SELECT doc_id, term, floor(raw_score * 10000 + 0.5) / 10000 AS score, rank FROM 
 QUERIES.append(
     Query("tfidf_top_terms", tfidf_top_terms_q, TFIDF_ORACLE, "ext: tf-idf keyword extraction")
 )
+
+
+BM25_QUERY_TERMS = ["spark", "vector", "merge"]
+BM25_TOPK = 10
+
+
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search execution path (extension: retrieval over
+    the corpus — literal-term tf, one broadcast stats row, TakeOrdered
+    top-k)."""
+    from ..operators.text import bm25_search
+
+    return bm25_search(load(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=BM25_TOPK)
+
+
+def _bm25_tf(i: int, term: str) -> str:
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        f" t -> t = '{term}')) AS tf_{i}"
+    )
+
+
+_BM25_CONTRIBS = " + ".join(
+    f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+    f" * (tf_{i} * 2.2)"
+    f" / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+    for i in range(len(BM25_QUERY_TERMS))
+)
+
+BM25_SEARCH_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(text), '\\s+')) AS dl,
+         {", ".join(_bm25_tf(i, t) for i, t in enumerate(BM25_QUERY_TERMS))}
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {", ".join(f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(BM25_QUERY_TERMS)))}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, {_BM25_CONTRIBS} AS raw FROM base, stats
+)
+SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS score, rank FROM (
+  SELECT doc_id, raw, ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {BM25_TOPK}
+"""
+
+QUERIES.append(Query("bm25_search", bm25_search_q, BM25_SEARCH_ORACLE, "ext: BM25 search"))

@@ -1,0 +1,78 @@
+"""Property tests for the retrieval/assembly text operators: chunk
+coverage/overlap invariants and int8 quantization round-trip bounds —
+the structural guarantees the cell-level oracle can't express."""
+
+from pyspark.sql import functions as F
+
+from flink_kafka_spark.operators.similarity import quantize_embeddings
+from flink_kafka_spark.operators.text import chunk_documents, tfidf_top_terms
+from flink_kafka_spark.tables import load
+
+CHUNK, STRIDE = 64, 48
+
+
+def test_chunks_cover_every_token(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk=CHUNK, stride=STRIDE)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+            F.min("n_chunk_tokens").alias("min_chunk_tokens"),
+        )
+        .collect()
+    )
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.expr(
+                "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+            ).alias("n"),
+        ).collect()
+    }
+    for r in per_doc:
+        n = n_toks[r.doc_id]
+        # starts at 0, STRIDE, ... while start < n  ->  ceil(n/STRIDE)
+        assert r.n_chunks == -(-n // STRIDE)
+        assert r.min_chunk_tokens >= 1
+        # each token lands in >=1 chunk; overlap duplicates at most
+        # (CHUNK - STRIDE) tokens per non-initial chunk
+        assert r.sum_chunk_tokens >= n
+        assert r.sum_chunk_tokens <= n + (r.n_chunks - 1) * (CHUNK - STRIDE)
+
+
+def test_quantization_roundtrip_bound(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    # |x - q/scale| <= 0.5/scale  (round-half-up), and q in [-127, 127]
+    orig = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias("pos", "x"),
+    )
+    joined = q.join(orig, ["vec_id", "pos"])
+    bad = joined.filter(
+        (F.abs(F.col("x") - F.col("q") / F.col("scale")) > 0.5 / F.col("scale"))
+        | (F.abs(F.col("q")) > 127)
+    ).count()
+    assert bad == 0
+    # every vector quantizes its max-|x| component to exactly +/-127
+    hit = (
+        joined.groupBy("vec_id").agg(F.max(F.abs(F.col("q"))).alias("mx")).filter("mx <> 127")
+    ).count()
+    assert hit == 0
+
+
+def test_tfidf_ranks_are_dense_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    top = tfidf_top_terms(docs, k=3)
+    per_doc = top.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(F.collect_list("rank")).alias("ranks"),
+        F.min("score").alias("min_score"),
+    )
+    assert per_doc.filter("n > 3 OR ranks <> slice(array(1,2,3), 1, n)").count() == 0
+    assert per_doc.filter("min_score <= 0").count() == 0
+    # every document produces at least one characteristic term
+    assert per_doc.count() == docs.count()
