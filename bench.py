@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     # round-2 additions (no round-1 baseline; guardrail skips them)
     "decontaminate",
     "uv_bloom",
+    "inverted_index",
+    "bm25_search",
+    "embedding_quantize",
 ]
 
 

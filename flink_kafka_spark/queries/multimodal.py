@@ -85,3 +85,47 @@ QUERIES = [
     Query("media_features", media_features, None,
           "extension: multimodal feature extraction", ("multimodal",)),
 ]
+
+
+def media_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property oracle for `media_features`: recompute the strided
+    byte means with pure JVM expressions (ascii/substring/aggregate —
+    an implementation with nothing in common with the numpy path) and
+    count components differing by more than 1e-4 (the 4-dp rounding
+    slack; numpy rounds half-even, JVM half-up). A broken Arrow batch
+    shape, stride, or payload encoding shows up as a nonzero count and
+    fails the driver hash."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    feats = media_features(spark, sf_dir)
+    jvm = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 7), j -> "
+            " aggregate(transform(sequence(j + 1, length(text), 8),"
+            "                     i -> ascii(substring(text, i, 1))),"
+            "           0L, (a, x) -> a + x)"
+            " / CAST(size(sequence(j + 1, length(text), 8)) AS DOUBLE))"
+        ).alias("jf"),
+    )
+    joined = feats.join(jvm, "doc_id")
+    bad_row = (
+        (F.col("dim") != 8)
+        | (F.size("features") != 8)
+        | F.expr("exists(zip_with(jf, features, (a, b) -> abs(a - b) > 0.0001), x -> x)")
+    ).cast("bigint")
+    return joined.agg(F.coalesce(F.sum(bad_row), F.lit(0)).cast("bigint").alias("violations"))
+
+
+MEDIA_FEATURES_CHECK_ORACLE = "SELECT CAST(0 AS BIGINT) AS violations"
+
+QUERIES.append(
+    Query(
+        "media_features_check",
+        media_features_check,
+        MEDIA_FEATURES_CHECK_ORACLE,
+        "extension: multimodal feature property oracle",
+        ("multimodal",),
+    )
+)
