@@ -555,6 +555,26 @@ def test_text_ops_streamable(spark, tmp_path):
     assert spark.sql("SELECT count(*) FROM q_stream_out").first()[0] == 2
 
 
+def test_chunking_streamable(spark, tmp_path):
+    """chunk_documents (posexplode projection) runs unchanged on a
+    stream: chunks arrive per micro-batch with the same boundaries the
+    batch path produces."""
+    import json
+
+    from flink_kafka_spark.operators.text import chunk_documents
+
+    # letters only: the BPE-ish regex splits letter/digit runs apart
+    text = " ".join("tok" for _ in range(100))  # 100 tokens
+    os.makedirs(tmp_path / "in", exist_ok=True)
+    (tmp_path / "in" / "docs.json").write_text(json.dumps({"doc_id": 7, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(tmp_path / "in"))
+    _run_stream(chunk_documents(stream, chunk=64, stride=48), "chunk_stream_out")
+    rows = {r.chunk_id: r.n_chunk_tokens
+            for r in spark.sql("SELECT * FROM chunk_stream_out").collect()}
+    # ceil(100/48) = 3 chunks: 64, 52, 4 tokens
+    assert rows == {0: 64, 1: 52, 2: 4}
+
+
 # --- A7 fidelity: Bloom membership-dedup UV, batch + streaming ---
 
 

@@ -94,6 +94,22 @@ def main() -> None:
     timings[f"connected_components_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert n_components == n_docs // 10, n_components
 
+    # retrieval ops at 10x the sf0.1 corpus: the inverted index is the
+    # explode-heavy shape (vocab 500, ~40 tokens/doc -> ~2M postings),
+    # BM25 is two narrow passes + a broadcast stats row. Both must stay
+    # explode/scan-bound, no driver collects.
+    from flink_kafka_spark.operators.text import bm25_search, inverted_index
+
+    t0 = time.perf_counter()
+    n_postings = inverted_index(docs, min_df=2).count()
+    timings[f"inverted_index_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert n_postings > n_docs, n_postings  # every doc posts >=1 shared term
+
+    t0 = time.perf_counter()
+    hits = bm25_search(docs, ["w1", "w2", "w3"], k=10).collect()
+    timings[f"bm25_search_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert len(hits) == 10 and all(r.score > 0 for r in hits), hits
+
     # streaming stateful ops (round-2 vectorization evidence): per-key
     # Arrow frames of thousands of rows exercise the numpy batch scans
     # that replaced the per-row iterrows() loops — the round-1 scale
