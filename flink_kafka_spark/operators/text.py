@@ -282,20 +282,20 @@ def tfidf_top_terms(
 
     score = (count_in_doc · N) / (n_tokens · df)
 
-    Scale shape: one explode, a (id, term) count, a term-level df
-    aggregate rejoined on term (co-partitioned — same key), a scalar
-    doc count broadcast, and a per-doc top-k window. Three shuffles
-    total, each on a natural key; no data passes through Python.
+    Scale shape: one explode, a (id, term) count, df as a COUNT OVER
+    the term partition (no second aggregate, no join — one shuffle on
+    term instead of two join shuffles), a scalar doc count broadcast,
+    and a per-doc top-k window. Three shuffles total, each on a
+    natural key; no data passes through Python.
     """
     from pyspark.sql.window import Window
 
     ws = F.split(F.lower(F.col(text_col)), r"\s+")
     ex = df.select(F.col(id_col), F.size(ws).alias("n_tokens"), F.explode(ws).alias("term"))
     tc = ex.groupBy(id_col, "n_tokens", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tc.join(dfreq, "term")
+        tc.withColumn("dfreq", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("_score", (F.col("cnt") * F.col("n_docs")) / (F.col("n_tokens") * F.col("dfreq")))
     )

@@ -37,7 +37,7 @@ PLAN_BOUNDS = {
     # retrieval: bounded shuffles on natural keys
     "inverted_index": (2, 0),
     "bm25_search": (1, 0),
-    "tfidf_top_terms": (5, 0),
+    "tfidf_top_terms": (4, 0),
     "corpus_prep": (2, 0),
 }
 
