@@ -189,3 +189,55 @@ def stratified_cap(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def export_shards(
+    df: DataFrame, order_col: str, shard_size: int, n_parts: int | None = None
+) -> DataFrame:
+    """Assign contiguous 0-based global row numbers in `order_col`
+    order and group them into fixed-size export shards — the final
+    "write the corpus as N ordered shards" step of a dataset release.
+
+    The naive `row_number() OVER (ORDER BY ...)` collapses the whole
+    dataset into ONE partition (the anti-pattern tests/test_plans.py
+    rejects). This is the scalable two-pass form:
+
+      1. range-repartition on the order key, persist + count to PIN
+         the partitioning (range sampling must not be recomputed
+         between passes);
+      2. per-partition counts -> driver cumsum (one tiny collect,
+         #partitions rows) -> broadcast offsets;
+      3. row_number within each range partition + its offset.
+
+    Output is independent of the sampled range boundaries because the
+    key's total order is; `order_col` must be unique (use a tiebreak
+    composite otherwise).
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n_parts, F.col(order_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    parts.count()  # pin partition boundaries before the two reads
+    sizes = sorted(
+        (r._pid, r.n)
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in sizes:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(F.col(order_col).asc())
+    return (
+        parts.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("global_rn", (F.col("_offset") + F.col("_rn") - 1).cast("bigint"))
+        .withColumn(
+            "shard_id", F.expr(f"CAST(floor(global_rn / {shard_size}) AS BIGINT)")
+        )
+        .drop("_pid", "_rn", "_offset")
+    )

@@ -612,3 +612,30 @@ SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS score, rank FROM (
 """
 
 QUERIES.append(Query("bm25_search", bm25_search_q, BM25_SEARCH_ORACLE, "ext: BM25 search"))
+
+
+EXPORT_SHARD_SIZE = 100
+
+
+def export_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding: contiguous global row numbers in
+    doc_id order, grouped into 100-row shards (extension: dataset
+    release; two-pass range-partition pattern — never a
+    single-partition window)."""
+    from ..operators.sampling import export_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return export_shards(docs, "doc_id", EXPORT_SHARD_SIZE)
+
+
+EXPORT_SHARDS_ORACLE = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id ASC) - 1 AS BIGINT) AS global_rn,
+       CAST(floor((ROW_NUMBER() OVER (ORDER BY doc_id ASC) - 1) / {EXPORT_SHARD_SIZE})
+            AS BIGINT) AS shard_id
+FROM documents
+"""
+
+QUERIES.append(
+    Query("export_shards", export_shards_q, EXPORT_SHARDS_ORACLE, "ext: ordered export sharding")
+)
