@@ -241,3 +241,33 @@ def export_shards(
         )
         .drop("_pid", "_rn", "_offset")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile (row count, nulls, distincts, min/max)
+    in long form — the data-quality "describe" step before a corpus is
+    admitted to training. min/max are cast to string so the schema is
+    uniform across column types (int/string casts render identically
+    on any engine; keep doubles out or format them explicitly).
+
+    Single aggregation over one scan; multiple exact COUNT(DISTINCT)s
+    compile to Spark's Expand strategy (input duplicated per distinct
+    column — the exact-answer cost). At 100 TB swap in
+    approx_count_distinct and keep the same output shape."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    stack = ", ".join(
+        f"'{c}', _n - _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return df.agg(*aggs).select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct, min_val, max_val)"
+        ),
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")

@@ -639,3 +639,27 @@ FROM documents
 QUERIES.append(
     Query("export_shards", export_shards_q, EXPORT_SHARDS_ORACLE, "ext: ordered export sharding")
 )
+
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the documents table (extension: data-quality
+    admission check; one scan, exact distincts via Expand)."""
+    from ..operators.sampling import profile_columns
+
+    return profile_columns(load(spark, sf_dir, "documents"), PROFILE_COLS)
+
+
+PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_null, count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val, CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents"""
+    for c in PROFILE_COLS
+)
+
+QUERIES.append(
+    Query("profile_documents", profile_documents, PROFILE_ORACLE, "ext: column profiling")
+)
