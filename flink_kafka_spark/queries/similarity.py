@@ -166,3 +166,45 @@ QUERIES.append(
         "ext: int8 embedding quantization",
     )
 )
+
+
+def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-ANN: brute-force cosine over int8 vectors. The
+    quantization is engine-exact (floor-based), so unlike the LSH/IVF
+    variants this approximate path has a FULL value oracle."""
+    from ..operators.similarity import cosine_topk_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_int8(queries, emb, k=TOP_K)
+
+
+_Q8_SQL = (
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x"
+    " * (127.0 / nullif(list_max(list_transform(CAST(embedding AS DOUBLE[]),"
+    " y -> abs(y))), 0.0)) + 0.5) AS BIGINT))"
+)
+
+ANN_INT8_ORACLE = f"""
+WITH v AS (SELECT vec_id, {_Q8_SQL} AS q FROM embeddings),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           CAST(list_sum(list_transform(range(1, 65), i -> qs.q[i] * c.q[i])) AS DOUBLE) /
+           (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qs.q[i] * qs.q[i])) AS DOUBLE)) *
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * c.q[i])) AS DOUBLE))), 6) AS cosine
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERY_VECS}) qs
+  CROSS JOIN v c
+  WHERE qs.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+QUERIES.append(
+    Query("ann_cosine_topk_int8", ann_cosine_topk_int8, ANN_INT8_ORACLE,
+          "ext: int8-quantized ANN (engine-exact oracle)")
+)

@@ -42,3 +42,15 @@ def test_lsh_runs_and_overlaps(spark, sf_dir, exact):
     # the method delivers at least half of that bound
     got = _neighbor_sets(ann_cosine_topk_lsh(spark, sf_dir))
     assert _recall(got, exact) > 0.25
+
+
+def test_int8_recall_near_exact(spark, sf_dir, exact):
+    # int8 symmetric quantization perturbs cosines by ~1/127 per
+    # component pair; on near-uniform synthetic embeddings (top-10
+    # cosines ~0.3, gaps often < the quantization noise) rank
+    # stability is still high
+    from flink_kafka_spark.queries.similarity import ann_cosine_topk_int8
+
+    got = _neighbor_sets(ann_cosine_topk_int8(spark, sf_dir))
+    assert set(got) == set(exact)
+    assert _recall(got, exact) >= 0.8
