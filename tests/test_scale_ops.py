@@ -257,3 +257,29 @@ def test_salted_join_equals_plain(spark, sf_dir):
         for r in left.join(right, left.k == right.rk, "inner").collect()
     )
     assert got == want and len(want) == 1001  # 1000 hot + 1 cold
+
+
+def test_split_bucket_extreme_ids_cross_engine(spark):
+    """The Knuth split bucket must agree between Spark and DuckDB and
+    never overflow int64 — including ids past ~3.47e9 where the raw
+    (unreduced) multiply used to wrap (ADVICE round 1). Max BIGINT id
+    included: ANSI Spark would error on overflow rather than wrap."""
+    import duckdb
+
+    from flink_kafka_spark.operators.sampling import split_bucket_expr, split_bucket_sql
+
+    ids = [0, 1, 999, 3_470_000_000, 2**40, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", split_bucket_expr("doc_id").alias("b")).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {split_bucket_sql('doc_id')} FROM "
+            "(SELECT unnest(?::BIGINT[]) AS doc_id)",
+            [ids],
+        ).fetchall()
+    )
+    assert got == want and set(got) == set(ids)
