@@ -663,3 +663,97 @@ FROM documents"""
 QUERIES.append(
     Query("profile_documents", profile_documents, PROFILE_ORACLE, "ext: column profiling")
 )
+
+
+SEARCH_N_QUERIES = 5
+SEARCH_TOPK = 5
+# integer-scaled rare-term weight: BIGINT sums are order-independent
+# (a float sum of 1/df terms could flip ranks in the last ulp)
+SEARCH_SCALE = 1_000_000_000_000
+
+
+def multi_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven batch retrieval (extension): the tf-idf keywords of
+    the first 5 docs become 5 queries, answered through the inverted
+    index — the shape that serves millions of queries where the
+    literal-term BM25 projection cannot. Scoring is rare-term-weighted
+    overlap, sum(SCALE div dfreq), kept in BIGINT end-to-end.
+
+    Scale: queries (id, term) broadcast against the postings (bounded
+    query batches; flip the build side for query-heavy workloads), one
+    groupBy on (query_id, doc_id), per-query top-k window."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text import inverted_index, tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    queries = (
+        tfidf_top_terms(docs, k=TFIDF_K)
+        .filter(F.col("doc_id") < SEARCH_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    postings = inverted_index(docs, min_df=INDEX_MIN_DF)
+    scored = (
+        postings.join(F.broadcast(queries), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr(f"CAST(sum({SEARCH_SCALE} DIV dfreq) AS BIGINT)").alias("score_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOPK)
+        .select("query_id", "doc_id", "score_scaled", "rank")
+    )
+
+
+MULTI_QUERY_SEARCH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+ex AS (
+  SELECT doc_id, len(ws) AS n_tokens, unnest(ws) AS term FROM t
+),
+tc AS (
+  SELECT doc_id, n_tokens, term, count(*) AS cnt FROM ex GROUP BY 1, 2, 3
+),
+dfc AS (SELECT term, count(*) AS dfreq FROM tc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+qterms AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT tc.doc_id, tc.term,
+           ROW_NUMBER() OVER (PARTITION BY tc.doc_id
+                              ORDER BY (tc.cnt * n.n_docs) / (tc.n_tokens * dfc.dfreq) DESC,
+                                       tc.term ASC) AS rank
+    FROM tc JOIN dfc USING (term) CROSS JOIN n
+  ) WHERE rank <= {TFIDF_K} AND doc_id < {SEARCH_N_QUERIES}
+),
+postings AS (
+  SELECT term, doc_id, count(*) OVER (PARTITION BY term) AS dfreq
+  FROM (SELECT DISTINCT doc_id, unnest(ws) AS term FROM t)
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(sum({SEARCH_SCALE} // p.dfreq) AS BIGINT) AS score_scaled
+  FROM (SELECT * FROM postings WHERE dfreq >= {INDEX_MIN_DF}) p
+  JOIN qterms q USING (term)
+  WHERE p.doc_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_scaled, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_scaled DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {SEARCH_TOPK}
+"""
+
+QUERIES.append(
+    Query(
+        "multi_query_search",
+        multi_query_search,
+        MULTI_QUERY_SEARCH_ORACLE,
+        "ext: index-driven batch retrieval",
+    )
+)
