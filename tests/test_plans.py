@@ -39,6 +39,9 @@ PLAN_BOUNDS = {
     "bm25_search": (1, 0),
     "tfidf_top_terms": (4, 0),
     "corpus_prep": (2, 0),
+    # composed: tfidf(4) + index(2) + score groupBy + topk window;
+    # queries must stay broadcast (smj would mean the build side grew)
+    "multi_query_search": (8, 0),
 }
 
 
