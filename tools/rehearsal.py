@@ -11,7 +11,8 @@ For every query in ``__spark_entry__.queries()``:
 Then an optional runs-only sweep at sf0.1 (the bench SF) catches
 scale-only failures the sf0.001 pytest misses.
 
-Usage: python tools/rehearsal.py [--skip-sf01]
+Usage: python tools/rehearsal.py [--skip-sf01] [name ...]
+(positional names restrict the sweep to those queries)
 Exit code 1 if anything fails; per-query lines on stdout.
 """
 
@@ -32,9 +33,16 @@ SF_SCALE = "/root/testdata/sf0.1"
 
 def main() -> int:
     skip_scale = "--skip-sf01" in sys.argv
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = []
 
     for name, fn in sorted(queries.items()):
