@@ -171,7 +171,11 @@ def chunk_documents(
 
     Chunk starts are 0, stride, 2·stride, … while start < n_tokens, so
     a doc always yields ceil(n/stride) chunks and trailing chunks may
-    be short — deterministic and engine-agnostic.
+    be short — deterministic and engine-agnostic. A zero-token document
+    (empty / punctuation-free text) yields zero chunks: `sequence(0,
+    size-1, stride)` would raise "Illegal sequence boundaries" on
+    size=0, so the start list is guarded to `array()` — matching
+    DuckDB's empty `range(0, 0, stride)`.
 
     Scale shape: one narrow projection + explode; no shuffle. The
     explode multiplies rows ~n/stride× but each output row carries only
@@ -183,9 +187,12 @@ def chunk_documents(
         df.select(F.col(id_col), toks.alias("_toks"))
         .select(
             id_col,
-            F.posexplode(F.expr(f"sequence(0, size(_toks) - 1, {stride})")).alias(
-                "chunk_id", "_start"
-            ),
+            F.posexplode(
+                F.expr(
+                    "CASE WHEN size(_toks) = 0 THEN array() "
+                    f"ELSE sequence(0, size(_toks) - 1, {stride}) END"
+                )
+            ).alias("chunk_id", "_start"),
             "_toks",
         )
         .select(
@@ -211,7 +218,14 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """
     ws = F.split(F.lower(F.col(text_col)), r"\s+")
     d = df.select(F.col(id_col), ws.alias("ws"))
-    big = F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))")
+    # Guard the single-token doc: sequence(0, -1) is the DESCENDING
+    # array [0, -1], so ws[i+1] would throw INVALID_ARRAY_INDEX under
+    # ANSI mode. Empty bigram list matches DuckDB's range(1, 1) = [].
+    big = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN"
+        " transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"
+        " ELSE array() END"
+    )
     d = d.select(id_col, "ws", big.alias("bg"))
 
     def top_frac(arr: str) -> Column:

@@ -76,3 +76,35 @@ def test_tfidf_ranks_are_dense_topk(spark, sf_dir):
     assert per_doc.filter("min_score <= 0").count() == 0
     # every document produces at least one characteristic term
     assert per_doc.count() == docs.count()
+
+
+def test_degenerate_docs_no_crash(spark):
+    """ADVICE r2: zero-token docs crashed chunk_documents ('Illegal
+    sequence boundaries') and 1-token docs crashed repetition_stats
+    (descending sequence -> ws[i+1] INVALID_ARRAY_INDEX under ANSI).
+    Both must now degrade gracefully, matching the DuckDB oracle:
+    zero chunks / NULL bigram fraction."""
+    from flink_kafka_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello"), (4, "!!!"), (5, "a b a")],
+        "doc_id long, text string",
+    )
+
+    chunks = {r.doc_id: r for r in chunk_documents(docs).collect()}
+    # "" / whitespace-only tokenize to zero BPE tokens -> zero chunks
+    assert 1 not in chunks and 2 not in chunks
+    assert chunks[3].n_chunk_tokens == 1 and chunks[3].chunk_text == "hello"
+    assert chunks[4].n_chunk_tokens == 3  # three single-punct tokens
+
+    reps = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert len(reps) == 5
+    # single whitespace-token docs: defined unigram frac, NULL bigram
+    for did in (1, 3, 4):
+        assert reps[did].n_tokens == 1
+        assert reps[did].top_unigram_frac == 1.0
+        assert reps[did].top_bigram_frac is None
+        assert reps[did].dup_token_frac == 0.0
+    assert reps[5].n_tokens == 3
+    assert reps[5].top_unigram_frac == 0.6667
+    assert reps[5].top_bigram_frac == 0.5
