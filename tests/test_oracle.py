@@ -38,3 +38,37 @@ def test_harness_rejects_dtype_drift(spark, sf_dir, spark_sql, oracle_sql):
     be locally reproducible: a deliberately mis-typed pair fails."""
     with pytest.raises(AssertionError):
         compare_spark_duckdb(spark.sql(spark_sql), oracle_sql, sf_dir)
+
+
+def test_driver_window_covers_every_family():
+    """The driver hashes exactly the first 50 registry entries; pin the
+    curated window so a careless registration can't silently push a
+    family back out of driver verification (round-2 verdict item 1)."""
+    from flink_kafka_spark.queries import DRIVER_WINDOW
+
+    names = list(QUERIES)
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+
+    # every *_check property oracle is driver-verified, with a real oracle
+    checks = [n for n in names if n.endswith("_check")]
+    for c in checks:
+        assert c in DRIVER_WINDOW, f"{c} outside driver window"
+        assert QUERIES[c].oracle is not None
+
+    # at least one FULL-oracle row per component family inside the window
+    families = {
+        "dedup": ["dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh_check",
+                  "dedup_simhash_check", "dedup_clusters", "dedup_embedding_cosine"],
+        "ann": ["ann_cosine_topk", "ann_lsh_check", "ann_ivf_check",
+                "embedding_quantize", "ann_cosine_topk_int8"],
+        "text": ["text_stats", "corpus_prep", "decontaminate"],
+        "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
+                      "multi_query_search"],
+        "sampling": ["export_shards", "profile_documents", "sequence_packing",
+                     "mixture_resample"],
+        "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check"],
+    }
+    for fam, members in families.items():
+        in_window = [m for m in members if m in DRIVER_WINDOW and QUERIES[m].oracle]
+        assert in_window, f"family {fam} has no full-oracle query in the driver window"
