@@ -79,7 +79,9 @@ def ngram_jaccard_pairs(
       construction. Raise ``stop_df`` (or inspect
       :func:`shingle_prune_stats`) when the corpus has heavy shingle
       reuse; MinHash+LSH is the production path for unknown corpora."""
-    sh = shingles(df, id_col, n).cache()
+    from ..caching import track
+
+    sh = track(shingles(df, id_col, n).cache())
     sh.count()  # eager: 3 consumers below would race to fill the cache
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     rare = sh.join(
@@ -203,9 +205,12 @@ def minhash_lsh_pairs(
     # without it Spark re-tokenizes and re-hashes the corpus per
     # branch, which at 100 TB is 3 extra full scans. MEMORY_AND_DISK
     # spills cleanly when the signature table outgrows executor memory.
+    # Released at the next query boundary via caching.track.
     from pyspark.storagelevel import StorageLevel
 
-    sigs = (
+    from ..caching import track
+
+    sigs = track(
         base.withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
         .select(id_col, "shingle_arr", F.array(*_sig_exprs(k)).alias("signature"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -420,27 +425,29 @@ def connected_components(
         .repartition("src")
         .persist()
     )
-    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
-    ).localCheckpoint(eager=True)
-    prev_sum = None
-    converged = False
-    for _ in range(max_iter):
-        msgs = sym.join(labels, sym.src == labels.node).select(
-            F.col("dst").alias("node"), F.col("comp")
-        )
-        labels = (
-            labels.union(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    sym.unpersist()
+    try:
+        labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
+        ).localCheckpoint(eager=True)
+        prev_sum = None
+        converged = False
+        for _ in range(max_iter):
+            msgs = sym.join(labels, sym.src == labels.node).select(
+                F.col("dst").alias("node"), F.col("comp")
+            )
+            labels = (
+                labels.union(msgs)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        sym.unpersist()  # labels is checkpointed — safe even on raise
     if not converged:
         # a silent partial result would split real clusters — refuse
         raise RuntimeError(

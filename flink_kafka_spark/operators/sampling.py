@@ -216,7 +216,9 @@ def export_shards(
     from pyspark.sql.window import Window
 
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
-    parts = (
+    from ..caching import track
+
+    parts = track(
         df.repartitionByRange(n_parts, F.col(order_col).asc())
         .withColumn("_pid", F.spark_partition_id())
         .persist()

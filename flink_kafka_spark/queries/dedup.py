@@ -275,8 +275,9 @@ def dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent from the output."""
     docs = load(spark, sf_dir, "documents")
     approx = simhash_pairs(docs, max_hamming=3)
-    sh = simhash(docs)
-    sh.persist()
+    from ..caching import track
+
+    sh = track(simhash(docs).persist())
     sh.count()  # two consumers below
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))

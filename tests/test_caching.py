@@ -1,0 +1,36 @@
+"""Operator-internal persists must be released at the next query
+boundary (round-2 verdict item 2): a long-lived session sweeping many
+queries — the driver's correctness pass, bench.py — must not
+accumulate cached blocks."""
+
+from flink_kafka_spark import caching
+from flink_kafka_spark.queries import all_queries
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {k for k in jmap.keySet().toArray()}
+
+
+def test_internal_persists_released_at_query_boundary(spark, sf_dir):
+    qs = all_queries()
+    caching.release_all()
+    before = _persistent_ids(spark)
+
+    # dedup_minhash_lsh persists its signature table internally
+    qs["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    during = _persistent_ids(spark)
+    added = during - before
+    assert added, "expected the minhash signature persist to be live"
+    assert len(caching._LIVE) == 1
+
+    # invoking the NEXT registered query releases the previous persists
+    qs["dedup_exact"].fn(spark, sf_dir).collect()
+    after = _persistent_ids(spark)
+    assert not (added & after), "previous query's persist leaked across the boundary"
+    assert len(caching._LIVE) == 0
+
+
+def test_release_all_idempotent(spark):
+    assert caching.release_all() == 0
+    assert caching.release_all() == 0

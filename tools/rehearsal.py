@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry  # noqa: E402
+from flink_kafka_spark.caching import release_all  # noqa: E402
 from flink_kafka_spark.session import get_spark  # noqa: E402
 from tests.oracle_util import compare_spark_duckdb  # noqa: E402
 
@@ -57,6 +58,8 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001 — report and continue
             status = f"FAIL: {str(ex)[:200]}"
             failures.append(name)
+        release_all()  # drop this query's tracked persists before the next
+        spark.catalog.clearCache()
         print(f"[sf0.01] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
 
     if not skip_scale:
@@ -68,6 +71,8 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001
                 status = f"FAIL: {str(ex)[:200]}"
                 failures.append(f"{name}@sf0.1")
+            release_all()
+            spark.catalog.clearCache()
             print(f"[sf0.1 ] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL CLEAN")
