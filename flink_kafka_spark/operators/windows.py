@@ -196,6 +196,7 @@ def windowed_uv_bloom(
     distinct_col: str = "user_id",
     m_bits: int = 1 << 22,
     k: int = 3,
+    lateness: str | None = None,
 ) -> DataFrame:
     """A7 with the reference's ACTUAL semantics: per-window unique
     count via Bloom-filter membership dedup (UvWithBloomFilter.java:
@@ -209,20 +210,32 @@ def windowed_uv_bloom(
     Sizing: the reference's README sizes its bitmap at 64 MB for 1e8
     users; the classic formula m = −n·ln(fpp)/ln²2 gives the same
     order (1e8 users @ 1% fpp → ~120 MB). The default 2^22 bits
-    (512 KB, ~64 KB packed in streaming state) is effectively exact up
-    to ~10⁵ users per window (fpp < 1e-9 at k=3).
+    (512 KB, ~64 KB packed in streaming state) at k=3 gives per-insert
+    fpp ≈ (1 − e^{−kn/m})^k: ~4e-9 at n=10³, ~3e-7 at n=10⁴, ~3e-4 at
+    n=10⁵ (≈ a handful of expected undercounts per window at 1e5
+    users). Treat it as effectively exact to ~10⁴ users/window; size
+    ``m_bits`` up (it only costs state bytes) for bigger windows.
 
     Batch: one ``applyInPandas`` per window group — the bit array
     lives only inside its group's Arrow batch. Streaming: per-window
     state holds the packed bitmap (``applyInPandasWithState``), the
-    exact analog of the reference's per-window Redis key, evicted with
-    the window. Rows are processed in (ts, user) order so replays are
-    deterministic."""
+    exact analog of the reference's per-window Redis key, and is
+    EVICTED once the event-time watermark passes window_end +
+    ``lateness`` (default: one window size) — the operator attaches
+    its own ``withWatermark(ts_col, lateness)``, so rows later than
+    that are dropped upstream and the bitmap can never matter again.
+    Without eviction, per-window bitmaps (~m_bits/8 bytes each)
+    accumulate for stream lifetime. Rows are processed in (ts, user)
+    order so replays are deterministic."""
     import numpy as np
     import pandas as pd
 
     size_s = _interval_s(size)
     out_schema = "window_start_s long, window_end_s long, uv long"
+    if df.isStreaming:
+        lateness = lateness if lateness is not None else size
+        lateness_s = _interval_s(lateness)
+        df = df.withWatermark(ts_col, lateness)
     keyed = df.select(
         (F.floor(F.col(ts_col).cast("long") / size_s) * size_s).alias("window_start_s"),
         F.col(ts_col).alias("_ts"),

@@ -50,12 +50,25 @@ def login_fail_stream(events: DataFrame, max_gap_s: int = 2, max_fails: int = 2)
     Input: login_event schema (user_id, ip, login_state, ts) with a
     watermark already attached. Output: (user_id, first_fail_ts_s,
     second_fail_ts_s, result_type='warning').
+
+    State lifecycle: one (last_fail_ts) tuple per user whose LAST event
+    was a fail, evicted by an event-time timer once the watermark
+    passes last_fail_ts + max_gap_s — past that point no arriving fail
+    can pair with it (later-than-watermark rows are dropped upstream),
+    so keeping it would only leak. Mirrors blacklist_stream's
+    end-of-day eviction; the reference (LoginFail.java:126-170) clears
+    on success and relies on Flink state TTL for abandoned keys.
     """
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last_fail_ts + max_gap_s: no future fail
+            # can be "consecutive" with the stored one — evict
+            state.remove()
+            return
         last_fail_ts = state.get[0] if state.exists else None
         out = []
         # A success clears and a fail overwrites, so "last_fail_ts at
@@ -85,7 +98,14 @@ def login_fail_stream(events: DataFrame, max_gap_s: int = 2, max_fails: int = 2)
             if state.exists:
                 state.remove()
         else:
-            state.update((last_fail_ts,))
+            evict_ms = (last_fail_ts + max_gap_s) * 1000
+            if evict_ms > state.getCurrentWatermarkMs():
+                state.update((last_fail_ts,))
+                state.setTimeoutTimestamp(evict_ms)
+            elif state.exists:
+                # the stored fail is already unpairable behind the
+                # watermark — don't keep (or re-create) dead state
+                state.remove()
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "first_fail_ts_s", "second_fail_ts_s", "result_type"]
@@ -96,7 +116,7 @@ def login_fail_stream(events: DataFrame, max_gap_s: int = 2, max_fails: int = 2)
         "user_id long, first_fail_ts_s long, second_fail_ts_s long, result_type string",
         "last_fail_ts long",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -403,12 +423,18 @@ def late_split_stream(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        max_ts = state.get[0] if state.exists else None
+        # The watermark for the WHOLE micro-batch is fixed up front from
+        # the state left by the previous batch; a batch that spans
+        # multiple Arrow chunks must not judge later chunks against a
+        # watermark advanced by its own earlier chunks (tagging would
+        # then depend on Arrow chunking, not on batch boundaries).
+        prev_max = state.get[0] if state.exists else None
+        wm = prev_max - delay_s if prev_max is not None else None
+        batch_max = prev_max
         for pdf in pdfs:
             if not len(pdf):
                 continue
             ts = _epoch_s(pdf, ts_col)
-            wm = max_ts - delay_s if max_ts is not None else None
             out = pdf.drop(columns=[ts_col, "_shard"])
             out["ts_s"] = ts
             out["wm_s"] = wm if wm is not None else -1
@@ -418,11 +444,11 @@ def late_split_stream(
                 else np.zeros(len(ts), dtype=bool)
             )
             out["result_type"] = np.where(late, "late", "on_time")
-            batch_max = int(ts.max())
-            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+            chunk_max = int(ts.max())
+            batch_max = chunk_max if batch_max is None else max(batch_max, chunk_max)
             yield out[out_cols]
-        if max_ts is not None:
-            state.update((max_ts,))
+        if batch_max is not None:
+            state.update((batch_max,))
 
     return sharded.groupBy("_shard").applyInPandasWithState(
         fn, out_schema, "max_ts long", "append", GroupStateTimeout.NoTimeout
