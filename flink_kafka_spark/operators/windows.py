@@ -263,6 +263,15 @@ def windowed_uv_bloom(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (ws,) = key
+        ws = int(ws)  # numpy int64 → int (timeout ms is JSON-serialized)
+        if state.hasTimedOut:
+            # watermark passed window_end + lateness: any further row
+            # for this window would be dropped by the late-row filter
+            # upstream, so the bitmap can never matter again — evict
+            # (the per-window Redis key dying with the window,
+            # UvWithBloomFilter.java:125-155).
+            state.remove()
+            return
         if state.exists:
             packed, uv = state.get
             bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8)).astype(bool)
@@ -276,13 +285,20 @@ def windowed_uv_bloom(
             pdf = pdf.sort_values(["_ts", "_u"])
             uv += _bloom_insert_count(pdf["_u"].to_numpy(), bits, m_bits, k)
         if got:
-            state.update((np.packbits(bits).tobytes(), uv))
+            evict_ms = (ws + size_s + lateness_s) * 1000
+            if evict_ms > state.getCurrentWatermarkMs():
+                state.update((np.packbits(bits).tobytes(), uv))
+                state.setTimeoutTimestamp(evict_ms)
+            elif state.exists:
+                # window already unreachable behind the watermark —
+                # emit the final count but drop (don't re-create) state
+                state.remove()
             yield pd.DataFrame(
                 {"window_start_s": [ws], "window_end_s": [ws + size_s], "uv": [uv]}
             )
 
     return keyed.groupBy("window_start_s").applyInPandasWithState(
-        fn, out_schema, "bits binary, uv long", "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, "bits binary, uv long", "append", GroupStateTimeout.EventTimeTimeout
     )
 
 
