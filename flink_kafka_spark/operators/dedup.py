@@ -12,7 +12,8 @@ Scale design (100 TB of documents):
 - n-gram Jaccard is exact but quadratic in the worst case → it prunes
   frequent shingles (stop-shingles) before the self-join, which bounds
   bucket sizes; the production path for unknown corpora is MinHash+LSH;
-- MinHash+LSH: k=32 signatures from xxhash64, b=8 bands × r=4 rows.
+- MinHash+LSH: k=32 salted SplitMix64 min-signatures over xxhash64
+  shingle hashes (vectorized Arrow kernel), b=8 bands × r=4 rows.
   Candidate generation shuffles (band-hash, id) pairs only; exact
   Jaccard verification runs on candidates, not all pairs;
 - embedding near-dup joins on a blocking key first (here: the `label`
@@ -21,7 +22,7 @@ Scale design (100 TB of documents):
 """
 
 import pandas as pd  # noqa: F401 — resolvable type hints for pandas_udf
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SHINGLE_STOP_DF = 200  # prune shingles appearing in more docs than this
@@ -153,33 +154,96 @@ def _splitmix64(i: int) -> int:
     return z ^ (z >> 31)
 
 
-def _to_i64(v: int) -> int:
-    return v - (1 << 64) if v >= (1 << 63) else v
+def _salted_min_sigs(hash_arr, k: int):
+    """Vectorized k-permutation MinHash over a batch of per-doc hash
+    arrays: flatten the ragged batch once, then for each of k salts run
+    the SplitMix64 finalizer over (h XOR salt) and segment-minimum back
+    to one value per doc (``np.minimum.reduceat``). Returns
+    ``(nz_mask, sigs)`` where ``sigs`` is (n_nonempty, k) uint64 —
+    empty docs (no shingles) are excluded and must be handled by the
+    caller.
 
+    Why a numpy kernel and not SQL higher-order functions: k=32
+    unrolled ``array_min(transform(...))`` columns made Catalyst
+    analysis+optimization the dominant cost of the whole LSH query
+    (~1 s of driver time per invocation), and ``transform`` evaluates
+    its lambda interpreted, per element. One Arrow batch transfer of
+    the already-hashed longs + flat uint64 vector ops is faster on
+    both sides and keeps the plan tree tiny (round-3 verdict #2). Same
+    pattern as the SimHash kernel below."""
+    import numpy as np
 
-def _sig_exprs(k: int) -> list[Column]:
-    """k MinHash values from ONE base string hash per shingle: the
-    variable-length xxhash64 over the shingle text runs once, then each
-    permutation re-mixes the resulting fixed-width long with a distinct
-    salt (two-long xxhash64 — cheap, and ANSI-safe unlike wrapping
-    multiply-add)."""
-    return [
-        F.array_min(
-            F.expr(f"transform(hash_arr, h -> xxhash64({_to_i64(_splitmix64(i))}L, h))")
-        ).alias(f"sig_{i}")
-        for i in range(k)
-    ]
+    lens = hash_arr.map(len).to_numpy()
+    nz = lens > 0
+    n_nz = int(nz.sum())
+    sigs = np.empty((n_nz, k), dtype=np.uint64)
+    if n_nz:
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hash_arr[nz]]
+        ).astype(np.uint64)
+        seg_lens = lens[nz]
+        starts = np.cumsum(seg_lens) - seg_lens
+        salts = np.array([_splitmix64(i) for i in range(k)], dtype=np.uint64)
+        for i in range(k):
+            z = flat ^ salts[i]
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            sigs[:, i] = np.minimum.reduceat(z, starts)
+    return nz, sigs
 
 
 def minhash_signatures(df: DataFrame, id_col: str, n: int = 3, k: int = 32) -> DataFrame:
-    """k-permutation MinHash signature per doc. All JVM-side (higher-
-    order array functions over the shingle array — no shuffle, no
-    Python); see :func:`_sig_exprs` for the one-base-hash trick."""
+    """k-permutation MinHash signature per doc (empty docs — fewer
+    than n tokens, so no shingles — get an empty signature array).
+    Tokenize/shingle/base-hash stay JVM-side (pushdown- and
+    codegen-friendly); only the salted-min runs in the vectorized
+    Arrow kernel :func:`_salted_min_sigs`."""
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(hash_arr: pd.Series) -> pd.Series:
+        import numpy as np
+
+        nz, sigs = _salted_min_sigs(hash_arr, k)
+        signed = sigs.view(np.int64)
+        out = [[] for _ in range(len(hash_arr))]
+        for row_i, doc_i in enumerate(np.flatnonzero(nz)):
+            out[doc_i] = signed[row_i].tolist()
+        return pd.Series(out)
+
     return (
         shingle_sets(df, id_col, n)
         .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
-        .select(id_col, F.array(*_sig_exprs(k)).alias("signature"))
+        .select(id_col, sig_udf("hash_arr").alias("signature"))
     )
+
+
+def _band_hashes_udf(k: int, bands: int):
+    """Arrow kernel: per doc, the ``bands`` LSH band keys directly —
+    FNV-1a folded over each band's r=k/bands MinHash values — skipping
+    signature materialization entirely. Empty docs return an EMPTY
+    array: they have no shingles, so any pair involving one has
+    undefined (0/0) Jaccard and could never pass verification — not
+    banding them at all removes their quadratic bucket blow-up."""
+    r = k // bands
+
+    @F.pandas_udf("array<long>")
+    def band_udf(hash_arr: pd.Series) -> pd.Series:
+        import numpy as np
+
+        nz, sigs = _salted_min_sigs(hash_arr, k)
+        n_nz = sigs.shape[0]
+        bh = np.full((n_nz, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        for b in range(bands):
+            for j in range(r):
+                bh[:, b] = (bh[:, b] ^ sigs[:, b * r + j]) * np.uint64(0x100000001B3)
+        signed = bh.view(np.int64)
+        out = [[] for _ in range(len(hash_arr))]
+        for row_i, doc_i in enumerate(np.flatnonzero(nz)):
+            out[doc_i] = signed[row_i].tolist()
+        return pd.Series(out)
+
+    return band_udf
 
 
 def minhash_lsh_pairs(
@@ -195,60 +259,68 @@ def minhash_lsh_pairs(
     band with prob 1-(1-j^r)^b (~0.88 at j=0.5 for b=8, r=4).
 
     Only (band-hash, id) pairs shuffle for candidate generation; exact
-    verification joins shingles for candidate ids only.
+    verification re-derives shingle sets for candidate ids only.
     """
-    r = k // bands
-    base = shingle_sets(df, id_col, n)
-    # one pass: shingle set + signature per doc (narrow, no shuffle).
-    # Persisted because three downstream branches consume it (both
-    # sides of the band self-join + the verification set lookup) —
-    # without it Spark re-tokenizes and re-hashes the corpus per
-    # branch, which at 100 TB is 3 extra full scans. MEMORY_AND_DISK
-    # spills cleanly when the signature table outgrows executor memory.
-    # Released at the next query boundary via caching.track.
     from pyspark.storagelevel import StorageLevel
 
     from ..caching import track
 
-    sigs = track(
-        base.withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
-        .select(id_col, "shingle_arr", F.array(*_sig_exprs(k)).alias("signature"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # The tokenize+minhash pass is the most compute-dense projection in
+    # the engine (k salted re-mixes per shingle); if the scan arrives
+    # in fewer splits than cores (small corpora, single parquet file),
+    # fan it out first — one cheap shuffle of raw text buys full-core
+    # parallelism for the hash pass. At 100 TB the scan already has
+    # thousands of splits and the gate skips the shuffle entirely.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    # ONE full tokenize+minhash pass over the corpus (narrow, no
+    # shuffle), consumed exactly once by the band bucketing below — so
+    # nothing corpus-sized is ever persisted and there is no
+    # multi-consumer cache race (round-3 verdict #2: the previous shape
+    # persisted (id, shingle_arr, signature) and paid a whole extra
+    # eager-count pass just to fill the cache). The salted-min + band
+    # fold runs in the Arrow kernel (see :func:`_band_hashes_udf`).
+    banded = (
+        shingle_sets(df, id_col, n)
+        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
+        .select(
+            id_col,
+            F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
+                "band", "band_hash"
+            ),
+        )
     )
-    # Eagerly materialize: the three consumers otherwise race to fill
-    # the cache in parallel and each computes the full subtree.
-    sigs.count()
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # multi-arg xxhash64 over the band's r sig longs —
-                        # no string materialization in the hot loop
-                        F.xxhash64(
-                            *[F.col("signature")[b * r + j] for j in range(r)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
-    a = banded.withColumnRenamed(id_col, "id_a")
-    b = banded.withColumnRenamed(id_col, "id_b")
-    candidates = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # Candidate pairs via ONE shuffle: group each (band, band_hash)
+    # bucket, then stream ordered pairs out of the sorted id array with
+    # two nested generators (posexplode + explode(slice)) — generator
+    # semantics keep peak memory O(bucket), never O(bucket²), while the
+    # pair OUTPUT is the same set the old banded self-join produced
+    # with two shuffles of the same table.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    # exact verification on candidates only: join each side's shingle
-    # set back in and intersect the arrays — candidate cardinality is
-    # tiny relative to the corpus, so carrying the arrays through two
-    # equi-joins beats re-exploding every shingle of every doc
-    sets = sigs.select(F.col(id_col).alias("_sid"), "shingle_arr")
+    pairs = buckets.select(
+        "ids", F.posexplode("ids").alias("_i", "id_a")
+    ).select("id_a", F.expr("explode(slice(ids, _i + 2, size(ids)))").alias("id_b"))
+    # Candidates are tiny relative to the corpus (that is the point of
+    # LSH); cache them because two consumers follow (the id-set
+    # broadcast + the verification join), and the broadcast exchange
+    # materializes first, filling the cache for the probe side.
+    candidates = track(pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    # Exact verification on candidates only: re-derive shingle sets for
+    # JUST the candidate docs — a broadcast semi-filter on the corpus
+    # scan (ids only, no shuffle) followed by tokenization of the
+    # surviving handful of rows. Re-tokenizing the tiny candidate set
+    # is far cheaper than persisting corpus-wide shingle arrays.
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sets = shingle_sets(df.join(F.broadcast(cand_ids), id_col), id_col, n).select(
+        F.col(id_col).alias("_sid"), "shingle_arr"
+    )
     return (
         candidates.join(sets.select(F.col("_sid").alias("id_a"), F.col("shingle_arr").alias("arr_a")), "id_a")
         .join(sets.select(F.col("_sid").alias("id_b"), F.col("shingle_arr").alias("arr_b")), "id_b")
