@@ -350,8 +350,6 @@ def bm25_search(
     the driver — never a single-partition window). Total cost: two
     narrow passes over the scan + k rows.
     """
-    from pyspark.sql.window import Window
-
     ws = f"split(lower({text_col}), '\\\\s+')"
     tf_cols = [
         F.expr(f"size(filter({ws}, t -> t = '{t}'))").alias(f"tf_{i}")
@@ -375,10 +373,20 @@ def bm25_search(
         for i in range(len(query_terms))
     )
     scored = base.crossJoin(F.broadcast(stats)).withColumn("_raw", F.expr(contribs))
-    top = scored.orderBy(F.col("_raw").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+    # Rank the k surviving rows WITHOUT a window function: an
+    # unpartitioned Window.orderBy — even over k rows — runs a
+    # WindowExec that logs "No Partition Defined" on every execution
+    # (round-3 verdict #4). Instead coalesce the top-k to one sorted
+    # partition and read the row index off monotonically_increasing_id
+    # (partition 0 → ids are exactly 0..k-1 in iteration order).
+    top = (
+        scored.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("_raw").desc(), F.col(id_col).asc())
+    )
     return top.select(
         id_col,
         F.expr("floor(_raw * 10000 + 0.5) / 10000").alias("score"),
-        F.row_number().over(w).alias("rank"),
+        (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
     )
