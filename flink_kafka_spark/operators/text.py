@@ -377,8 +377,21 @@ def bm25_search(
     # unpartitioned Window.orderBy — even over k rows — runs a
     # WindowExec that logs "No Partition Defined" on every execution
     # (round-3 verdict #4). Instead coalesce the top-k to one sorted
-    # partition and read the row index off monotonically_increasing_id
-    # (partition 0 → ids are exactly 0..k-1 in iteration order).
+    # partition and read the row index off monotonically_increasing_id.
+    #
+    # IMPLEMENTATION-DETAIL CONTRACT (not a documented Spark
+    # guarantee): Spark only promises monotonically_increasing_id is
+    # "monotonically increasing and unique, not consecutive"; we
+    # additionally rely on (a) the id being partitionIndex<<33 + local
+    # row offset — so partition 0 enumerates 0..k-1 consecutively —
+    # and (b) the optimizer not reordering the nondeterministic
+    # project across sortWithinPartitions (Catalyst treats
+    # nondeterministic expressions as ordering barriers today). Both
+    # hold on Spark 3.x/4.x and the DuckDB oracle parity test pins the
+    # output, so a behavior change fails loudly in CI rather than
+    # silently. Contract-safe fallback if this ever flakes: join rank
+    # from a driver-side take(k) of the sorted frame (k rows, bounded)
+    # or accept the k-row WindowExec.
     top = (
         scored.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
         .limit(k)

@@ -267,9 +267,12 @@ def windowed_uv_bloom(
         if state.hasTimedOut:
             # watermark passed window_end + lateness: any further row
             # for this window would be dropped by the late-row filter
-            # upstream, so the bitmap can never matter again — evict
-            # (the per-window Redis key dying with the window,
-            # UvWithBloomFilter.java:125-155).
+            # upstream, so the bitmap can never matter again — evict.
+            # This FIXES unbounded state growth the reference actually
+            # exhibits: UvWithBloomFilter.java:125-155 setbits per-
+            # window Redis bitmap keys but never deletes or expires
+            # them (FIRE_AND_PURGE purges only Flink's window buffer),
+            # so its Redis keys accumulate forever.
             state.remove()
             return
         if state.exists:

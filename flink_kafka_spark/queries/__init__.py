@@ -36,44 +36,73 @@ class Query:
 # The driver's correctness harness hashes exactly the FIRST 50 entries
 # of ``queries()`` in registry order, so the window below is curated so
 # every component family — reference §2 surface, dedup, similarity,
-# retrieval, sampling/release, multimodal — has at least one
-# full-oracle row inside it, and every ``*_check`` property oracle for
-# the approx paths is included (round-2 verdict item 1). Queries past
-# the window (the TPC-H block, secondary text-analysis variants, the
-# no-oracle twins of checked approx ops) keep full pytest + rehearsal
-# coverage at every scale factor; they are rotation candidates for
-# future rounds, not unverified code.
+# retrieval, sampling/release, multimodal, relational — has at least
+# one full-oracle row inside it, and every ``*_check`` property oracle
+# for the approx paths is included (round-2 verdict item 1). Queries
+# past the window keep full pytest + rehearsal coverage at every scale
+# factor; they are rotation candidates, not unverified code.
+#
+# ROTATION POLICY (round-4 verdict #6): each round, rotate 5-10 rows
+# that were driver-green in BOTH of the two preceding rounds out of
+# the window, replacing them with registered queries currently outside
+# it, so every registered query earns a driver row at least once per
+# ~3 rounds. Constraints that bound each rotation:
+# - every ``*_check`` property oracle stays in (they are the only
+#   driver verification the hash-dependent approx paths have);
+# - each family keeps >=1 full-oracle row (test_driver_window_covers_
+#   every_family);
+# - a rotated-out query must have its semantics co-covered by a
+#   staying row or a pytest (noted per row below).
+#
+# Round-5 rotation applied — OUT (all green in r3+r4):
+#   hot_items_report      (P6 formatting twin of hot_items_topn; README
+#                          golden-output parity pytest remains)
+#   global_stats_fine     (salted twin; global_stats + channel_stats
+#                          keep A4/W3 coverage)
+#   uv_approx             (no_oracle row; its invariant twin
+#                          uv_approx_check stays per the _check rule)
+#   order_ship_interval_join_binned (hypothesis-tested row-identical to
+#                          order_ship_interval_join, which stays)
+#   high_value_purchases  (P1/P2 parse path; apache.log reference-
+#                          parity pytest + staying filter rows cover it)
+#   dedup_prune_stats     (1-row visibility stat; 5 dedup rows stay)
+#   ann_cosine_topk_int8  (int8 twin; embedding_quantize +
+#                          ann_cosine_topk stay)
+#   media_frame_sample    (media_decode_meta + media_features_check
+#                          keep the mapInPandas plumbing verified)
+# IN: tpch_q1 tpch_q3 tpch_q5 tpch_q6 tpch_q18 (the relational block's
+#     first driver rows), pii_scan, repetition_stats, dataset_split.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
-    "hot_items_report",
     "hot_items_sql",
     "page_views",
     "unique_visitors",
-    "uv_approx",
     "uv_approx_check",
     "uv_bloom",
     "channel_stats",
     "global_stats",
-    "global_stats_fine",
     "orders_daily_by_priority",
     "hot_sources_topn",
-    "high_value_purchases",
     "login_fail_detect",
     "order_timeout",
     "click_blacklist",
     "sessionize",
     "funnel_conversions",
     "order_ship_interval_join",
-    "order_ship_interval_join_binned",
     "order_line_reconciliation",
     "event_asof_order",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
+    # relational block (rotated in r5)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
     # deduplication family
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_prune_stats",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_clusters",
@@ -83,11 +112,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_lsh_check",
     "ann_ivf_check",
     "embedding_quantize",
-    "ann_cosine_topk_int8",
     # text analysis family
     "text_stats",
     "corpus_prep",
     "decontaminate",
+    "pii_scan",
+    "repetition_stats",
     # retrieval family
     "inverted_index",
     "tfidf_top_terms",
@@ -98,9 +128,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "profile_documents",
     "sequence_packing",
     "mixture_resample",
+    "dataset_split",
     # multimodal family
     "media_decode_meta",
-    "media_frame_sample",
     "media_features_check",
 )
 

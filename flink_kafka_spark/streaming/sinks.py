@@ -39,11 +39,9 @@ def side_output(df: DataFrame, tag: str, tag_col: str = "result_type") -> DataFr
 def kafka_sink(
     df: DataFrame, topic: str, bootstrap: str = "localhost:9092", checkpoint: str | None = None
 ) -> DataStreamWriter:
-    w = (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-    )
+    from .sources import kafka_producer_options
+
+    w = df.writeStream.format("kafka").options(**kafka_producer_options(topic, bootstrap))
     return w.option("checkpointLocation", checkpoint) if checkpoint else w
 
 

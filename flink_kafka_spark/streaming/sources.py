@@ -16,6 +16,25 @@ from pyspark.sql import types as T
 from ..schemas import parse_csv_lines
 
 
+def kafka_source_options(
+    topic: str, bootstrap: str = "localhost:9092", starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """The S1 consumer option contract (HotItems.java:50-58:
+    ``bootstrap.servers``/group/``auto.offset.reset=latest`` consumer
+    props → the Spark kafka source's option names). Factored out as a
+    pure function so the option names are pinned by a plan-contract
+    test even where the kafka connector jar (and any broker) is absent
+    — an option-name typo here would otherwise only surface in
+    production. Keys are the documented spark-sql-kafka option names:
+    ``subscribe`` (not topic), ``startingOffsets`` (camelCase),
+    ``kafka.bootstrap.servers`` (kafka. prefix pass-through)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     topic: str,
@@ -29,9 +48,7 @@ def kafka_source(
     parse. ``auto.offset.reset=latest`` → startingOffsets."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(topic, bootstrap, starting_offsets))
         .load()
     )
     return parse_csv_lines(raw.select(F.col("value").cast("string")), schema, sec_ts)
@@ -93,14 +110,32 @@ def marketing_rate_source(spark: SparkSession, rows_per_second: int = 10) -> Dat
     )
 
 
+def kafka_producer_options(topic: str, bootstrap: str = "localhost:9092") -> dict[str, str]:
+    """The S5/K-sink producer option contract (KafkaProducerUtil.java:
+    27-47: ``bootstrap.servers`` + per-record topic → the Spark kafka
+    sink's ``topic`` option). Pure function, shared by the batch feed
+    below and :func:`..streaming.sinks.kafka_sink`, pinned by a
+    plan-contract test (no broker/jar needed)."""
+    return {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+
+
+def csv_feed_values(df: DataFrame) -> DataFrame:
+    """The producer's record payload: every column cast to string and
+    comma-joined into one ``value`` column — the same line format the
+    reference producer reads back out of UserBehavior.csv
+    (KafkaProducerUtil.java:36-44 sends raw CSV lines). Split out so
+    the payload shape is testable on a batch frame without a broker."""
+    return df.select(
+        F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns]).alias("value")
+    )
+
+
 def kafka_feed(df: DataFrame, topic: str, bootstrap: str = "localhost:9092") -> None:
     """S5: KafkaProducerUtil (KafkaProducerUtil.java:27-47) — batch
     write a DataFrame's rows to a topic as CSV lines."""
-    csv_value = F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
     (
-        df.select(csv_value.alias("value"))
+        csv_feed_values(df)
         .write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
+        .options(**kafka_producer_options(topic, bootstrap))
         .save()
     )

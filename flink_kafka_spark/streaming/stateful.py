@@ -539,8 +539,26 @@ def sequence_match_stream(
             state.update(
                 ([t for t, _ in held], [m for _, m in held], chains)
             )
-            # re-fire on watermark advance even without new arrivals
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1000)
+            # Arm the timer at the EARLIEST instant this key can
+            # actually act without new input: a held event becomes
+            # processable when the watermark reaches its own timestamp,
+            # and a chain (absent new events, which re-fire the key by
+            # themselves) only needs a wake-up to be GC'd at
+            # t0 + within. Arming at watermark+1s instead re-fired
+            # EVERY live key on EVERY watermark advance — an O(live
+            # keys) sweep per micro-batch (round-3/4 verdict item).
+            wake_s = None
+            if held:
+                wake_s = held[0][0]  # pending is ts-sorted → min held ts
+            if chains:
+                expiry = min(c[1] + within_s for c in chains) + 1
+                wake_s = expiry if wake_s is None else min(wake_s, expiry)
+            # event-time timeouts must sit strictly beyond the current
+            # watermark; both candidates satisfy that by construction
+            # (held ts > wm_s; surviving chains have t0+within >= wm_s)
+            state.setTimeoutTimestamp(
+                max(wake_s * 1000, state.getCurrentWatermarkMs() + 1000)
+            )
         elif state.exists:
             state.remove()
         if completed:

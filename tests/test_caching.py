@@ -17,12 +17,13 @@ def test_internal_persists_released_at_query_boundary(spark, sf_dir):
     caching.release_all()
     before = _persistent_ids(spark)
 
-    # dedup_minhash_lsh persists its signature table internally
+    # dedup_minhash_lsh persists its candidate pairs and the
+    # candidates-only shingle sets internally (two tracked frames)
     qs["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
     during = _persistent_ids(spark)
     added = during - before
-    assert added, "expected the minhash signature persist to be live"
-    assert len(caching._LIVE) == 1
+    assert added, "expected the minhash internal persists to be live"
+    assert len(caching._LIVE) == 2
 
     # invoking the NEXT registered query releases the previous persists
     qs["dedup_exact"].fn(spark, sf_dir).collect()

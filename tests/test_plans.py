@@ -16,6 +16,12 @@ from tools.gen_plans import audit  # noqa: E402
 from flink_kafka_spark.queries import all_queries  # noqa: E402
 
 # query -> (max exchanges, max sort-merge joins)
+#
+# Every DRIVER_WINDOW query (plus the bench-only dedup_minhash_lsh) is
+# pinned at the ceiling observed at sf0.001-0.1 — round-4's lesson: the
+# MinHash rework changed plan shape and the only detector was the bench
+# number after the fact. SMJ ceilings > 0 are deliberate and commented;
+# everywhere else a sort-merge join means a broadcast degraded.
 PLAN_BOUNDS = {
     # single groupBy: scan + one shuffle
     "tpch_q1": (1, 0),
@@ -27,13 +33,38 @@ PLAN_BOUNDS = {
     "tpch_q18": (3, 0),
     # windowed streaming analogs: one shuffle on (window, key) + topn
     "hot_items_topn": (2, 0),
+    "hot_items_report": (2, 0),
+    "hot_items_sql": (2, 0),
     "page_views": (1, 0),
+    "unique_visitors": (2, 0),  # (window) shuffle + distinct
+    "uv_approx": (1, 0),
+    "uv_bloom": (1, 0),
+    "channel_stats": (1, 0),
+    "global_stats": (1, 0),
+    "global_stats_fine": (2, 0),  # fine-slide rollup: slice agg + window agg
+    "orders_daily_by_priority": (1, 0),
+    "hot_sources_topn": (2, 0),
+    "high_value_purchases": (0, 0),  # pure filter+project, no shuffle
+    "login_fail_detect": (1, 0),
+    "order_timeout": (1, 0),
+    "click_blacklist": (1, 0),
+    "sessionize": (1, 0),
+    "funnel_conversions": (1, 0),  # step frames broadcast, one final agg
+    "order_ship_interval_join": (0, 0),  # broadcast interval join
+    "order_ship_interval_join_binned": (0, 0),
+    # full-outer reconciliation: SMJ IS the intended plan (both sides
+    # same size, no broadcastable build) — 2 exchanges co-partition it
+    "order_line_reconciliation": (2, 2),
+    "event_asof_order": (1, 0),
+    "quantity_percentiles_approx_check": (3, 0),
     # extensions: narrow projections must stay shuffle-free
     "text_stats": (0, 0),
     "dataset_split": (0, 0),
     "doc_chunk": (0, 0),
     "embedding_quantize": (0, 0),
     "pii_redact": (0, 0),
+    "pii_scan": (0, 0),
+    "repetition_stats": (0, 0),
     # retrieval: bounded shuffles on natural keys
     "inverted_index": (2, 0),
     "bm25_search": (1, 0),
@@ -42,7 +73,53 @@ PLAN_BOUNDS = {
     # composed: tfidf(4) + index(2) + score groupBy + topk window;
     # queries must stay broadcast (smj would mean the build side grew)
     "multi_query_search": (8, 0),
+    # dedup family: candidate generation must stay bucketed —
+    # exchange growth here means a corpus-sized shuffle crept in
+    "dedup_exact": (1, 0),
+    "dedup_ngram_jaccard": (7, 0),
+    "dedup_prune_stats": (3, 0),
+    # bench headline (not in DRIVER_WINDOW itself): fan-out repartition
+    # + band-bucket groupBy + candidate distinct; everything else
+    # broadcasts. This pin would have caught the round-4 regression.
+    "dedup_minhash_lsh": (3, 0),
+    "dedup_simhash_check": (4, 0),
+    # CC runs to convergence while the plan is BUILT (iterative
+    # localCheckpoint loop); the residual plan is the final label join.
+    # SMJ=2: post-checkpoint label frames have no stats -> no broadcast
+    "dedup_clusters": (2, 2),
+    "dedup_embedding_cosine": (0, 0),  # block-key broadcast equi-join
+    # ANN family: exact baselines are one top-k shuffle; the *_check
+    # sweeps compare approx vs exact so they carry both plans' shuffles
+    # (SMJ between two derived frames without stats is expected there)
+    "ann_cosine_topk": (1, 0),
+    "ann_cosine_topk_int8": (1, 0),
+    "ann_lsh_check": (12, 4),
+    "ann_ivf_check": (12, 4),
+    "dedup_minhash_lsh_check": (19, 2),
+    "uv_approx_check": (6, 2),
+    # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
+    "decontaminate": (3, 0),
+    # sampling / release family
+    "export_shards": (3, 0),  # two-pass range partition
+    "profile_documents": (2, 0),
+    "sequence_packing": (1, 0),
+    "mixture_resample": (3, 0),
+    # multimodal family: narrow mapInPandas, zero shuffle
+    "media_decode_meta": (0, 0),
+    "media_frame_sample": (0, 0),
+    "media_features_check": (1, 0),
 }
+
+
+def test_every_driver_window_query_is_pinned():
+    """Round-4 verdict #4: every driver-verified query needs a plan pin
+    so a shape change (new shuffle, degraded broadcast) fails pytest
+    before the bench measures it. Adding a query to DRIVER_WINDOW
+    without a PLAN_BOUNDS entry fails here."""
+    from flink_kafka_spark.queries import DRIVER_WINDOW
+
+    unpinned = [n for n in DRIVER_WINDOW if n not in PLAN_BOUNDS]
+    assert not unpinned, f"DRIVER_WINDOW queries without a plan pin: {unpinned}"
 
 
 def test_plan_shapes(spark, sf_dir):

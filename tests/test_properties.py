@@ -159,3 +159,32 @@ def test_ngram_jaccard_stop_shingle_miss_is_documented(spark):
     stats = shingle_prune_stats(docs, stop_df=2).collect()[0]
     assert stats.n_stop_shingles == stats.n_shingles  # everything pruned
     assert stats.occurrence_pruned_frac == 1.0
+
+
+def test_short_and_empty_docs_survive_every_shingle_path(spark):
+    """Docs with fewer than n tokens (incl. empty and NULL text) have
+    no shingles; they must yield empty shingle sets — not abort the job
+    (unguarded `slice(tokens, 0, n)` raises INVALID_PARAMETER_VALUE) —
+    and must never appear in any near-dup pair."""
+    from flink_kafka_spark.operators.dedup import minhash_lsh_pairs, shingle_sets
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, dup),
+            (2, dup),
+            (3, "one"),          # 1 token < n=3
+            (4, "two tokens"),   # 2 tokens < n=3
+            (5, ""),             # empty text
+            (6, None),           # null text
+            (7, "an unrelated document with plenty of distinct words here"),
+        ],
+        "doc_id long, text string",
+    )
+    sets = {r.doc_id: r.shingle_arr for r in shingle_sets(docs, "doc_id").collect()}
+    assert sets[3] == [] and sets[4] == [] and sets[5] == [] and sets[6] == []
+    assert len(sets[1]) == 6  # 8 tokens → 6 trigrams
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert exact == {(1, 2)}

@@ -1,0 +1,107 @@
+"""Plan-contract tests for the Kafka/socket source and sink wrappers
+(SURVEY.md §2.1 S1/S3/S5, §2.2 kafka sink) — the reference parity
+points are HotItems.java:50-58 (consumer: topic ``hotitems``, latest
+offsets), HotPages.java:48 (socket yaxin01:8888) and
+KafkaProducerUtil.java:27-47 (producer feed of raw CSV lines).
+
+No broker or socket peer exists in the sandbox, and the spark-sql-kafka
+connector jar is not in this distribution, so these tests pin the
+option CONTRACT instead of moving data:
+
+- the kafka option names/values come from pure helper functions the
+  wrappers consume — a drifted option name ("topics", "offsets",
+  missing ``kafka.`` prefix) fails here before it could reach a
+  cluster;
+- the socket source resolves against the built-in provider, so its
+  analyzed plan is asserted directly (a typo'd host/port option would
+  abort ``load()`` — TextSocketSourceProvider validates them);
+- the producer payload (CSV value lines) is asserted on a batch frame;
+- when a kafka connector IS on the classpath, the kafka consumer's
+  analyzed plan is additionally asserted end-to-end.
+"""
+
+import pytest
+
+from flink_kafka_spark.schemas import APACHE_LOG, USER_BEHAVIOR
+from flink_kafka_spark.streaming.sources import (
+    csv_feed_values,
+    kafka_producer_options,
+    kafka_source,
+    kafka_source_options,
+    socket_source,
+)
+
+
+def test_kafka_consumer_option_contract():
+    # exact documented spark-sql-kafka option names; HotItems.java:50-58
+    # parity: topic "hotitems", auto.offset.reset=latest
+    assert kafka_source_options("hotitems") == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "hotitems",
+        "startingOffsets": "latest",
+    }
+    assert kafka_source_options("t", "broker1:9092,broker2:9092", "earliest") == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "t",
+        "startingOffsets": "earliest",
+    }
+
+
+def test_kafka_producer_option_contract():
+    # KafkaProducerUtil.java:27-47 parity: bootstrap.servers + topic
+    assert kafka_producer_options("hotitems") == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "topic": "hotitems",
+    }
+
+
+def test_kafka_sink_uses_producer_contract(spark):
+    # the streaming kafka sink and the batch feed must share one option
+    # helper — divergence between them is exactly the drift this file
+    # exists to catch
+    import inspect
+
+    from flink_kafka_spark.streaming import sinks, sources
+
+    assert "kafka_producer_options" in inspect.getsource(sinks.kafka_sink)
+    assert "kafka_producer_options" in inspect.getsource(sources.kafka_feed)
+    assert "kafka_source_options" in inspect.getsource(sources.kafka_source)
+
+
+def test_producer_payload_is_reference_csv_lines(spark):
+    # the value column must be the same comma-joined line format the
+    # reference producer sends (raw UserBehavior.csv lines)
+    df = spark.createDataFrame(
+        [(543462, 1715, 1464116, "pv", 1511658000)],
+        "user_id long, item_id long, category_id int, behavior string, ts long",
+    )
+    assert [r.value for r in csv_feed_values(df).collect()] == [
+        "543462,1715,1464116,pv,1511658000"
+    ]
+
+
+def test_socket_source_plan_contract(spark):
+    # HotPages.java:48: socketTextStream("yaxin01", 8888); the analyzed
+    # plan must carry the host/port options and the CSV projection
+    df = socket_source(spark, "yaxin01", 8888, APACHE_LOG)
+    assert df.isStreaming
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "host=yaxin01" in plan
+    assert "port=8888" in plan
+    assert df.columns == [f.name for f in APACHE_LOG.fields]
+
+
+def test_kafka_source_plan_contract_when_connector_present(spark):
+    # full end-to-end plan assertion — runs wherever spark-sql-kafka is
+    # deployed; in this sandbox the provider is absent and the failure
+    # itself proves the options went through the documented format
+    try:
+        df = kafka_source(spark, "hotitems", USER_BEHAVIOR)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        assert "kafka" in str(e).lower()
+        pytest.skip("spark-sql-kafka connector not on classpath")
+    assert df.isStreaming
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "subscribe=hotitems" in plan
+    assert "startingOffsets=latest" in plan
+    assert df.columns == [f.name for f in USER_BEHAVIOR.fields]

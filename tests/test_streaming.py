@@ -622,12 +622,14 @@ def test_uv_bloom_stream_matches_exact(spark, tmp_path):
 
 
 def test_uv_bloom_stream_state_eviction(spark, tmp_path):
-    """The per-window bitmap dies with its window (round-3 verdict #1,
-    mirroring UvWithBloomFilter.java:125-155 where the Redis key's
-    lifetime is the window's): once the watermark passes window_end +
-    lateness, the event-time timer fires and the window's state row is
-    removed. Without eviction every window's packed bitmap (~m_bits/8
-    bytes) would live for stream lifetime."""
+    """The per-window bitmap dies with its window (round-3 verdict #1):
+    once the watermark passes window_end + lateness, the event-time
+    timer fires and the window's state row is removed. This fixes
+    unbounded growth the reference actually exhibits — UvWithBloom-
+    Filter.java:125-155 never deletes or expires its per-window Redis
+    bitmap keys (FIRE_AND_PURGE purges only Flink's window buffer).
+    Without eviction every window's packed bitmap (~m_bits/8 bytes)
+    would live for stream lifetime."""
     import time
 
     from flink_kafka_spark.operators.windows import windowed_uv_bloom

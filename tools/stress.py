@@ -167,6 +167,54 @@ def main() -> None:
         run_stream(blacklist_stream(clicks, threshold=100), os.path.join(tmp, "ck2"))
         timings[f"blacklist_stream_{n_stream}"] = round(time.perf_counter() - t0, 2)
 
+        # sequence_match_stream timer-arming probe (round-4 verdict #3):
+        # n_seq keys each hold ONE live chain while ~40 filler-only
+        # micro-batches advance the watermark. Timers armed at the
+        # earliest actionable instant mean those batches fire NO keys
+        # (nothing is actionable until the success events land); the
+        # old watermark+1s arming re-fired every live key every batch —
+        # O(keys x batches) state-function invocations. The wall time
+        # of the filler phase is the observable.
+        n_seq = 10_000
+        base = 1_700_000_000
+        seq_src = os.path.join(tmp, "seq")
+        os.makedirs(seq_src)
+
+        def write_file(name: str, lines: list[str], order: int) -> None:
+            p = os.path.join(seq_src, name)
+            with open(p, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.utime(p, (1_000_000 + order, 1_000_000 + order))  # replay order
+
+        write_file("b000.csv", [f"{u},ip,fail,{base}" for u in range(n_seq)], 0)
+        for i in range(40):  # one sentinel line per file -> one batch each
+            write_file(f"b{i + 1:03d}.csv", [f"999999,ip,success,{base + 100 + i * 10}"], i + 1)
+        write_file(
+            "b998.csv", [f"{u},ip,success,{base + 600}" for u in range(n_seq)], 98
+        )
+        # trailing sentinel: watermark past the successes
+        write_file("b999.csv", [f"999999,ip,success,{base + 5000}"], 99)
+        from flink_kafka_spark.streaming.stateful import sequence_match_stream
+
+        t0 = time.perf_counter()
+        seq_stream = csv_replay_source(
+            spark, seq_src, LOGIN_EVENT, max_files_per_trigger=1
+        ).withWatermark("ts", "1 second")
+        matches = sequence_match_stream(
+            seq_stream, "user_id", "ts",
+            [("fail", "login_state = 'fail'"), ("ok", "login_state = 'success'")],
+            within_s=3600,
+        )
+        q = (
+            matches.writeStream.outputMode("append").format("memory")
+            .queryName("seq_stress").option("checkpointLocation", os.path.join(tmp, "ck3"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(600)
+        timings[f"sequence_match_stream_{n_seq}x42"] = round(time.perf_counter() - t0, 2)
+        n_matches = spark.sql("SELECT count(*) c FROM seq_stress").collect()[0].c
+        assert n_matches == n_seq, n_matches
+
     print(
         json.dumps(
             {
