@@ -120,8 +120,13 @@ def main() -> None:
         spark.range(1).count()
 
     # calibration AFTER warm-up, in the same machine state as the
-    # timed runs — this anchors the cross-session ratio comparison
-    calibration = _calibrate(spark)
+    # timed runs — this anchors the cross-session ratio comparison.
+    # Taken again after the sweep and averaged: ambient load drifts
+    # WITHIN the ~2-minute sweep, and a single-point calibration that
+    # happens to catch a fast (or slow) moment skews every normalized
+    # ratio the same direction (observed: cal 0.25 s with the very
+    # next queries running 25% slower than the same-session baseline).
+    calibration_pre = _calibrate(spark)
 
     # median of 3 runs per query: single-JVM local mode has noticeable
     # run-to-run GC/JIT variance; the median is the steady-state number.
@@ -143,6 +148,8 @@ def main() -> None:
         spark.catalog.clearCache()
         if spark.sparkContext._jsc.getPersistentRDDs().size() > 0:
             leaked.append(name)
+
+    calibration = round((calibration_pre + _calibrate(spark)) / 2, 3)
 
     regressions = _regressions(timings, calibration, sf)
     out = {
@@ -191,10 +198,15 @@ def _regressions(timings: dict[str, float], calibration: float, sf: str) -> dict
         if not b or b < MIN_BASELINE_S:
             continue
         if base_cal and calibration > 0:
-            # normalized: seconds-per-calibration-second, so ambient
-            # machine load (which scales both) cancels
+            # A query is a regression only if it regressed under BOTH
+            # accountings: raw seconds AND seconds-per-calibration-
+            # second. A genuine code regression inflates both; a
+            # slower box inflates only raw, a calibration that caught
+            # an unrepresentative moment inflates only normalized —
+            # either alone flaps on sub-second queries whose noise
+            # amplitude is ~±0.2 s.
             ratio_now, ratio_base = t / calibration, b / base_cal
-            if ratio_now > REGRESSION_FACTOR * ratio_base:
+            if ratio_now > REGRESSION_FACTOR * ratio_base and t > REGRESSION_FACTOR * b:
                 out[name] = (
                     f"{ratio_now:.2f} vs baseline {ratio_base:.2f} cal-units "
                     f"({ratio_now / ratio_base:.2f}x; raw {t:.3f}s vs {b:.3f}s)"
