@@ -477,6 +477,47 @@ def embedding_cosine_pairs(
     )
 
 
+def canonicalize_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    quality: "F.Column | None" = None,
+) -> DataFrame:
+    """The dedup KEEP step: near-dup pairs → connected components →
+    per cluster, keep the single best-quality member (ties broken by
+    lowest id). Output (id, cluster_id, quality_score, keep) — filter
+    ``keep = 1`` for the deduplicated corpus. This replaces the naive
+    keep-min-id policy with the policy real training-data pipelines
+    use: of N near-identical crawls of a page, retain the best one.
+
+    Scale design: one corpus-narrow quality projection joined onto the
+    CC labels (shuffle on id), then ONE shuffle on cluster_id for the
+    per-cluster rank — near-dup clusters are small (transitive chains
+    of high-similarity docs), so the per-partition sort is bounded; a
+    pathological giant cluster would skew this shuffle, which is the
+    documented boundary (cap cluster size upstream if a corpus has
+    boilerplate-driven mega-clusters).
+    """
+    from pyspark.sql import Window
+
+    if quality is None:
+        from .text import quality_expr
+
+        quality = quality_expr()
+    cc = connected_components(edges, df, id_col=id_col)
+    q = df.select(F.col(id_col), quality.alias("quality_score"))
+    scored = cc.join(q, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col,
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     SHINGLE_STOP_DF,
+    canonicalize_clusters,
     connected_components,
     embedding_cosine_pairs,
     exact_dedup,
@@ -192,6 +193,66 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP step: near-dup clusters (n-gram Jaccard pairs →
+    connected components) canonicalized by QUALITY — per cluster the
+    highest-quality member (tie-break lowest doc_id) carries keep=1.
+    ``WHERE keep = 1`` is the deduplicated corpus a training pipeline
+    actually feeds downstream; keep-min-id (dedup_clusters) is the
+    simpler policy it replaces."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return canonicalize_clusters(docs, pairs, id_col="doc_id")
+
+
+DEDUP_CANONICALIZE_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200)
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           n_inter * 1.0 / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+  ) WHERE round(jaccard, 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         round(0.5 * least(len(regexp_split_to_array(lower(text), '\\s+')) / 200.0, 1.0)
+               + 0.5 * (len(list_distinct(regexp_split_to_array(lower(text), '\\s+')))
+                        / len(regexp_split_to_array(lower(text), '\\s+'))), 4)
+           AS quality_score
+  FROM documents
+)
+SELECT doc_id, cluster_id, quality_score,
+       CAST(row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality_score DESC, doc_id ASC) = 1 AS INT)
+         AS keep
+FROM comp JOIN q USING (doc_id)
+"""
+
+
 # --- property oracles for the hash-dependent (no_oracle) approx paths -
 #
 # The approx operators' outputs depend on Spark-side hashing (xxhash64,
@@ -339,6 +400,12 @@ QUERIES = [
         dedup_clusters,
         DEDUP_CLUSTERS_ORACLE,
         "ext: near-dup cluster formation (iterative CC)",
+    ),
+    Query(
+        "dedup_canonicalize",
+        dedup_canonicalize,
+        DEDUP_CANONICALIZE_ORACLE,
+        "ext: keep best-quality doc per near-dup cluster",
     ),
     Query(
         "dedup_embedding_cosine",
