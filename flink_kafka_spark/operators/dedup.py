@@ -62,12 +62,16 @@ def _shingle_expr(n: int) -> str:
 
 
 def shingles(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) exploded word n-grams, distinct per doc."""
-    expr = _shingle_expr(n)
-    return (
-        normalized_tokens(df)
-        .select(id_col, F.explode(F.expr(expr)).alias("shingle"))
-        .distinct()
+    """(id, shingle) exploded word n-grams, distinct per doc.
+
+    Distinctness is per-ROW (`array_distinct` before the explode), so
+    the frame is narrow — no shuffle. A global `.distinct()` would be
+    semantically identical ((id, shingle) pairs are already unique
+    after the per-doc dedup) but costs a corpus-wide shuffle every
+    downstream consumer pays for."""
+    expr = f"array_distinct({_shingle_expr(n)})"
+    return normalized_tokens(df).select(
+        id_col, F.explode(F.expr(expr)).alias("shingle")
     )
 
 

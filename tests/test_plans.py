@@ -76,8 +76,8 @@ PLAN_BOUNDS = {
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
-    "dedup_ngram_jaccard": (7, 0),
-    "dedup_prune_stats": (3, 0),
+    "dedup_ngram_jaccard": (5, 0),  # narrow shingles: no corpus-wide distinct
+    "dedup_prune_stats": (2, 0),
     # bench headline (not in DRIVER_WINDOW itself): fan-out repartition
     # + band-bucket groupBy + candidate distinct; everything else
     # broadcasts. This pin would have caught the round-4 regression.
@@ -95,10 +95,10 @@ PLAN_BOUNDS = {
     "ann_cosine_topk_int8": (1, 0),
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
-    "dedup_minhash_lsh_check": (19, 2),
+    "dedup_minhash_lsh_check": (17, 2),
     "uv_approx_check": (6, 2),
     # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
-    "decontaminate": (3, 0),
+    "decontaminate": (2, 0),
     # sampling / release family
     "export_shards": (3, 0),  # two-pass range partition
     "profile_documents": (2, 0),
