@@ -130,24 +130,30 @@ def main() -> None:
 
     # median of 3 runs per query: single-JVM local mode has noticeable
     # run-to-run GC/JIT variance; the median is the steady-state number.
+    # The repetitions are ROUND-ROBIN (all queries once, then again)
+    # rather than back-to-back: ambient slow phases on a shared box
+    # last seconds, so three consecutive runs of one query all land in
+    # the phase and its median absorbs the full slowdown — spread out,
+    # the phase taxes one rep of many queries and the median discards
+    # it (observed: consecutive-rep benches flagged a different
+    # untouched query as regressed on every invocation).
     # Cache hygiene between queries: the _released query wrappers drop
     # the previous invocation's tracked persists, and clearCache() +
     # the persistent-RDD probe below guarantee nothing leaks from one
     # timed query into the next (round-2 verdict item 2).
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     leaked: list[str] = []
-    for name in BENCH_QUERIES:
-        q = registry[name]
-        runs = []
-        for _ in range(3):
+    for rep in range(3):
+        for name in BENCH_QUERIES:
+            q = registry[name]
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
-        release_all()
-        spark.catalog.clearCache()
-        if spark.sparkContext._jsc.getPersistentRDDs().size() > 0:
-            leaked.append(name)
+            samples[name].append(time.perf_counter() - t0)
+            release_all()
+            spark.catalog.clearCache()
+            if rep == 0 and spark.sparkContext._jsc.getPersistentRDDs().size() > 0:
+                leaked.append(name)
+    timings = {name: round(sorted(runs)[1], 3) for name, runs in samples.items()}
 
     calibration = round((calibration_pre + _calibrate(spark)) / 2, 3)
 

@@ -438,14 +438,18 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -
     b = chunks.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
     )
+    # Hamming filter BEFORE the pair dedup: a pair colliding in k of
+    # the 4 chunks appears k times, so the distinct must shuffle
+    # whatever precedes it — filtering first means it shuffles only
+    # the true near-dups (tiny) instead of every chunk collision;
+    # bit_count on the duplicate rows is trivial map-side CPU.
     return (
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

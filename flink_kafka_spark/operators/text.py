@@ -269,14 +269,15 @@ def inverted_index(
     corpus. Terms below `min_df` are dropped (hapaxes dominate the
     vocabulary but never match multi-doc queries).
 
-    Scale shape: explode → distinct (one shuffle on (term, id)) → df
-    via a window over the term — the postings stay co-partitioned by
-    term for the downstream merge, no second shuffle.
+    Scale shape: per-row array_distinct → explode (narrow — postings
+    are unique per (term, id) by construction, so no distinct shuffle)
+    → df via a window over the term; the one shuffle co-partitions the
+    postings by term for the downstream merge.
     """
     from pyspark.sql.window import Window
 
     ws = F.split(F.lower(F.col(text_col)), r"\s+")
-    postings = df.select(F.col(id_col), F.explode(ws).alias("term")).distinct()
+    postings = df.select(F.col(id_col), F.explode(F.array_distinct(ws)).alias("term"))
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     return (
         postings.withColumn("dfreq", dfreq)

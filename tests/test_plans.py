@@ -66,13 +66,13 @@ PLAN_BOUNDS = {
     "pii_scan": (0, 0),
     "repetition_stats": (0, 0),
     # retrieval: bounded shuffles on natural keys
-    "inverted_index": (2, 0),
+    "inverted_index": (1, 0),  # narrow postings: per-row array_distinct
     "bm25_search": (1, 0),
     "tfidf_top_terms": (4, 0),
     "corpus_prep": (2, 0),
     # composed: tfidf(4) + index(2) + score groupBy + topk window;
     # queries must stay broadcast (smj would mean the build side grew)
-    "multi_query_search": (8, 0),
+    "multi_query_search": (7, 0),
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
