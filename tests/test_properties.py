@@ -161,6 +161,37 @@ def test_ngram_jaccard_stop_shingle_miss_is_documented(spark):
     assert stats.occurrence_pruned_frac == 1.0
 
 
+def test_canonicalize_keeps_best_quality_not_min_id(spark):
+    """The KEEP policy: within a near-dup cluster the highest-quality
+    member wins even when it has the highest id (keep-min-id would pick
+    doc 0 here); singletons keep themselves; exactly one keeper per
+    cluster."""
+    from flink_kafka_spark.operators.dedup import (
+        canonicalize_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base),                       # cluster {0,1,2}: near-identical
+            (1, base),
+            (2, base + " lambda mu nu xi"),  # longer + more distinct -> best
+            (3, "totally different words entirely here"),  # singleton
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    out = {r.doc_id: r for r in canonicalize_clusters(docs, pairs).collect()}
+    assert {i: out[i].cluster_id for i in range(4)} == {0: 0, 1: 0, 2: 0, 3: 3}
+    assert [out[i].keep for i in range(4)] == [0, 0, 1, 1]  # 2 beats 0/1
+    assert out[2].quality_score > out[0].quality_score
+    per_cluster = {}
+    for r in out.values():
+        per_cluster[r.cluster_id] = per_cluster.get(r.cluster_id, 0) + r.keep
+    assert all(v == 1 for v in per_cluster.values())
+
+
 def test_short_and_empty_docs_survive_every_shingle_path(spark):
     """Docs with fewer than n tokens (incl. empty and NULL text) have
     no shingles; they must yield empty shingle sets — not abort the job
