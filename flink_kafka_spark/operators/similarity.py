@@ -229,6 +229,149 @@ def cosine_topk_lsh(
     )
 
 
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+):
+    """Product quantization: split each vector into ``m`` subvectors,
+    train a KMeans codebook of ``n_codes`` centroids per subspace
+    (Spark ML, distributed), and encode every vector as ``m`` small
+    codes — dim·4 bytes shrink to m bytes (64-dim float32 → 8 bytes at
+    the defaults, 32×). The memory-compression standard for
+    billion-vector ANN serving.
+
+    Returns (codes DF ``(id, codes array<int>)``, codebooks as plain
+    Python ``[m][n_codes][sub_dim]`` floats — kilobytes, inlined as
+    literal expressions downstream, never joined).
+
+    Scale notes: training runs m KMeans fits over one cached narrow
+    projection (sample the corpus first at real scale — codebooks
+    converge on a few million rows); ENCODING is a single argmin
+    projection over centroid literals, no model object, no join, no
+    Python."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..caching import track
+
+    v = track(_as_double(corpus, id_col, vec_col, id_col, "v").persist())
+    dim = len(v.select("v").first()[0])  # bounded: one row
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    codebooks: list[list[list[float]]] = []
+    for i in range(m):
+        feat = v.withColumn(
+            "features", array_to_vector(F.expr(f"slice(v, {i * sub + 1}, {sub})"))
+        )
+        # maxIter=8: codebooks don't need full Lloyd convergence —
+        # quantization error past a few iterations moves recall by
+        # noise, while each extra iteration is a full pass per subspace
+        model = KMeans(
+            k=n_codes, seed=seed + i, maxIter=8, featuresCol="features", predictionCol="c"
+        ).fit(feat)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+    code_exprs = []
+    for i in range(m):
+        dists = []
+        for code_id, c in enumerate(codebooks[i]):
+            arr = f"array({', '.join(f'CAST({x} AS DOUBLE)' for x in c)})"
+            d = (
+                f"aggregate(zip_with(slice(v, {i * sub + 1}, {sub}), {arr}, "
+                f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            dists.append(f"named_struct('d', {d}, 'code', {code_id})")
+        code_exprs.append(
+            f"array_sort(array({', '.join(dists)}), "
+            f"(l, r) -> CASE WHEN l.d < r.d THEN -1 WHEN l.d > r.d THEN 1 "
+            f"WHEN l.code < r.code THEN -1 ELSE 1 END)[0].code"
+        )
+    codes = v.select(
+        id_col, F.expr(f"array({', '.join(code_exprs)})").alias("codes")
+    )
+    return codes, codebooks
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via product quantization with exact re-rank:
+    scan the m-byte PQ codes (not the float vectors), score each
+    (query, code) pair by cosine against the codebook-reconstructed
+    vector, keep ``refine``·k candidates per query, then re-rank just
+    those with the true float cosine. The heavy pass touches m bytes
+    per corpus vector instead of 4·dim — the refine join re-reads
+    floats for only refine·k·|queries| rows.
+
+    Output schema/semantics match the other ANN paths: (query_id,
+    neighbor_id, cosine, rank) with the TRUE cosine (the re-rank makes
+    every emitted score exact; approximation only affects which
+    candidates survive the first pass)."""
+    codes, codebooks = pq_encode(corpus, id_col, vec_col, m, n_codes, seed)
+    sub = len(codebooks[0][0])
+    # reconstructed corpus vector: concat of each subspace's centroid,
+    # looked up by code from the codebook literal (m element_at calls)
+    cb_arrs = []
+    for i in range(m):
+        cents = ", ".join(
+            f"array({', '.join(f'CAST({x} AS DOUBLE)' for x in c)})"
+            for c in codebooks[i]
+        )
+        cb_arrs.append(f"element_at(array({cents}), codes[{i}] + 1)")
+    recon = f"concat({', '.join(cb_arrs)})"
+    q = _as_double(queries, id_col, vec_col, "query_id", "qv")
+    approx = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_cos",
+            F.expr(
+                f"({_DOT.format(a='qv', b=recon)}) / "
+                f"(({_NORM.format(v='qv')}) * ({_NORM.format(v=recon)}))"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= refine * k)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    c = _as_double(corpus, id_col, vec_col, "neighbor_id", "cv")
+    rescored = cand.join(c, "neighbor_id").withColumn(
+        "cosine",
+        F.round(
+            F.expr(
+                f"({_DOT.format(a='qv', b='cv')}) / "
+                f"(({_NORM.format(v='qv')}) * ({_NORM.format(v='cv')}))"
+            ),
+            6,
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

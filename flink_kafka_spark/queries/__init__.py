@@ -70,8 +70,11 @@ class Query:
 #                          ann_cosine_topk stay)
 #   media_frame_sample    (media_decode_meta + media_features_check
 #                          keep the mapInPandas plumbing verified)
-# IN: tpch_q1 tpch_q3 tpch_q5 tpch_q6 tpch_q18 (the relational block's
-#     first driver rows), pii_scan, repetition_stats, dataset_split.
+# IN: tpch_q1 tpch_q3 tpch_q5 tpch_q18 (the relational block's first
+#     driver rows), pii_scan, repetition_stats, dataset_split, and the
+#     new ann_pq_check (every *_check must sit in the window; tpch_q6
+#     stayed out to make room — single-table filter+agg co-covered by
+#     tpch_q1's plan family and full pytest/rehearsal coverage).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
@@ -98,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "tpch_q6",
     "tpch_q18",
     # deduplication family
     "dedup_exact",
@@ -111,6 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_cosine_topk",
     "ann_lsh_check",
     "ann_ivf_check",
+    "ann_pq_check",
     "embedding_quantize",
     # text analysis family
     "text_stats",

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    cosine_topk_pq,
+)
 from ..tables import load
 from . import Query
 
@@ -124,12 +129,44 @@ def ann_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization variant: m=8 per-subspace KMeans codebooks
+    compress 64-dim float32 vectors to 8 bytes; the scan scores
+    codebook reconstructions and an exact re-rank of refine·k
+    candidates makes every emitted cosine true (model-dependent
+    candidate set → rows-only; `ann_pq_check` carries the invariant
+    oracle). On the near-uniform synthetic embeddings PQ recall@10 is
+    ~0.5 — same structural ceiling as IVF (see the LSH docstring)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_pq(queries, emb, k=TOP_K)
+
+
+ANN_PQ_RECALL_BOUND = 0.35
+
+
+def ann_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ invariants: every emitted cosine equals the independently
+    recomputed exact cosine (the re-rank guarantees it — a violation
+    means the refine join drifted), and recall@10 vs the exact twin
+    clears the bound (measured ~0.51 at sf0.001/0.01; bound leaves
+    margin for KMeans partitioning nondeterminism)."""
+    return _ann_check(
+        spark,
+        ann_cosine_topk_pq(spark, sf_dir),
+        ann_cosine_topk(spark, sf_dir),
+        ANN_PQ_RECALL_BOUND,
+    )
+
+
 QUERIES = [
     Query("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_ORACLE, "ext: brute-force ANN"),
     Query("ann_cosine_topk_lsh", ann_cosine_topk_lsh, None, "ext: SRP-LSH ANN"),
     Query("ann_cosine_topk_ivf", ann_cosine_topk_ivf, None, "ext: IVF ANN"),
+    Query("ann_cosine_topk_pq", ann_cosine_topk_pq, None, "ext: PQ ANN"),
     Query("ann_lsh_check", ann_lsh_check, ANN_CHECK_ORACLE, "ext: LSH ANN property oracle"),
     Query("ann_ivf_check", ann_ivf_check, ANN_CHECK_ORACLE, "ext: IVF ANN property oracle"),
+    Query("ann_pq_check", ann_pq_check, ANN_CHECK_ORACLE, "ext: PQ ANN property oracle"),
 ]
 
 

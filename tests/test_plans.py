@@ -95,6 +95,7 @@ PLAN_BOUNDS = {
     "ann_cosine_topk_int8": (1, 0),
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
+    "ann_pq_check": (12, 4),
     "dedup_minhash_lsh_check": (17, 2),
     "uv_approx_check": (6, 2),
     # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
