@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "inverted_index",
     "bm25_search",
     "embedding_quantize",
+    # round-5 addition (baselined at next re-record). The PQ ANN path
+    # stays out: its 8 KMeans fits per invocation are training cost,
+    # not query cost, and would dominate the bench's time budget.
+    "dedup_canonicalize",
 ]
 
 
