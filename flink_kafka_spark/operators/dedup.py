@@ -99,23 +99,37 @@ def ngram_jaccard_pairs(
       reuse; MinHash+LSH is the production path for unknown corpora."""
     from ..caching import track
 
+    # lazy cache, two consumers (sizes + buckets): the first stage to
+    # run fills it and the block-manager's per-block locks make the
+    # concurrent second wait-and-read — an eager count() would only
+    # spend an extra job (same pattern as the MinHash sets persist)
     sh = track(shingles(df, id_col, n).cache())
-    sh.count()  # eager: 3 consumers below would race to fill the cache
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    rare = sh.join(
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= stop_df),
-        "shingle",
-    ).select(id_col, "shingle")
-    a = rare.withColumnRenamed(id_col, "id_a")
-    b = rare.withColumnRenamed(id_col, "id_b")
+    # Intersection counts via single-shuffle bucket pairing (the same
+    # shape as the MinHash band buckets): group each shingle's ids,
+    # drop stop-shingle buckets (df > stop_df) BEFORE any fan-out,
+    # stream ordered pairs out of the sorted id array with nested
+    # generators (peak memory O(bucket), bounded by stop_df), then
+    # count shared shingles per pair. The previous formulation
+    # (per-shingle df groupBy + join back + a×b self-join) shuffled
+    # the corpus-sized (id, shingle) frame three times for the same
+    # pair multiset.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= stop_df))
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select("ids", F.posexplode("ids").alias("_i", "id_a"))
+        .select("id_a", F.expr("explode(slice(ids, _i + 2, size(ids)))").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "size_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "size_b")
+    # no broadcast hint on the sizes joins: sizes is one row per DOC
+    # (corpus-sized at scale) while inter is the near-dup pair set
+    # (small) — AQE broadcasts the pair side when it fits
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -577,9 +591,15 @@ def connected_components(
         .persist()
     )
     try:
+        # LAZY localCheckpoints throughout the loop: the convergence
+        # probe's collect() is the action that materializes (and
+        # truncates the lineage of) each round's labels, so every round
+        # costs ONE job instead of two (eager checkpoint + probe) — at
+        # small graph sizes the loop is pure scheduling overhead and
+        # this halves it; at scale the fused job does the same work.
         labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
             "comp", F.col("node")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         prev_sum = None
         converged = False
         for _ in range(max_iter):
@@ -590,7 +610,7 @@ def connected_components(
                 labels.union(msgs)
                 .groupBy("node")
                 .agg(F.min("comp").alias("comp"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
             if cur_sum == prev_sum:

@@ -76,7 +76,7 @@ PLAN_BOUNDS = {
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
-    "dedup_ngram_jaccard": (5, 0),  # narrow shingles: no corpus-wide distinct
+    "dedup_ngram_jaccard": (4, 0),  # narrow shingles + bucket pairing
     "dedup_prune_stats": (2, 0),
     # bench headline (not in DRIVER_WINDOW itself): fan-out repartition
     # + band-bucket groupBy + candidate distinct; everything else
@@ -96,7 +96,7 @@ PLAN_BOUNDS = {
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
     "ann_pq_check": (12, 4),
-    "dedup_minhash_lsh_check": (17, 2),
+    "dedup_minhash_lsh_check": (15, 2),
     "uv_approx_check": (6, 2),
     # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
     "decontaminate": (2, 0),
