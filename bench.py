@@ -214,9 +214,17 @@ def _regressions(timings: dict[str, float], calibration: float, sf: str) -> dict
             # slower box inflates only raw, a calibration that caught
             # an unrepresentative moment inflates only normalized —
             # either alone flaps on sub-second queries whose noise
-            # amplitude is ~±0.2 s.
+            # amplitude is ~±0.2 s. The raw condition only applies
+            # when this box is comparable to the baseline's
+            # (calibrations within 1.5x): on a much FASTER box raw
+            # seconds can never exceed 1.5x the baseline even for a
+            # real slowdown, which would mask exactly the cross-
+            # machine case the normalization exists for — there, the
+            # normalized ratio alone decides.
             ratio_now, ratio_base = t / calibration, b / base_cal
-            if ratio_now > REGRESSION_FACTOR * ratio_base and t > REGRESSION_FACTOR * b:
+            comparable_box = max(calibration, base_cal) / min(calibration, base_cal) <= 1.5
+            raw_ok = t > REGRESSION_FACTOR * b or not comparable_box
+            if ratio_now > REGRESSION_FACTOR * ratio_base and raw_ok:
                 out[name] = (
                     f"{ratio_now:.2f} vs baseline {ratio_base:.2f} cal-units "
                     f"({ratio_now / ratio_base:.2f}x; raw {t:.3f}s vs {b:.3f}s)"

@@ -20,13 +20,27 @@ Contract:
 - batch harnesses (bench.py, tools/rehearsal.py) additionally call
   :func:`release_all` after materializing each result, so nothing
   lingers between timed queries.
+
+RDD-level persists (``localCheckpoint`` in the connected-components
+loop) need the same lifecycle but are invisible to DataFrame
+``unpersist()`` and ``spark.catalog.clearCache()`` — they live in
+``sc.getPersistentRDDs()`` only (round-5 verdict item 1: every CC
+invocation stranded up to max_iter checkpointed label RDDs for the
+session lifetime). :func:`persistent_rdd_ids` / :func:`unpersist_rdds`
+/ :func:`track_rdds` give those persists the same track/release
+contract. One semantic difference, by design: unpersisting a
+locally-checkpointed RDD destroys its data (the persisted blocks ARE
+the checkpoint; the lineage is truncated), so a released
+checkpoint-backed DataFrame cannot be re-materialized — callers get a
+fresh frame by re-invoking the query, which every harness here does.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _LIVE: list[DataFrame] = []
+_LIVE_RDDS: list[frozenset[int]] = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -36,16 +50,51 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def persistent_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD currently registered persistent with the
+    context (includes localCheckpoint persists, which register
+    synchronously at the ``localCheckpoint()`` call)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def unpersist_rdds(sc, ids) -> int:
+    """Unpersist (non-blocking) the RDDs with the given ids, if still
+    registered. Returns the number released."""
+    n = 0
+    jmap = sc._jsc.getPersistentRDDs()
+    for entry in jmap.entrySet().toArray():
+        if int(entry.getKey()) in ids:
+            entry.getValue().unpersist(False)
+            n += 1
+    return n
+
+
+def track_rdds(ids) -> None:
+    """Register RDD-level persist ids (e.g. the final CC label
+    checkpoint) for deferred release by :func:`release_all`."""
+    if ids:
+        _LIVE_RDDS.append(frozenset(ids))
+
+
 def release_all() -> int:
-    """Unpersist every tracked DataFrame (non-blocking). Returns the
-    number released. Safe to call at any query boundary — tracked
-    frames' consumers have materialized by then."""
+    """Unpersist every tracked DataFrame and RDD-level persist
+    (non-blocking). Returns the number released. Safe to call at any
+    query boundary — tracked frames' consumers have materialized by
+    then."""
     n = 0
     while _LIVE:
         df = _LIVE.pop()
         try:
             df.unpersist()
             n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    while _LIVE_RDDS:
+        ids = _LIVE_RDDS.pop()
+        try:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                n += unpersist_rdds(spark.sparkContext, ids)
         except Exception:
             pass  # session already stopped — nothing to release
     return n

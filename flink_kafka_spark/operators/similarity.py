@@ -259,9 +259,15 @@ def pq_encode(
     from ..caching import track
 
     v = track(_as_double(corpus, id_col, vec_col, id_col, "v").persist())
-    dim = len(v.select("v").first()[0])  # bounded: one row
+    first = v.select("v").first()  # bounded: one row
+    if first is None:
+        raise ValueError("pq_encode: corpus is empty — nothing to train codebooks on")
+    dim = len(first[0])
     sub = dim // m
-    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    if sub * m != dim:  # not assert: must survive python -O
+        raise ValueError(
+            f"pq_encode: vector dim {dim} is not divisible by m={m} subspaces"
+        )
     codebooks: list[list[list[float]]] = []
     for i in range(m):
         feat = v.withColumn(

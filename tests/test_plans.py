@@ -84,9 +84,15 @@ PLAN_BOUNDS = {
     "dedup_minhash_lsh": (3, 0),
     "dedup_simhash_check": (4, 0),
     # CC runs to convergence while the plan is BUILT (iterative
-    # localCheckpoint loop); the residual plan is the final label join.
-    # SMJ=2: post-checkpoint label frames have no stats -> no broadcast
-    "dedup_clusters": (2, 2),
+    # localCheckpoint loop); the residual plan joins the BROADCAST
+    # label set (near-dup-graph-sized) against the corpus — zero
+    # shuffles, zero SMJ (round-5 verdict item 3 tightened these
+    # from (2,2)/uncovered)
+    "dedup_clusters": (0, 0),
+    # residual plan: broadcast label join + rank window over graph
+    # members only (1 exchange on cluster_id, tiny) + broadcast
+    # anti-join for keep=1 singletons
+    "dedup_canonicalize": (1, 0),
     "dedup_embedding_cosine": (0, 0),  # block-key broadcast equi-join
     # ANN family: exact baselines are one top-k shuffle; the *_check
     # sweeps compare approx vs exact so they carry both plans' shuffles
