@@ -75,17 +75,43 @@ class Query:
 #     new ann_pq_check (every *_check must sit in the window; tpch_q6
 #     stayed out to make room — single-table filter+agg co-covered by
 #     tpch_q1's plan family and full pytest/rehearsal coverage).
+#
+# Round-6 rotation applied — OUT (all green in r4+r5):
+#   page_views            (W5/A8/F1 tumbling sum; channel_stats +
+#                          global_stats keep the windowed-agg family)
+#   orders_daily_by_priority (A5/W4 count-by-key; order_timeout keeps
+#                          G7, staying windowed rows cover the shape)
+#   event_asof_order      (as-of join; hypothesis pytest + staying
+#                          interval/reconciliation join rows cover J*)
+#   dedup_exact           (md5 hash-groupBy; sweep oracle stays, 4
+#                          near-dup rows + canonicalize stay in)
+#   dedup_clusters        (min-id CC; dedup_canonicalize IN composes
+#                          the same pairs->CC pipeline plus rank)
+#   text_stats            (narrow stats projection; lang_id + doc_chunk
+#                          IN exercise the same text scan family)
+#   corpus_prep           (composed filter chain; decontaminate +
+#                          pii_scan + repetition_stats stay)
+#   export_shards         (range-partition release; profile_documents
+#                          + dataset_split stay for the family)
+#   sequence_packing      (shard-bucketed cumsum; dataset_split +
+#                          stratified_cap IN keep sampling covered)
+#   mixture_resample      (deterministic resample; dataset_split +
+#                          stratified_cap keep the id-hash family)
+# IN: dedup_canonicalize (r5's flagship — first driver hash),
+#     tpch_q4 tpch_q6 tpch_q7 tpch_q10 tpch_q12 (bench headliners
+#     q4/q6/q10 and never-hashed q7/q12 per the r5 verdict schedule;
+#     q8/q13-q17/q19/q21/q22/rollup follow in r7), lang_id, doc_chunk,
+#     pii_redact, stratified_cap (registered-but-never-hashed text/
+#     sampling rows).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
     "hot_items_sql",
-    "page_views",
     "unique_visitors",
     "uv_approx_check",
     "uv_bloom",
     "channel_stats",
     "global_stats",
-    "orders_daily_by_priority",
     "hot_sources_topn",
     "login_fail_detect",
     "order_timeout",
@@ -94,20 +120,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funnel_conversions",
     "order_ship_interval_join",
     "order_line_reconciliation",
-    "event_asof_order",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # relational block (rotated in r5)
+    # relational block (q1/q3/q5/q18 rotated in r5; q4/q6/q7/q10/q12
+    # rotated in r6 — bench headliners and never-hashed rows)
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q12",
     "tpch_q18",
     # deduplication family
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
-    "dedup_clusters",
+    "dedup_canonicalize",
     "dedup_embedding_cosine",
     # similarity / ANN family
     "ann_cosine_topk",
@@ -116,10 +146,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_pq_check",
     "embedding_quantize",
     # text analysis family
-    "text_stats",
-    "corpus_prep",
+    "lang_id",
+    "doc_chunk",
     "decontaminate",
     "pii_scan",
+    "pii_redact",
     "repetition_stats",
     # retrieval family
     "inverted_index",
@@ -127,11 +158,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bm25_search",
     "multi_query_search",
     # sampling / release family
-    "export_shards",
     "profile_documents",
-    "sequence_packing",
-    "mixture_resample",
     "dataset_split",
+    "stratified_cap",
     # multimodal family
     "media_decode_meta",
     "media_features_check",

@@ -28,8 +28,11 @@ PLAN_BOUNDS = {
     "tpch_q6": (1, 0),  # partial agg -> 1-row single-partition exchange -> final
     # dimension joins must all broadcast
     "tpch_q3": (2, 0),
+    "tpch_q4": (1, 0),  # semi-join broadcasts, one agg shuffle
     "tpch_q5": (2, 0),
+    "tpch_q7": (1, 0),  # all 5 dims broadcast onto the lineitem scan
     "tpch_q10": (2, 0),
+    "tpch_q12": (1, 0),  # orders broadcast-joins the pushed lineitem scan
     "tpch_q18": (3, 0),
     # windowed streaming analogs: one shuffle on (window, key) + topn
     "hot_items_topn": (2, 0),
@@ -65,6 +68,8 @@ PLAN_BOUNDS = {
     "pii_redact": (0, 0),
     "pii_scan": (0, 0),
     "repetition_stats": (0, 0),
+    "lang_id": (0, 0),
+    "stratified_cap": (1, 0),  # one shuffle on the stratum key
     # retrieval: bounded shuffles on natural keys
     "inverted_index": (1, 0),  # narrow postings: per-row array_distinct
     "bm25_search": (1, 0),
