@@ -94,6 +94,29 @@ def main() -> None:
     timings[f"connected_components_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert n_components == n_docs // 10, n_components
 
+    # canonicalize (keep-best) on planted clusters: same chain graph ->
+    # n/10 clusters of 10; the quality column plants ONE known winner
+    # per cluster (the member whose within-cluster offset equals
+    # cluster_index mod 10), so the probe asserts EXACT keep-set
+    # recovery — winner identity, not just row counts — while timing
+    # the composed labels->broadcast-join->rank pipeline at scale.
+    from flink_kafka_spark.operators.dedup import canonicalize_clusters
+
+    t0 = time.perf_counter()
+    winner = F.pmod(F.col("doc_id"), F.lit(10)) == F.pmod(
+        F.floor(F.col("doc_id") / 10), F.lit(10)
+    )
+    planted = F.when(winner, F.lit(1.0)).otherwise(F.lit(0.1))
+    keep = canonicalize_clusters(nodes, edges, id_col="doc_id", quality=planted).filter(
+        "keep = 1"
+    )
+    stats = keep.agg(
+        F.count("*").alias("n"),
+        F.sum((~winner).cast("int")).alias("wrong_winner"),
+    ).collect()[0]
+    timings[f"canonicalize_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert stats.n == n_docs // 10 and stats.wrong_winner == 0, tuple(stats)
+
     # retrieval ops at 10x the sf0.1 corpus: the inverted index is the
     # explode-heavy shape (vocab 500, ~40 tokens/doc -> ~2M postings),
     # BM25 is two narrow passes + a broadcast stats row. Both must stay
