@@ -504,6 +504,7 @@ def canonicalize_clusters(
     edges: DataFrame,
     id_col: str = "doc_id",
     quality: "F.Column | None" = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """The dedup KEEP step: near-dup pairs → connected components →
     per cluster, keep the single best-quality member (ties broken by
@@ -513,12 +514,19 @@ def canonicalize_clusters(
     use: of N near-identical crawls of a page, retain the best one.
 
     Scale design: one corpus-narrow quality projection joined onto the
-    CC labels (shuffle on id), then ONE shuffle on cluster_id for the
+    BROADCAST CC labels, then ONE shuffle on cluster_id for the
     per-cluster rank — near-dup clusters are small (transitive chains
-    of high-similarity docs), so the per-partition sort is bounded; a
-    pathological giant cluster would skew this shuffle, which is the
-    documented boundary (cap cluster size upstream if a corpus has
-    boilerplate-driven mega-clusters).
+    of high-similarity docs), so the per-partition sort is bounded.
+
+    ``skew_safe=True`` swaps the rank window for a ``min_by``
+    aggregation + broadcast winner join: the per-cluster argmax
+    becomes a partially-aggregatable (map-side-combined) reduction, so
+    a boilerplate-driven mega-cluster — millions of members landing in
+    ONE rank-window partition under the default plan — reduces to one
+    row per cluster per map partition before the shuffle. Same rows
+    out (pinned by a pytest equivalence test including a planted
+    mega-cluster); costs one extra scan of the in-graph rows, which is
+    why it is opt-in rather than the default.
     """
     from pyspark.sql import Window
 
@@ -541,18 +549,34 @@ def canonicalize_clusters(
         F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
     )
     q = df.select(F.col(id_col), quality.alias("quality_score"))
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality_score").desc(), F.col(id_col).asc()
-    )
-    in_graph = (
-        q.join(F.broadcast(labels), id_col)
-        .select(
+    scored = q.join(F.broadcast(labels), id_col)
+    if skew_safe:
+        # per-cluster argmax as a partial-aggregatable reduction:
+        # min_by over (-quality, id) = highest quality, ties to lowest
+        # id — identical semantics to the rank window below. Winners
+        # are one row per cluster (bounded by the cluster count, far
+        # below the member count for mega-clusters) and broadcast back.
+        winners = scored.groupBy("cluster_id").agg(
+            F.min_by(
+                F.col(id_col), F.struct(-F.col("quality_score"), F.col(id_col))
+            ).alias("_win_id")
+        )
+        in_graph = scored.join(F.broadcast(winners), "cluster_id").select(
+            id_col,
+            "cluster_id",
+            "quality_score",
+            (F.col(id_col) == F.col("_win_id")).cast("int").alias("keep"),
+        )
+    else:
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), F.col(id_col).asc()
+        )
+        in_graph = scored.select(
             id_col,
             "cluster_id",
             "quality_score",
             (F.row_number().over(w) == 1).cast("int").alias("keep"),
         )
-    )
     singletons = q.join(
         F.broadcast(labels.select(id_col)), id_col, "left_anti"
     ).select(
@@ -673,13 +697,34 @@ def _cc_labels(
         )
         prev_sum = None
         converged = False
-        for _ in range(max_iter):
+        for i in range(max_iter):
             msgs = sym.join(labels, sym.src == labels.node).select(
                 F.col("dst").alias("node"), F.col("comp")
             )
-            labels, new_ids = _chk(
-                labels.union(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
-            )
+            prop = labels.union(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+            if i >= 2:
+                # Pointer jumping from round 3 on: shortcut every label
+                # through its own label (L(v) <- L(L(v)), a self-join
+                # on comp — every comp value is itself an in-graph node
+                # id, so the left join is total). Reach doubles per
+                # round: O(log diameter) rounds instead of O(diameter),
+                # the production CC recipe for long transitive chains
+                # (Kiveris et al., "Connected Components in MapReduce
+                # and Beyond" gets its log bound the same way). Gated
+                # to round >= 3 because real near-dup graphs are
+                # shallow — diameter <= 4 converges in the plain rounds
+                # and never pays the extra self-join shuffle; only a
+                # pathological chain (boilerplate mega-cluster) reaches
+                # the jumping rounds, which is exactly when the
+                # O(diameter) loop (and its hard max_iter fail) needs
+                # the help.
+                hop = prop.select(
+                    F.col("node").alias("via"), F.col("comp").alias("via_comp")
+                )
+                prop = prop.join(hop, prop.comp == hop.via, "left").select(
+                    "node", F.least("comp", F.coalesce("via_comp", "comp")).alias("comp")
+                )
+            labels, new_ids = _chk(prop)
             cur_sum = labels.agg(
                 F.sum(F.col("comp").cast("decimal(38,0)"))
             ).collect()[0][0]

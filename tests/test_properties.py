@@ -192,6 +192,46 @@ def test_canonicalize_keeps_best_quality_not_min_id(spark):
     assert all(v == 1 for v in per_cluster.values())
 
 
+def test_canonicalize_skew_safe_path_is_row_identical(spark):
+    """The skew_safe=True plan (min_by partial aggregation + broadcast
+    winner join, for boilerplate mega-clusters that would skew the rank
+    window's cluster_id partition) must emit EXACTLY the rows of the
+    default window plan — including a planted 300-member mega-cluster
+    where the winner has the highest id (so a wrong tie-break or a
+    dropped partial shows up as a different keeper), a small cluster
+    with quality ties (lowest id must win), and singletons."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.dedup import canonicalize_clusters
+
+    # synthetic graph, synthetic quality: mega-cluster = ids 0..299
+    # (chain edges), winner planted at id 299; cluster {1000, 1001}
+    # tied on quality -> 1000 wins; 2000/2001 singletons.
+    n_mega = 300
+    rows = [(i,) for i in range(n_mega)] + [(1000,), (1001,), (2000,), (2001,)]
+    docs = spark.createDataFrame(rows, "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n_mega - 1)] + [(1000, 1001)],
+        "id_a long, id_b long",
+    )
+    quality = (
+        F.when(F.col("doc_id") == 299, F.lit(9.0))
+        .when(F.col("doc_id") < n_mega, F.lit(1.0))
+        .otherwise(F.lit(5.0))
+    )
+    kw = dict(id_col="doc_id", quality=quality)
+    default = sorted(
+        tuple(r) for r in canonicalize_clusters(docs, edges, **kw).collect()
+    )
+    skew_safe = sorted(
+        tuple(r)
+        for r in canonicalize_clusters(docs, edges, skew_safe=True, **kw).collect()
+    )
+    assert default == skew_safe
+    keepers = {r[0] for r in default if r[3] == 1}
+    assert keepers == {299, 1000, 2000, 2001}
+
+
 def test_short_and_empty_docs_survive_every_shingle_path(spark):
     """Docs with fewer than n tokens (incl. empty and NULL text) have
     no shingles; they must yield empty shingle sets — not abort the job
