@@ -232,6 +232,38 @@ def test_canonicalize_skew_safe_path_is_row_identical(spark):
     assert keepers == {299, 1000, 2000, 2001}
 
 
+def test_cc_checkpoints_release_at_query_boundary(spark):
+    """Round-5 verdict item 1 as a mechanical guard: the CC loop's
+    localCheckpoint persists are invisible to DataFrame
+    unpersist/clearCache, so the loop must hold at most the FINAL
+    labels checkpoint after it returns (earlier rounds unpersisted as
+    each new round materializes), and release_all() must drop that
+    too — a refactor that re-strands round checkpoints fails here, not
+    in the next bench's leak probe."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.caching import release_all
+    from flink_kafka_spark.operators.dedup import connected_components
+
+    release_all()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    n = 1000  # diameter-9 chains: several loop rounds
+    edges = (
+        spark.range(n)
+        .filter("pmod(id, 10) < 9")
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    assert connected_components(edges, nodes, id_col="doc_id").count() == n
+    resident = jsc.getPersistentRDDs().size() - base
+    assert resident <= 1, f"{resident} persistent RDDs after CC (want <=1: final labels)"
+    release_all()
+    spark.catalog.clearCache()
+    assert jsc.getPersistentRDDs().size() <= base
+
+
 def test_short_and_empty_docs_survive_every_shingle_path(spark):
     """Docs with fewer than n tokens (incl. empty and NULL text) have
     no shingles; they must yield empty shingle sets — not abort the job
