@@ -505,6 +505,7 @@ def canonicalize_clusters(
     id_col: str = "doc_id",
     quality: "F.Column | None" = None,
     skew_safe: bool = False,
+    max_iter: int = 25,
 ) -> DataFrame:
     """The dedup KEEP step: near-dup pairs → connected components →
     per cluster, keep the single best-quality member (ties broken by
@@ -545,7 +546,7 @@ def canonicalize_clusters(
     # beat persisting a corpus-sized quality frame at 100 TB. Boundary:
     # if the dup graph itself outgrows broadcast (billions of dups),
     # drop the hints and let AQE pick the strategy.
-    labels = _cc_labels(edges, max_iter=25).select(
+    labels = _cc_labels(edges, max_iter=max_iter).select(
         F.col("node").alias(id_col), F.col("comp").alias("cluster_id")
     )
     q = df.select(F.col(id_col), quality.alias("quality_score"))
