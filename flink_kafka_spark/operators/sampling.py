@@ -245,6 +245,39 @@ def export_shards(
     )
 
 
+def shuffle_corpus(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42, shard_size: int = 100
+) -> DataFrame:
+    """Deterministic global corpus shuffle: a pseudo-random but fully
+    reproducible permutation of the corpus with contiguous positions
+    and fixed-size shards — the "shuffle training order before
+    packing/serving" step of a dataset release. Position is the rank
+    of ``md5(seed|id)`` (ties broken by id), so re-runs on any
+    partitioning, any cluster size, produce the identical permutation,
+    and changing the seed is a fresh permutation.
+
+    Scale design: the permutation key is a pure projection and the
+    global rank reuses :func:`export_shards`'s two-pass range
+    partition (sample boundaries, per-partition offsets) — never a
+    single-partition window. One extra benefit at 100 TB: hash order
+    is uniform by construction, so the range partitions are balanced
+    no matter how skewed the input file order was.
+    """
+    # 32-hex-digit md5 then zero-padded id: fixed-width segments make
+    # the composite's lexicographic order equal (md5, id) order on any
+    # engine
+    key = F.concat_ws(
+        "|",
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    return (
+        export_shards(df.withColumn("_shuffle_key", key), "_shuffle_key", shard_size)
+        .withColumnRenamed("global_rn", "position")
+        .drop("_shuffle_key")
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One-pass column profile (row count, nulls, distincts, min/max)
     in long form — the data-quality "describe" step before a corpus is

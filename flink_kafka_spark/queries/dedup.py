@@ -205,6 +205,16 @@ def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_clusters(docs, pairs, id_col="doc_id")
 
 
+def dedup_canonicalize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-cluster-safe keep-best plan (min_by partial aggregation
+    + broadcast winner join instead of the rank window) — row-identical
+    to dedup_canonicalize by contract, so it shares its oracle; a
+    divergence between the two plans fails this row."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return canonicalize_clusters(docs, pairs, id_col="doc_id", skew_safe=True)
+
+
 DEDUP_CANONICALIZE_ORACLE = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -406,6 +416,12 @@ QUERIES = [
         dedup_canonicalize,
         DEDUP_CANONICALIZE_ORACLE,
         "ext: keep best-quality doc per near-dup cluster",
+    ),
+    Query(
+        "dedup_canonicalize_skew",
+        dedup_canonicalize_skew,
+        DEDUP_CANONICALIZE_ORACLE,
+        "ext: mega-cluster-safe keep-best (min_by + winner join)",
     ),
     Query(
         "dedup_embedding_cosine",

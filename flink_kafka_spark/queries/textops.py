@@ -641,6 +641,41 @@ QUERIES.append(
 )
 
 
+SHUFFLE_SEED = 42
+
+
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (extension: reproducible
+    training-order permutation; rank of md5(seed|id) via the two-pass
+    range-partition pattern — never a single-partition window)."""
+    from ..operators.sampling import shuffle_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_corpus(docs, "doc_id", seed=SHUFFLE_SEED, shard_size=EXPORT_SHARD_SIZE)
+
+
+CORPUS_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS position,
+       CAST(floor((ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1) / {EXPORT_SHARD_SIZE})
+            AS BIGINT) AS shard_id
+FROM keyed
+"""
+
+QUERIES.append(
+    Query(
+        "corpus_shuffle",
+        corpus_shuffle_q,
+        CORPUS_SHUFFLE_ORACLE,
+        "ext: deterministic training-order shuffle",
+    )
+)
+
+
 PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
