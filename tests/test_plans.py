@@ -98,6 +98,9 @@ PLAN_BOUNDS = {
     # members only (1 exchange on cluster_id, tiny) + broadcast
     # anti-join for keep=1 singletons
     "dedup_canonicalize": (1, 0),
+    # skew-safe twin: the rank window becomes a min_by agg (same one
+    # cluster_id exchange, map-side combined) + broadcast winner join
+    "dedup_canonicalize_skew": (1, 0),
     "dedup_embedding_cosine": (0, 0),  # block-key broadcast equi-join
     # ANN family: exact baselines are one top-k shuffle; the *_check
     # sweeps compare approx vs exact so they carry both plans' shuffles
@@ -113,6 +116,7 @@ PLAN_BOUNDS = {
     "decontaminate": (2, 0),
     # sampling / release family
     "export_shards": (3, 0),  # two-pass range partition
+    "corpus_shuffle": (3, 0),  # same two-pass machinery over the md5 key
     "profile_documents": (2, 0),
     "sequence_packing": (1, 0),
     "mixture_resample": (3, 0),
