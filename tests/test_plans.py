@@ -31,9 +31,22 @@ PLAN_BOUNDS = {
     "tpch_q4": (1, 0),  # semi-join broadcasts, one agg shuffle
     "tpch_q5": (2, 0),
     "tpch_q7": (1, 0),  # all 5 dims broadcast onto the lineitem scan
+    "tpch_q8": (1, 0),
     "tpch_q10": (2, 0),
     "tpch_q12": (1, 0),  # orders broadcast-joins the pushed lineitem scan
+    "tpch_q13": (2, 0),  # right-outer count + distribution agg
+    "tpch_q14": (1, 0),
+    "tpch_q15": (3, 0),  # revenue view reused across max-subquery + join
+    "tpch_q16": (2, 0),
+    "tpch_q17": (2, 0),  # per-part avg subquery + main scan
     "tpch_q18": (3, 0),
+    "tpch_q19": (1, 0),
+    "tpch_q21": (3, 0),  # exists/not-exists as semi/anti over lineitem
+    "tpch_q22": (2, 0),
+    "orders_rollup": (1, 0),
+    "customer_running_totals": (1, 0),  # per-key window, one shuffle
+    "quantity_percentiles": (1, 0),
+    "quantity_percentiles_approx": (1, 0),
     # windowed streaming analogs: one shuffle on (window, key) + topn
     "hot_items_topn": (2, 0),
     "hot_items_report": (2, 0),
@@ -69,6 +82,10 @@ PLAN_BOUNDS = {
     "pii_scan": (0, 0),
     "repetition_stats": (0, 0),
     "lang_id": (0, 0),
+    "text_quality": (0, 0),
+    "bpe_token_count": (0, 0),
+    "doc_fingerprint": (0, 0),
+    "media_features": (0, 0),
     "stratified_cap": (1, 0),  # one shuffle on the stratum key
     # retrieval: bounded shuffles on natural keys
     "inverted_index": (1, 0),  # narrow postings: per-row array_distinct
@@ -107,6 +124,10 @@ PLAN_BOUNDS = {
     # (SMJ between two derived frames without stats is expected there)
     "ann_cosine_topk": (1, 0),
     "ann_cosine_topk_int8": (1, 0),
+    "ann_cosine_topk_lsh": (1, 0),
+    "ann_cosine_topk_ivf": (1, 0),
+    "ann_cosine_topk_pq": (1, 0),
+    "dedup_simhash": (1, 0),
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
     "ann_pq_check": (12, 4),
@@ -127,15 +148,14 @@ PLAN_BOUNDS = {
 }
 
 
-def test_every_driver_window_query_is_pinned():
-    """Round-4 verdict #4: every driver-verified query needs a plan pin
-    so a shape change (new shuffle, degraded broadcast) fails pytest
-    before the bench measures it. Adding a query to DRIVER_WINDOW
-    without a PLAN_BOUNDS entry fails here."""
-    from flink_kafka_spark.queries import DRIVER_WINDOW
-
-    unpinned = [n for n in DRIVER_WINDOW if n not in PLAN_BOUNDS]
-    assert not unpinned, f"DRIVER_WINDOW queries without a plan pin: {unpinned}"
+def test_every_registered_query_is_pinned():
+    """Round-4 verdict #4, widened in round 6 from the driver window to
+    the WHOLE registry: every registered query needs a plan pin so a
+    shape change (new shuffle, degraded broadcast) fails pytest before
+    the bench or a driver row measures it. Registering a query without
+    a PLAN_BOUNDS entry fails here."""
+    unpinned = [n for n in all_queries() if n not in PLAN_BOUNDS]
+    assert not unpinned, f"registered queries without a plan pin: {unpinned}"
 
 
 def test_plan_shapes(spark, sf_dir):
