@@ -232,6 +232,37 @@ def test_canonicalize_skew_safe_path_is_row_identical(spark):
     assert keepers == {299, 1000, 2000, 2001}
 
 
+def test_corpus_shuffle_is_a_partitioning_invariant_permutation(spark):
+    """The training-order shuffle must be a function of (seed, id)
+    only: identical output no matter how the input is partitioned
+    (1 vs 8 partitions — range-boundary sampling must not leak into
+    results), positions an exact 0..n-1 permutation, shards fixed-size
+    except the last, and a different seed a different permutation."""
+    from flink_kafka_spark.operators.sampling import shuffle_corpus
+
+    ids = [i * 7 for i in range(257)]  # non-contiguous, not a power of 2
+    rows = [(i,) for i in ids]
+    out = {}
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "doc_id long").repartition(parts)
+        out[parts] = sorted(
+            tuple(r) for r in shuffle_corpus(df, "doc_id", seed=7, shard_size=50).collect()
+        )
+    assert out[1] == out[8]
+    positions = sorted(r[1] for r in out[1])
+    assert positions == list(range(len(ids)))
+    from collections import Counter
+
+    shard_sizes = Counter(r[2] for r in out[1])
+    assert all(n == 50 for s, n in shard_sizes.items() if s < max(shard_sizes))
+    assert shard_sizes[max(shard_sizes)] == len(ids) % 50
+    df = spark.createDataFrame(rows, "doc_id long")
+    other = sorted(
+        tuple(r) for r in shuffle_corpus(df, "doc_id", seed=8, shard_size=50).collect()
+    )
+    assert other != out[1]  # seed changes the permutation
+
+
 def test_cc_checkpoints_release_at_query_boundary(spark):
     """Round-5 verdict item 1 as a mechanical guard: the CC loop's
     localCheckpoint persists are invisible to DataFrame
