@@ -551,16 +551,31 @@ def canonicalize_clusters(
     )
     q = df.select(F.col(id_col), quality.alias("quality_score"))
     scored = q.join(F.broadcast(labels), id_col)
+    # ONE rank key shared verbatim by both plans so they cannot diverge
+    # on degenerate quality values (round-6 advice: min_by's struct
+    # ordering sorts a NULL field FIRST ascending while the window's
+    # desc ordering put NULLs LAST — a NULL-quality member won under
+    # skew_safe and lost under the default; NaN diverged the opposite
+    # way, winning desc ordering but losing min_by). Semantics, now
+    # explicit: highest quality wins; NULL/NaN quality loses to ANY
+    # real quality; all ties (including all-NULL/NaN clusters) break to
+    # lowest id. Ascending over (bad-flag, -quality, id) gives exactly
+    # that in min_by and window alike.
+    _qd = F.col("quality_score").cast("double")
+    _q_bad = _qd.isNull() | F.isnan(_qd)
+    _rank_key = (
+        _q_bad.cast("int"),
+        F.when(_q_bad, F.lit(0.0)).otherwise(-_qd),
+        F.col(id_col),
+    )
     if skew_safe:
         # per-cluster argmax as a partial-aggregatable reduction:
-        # min_by over (-quality, id) = highest quality, ties to lowest
-        # id — identical semantics to the rank window below. Winners
-        # are one row per cluster (bounded by the cluster count, far
-        # below the member count for mega-clusters) and broadcast back.
+        # min_by over the shared rank key — identical semantics to the
+        # rank window below by construction. Winners are one row per
+        # cluster (bounded by the cluster count, far below the member
+        # count for mega-clusters) and broadcast back.
         winners = scored.groupBy("cluster_id").agg(
-            F.min_by(
-                F.col(id_col), F.struct(-F.col("quality_score"), F.col(id_col))
-            ).alias("_win_id")
+            F.min_by(F.col(id_col), F.struct(*_rank_key)).alias("_win_id")
         )
         in_graph = scored.join(F.broadcast(winners), "cluster_id").select(
             id_col,
@@ -570,7 +585,7 @@ def canonicalize_clusters(
         )
     else:
         w = Window.partitionBy("cluster_id").orderBy(
-            F.col("quality_score").desc(), F.col(id_col).asc()
+            *[k.asc() for k in _rank_key]
         )
         in_graph = scored.select(
             id_col,
@@ -726,12 +741,18 @@ def _cc_labels(
                     "node", F.least("comp", F.coalesce("via_comp", "comp")).alias("comp")
                 )
             labels, new_ids = _chk(prop)
+            # fold the freshly registered checkpoint into the tracked
+            # set BEFORE the probe action: localCheckpoint registers
+            # its persist synchronously, so if the collect below raises
+            # the except handler must release this round's blocks too,
+            # not just the previous round's (round-6 advice).
+            live_ids = live_ids | new_ids
             cur_sum = labels.agg(
                 F.sum(F.col("comp").cast("decimal(38,0)"))
             ).collect()[0][0]
             # the collect materialized the NEW checkpoint — the previous
             # round's blocks are now dead weight in the block manager
-            unpersist_rdds(sc, live_ids)
+            unpersist_rdds(sc, live_ids - new_ids)
             live_ids = new_ids
             if cur_sum == prev_sum:
                 converged = True

@@ -199,37 +199,60 @@ def test_canonicalize_skew_safe_path_is_row_identical(spark):
     default window plan — including a planted 300-member mega-cluster
     where the winner has the highest id (so a wrong tie-break or a
     dropped partial shows up as a different keeper), a small cluster
-    with quality ties (lowest id must win), and singletons."""
+    with quality ties (lowest id must win), singletons, and — round-6
+    advice — NULL- and NaN-quality members: both must LOSE to any real
+    quality in BOTH plans (min_by's struct ordering sorts NULL first
+    ascending and NaN last, the window's desc ordering did the exact
+    opposite — the shared rank key makes divergence impossible), and an
+    all-degenerate cluster must break the tie to the lowest id."""
+    import math
+
     from pyspark.sql import functions as F
 
     from flink_kafka_spark.operators.dedup import canonicalize_clusters
 
     # synthetic graph, synthetic quality: mega-cluster = ids 0..299
     # (chain edges), winner planted at id 299; cluster {1000, 1001}
-    # tied on quality -> 1000 wins; 2000/2001 singletons.
+    # tied on quality -> 1000 wins; 2000/2001 singletons;
+    # {3000 NULL, 3001 real} -> 3001; {4000 NaN, 4001 real} -> 4001;
+    # {5000 NULL, 5001 NaN} all-degenerate -> lowest id 5000.
     n_mega = 300
-    rows = [(i,) for i in range(n_mega)] + [(1000,), (1001,), (2000,), (2001,)]
+    rows = [(i,) for i in range(n_mega)] + [
+        (1000,), (1001,), (2000,), (2001,),
+        (3000,), (3001,), (4000,), (4001,), (5000,), (5001,),
+    ]
     docs = spark.createDataFrame(rows, "doc_id long")
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(n_mega - 1)] + [(1000, 1001)],
+        [(i, i + 1) for i in range(n_mega - 1)]
+        + [(1000, 1001), (3000, 3001), (4000, 4001), (5000, 5001)],
         "id_a long, id_b long",
     )
     quality = (
         F.when(F.col("doc_id") == 299, F.lit(9.0))
         .when(F.col("doc_id") < n_mega, F.lit(1.0))
+        .when(F.col("doc_id").isin(3000, 5000), F.lit(None).cast("double"))
+        .when(F.col("doc_id") == 3001, F.lit(0.5))
+        .when(F.col("doc_id").isin(4000, 5001), F.lit(float("nan")))
+        .when(F.col("doc_id") == 4001, F.lit(2.0))
         .otherwise(F.lit(5.0))
     )
+
+    def _key(r):
+        # NaN != NaN would defeat tuple equality; normalize for compare
+        q = r[2]
+        return (r[0], r[1], "nan" if q is not None and math.isnan(q) else q, r[3])
+
     kw = dict(id_col="doc_id", quality=quality)
     default = sorted(
-        tuple(r) for r in canonicalize_clusters(docs, edges, **kw).collect()
+        _key(r) for r in canonicalize_clusters(docs, edges, **kw).collect()
     )
     skew_safe = sorted(
-        tuple(r)
+        _key(r)
         for r in canonicalize_clusters(docs, edges, skew_safe=True, **kw).collect()
     )
     assert default == skew_safe
     keepers = {r[0] for r in default if r[3] == 1}
-    assert keepers == {299, 1000, 2000, 2001}
+    assert keepers == {299, 1000, 2000, 2001, 3001, 4001, 5000}
 
 
 def test_corpus_shuffle_is_a_partitioning_invariant_permutation(spark):
