@@ -103,6 +103,27 @@ class Query:
 #     q8/q13-q17/q19/q21/q22/rollup follow in r7), lang_id, doc_chunk,
 #     pii_redact, stratified_cap (registered-but-never-hashed text/
 #     sampling rows).
+#
+# Round-7 rotation applied — OUT (all green in r5+r6):
+#   hot_sources_topn      (F2/F3/R2; apache.log reference-parity pytest
+#                          + hot_items_topn keep the topn family)
+#   login_fail_detect     (T1/T2/W8; CEP strict + 3s-delay watermark
+#                          pytests stay; order_timeout keeps stateful)
+#   funnel_conversions    (T1/T3 composition; order_timeout + pattern
+#                          pytests cover both constituent CEP shapes)
+#   tpch_q1 tpch_q3 tpch_q5 tpch_q18 (r5 rotation's relational block,
+#                          twice-green; staying q4-q13 rows + sweep
+#                          oracles keep the scan/join/agg family)
+#   decontaminate         (broadcast-shingle semi-join; sweep oracle +
+#                          staying text rows cover the scan family)
+#   profile_documents     (one-pass agg; sweep oracle stays)
+#   dataset_split         (pure id-hash; determinism pytest + staying
+#                          stratified_cap/corpus_shuffle keep sampling)
+# IN (the 7 never-driver-hashed registry rows per the r6 verdict:
+#     corpus_shuffle, dedup_canonicalize_skew, ann_cosine_topk_pq,
+#     text_quality, doc_fingerprint, bpe_token_count, media_features)
+# plus 3 of the r02-stale relational rows (tpch_q8, tpch_q13,
+#     orders_rollup; q14-q22 scheduled for r8).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
@@ -112,57 +133,57 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "uv_bloom",
     "channel_stats",
     "global_stats",
-    "hot_sources_topn",
-    "login_fail_detect",
     "order_timeout",
     "click_blacklist",
     "sessionize",
-    "funnel_conversions",
     "order_ship_interval_join",
     "order_line_reconciliation",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # relational block (q1/q3/q5/q18 rotated in r5; q4/q6/q7/q10/q12
-    # rotated in r6 — bench headliners and never-hashed rows)
-    "tpch_q1",
-    "tpch_q3",
+    # relational block (q4/q6/q7/q10/q12 rotated in r6;
+    # q8/q13/orders_rollup rotated in r7 — r02-stale rows)
     "tpch_q4",
-    "tpch_q5",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
     "tpch_q12",
-    "tpch_q18",
+    "tpch_q13",
+    "orders_rollup",
     # deduplication family
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_canonicalize",
+    "dedup_canonicalize_skew",
     "dedup_embedding_cosine",
     # similarity / ANN family
     "ann_cosine_topk",
     "ann_lsh_check",
     "ann_ivf_check",
     "ann_pq_check",
+    "ann_cosine_topk_pq",
     "embedding_quantize",
     # text analysis family
     "lang_id",
     "doc_chunk",
-    "decontaminate",
     "pii_scan",
     "pii_redact",
     "repetition_stats",
+    "text_quality",
+    "doc_fingerprint",
+    "bpe_token_count",
     # retrieval family
     "inverted_index",
     "tfidf_top_terms",
     "bm25_search",
     "multi_query_search",
     # sampling / release family
-    "profile_documents",
-    "dataset_split",
     "stratified_cap",
+    "corpus_shuffle",
     # multimodal family
     "media_decode_meta",
+    "media_features",
     "media_features_check",
 )
 

@@ -57,16 +57,22 @@ def test_driver_window_covers_every_family():
         assert QUERIES[c].oracle is not None
 
     # at least one FULL-oracle row per component family inside the window
+    # (member lists enumerate the family's registered queries — extend
+    # them when registering, so a rotation can't empty a family)
     families = {
         "dedup": ["dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh_check",
-                  "dedup_simhash_check", "dedup_clusters", "dedup_embedding_cosine"],
+                  "dedup_simhash_check", "dedup_clusters", "dedup_embedding_cosine",
+                  "dedup_canonicalize", "dedup_canonicalize_skew"],
         "ann": ["ann_cosine_topk", "ann_lsh_check", "ann_ivf_check",
-                "embedding_quantize", "ann_cosine_topk_int8"],
-        "text": ["text_stats", "corpus_prep", "decontaminate"],
+                "embedding_quantize", "ann_cosine_topk_int8", "ann_pq_check"],
+        "text": ["text_stats", "corpus_prep", "decontaminate", "lang_id",
+                 "doc_chunk", "pii_scan", "pii_redact", "repetition_stats",
+                 "text_quality", "doc_fingerprint", "bpe_token_count"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
-                     "mixture_resample"],
+                     "mixture_resample", "dataset_split", "stratified_cap",
+                     "corpus_shuffle"],
         "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check"],
     }
     for fam, members in families.items():
