@@ -22,7 +22,18 @@ on single-JVM variance; run ``python bench.py --check`` to exit 1 on
 regressions instead (pre-commit usage). Sub-0.5 s baselines are exempt
 (run-to-run noise is ~±0.2 s at that scale). If the committed baseline
 predates calibration (no "calibration_sec"), the guardrail falls back
-to absolute seconds."""
+to absolute seconds.
+
+BASELINE FREEZE POLICY (round-6 verdict item 3): BENCH_BASELINE.json
+is FROZEN. A baseline that tracks current performance can only ever
+see one round of drift, so re-recording it requires (a) a commit
+message stating the plan-shape justification (a query's pinned plan
+changed, or a query was added/removed from BENCH_QUERIES with no
+prior baseline entry), and (b) keeping the superseded file in-tree as
+BENCH_BASELINE_r{N}.json so cross-round drift stays measurable.
+Queries absent from the baseline (newly benched) are skipped by the
+guardrail until the next justified re-record — that is intentional,
+not a reason to refresh."""
 
 from __future__ import annotations
 
@@ -78,6 +89,12 @@ BENCH_QUERIES = [
     # stays out: its 8 KMeans fits per invocation are training cost,
     # not query cost, and would dominate the bench's time budget.
     "dedup_canonicalize",
+    # round-7 addition: the mega-cluster-safe keep-best twin, benched
+    # alongside its default-plan sibling so the min_by + broadcast
+    # winner plan gets a wall-time datapoint (round-6 verdict item 7).
+    # No baseline entry yet — guardrail skips it until a justified
+    # re-record.
+    "dedup_canonicalize_skew",
 ]
 
 
@@ -107,6 +124,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
+    # The CC-backed queries release their localCheckpoint-backed label
+    # RDDs at every query boundary BY DESIGN (caching.py contract:
+    # checkpoint blocks are invisible to DataFrame unpersist, so the
+    # operator tracks and drops them itself). Spark logs a WARN for
+    # every such release — "RDD ... was locally checkpointed, its
+    # lineage has been truncated and cannot be recomputed after
+    # unpersisting" — which is the expected voice of that hygiene, not
+    # a problem, and dozens of them drown the bench tail where the
+    # driver's probes and REAL warnings surface (round-6 verdict item
+    # 1). Silence exactly that logger; everything else stays at WARN.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
     registry = all_queries()
 
     # Warm the JVM once per query shape at the smallest SF (codegen

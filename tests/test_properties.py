@@ -318,6 +318,28 @@ def test_cc_checkpoints_release_at_query_boundary(spark):
     assert jsc.getPersistentRDDs().size() <= base
 
 
+def test_cc_pointer_jumping_converges_on_a_pathological_chain(spark):
+    """A single 1000-node chain has diameter 999: plain hash-to-min
+    label propagation needs O(diameter) rounds and would raise the
+    non-convergence RuntimeError at max_iter=25. Pointer jumping
+    (L(v) <- L(L(v)) from round 3 on) doubles label reach per round, so
+    the loop must converge in ~log2(1000) ~ 10 jumping rounds — this
+    test failing means the shortcut join was dropped or de-gated. The
+    100k-node twin lives in tools/stress.py (round-6 verdict #4)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.dedup import connected_components
+
+    n = 1000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = connected_components(edges, nodes, id_col="doc_id", max_iter=25)
+    labels = {r.cluster_id for r in out.collect()}
+    assert labels == {0}  # one component, min-id label
+
+
 def test_short_and_empty_docs_survive_every_shingle_path(spark):
     """Docs with fewer than n tokens (incl. empty and NULL text) have
     no shingles; they must yield empty shingle sets — not abort the job

@@ -108,3 +108,41 @@ def test_degenerate_docs_no_crash(spark):
     assert reps[5].n_tokens == 3
     assert reps[5].top_unigram_frac == 0.6667
     assert reps[5].top_bigram_frac == 0.5
+
+
+def test_mono_id_rank_contract_canary(spark):
+    """CANARY for the bm25_search/multi_query_search rank contract
+    (operators/text.py): the rank column reads row indices off
+    monotonically_increasing_id after coalesce(1)+sortWithinPartitions,
+    relying on two IMPLEMENTATION details Spark does not document —
+    (a) ids enumerate partition 0 as 0..n-1 consecutively
+    (partitionIndex<<33 + offset), and (b) Catalyst does not reorder
+    the nondeterministic project above the sort. If THIS test fails
+    after a Spark upgrade, the engine changed one of those behaviors:
+    switch bm25_search/multi_query_search to the documented fallback
+    (join rank from a driver-side take(k) of the sorted frame) instead
+    of debugging an oracle value diff."""
+    df = (
+        spark.range(30)
+        .repartition(3)  # multi-partition input, like the scored frame
+        .select((F.col("id") * 37 % 30).alias("v"))
+        .orderBy(F.col("v").desc())
+        .limit(12)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("v").desc())
+        .select("v", F.monotonically_increasing_id().alias("mid"))
+    )
+    rows = df.collect()
+    mids = [r.mid for r in rows]
+    assert mids == list(range(len(rows))), (
+        "monotonically_increasing_id no longer enumerates partition 0 "
+        f"as 0..n-1 after coalesce(1)+sort (got {mids}); the rank "
+        "contract in operators/text.py is broken — switch to the "
+        "documented take(k) rank-join fallback"
+    )
+    vs = [r.v for r in rows]
+    assert vs == sorted(vs, reverse=True), (
+        "the nondeterministic id project was reordered across "
+        "sortWithinPartitions; ranks no longer follow sort order — "
+        "switch operators/text.py to the take(k) rank-join fallback"
+    )
