@@ -386,6 +386,200 @@ def minhash_lsh_pairs(
     )
 
 
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    stride: int = 1,
+) -> DataFrame:
+    """Span-level exact-substring dedup stats (the duplicated-n-gram
+    family of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", at word granularity): per doc, how many of its
+    n-token spans occur VERBATIM in at least one OTHER doc, plus the
+    duplicated fraction. Doc-level near-dup (MinHash/Jaccard) misses
+    partial duplication — a unique page wrapping a boilerplate block —
+    which is exactly what span stats surface; filtering or trimming on
+    ``dup_frac`` is the policy knob.
+
+    Output: (id, n_spans, n_dup_spans, dup_frac) for every doc; docs
+    shorter than n tokens have 0 spans and dup_frac 0.0. A span is
+    counted per POSITION (a doc repeating a duplicated span twice
+    contributes 2 to n_dup_spans), and "duplicated" means the span text
+    occurs in >1 DISTINCT doc — within-doc repetition alone is the
+    repetition_stats operator's business, not this one's.
+
+    Scale design (100 TB): spans leave the scan as md5 hashes — 32-char
+    keys, never span text — so the shuffles move (hash, id, count)
+    triples: one groupBy (span_h, id) with map-side combine collapses
+    per-doc repeats, one window over span_h counts the docs sharing a
+    span, one groupBy id rolls up. The corpus is scanned twice (the
+    narrow n_spans projection and the explode branch) — two narrow
+    parquet passes beat persisting an exploded corpus. Span count is
+    ~tokens/stride; ``stride`` > 1 trades detection granularity for
+    proportionally less explode volume (stride=n tiles the doc), the
+    standard production lever.
+    """
+    from pyspark.sql import Window
+
+    if n < 1 or stride < 1:
+        raise ValueError(f"n and stride must be >= 1 (got n={n}, stride={stride})")
+    toks = normalized_tokens(df, text_col)
+    span_expr = f"""
+      CASE WHEN tokens IS NULL OR size(tokens) < {n} THEN array()
+           ELSE transform(sequence(1, size(tokens) - {n - 1}, {stride}),
+                          i -> md5(concat_ws(' ', slice(tokens, i, {n}))))
+      END
+    """
+    base = toks.select(
+        id_col, F.size(F.expr(span_expr)).cast("long").alias("n_spans")
+    )
+    occ = (
+        toks.select(id_col, F.explode(F.expr(span_expr)).alias("span_h"))
+        .groupBy("span_h", id_col)
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    dup = (
+        occ.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("span_h")))
+        .filter(F.col("nd") > 1)
+        .groupBy(id_col)
+        .agg(F.sum("n_occ").cast("long").alias("n_dup_spans"))
+    )
+    # doc-level left join: both sides are one row per doc; AQE picks
+    # the strategy (dup side is usually the small fraction)
+    return base.join(dup, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.when(F.col("n_spans") > 0, F.round(F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+def incremental_dedup_matches(
+    batch: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-snapshot near-dup MATCHES: (batch_id, ref_id, jaccard) for
+    every batch doc whose exact n-gram Jaccard against a reference doc
+    reaches ``threshold``, candidates generated by MinHash-LSH band
+    collision BETWEEN the two corpora (never within either side). This
+    is the core of incremental dedup — dedup tonight's crawl against
+    the corpus you already trained on — where re-running all-corpus
+    dedup from scratch would reprocess the (much larger) reference.
+
+    Scale design (100 TB reference, small-ish batch): both sides shed
+    everything but (band, band_hash, id) before the only corpus-sized
+    shuffle — the band equi-join. The reference side's banding is
+    recomputed here for self-containedness; in production it is
+    computed once and stored as the dedup index, making the nightly
+    cost O(batch) + one join against the index. Verification
+    re-tokenizes CANDIDATE docs only (broadcast semi filter per side),
+    exactly like :func:`minhash_lsh_pairs`.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import track
+
+    def _bands(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            shingle_sets(df, id_col, n)
+            .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
+                    "band", "band_hash"
+                ),
+            )
+        )
+
+    candidates = track(
+        _bands(batch, "batch_id")
+        .join(_bands(reference, "ref_id"), ["band", "band_hash"])
+        .select("batch_id", "ref_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    b_sets = shingle_sets(
+        batch.join(
+            F.broadcast(candidates.select(F.col("batch_id").alias(id_col))),
+            id_col,
+            "left_semi",
+        ),
+        id_col,
+        n,
+    ).select(F.col(id_col).alias("batch_id"), F.col("shingle_arr").alias("arr_b"))
+    r_sets = shingle_sets(
+        reference.join(
+            F.broadcast(candidates.select(F.col("ref_id").alias(id_col))),
+            id_col,
+            "left_semi",
+        ),
+        id_col,
+        n,
+    ).select(F.col(id_col).alias("ref_id"), F.col("shingle_arr").alias("arr_r"))
+    return (
+        candidates.join(b_sets, "batch_id")
+        .join(r_sets, "ref_id")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_b", "arr_r")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("arr_b") + F.size("arr_r") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "ref_id", "jaccard")
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Doc-level incremental dedup verdict: for EVERY batch doc,
+    ``is_novel`` (no reference near-dup found), how many reference docs
+    it near-duplicates, and the best (highest, tie low ref id) match.
+    ``WHERE is_novel = 1`` is the batch a pipeline appends to the
+    corpus. Wraps :func:`incremental_dedup_matches`; the rollup is one
+    batch_id shuffle over MATCHES only, then a broadcast-friendly left
+    join back onto the batch ids."""
+    matches = incremental_dedup_matches(
+        batch, reference, id_col, n, k, bands, threshold
+    )
+    per = matches.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref_dups"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min_by(F.col("ref_id"), F.struct(-F.col("jaccard"), F.col("ref_id"))).alias(
+            "best_ref_id"
+        ),
+    )
+    return (
+        batch.select(F.col(id_col).alias("batch_id"))
+        .join(per, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias(id_col),
+            (F.col("n_ref_dups").isNull()).cast("int").alias("is_novel"),
+            F.coalesce(F.col("n_ref_dups"), F.lit(0)).cast("long").alias("n_ref_dups"),
+            "best_ref_id",
+            "best_jaccard",
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc from unigram token hashes, computed as a
     vectorized Pandas UDF (bit-parallel numpy; genuinely awkward as SQL

@@ -119,11 +119,16 @@ class Query:
 #   profile_documents     (one-pass agg; sweep oracle stays)
 #   dataset_split         (pure id-hash; determinism pytest + staying
 #                          stratified_cap/corpus_shuffle keep sampling)
+#   media_decode_meta     (green r5+r6; media_features_check keeps the
+#                          mapInPandas plumbing driver-verified, and
+#                          media_features enters this round)
 # IN (the 7 never-driver-hashed registry rows per the r6 verdict:
 #     corpus_shuffle, dedup_canonicalize_skew, ann_cosine_topk_pq,
 #     text_quality, doc_fingerprint, bpe_token_count, media_features)
 # plus 3 of the r02-stale relational rows (tpch_q8, tpch_q13,
-#     orders_rollup; q14-q22 scheduled for r8).
+#     orders_rollup; q14-q22 scheduled for r8), plus
+#     dedup_incremental_check (registered this round — the *_check rule
+#     requires it inside the window immediately).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
@@ -157,6 +162,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_canonicalize",
     "dedup_canonicalize_skew",
     "dedup_embedding_cosine",
+    "dedup_incremental_check",
     # similarity / ANN family
     "ann_cosine_topk",
     "ann_lsh_check",
@@ -182,7 +188,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stratified_cap",
     "corpus_shuffle",
     # multimodal family
-    "media_decode_meta",
     "media_features",
     "media_features_check",
 )

@@ -17,12 +17,15 @@ from ..operators.dedup import (
     connected_components,
     embedding_cosine_pairs,
     exact_dedup,
+    incremental_dedup,
+    incremental_dedup_matches,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     shingle_prune_stats,
     shingle_sets,
     simhash,
     simhash_pairs,
+    span_dup_stats,
 )
 from ..tables import load
 from . import Query
@@ -263,6 +266,156 @@ FROM comp JOIN q USING (doc_id)
 """
 
 
+SPAN_N = 10  # span length in tokens for the duplicated-substring stats
+
+
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup stats: per doc, how many of its
+    10-token spans occur verbatim in another doc (partial duplication —
+    boilerplate blocks — that doc-level near-dup misses). Spans travel
+    as md5 hashes in both engines, so the oracle is exact."""
+    return span_dup_stats(load(spark, sf_dir, "documents"), n=SPAN_N)
+
+
+DEDUP_SPAN_STATS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - {SPAN_N - 1}, 0) + 1),
+                               i -> md5(array_to_string(ws[i:i+{SPAN_N - 1}], ' ')))) AS span_h
+  FROM toks
+),
+occ AS (SELECT span_h, doc_id, count(*) AS n_occ FROM spans GROUP BY 1, 2),
+dup AS (
+  SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_dup_spans
+  FROM (SELECT *, count(*) OVER (PARTITION BY span_h) AS nd FROM occ)
+  WHERE nd > 1 GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(greatest(len(ws) - {SPAN_N - 1}, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       round(CASE WHEN len(ws) > {SPAN_N - 1}
+                  THEN coalesce(d.n_dup_spans, 0) * 1.0 / (len(ws) - {SPAN_N - 1})
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM toks t LEFT JOIN dup d USING (doc_id)
+"""
+
+
+def _batch_ref(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """Incremental-dedup corpus split: odd doc_ids are 'tonight's
+    crawl', even doc_ids the already-ingested reference — the synthetic
+    near-dup pairs land on both sides of the parity split, so the
+    cross-corpus path produces non-trivial matches."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level incremental dedup: every batch (odd-id) doc flagged
+    novel or near-duplicate of the reference (even-id) corpus.
+    LSH-candidate generation is xxhash64-dependent → rows-only here;
+    dedup_incremental_check is the driver-hashed invariant row."""
+    batch, ref = _batch_ref(spark, sf_dir)
+    return incremental_dedup(batch, ref, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup invariants as a driver-hashable row:
+    (a) precision — every emitted match's Jaccard, recomputed
+    independently from full shingle sets, agrees and meets the
+    threshold; (b) recall — the LSH path finds >= MINHASH_RECALL_BOUND
+    of the exact twin's cross-parity pairs (ngram_jaccard_pairs over
+    the whole corpus, restricted to odd-even pairs); (c) the doc-level
+    rollup partitions the batch exactly (is_novel XOR has-dups, every
+    batch doc present exactly once)."""
+    batch, ref = _batch_ref(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    matches = incremental_dedup_matches(batch, ref, threshold=JACCARD_THRESHOLD)
+    sets = shingle_sets(docs, "doc_id")
+    rechecked = (
+        matches.join(
+            sets.select(F.col("doc_id").alias("batch_id"), F.col("shingle_arr").alias("arr_b")),
+            "batch_id",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("ref_id"), F.col("shingle_arr").alias("arr_r")),
+            "ref_id",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("arr_b", "arr_r")))
+        .withColumn(
+            "true_j",
+            F.round(
+                F.col("n_inter") / (F.size("arr_b") + F.size("arr_r") - F.col("n_inter")), 6
+            ),
+        )
+    )
+    precision = rechecked.agg(
+        F.coalesce(
+            F.sum(
+                _flag(
+                    (F.col("true_j") < JACCARD_THRESHOLD)
+                    | (F.col("true_j") != F.col("jaccard"))
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("precision_violations")
+    )
+    # exact cross-parity twin, oriented (odd -> batch_id, even -> ref_id)
+    exact = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD, stop_df=NGRAM_STOP_DF)
+    cross = exact.filter(
+        F.pmod(F.col("id_a"), F.lit(2)) != F.pmod(F.col("id_b"), F.lit(2))
+    ).select(
+        F.when(F.pmod(F.col("id_a"), F.lit(2)) == 1, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("batch_id"),
+        F.when(F.pmod(F.col("id_a"), F.lit(2)) == 1, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("ref_id"),
+    )
+    hits = cross.join(matches.select("batch_id", "ref_id"), ["batch_id", "ref_id"], "left_semi")
+    recall = (
+        cross.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_h")))
+        .select(
+            _flag(
+                (F.col("_n") == 0) | (F.col("_h") / F.col("_n") >= MINHASH_RECALL_BOUND)
+            ).alias("recall_ok")
+        )
+    )
+    rollup = incremental_dedup(batch, ref, threshold=JACCARD_THRESHOLD)
+    partition = (
+        rollup.agg(
+            F.coalesce(
+                F.sum(_flag(F.col("is_novel") + (F.col("n_ref_dups") > 0).cast("int") != 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("_bad"),
+            F.count(F.lit(1)).alias("_rows"),
+        )
+        .crossJoin(batch.agg(F.count(F.lit(1)).alias("_batch")))
+        .select(
+            (F.col("_bad") + _flag(F.col("_rows") != F.col("_batch")).cast("bigint")).alias(
+                "partition_violations"
+            )
+        )
+    )
+    return precision.crossJoin(recall).crossJoin(partition)
+
+
+DEDUP_INCREMENTAL_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS precision_violations, CAST(1 AS INT) AS recall_ok,
+       CAST(0 AS BIGINT) AS partition_violations
+"""
+
+
 # --- property oracles for the hash-dependent (no_oracle) approx paths -
 #
 # The approx operators' outputs depend on Spark-side hashing (xxhash64,
@@ -428,5 +581,23 @@ QUERIES = [
         dedup_embedding_cosine,
         DEDUP_EMBEDDING_ORACLE,
         "ext: embedding near-dup",
+    ),
+    Query(
+        "dedup_span_stats",
+        dedup_span_stats,
+        DEDUP_SPAN_STATS_ORACLE,
+        "ext: span-level exact-substring dedup stats",
+    ),
+    Query(
+        "dedup_incremental",
+        dedup_incremental,
+        None,
+        "ext: incremental (cross-snapshot) dedup",
+    ),
+    Query(
+        "dedup_incremental_check",
+        dedup_incremental_check,
+        DEDUP_INCREMENTAL_CHECK_ORACLE,
+        "ext: incremental dedup property oracle",
     ),
 ]

@@ -119,6 +119,19 @@ PLAN_BOUNDS = {
     # cluster_id exchange, map-side combined) + broadcast winner join
     "dedup_canonicalize_skew": (1, 0),
     "dedup_embedding_cosine": (0, 0),  # block-key broadcast equi-join
+    # span stats: md5-span occ groupBy + span_h window + doc rollup —
+    # three narrow (hash, id, count) shuffles, final join broadcasts
+    "dedup_span_stats": (3, 0),
+    # incremental: the band equi-join between the two corpora's
+    # (band, band_hash, id) frames is big-big BY DESIGN (SMJ is the
+    # intended plan — neither snapshot broadcasts at 100 TB); the
+    # second SMJ is the doc-level rollup left join, which AQE
+    # broadcast-swaps at runtime when matches are small
+    "dedup_incremental": (3, 2),
+    # check sweep composes matches + exact twin + rollup (same class
+    # as dedup_minhash_lsh_check: stats-less derived-frame SMJs are
+    # expected inside *_check verification queries)
+    "dedup_incremental_check": (18, 4),
     # ANN family: exact baselines are one top-k shuffle; the *_check
     # sweeps compare approx vs exact so they carry both plans' shuffles
     # (SMJ between two derived frames without stats is expected there)

@@ -318,6 +318,74 @@ def test_cc_checkpoints_release_at_query_boundary(spark):
     assert jsc.getPersistentRDDs().size() <= base
 
 
+def test_span_dup_stats_counts_cross_doc_spans_only(spark):
+    """Span-level dedup semantics: (a) a 10-token block shared verbatim
+    by two docs marks those span positions duplicated in BOTH; (b) a
+    doc repeating a span only WITHIN itself contributes nothing (cross-
+    doc means >1 distinct doc); (c) docs shorter than 10 tokens have 0
+    spans and dup_frac 0.0; (d) per-POSITION counting — a doc holding
+    the shared block twice counts it twice."""
+    from flink_kafka_spark.operators.dedup import span_dup_stats
+
+    block = " ".join(f"b{i}" for i in range(10))  # the shared 10-token block
+    uniq = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (0, block),                                   # block alone: 1 span
+            (1, uniq("x", 5) + " " + block),              # block after 5 unique
+            (2, uniq("y", 15)),                           # fully unique, 6 spans
+            (3, "too short"),                             # < 10 tokens
+            (4, uniq("z", 5) + " " + uniq("z", 5)),       # self-repeat only
+            (5, block + " " + block),                     # block twice
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dup_stats(docs, n=10).collect()}
+    assert len(out) == 6
+    # doc 0: its only span IS the block, present in docs 1 and 5 too
+    assert (out[0].n_spans, out[0].n_dup_spans, out[0].dup_frac) == (1, 1, 1.0)
+    # doc 1: 6 spans (15 tokens), only the final (pure-block) span dups
+    assert (out[1].n_spans, out[1].n_dup_spans) == (6, 1)
+    # doc 2 unique, doc 3 too short, doc 4 self-repeat only
+    assert (out[2].n_spans, out[2].n_dup_spans) == (6, 0)
+    assert (out[3].n_spans, out[3].n_dup_spans, out[3].dup_frac) == (0, 0, 0.0)
+    assert out[4].n_dup_spans == 0
+    # doc 5: 11 spans; positions 1 and 11 are the pure block (both
+    # count); the 9 straddling spans are unique to doc 5
+    assert (out[5].n_spans, out[5].n_dup_spans) == (11, 2)
+
+
+def test_incremental_dedup_flags_cross_corpus_dups_only(spark):
+    """Incremental dedup: a batch doc near-duplicating a REFERENCE doc
+    is flagged with the right best match; a batch doc that only
+    near-duplicates ANOTHER BATCH doc stays novel (within-side pairs
+    must never leak into the cross-corpus join); rollup covers every
+    batch doc exactly once."""
+    from flink_kafka_spark.operators.dedup import incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    twin = base + " extra"
+    batch = spark.createDataFrame(
+        [
+            (1, base),                      # dup of reference doc 100
+            (3, "p q r s t u v w x y z"),   # novel vs reference...
+            (5, "p q r s t u v w x y zz"),  # ...but near-dups doc 3 (batch-side)
+        ],
+        "doc_id long, text string",
+    )
+    reference = spark.createDataFrame(
+        [(100, twin), (102, "totally different reference content here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(batch, reference, threshold=0.5).collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1].is_novel == 0 and out[1].n_ref_dups == 1
+    assert out[1].best_ref_id == 100 and out[1].best_jaccard >= 0.5
+    for i in (3, 5):  # batch-internal near-dup pair stays novel
+        assert out[i].is_novel == 1 and out[i].n_ref_dups == 0
+        assert out[i].best_ref_id is None and out[i].best_jaccard is None
+
+
 def test_cc_pointer_jumping_converges_on_a_pathological_chain(spark):
     """A single 1000-node chain has diameter 999: plain hash-to-min
     label propagation needs O(diameter) rounds and would raise the

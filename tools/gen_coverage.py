@@ -81,7 +81,8 @@ SURVEY_IDS: dict[str, tuple[str, str]] = {
 }
 
 EXTENSIONS = [
-    ("dedup", "exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine"),
+    ("dedup", "exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine"
+              " / span-level substring stats / incremental (cross-snapshot)"),
     ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
     ("text", "lang-id / quality / token counts / fingerprints"),
