@@ -140,6 +140,38 @@ def main() -> None:
     timings[f"cc_single_chain_{n_chain}"] = round(time.perf_counter() - t0, 2)
     assert n_comp == 1, n_comp
 
+    # span-level substring dedup at the full doc count: every 10th doc
+    # is a near-verbatim copy of its neighbor, so ~2 docs per decade
+    # share most 10-token spans — n_dup_spans must be nonzero for at
+    # least the planted fraction, and the explode volume (~31 spans/doc)
+    # is the probe's real subject: the plan must stay (hash, id, count)
+    # shuffles with no corpus-text movement.
+    from flink_kafka_spark.operators.dedup import span_dup_stats
+
+    t0 = time.perf_counter()
+    span_stats = span_dup_stats(docs, n=10)
+    n_dup_docs = span_stats.filter("n_dup_spans > 0").count()
+    timings[f"span_dup_stats_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert n_dup_docs >= n_docs // 10, n_dup_docs  # every planted pair flagged
+
+    # incremental dedup: the synthetic construction makes doc 10k+9 a
+    # verbatim copy of doc 10k+1, so splitting "the copies" (pmod 9)
+    # off as tonight's batch against everything else as the reference
+    # puts every planted pair ACROSS the split: all n/10 batch docs
+    # must come back non-novel (identical docs collide in every band —
+    # recall 1 at jaccard 1.0).
+    from flink_kafka_spark.operators.dedup import incremental_dedup
+
+    t0 = time.perf_counter()
+    inc = incremental_dedup(
+        docs.filter("pmod(doc_id, 10) = 9"),
+        docs.filter("pmod(doc_id, 10) != 9"),
+        threshold=0.5,
+    )
+    n_flagged = inc.filter("is_novel = 0").count()
+    timings[f"incremental_dedup_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert n_flagged == n_docs // 10, n_flagged
+
     # retrieval ops at 10x the sf0.1 corpus: the inverted index is the
     # explode-heavy shape (vocab 500, ~40 tokens/doc -> ~2M postings),
     # BM25 is two narrow passes + a broadcast stats row. Both must stay
