@@ -95,10 +95,12 @@ BENCH_QUERIES = [
     # No baseline entry yet — guardrail skips it until a justified
     # re-record.
     "dedup_canonicalize_skew",
-    # round-7 additions: the two new dedup shapes — span-level
-    # substring stats (explode-heaviest plan in the registry) and
-    # incremental batch-vs-reference near-dup. No baseline entries yet.
+    # round-7 additions: the three new dedup shapes — span-level
+    # substring stats (explode-heaviest plan in the registry), the
+    # span-excising trim, and incremental batch-vs-reference near-dup.
+    # No baseline entries yet.
     "dedup_span_stats",
+    "dedup_span_trim",
     "dedup_incremental",
 ]
 

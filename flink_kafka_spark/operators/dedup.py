@@ -457,6 +457,101 @@ def span_dup_stats(
     )
 
 
+def trim_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """The corpus-EDITING step of substring dedup (Lee et al.'s
+    remove-duplicated-substrings policy at word granularity): delete
+    from every doc the token regions covered by n-token spans that
+    also occur verbatim in another doc — except in the span's OWNER
+    (the lowest doc_id containing it), which keeps its occurrences, so
+    each duplicated passage survives exactly once corpus-wide.
+
+    Output: (id, n_tokens, n_removed_tokens, cleaned_text) for every
+    doc. ``cleaned_text`` is rebuilt from the NORMALIZED tokens
+    (lowercase, single-space — the same normalization every dedup
+    operator here shares), with covered regions excised; docs shorter
+    than n tokens pass through untouched (normalized).
+
+    Scale design (100 TB): the only corpus-sized shuffles move
+    (md5-hash, id, position) triples — span text never leaves the scan.
+    Ownership is one min() over the span hash; each non-owner doc's
+    duplicated positions come back as ONE array per doc (collect_list
+    after the span_h shuffle, bounded by tokens/doc), and the
+    interval-union + excision runs as JVM higher-order expressions:
+    sorted positions fold into merged (start, end) islands via
+    ``aggregate`` (O(positions) per doc), token filtering tests
+    membership against ISLANDS (few after merging), not raw positions.
+    The rebuild joins the per-doc position arrays back onto the narrow
+    token projection — a doc-keyed equi-join AQE can broadcast when the
+    duplicated fraction is small.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    toks = normalized_tokens(df, text_col)
+    span_pos_expr = f"""
+      CASE WHEN tokens IS NULL OR size(tokens) < {n} THEN array()
+           ELSE transform(sequence(1, size(tokens) - {n - 1}),
+                          i -> struct(i AS pos,
+                                      md5(concat_ws(' ', slice(tokens, i, {n}))) AS span_h))
+      END
+    """
+    spans = toks.select(
+        id_col, F.explode(F.expr(span_pos_expr)).alias("sp")
+    ).select(id_col, F.col("sp.pos").alias("pos"), F.col("sp.span_h").alias("span_h"))
+    w = Window.partitionBy("span_h")
+    # nd = docs sharing the span; owner = lowest doc id among them.
+    # min/approx over the raw occurrence rows (not doc-distinct) is
+    # correct for both: min ignores duplicates, and nd must count
+    # DISTINCT docs so within-doc repetition alone never trims.
+    flagged = spans.select(
+        id_col,
+        "pos",
+        F.size(F.collect_set(id_col).over(w)).alias("nd"),
+        F.min(id_col).over(w).alias("owner"),
+    ).filter((F.col("nd") > 1) & (F.col(id_col) != F.col("owner")))
+    merge_expr = f"""
+      aggregate(
+        array_sort(pos_arr),
+        cast(array() as array<struct<s int, e int>>),
+        (acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e + 1,
+                       concat(slice(acc, 1, size(acc) - 1),
+                              array(named_struct('s', element_at(acc, -1).s,
+                                                 'e', greatest(element_at(acc, -1).e,
+                                                               p + {n - 1})))),
+                       concat(acc, array(named_struct('s', p, 'e', p + {n - 1})))))
+    """
+    per_doc = (
+        flagged.groupBy(id_col)
+        .agg(F.collect_list("pos").alias("pos_arr"))
+        .select(id_col, F.expr(merge_expr).alias("islands"))
+    )
+    base = toks.select(id_col, "tokens")
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.size("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.expr("aggregate(islands, 0, (acc, r) -> acc + r.e - r.s + 1)"), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_removed_tokens"),
+        F.when(F.col("islands").isNull(), F.concat_ws(" ", F.col("tokens")))
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', transform(filter("
+                "  transform(tokens, (t, i) -> struct(t AS t, i + 1 AS i)),"
+                "  x -> NOT exists(islands, r -> x.i >= r.s AND x.i <= r.e)), x -> x.t))"
+            )
+        )
+        .alias("cleaned_text"),
+    )
+
+
 def incremental_dedup_matches(
     batch: DataFrame,
     reference: DataFrame,

@@ -26,6 +26,7 @@ from ..operators.dedup import (
     simhash,
     simhash_pairs,
     span_dup_stats,
+    trim_duplicated_spans,
 )
 from ..tables import load
 from . import Query
@@ -300,6 +301,76 @@ SELECT t.doc_id,
                   THEN coalesce(d.n_dup_spans, 0) * 1.0 / (len(ws) - {SPAN_N - 1})
                   ELSE 0.0 END, 6) AS dup_frac
 FROM toks t LEFT JOIN dup d USING (doc_id)
+"""
+
+
+def dedup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-editing companion to dedup_span_stats: excise every
+    cross-doc duplicated 10-token region from non-owner docs (owner =
+    lowest doc_id containing the span), emitting the cleaned normalized
+    text plus removal counts. Both engines hash spans with md5 and
+    merge covered positions into intervals, so the oracle compares the
+    EDITED TEXT cell-exactly."""
+    return trim_duplicated_spans(load(spark, sf_dir, "documents"), n=SPAN_N)
+
+
+DEDUP_SPAN_TRIM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - {SPAN_N - 1}, 0) + 1),
+                i -> {{'pos': i,
+                       'h': md5(array_to_string(ws[i:i+{SPAN_N - 1}], ' '))}})) AS s
+  FROM toks
+),
+sp2 AS (SELECT doc_id, s.pos AS pos, s.h AS span_h FROM sp),
+stats AS (
+  SELECT span_h, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+  FROM sp2 GROUP BY 1
+),
+flagged AS (
+  SELECT s.doc_id, s.pos FROM sp2 s JOIN stats USING (span_h)
+  WHERE nd > 1 AND s.doc_id != owner
+),
+ordered AS (
+  SELECT doc_id, pos,
+         max(pos + {SPAN_N - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM ordered
+),
+merged AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SPAN_N - 1} AS e
+  FROM isl GROUP BY doc_id, isl_id
+),
+tokpos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) + 1),
+                i -> {{'i': i, 't': ws[i]}})) AS tp
+  FROM toks
+),
+kept AS (
+  SELECT t.doc_id, (t.tp).i AS i, (t.tp).t AS tok
+  FROM tokpos t
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = t.doc_id AND (t.tp).i BETWEEN m.s AND m.e)
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.removed, 0) AS BIGINT) AS n_removed_tokens,
+       coalesce(k.txt, '') AS cleaned_text
+FROM toks t
+LEFT JOIN (SELECT doc_id, sum(e - s + 1) AS removed FROM merged GROUP BY 1) r
+  USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt FROM kept GROUP BY 1) k
+  USING (doc_id)
 """
 
 
@@ -587,6 +658,12 @@ QUERIES = [
         dedup_span_stats,
         DEDUP_SPAN_STATS_ORACLE,
         "ext: span-level exact-substring dedup stats",
+    ),
+    Query(
+        "dedup_span_trim",
+        dedup_span_trim,
+        DEDUP_SPAN_TRIM_ORACLE,
+        "ext: excise cross-doc duplicated spans (keep owner)",
     ),
     Query(
         "dedup_incremental",

@@ -63,7 +63,7 @@ def test_driver_window_covers_every_family():
         "dedup": ["dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh_check",
                   "dedup_simhash_check", "dedup_clusters", "dedup_embedding_cosine",
                   "dedup_canonicalize", "dedup_canonicalize_skew",
-                  "dedup_span_stats", "dedup_incremental_check"],
+                  "dedup_span_stats", "dedup_span_trim", "dedup_incremental_check"],
         "ann": ["ann_cosine_topk", "ann_lsh_check", "ann_ivf_check",
                 "embedding_quantize", "ann_cosine_topk_int8", "ann_pq_check"],
         "text": ["text_stats", "corpus_prep", "decontaminate", "lang_id",

@@ -122,6 +122,10 @@ PLAN_BOUNDS = {
     # span stats: md5-span occ groupBy + span_h window + doc rollup —
     # three narrow (hash, id, count) shuffles, final join broadcasts
     "dedup_span_stats": (3, 0),
+    # span trim: one span_h window shuffle + one doc collect_list
+    # shuffle; the token rebuild joins per-doc position arrays back
+    # via broadcast — span/token text never shuffles
+    "dedup_span_trim": (2, 0),
     # incremental: the band equi-join between the two corpora's
     # (band, band_hash, id) frames is big-big BY DESIGN (SMJ is the
     # intended plan — neither snapshot broadcasts at 100 TB); the

@@ -355,6 +355,35 @@ def test_span_dup_stats_counts_cross_doc_spans_only(spark):
     assert (out[5].n_spans, out[5].n_dup_spans) == (11, 2)
 
 
+def test_trim_duplicated_spans_excises_non_owner_regions(spark):
+    """Span trim policy: the OWNER (lowest doc_id containing a
+    duplicated span) keeps its text untouched; every other doc loses
+    the covered token regions — including overlapping/adjacent span
+    positions merged into one island (a doc that is nothing but two
+    copies of the owner's block trims to empty). Unique and too-short
+    docs pass through as normalized text, and removal counts equal the
+    merged island sizes."""
+    from flink_kafka_spark.operators.dedup import trim_duplicated_spans
+
+    block = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, "u0 u1 u2 " + block + " u3 u4"),        # owner
+            (1, "v0 " + block + " v1 v2 v3"),           # trims the block
+            (2, " ".join(f"w{i}" for i in range(11))),  # unique
+            (3, "short doc"),                            # < 10 tokens
+            (4, block + " " + block),                    # islands merge -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in trim_duplicated_spans(docs, n=10).collect()}
+    assert out[0].n_removed_tokens == 0 and out[0].cleaned_text == "u0 u1 u2 " + block + " u3 u4"
+    assert out[1].n_removed_tokens == 10 and out[1].cleaned_text == "v0 v1 v2 v3"
+    assert out[2].n_removed_tokens == 0 and out[2].cleaned_text.startswith("w0 ")
+    assert out[3] and (out[3].n_tokens, out[3].n_removed_tokens) == (2, 0)
+    assert (out[4].n_tokens, out[4].n_removed_tokens, out[4].cleaned_text) == (20, 20, "")
+
+
 def test_incremental_dedup_flags_cross_corpus_dups_only(spark):
     """Incremental dedup: a batch doc near-duplicating a REFERENCE doc
     is flagged with the right best match; a batch doc that only

@@ -154,6 +154,20 @@ def main() -> None:
     timings[f"span_dup_stats_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert n_dup_docs >= n_docs // 10, n_dup_docs  # every planted pair flagged
 
+    # span trim at the full doc count: doc 10k+9 is a verbatim copy of
+    # doc 10k+1, so the non-owner copy must trim to NOTHING (all its
+    # spans are owned by the lower id) while the owner keeps every
+    # token — exact excision ground truth at 100k docs.
+    from flink_kafka_spark.operators.dedup import trim_duplicated_spans
+
+    t0 = time.perf_counter()
+    trimmed = trim_duplicated_spans(docs, n=10)
+    n_emptied = trimmed.filter(
+        "pmod(doc_id, 10) = 9 AND n_removed_tokens = n_tokens"
+    ).count()
+    timings[f"span_trim_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert n_emptied == n_docs // 10, n_emptied
+
     # incremental dedup: the synthetic construction makes doc 10k+9 a
     # verbatim copy of doc 10k+1, so splitting "the copies" (pmod 9)
     # off as tonight's batch against everything else as the reference
