@@ -415,6 +415,57 @@ def test_incremental_dedup_flags_cross_corpus_dups_only(spark):
         assert out[i].best_ref_id is None and out[i].best_jaccard is None
 
 
+def test_span_family_invariants_on_a_doubled_corpus(spark):
+    """Duplicate every doc under a higher id and the three span/
+    incremental operators must agree on what happened: every span is
+    now cross-doc duplicated (dup_frac == 1.0 wherever spans exist),
+    the trim empties exactly the copies while every original (= span
+    owner) survives verbatim, and incremental dedup of the copies
+    against the originals flags every copy. Uses the real sf0.001
+    documents as the base corpus so token shapes are realistic."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.dedup import (
+        incremental_dedup,
+        span_dup_stats,
+        trim_duplicated_spans,
+    )
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    # the corpus plants intra-base near-dups; restrict to docs with NO
+    # duplicated span within the base so "owner" is unambiguous below
+    clean_ids = {
+        r.doc_id for r in span_dup_stats(docs, n=10).filter("n_dup_spans = 0").collect()
+    }
+    base = docs.filter(F.col("doc_id").isin(sorted(clean_ids)[:40]))
+    offset = 1_000_000
+    copies = base.select((F.col("doc_id") + offset).alias("doc_id"), "text")
+    doubled = base.unionByName(copies)
+
+    stats = span_dup_stats(doubled, n=10).collect()
+    assert all(r.dup_frac == 1.0 for r in stats if r.n_spans > 0)
+
+    trimmed = {r.doc_id: r for r in trim_duplicated_spans(doubled, n=10).collect()}
+    originals = {r.doc_id: r.text for r in base.collect()}
+    for did, text in originals.items():
+        orig, copy = trimmed[did], trimmed[did + offset]
+        if orig.n_tokens >= 10:
+            # owner untouched (normalized), copy fully excised
+            assert orig.n_removed_tokens == 0
+            assert orig.cleaned_text == " ".join((text or "").lower().split())
+            assert copy.n_removed_tokens == copy.n_tokens and copy.cleaned_text == ""
+        else:
+            assert orig.n_removed_tokens == 0 and copy.n_removed_tokens == 0
+
+    inc = incremental_dedup(copies, base, threshold=0.5).collect()
+    flagged = {r.doc_id for r in inc if r.is_novel == 0}
+    with_shingles = {
+        did + offset for did, t in originals.items() if len((t or "").split()) >= 3
+    }
+    assert flagged == with_shingles  # identical docs collide in every band
+
+
 def test_cc_pointer_jumping_converges_on_a_pathological_chain(spark):
     """A single 1000-node chain has diameter 999: plain hash-to-min
     label propagation needs O(diameter) rounds and would raise the
