@@ -552,6 +552,38 @@ def trim_duplicated_spans(
     )
 
 
+def build_dedup_index(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The reference-side LSH index for :func:`incremental_dedup`:
+    ``(band, band_hash, ref_id)`` — one row per (doc, band). In
+    production this is computed ONCE per corpus snapshot and written
+    out (e.g. parquet bucketed by (band, band_hash), so the nightly
+    batch join needs no reference-side shuffle at all); pass the loaded
+    frame back via ``ref_index=`` and the nightly cost becomes
+    O(batch) + one join against the index — the 100 TB reference is
+    never rescanned for candidate generation. The index carries only
+    hashes and ids: ~``bands`` × 16 bytes per reference doc.
+
+    The (n, k, bands) parameters are baked into the index values; use
+    the same ones when querying it."""
+    return (
+        shingle_sets(reference, id_col, n)
+        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
+        .select(
+            F.col(id_col).alias("ref_id"),
+            F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
+                "band", "band_hash"
+            ),
+        )
+        .select("band", "band_hash", "ref_id")
+    )
+
+
 def incremental_dedup_matches(
     batch: DataFrame,
     reference: DataFrame,
@@ -560,6 +592,7 @@ def incremental_dedup_matches(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    ref_index: "DataFrame | None" = None,
 ) -> DataFrame:
     """Cross-snapshot near-dup MATCHES: (batch_id, ref_id, jaccard) for
     every batch doc whose exact n-gram Jaccard against a reference doc
@@ -571,32 +604,32 @@ def incremental_dedup_matches(
 
     Scale design (100 TB reference, small-ish batch): both sides shed
     everything but (band, band_hash, id) before the only corpus-sized
-    shuffle — the band equi-join. The reference side's banding is
-    recomputed here for self-containedness; in production it is
-    computed once and stored as the dedup index, making the nightly
-    cost O(batch) + one join against the index. Verification
+    shuffle — the band equi-join. The reference banding is recomputed
+    here when ``ref_index`` is None (self-contained small-corpus path);
+    the production path passes a stored :func:`build_dedup_index` frame
+    so candidate generation never rescans the reference. Verification
     re-tokenizes CANDIDATE docs only (broadcast semi filter per side),
-    exactly like :func:`minhash_lsh_pairs`.
+    exactly like :func:`minhash_lsh_pairs` — the reference scan it
+    needs touches only the matched handful of rows.
     """
     from pyspark.storagelevel import StorageLevel
 
     from ..caching import track
 
-    def _bands(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            shingle_sets(df, id_col, n)
-            .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
-            .select(
-                F.col(id_col).alias(out_id),
-                F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
-                    "band", "band_hash"
-                ),
-            )
+    if ref_index is None:
+        ref_index = build_dedup_index(reference, id_col, n, k, bands)
+    batch_bands = (
+        shingle_sets(batch, id_col, n)
+        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
+        .select(
+            F.col(id_col).alias("batch_id"),
+            F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
+                "band", "band_hash"
+            ),
         )
-
+    )
     candidates = track(
-        _bands(batch, "batch_id")
-        .join(_bands(reference, "ref_id"), ["band", "band_hash"])
+        batch_bands.join(ref_index, ["band", "band_hash"])
         .select("batch_id", "ref_id")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -644,16 +677,18 @@ def incremental_dedup(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    ref_index: "DataFrame | None" = None,
 ) -> DataFrame:
     """Doc-level incremental dedup verdict: for EVERY batch doc,
     ``is_novel`` (no reference near-dup found), how many reference docs
     it near-duplicates, and the best (highest, tie low ref id) match.
     ``WHERE is_novel = 1`` is the batch a pipeline appends to the
-    corpus. Wraps :func:`incremental_dedup_matches`; the rollup is one
-    batch_id shuffle over MATCHES only, then a broadcast-friendly left
-    join back onto the batch ids."""
+    corpus. Wraps :func:`incremental_dedup_matches` (pass a stored
+    :func:`build_dedup_index` via ``ref_index`` on the production
+    path); the rollup is one batch_id shuffle over MATCHES only, then a
+    broadcast-friendly left join back onto the batch ids."""
     matches = incremental_dedup_matches(
-        batch, reference, id_col, n, k, bands, threshold
+        batch, reference, id_col, n, k, bands, threshold, ref_index=ref_index
     )
     per = matches.groupBy("batch_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_ref_dups"),

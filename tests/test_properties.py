@@ -415,6 +415,36 @@ def test_incremental_dedup_flags_cross_corpus_dups_only(spark):
         assert out[i].best_ref_id is None and out[i].best_jaccard is None
 
 
+def test_prebuilt_dedup_index_matches_inline_banding(spark, tmp_path):
+    """The production incremental-dedup path: build_dedup_index written
+    to parquet, reloaded, and passed via ref_index must yield EXACTLY
+    the matches of the self-contained path that re-bands the reference
+    inline — the stored index IS the reference banding, so any drift
+    means the index format lost information."""
+    from flink_kafka_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_matches,
+    )
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    batch = docs.filter("pmod(doc_id, 2) = 1")
+    ref = docs.filter("pmod(doc_id, 2) = 0")
+    inline = sorted(
+        tuple(r) for r in incremental_dedup_matches(batch, ref, threshold=0.5).collect()
+    )
+    idx_path = str(tmp_path / "dedup_index")
+    build_dedup_index(ref).write.mode("overwrite").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    via_index = sorted(
+        tuple(r)
+        for r in incremental_dedup_matches(
+            batch, ref, threshold=0.5, ref_index=stored
+        ).collect()
+    )
+    assert inline == via_index and len(inline) > 0
+
+
 def test_span_family_invariants_on_a_doubled_corpus(spark):
     """Duplicate every doc under a higher id and the three span/
     incremental operators must agree on what happened: every span is
