@@ -129,6 +129,16 @@ class Query:
 #     orders_rollup; q14-q22 scheduled for r8), plus
 #     dedup_incremental_check (registered this round — the *_check rule
 #     requires it inside the window immediately).
+#
+# Round-7 late swaps (so the round's new full-oracle registrations are
+# driver-hashed immediately rather than waiting for r8) — OUT, both
+# green r5+r6:
+#   embedding_quantize    (int8 family; ann_cosine_topk stays, the
+#                          quantization round-trip bound pytest stays)
+#   tfidf_top_terms       (composed and co-covered by the staying
+#                          multi_query_search, which builds on tf-idf)
+# IN: dedup_span_stats, dedup_span_trim (full-oracle span family rows;
+#     only the rows-only dedup_incremental stays outside until r8).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
@@ -162,6 +172,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_canonicalize",
     "dedup_canonicalize_skew",
     "dedup_embedding_cosine",
+    "dedup_span_stats",
+    "dedup_span_trim",
     "dedup_incremental_check",
     # similarity / ANN family
     "ann_cosine_topk",
@@ -169,7 +181,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_check",
     "ann_pq_check",
     "ann_cosine_topk_pq",
-    "embedding_quantize",
     # text analysis family
     "lang_id",
     "doc_chunk",
@@ -181,7 +192,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_token_count",
     # retrieval family
     "inverted_index",
-    "tfidf_top_terms",
     "bm25_search",
     "multi_query_search",
     # sampling / release family
