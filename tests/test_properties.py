@@ -415,6 +415,63 @@ def test_incremental_dedup_flags_cross_corpus_dups_only(spark):
         assert out[i].best_ref_id is None and out[i].best_jaccard is None
 
 
+span_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(corpus=span_corpus_strategy)
+@settings(**SETTINGS)
+def test_span_stats_and_trim_match_python(spark, corpus):
+    """span_dup_stats and trim_duplicated_spans vs a naive Python
+    oracle on arbitrary tiny-vocab corpora (4 tokens, so 3-token span
+    collisions are plentiful): per-position dup counts, owner
+    resolution, interval-union excision, and the rebuilt text must all
+    agree exactly — the hypothesis sweep hits overlap/adjacency/
+    within-doc-repeat shapes the planted fixtures don't."""
+    from flink_kafka_spark.operators.dedup import span_dup_stats, trim_duplicated_spans
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python oracle
+    spans = {
+        i: [tuple(t[p : p + n]) for p in range(len(t) - n + 1)]
+        for i, t in enumerate(corpus)
+    }
+    docs_of = {}
+    for i, sp in spans.items():
+        for s in sp:
+            docs_of.setdefault(s, set()).add(i)
+    want_stats, want_trim = {}, {}
+    for i, t in enumerate(corpus):
+        dup_pos = [
+            p for p, s in enumerate(spans[i]) if len(docs_of[s]) > 1
+        ]
+        want_stats[i] = (len(t), len(spans[i]), len(dup_pos))
+        trim_pos = [
+            p
+            for p, s in enumerate(spans[i])
+            if len(docs_of[s]) > 1 and min(docs_of[s]) != i
+        ]
+        covered = sorted({j for p in trim_pos for j in range(p, p + n)})
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        want_trim[i] = (len(t), len(covered), " ".join(kept))
+
+    got_stats = {
+        r.doc_id: (r.n_spans, r.n_dup_spans) for r in span_dup_stats(df, n=n).collect()
+    }
+    assert got_stats == {i: (v[1], v[2]) for i, v in want_stats.items()}
+    got_trim = {
+        r.doc_id: (r.n_tokens, r.n_removed_tokens, r.cleaned_text)
+        for r in trim_duplicated_spans(df, n=n).collect()
+    }
+    assert got_trim == want_trim
+
+
 def test_prebuilt_dedup_index_matches_inline_banding(spark, tmp_path):
     """The production incremental-dedup path: build_dedup_index written
     to parquet, reloaded, and passed via ref_index must yield EXACTLY
