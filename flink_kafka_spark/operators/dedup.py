@@ -295,41 +295,19 @@ def minhash_lsh_pairs(
 
     from ..caching import track
 
-    # The tokenize+minhash pass is the most compute-dense projection in
-    # the engine (k salted re-mixes per shingle); if the scan arrives
-    # in fewer splits than cores (small corpora, single parquet file),
-    # fan it out first — one cheap shuffle of raw text buys full-core
-    # parallelism for the hash pass. The probe is `inputFiles()` (plan
-    # metadata, no RDD conversion — `df.rdd.getNumPartitions()` was
-    # driver-side plan-compilation work on every invocation) and the
-    # fan-out applies ONLY to the banding consumer: the verification
-    # scan below filters to candidate ids via a broadcast join, and a
-    # round-robin exchange of full corpus text ahead of that filter
-    # would shuffle everything to keep almost nothing. At 100 TB the
-    # scan has thousands of splits and the gate skips entirely.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:  # non-file source (memory/stream-backed frame)
-        n_splits = 0
-    fan = df.repartition(par) if 0 < n_splits < par else df
-    # ONE full tokenize+minhash pass over the corpus (narrow, no
-    # shuffle), consumed exactly once by the band bucketing below — so
-    # nothing corpus-sized is ever persisted and there is no
-    # multi-consumer cache race (round-3 verdict #2: the previous shape
-    # persisted (id, shingle_arr, signature) and paid a whole extra
-    # eager-count pass just to fill the cache). The salted-min + band
-    # fold runs in the Arrow kernel (see :func:`_band_hashes_udf`).
-    banded = (
-        shingle_sets(fan, id_col, n)
-        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
-        .select(
-            id_col,
-            F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
-                "band", "band_hash"
-            ),
-        )
-    )
+    # ONE full tokenize+minhash pass over the corpus (narrow apart from
+    # the helper's small-scan fan-out gate — see :func:`_lsh_bands`,
+    # whose repartition applies ONLY to this banding consumer: the
+    # verification scan below filters to candidate ids via a broadcast
+    # join, and a round-robin exchange of full corpus text ahead of
+    # that filter would shuffle everything to keep almost nothing),
+    # consumed exactly once by the band bucketing below — so nothing
+    # corpus-sized is ever persisted and there is no multi-consumer
+    # cache race (round-3 verdict #2: the previous shape persisted
+    # (id, shingle_arr, signature) and paid a whole extra eager-count
+    # pass just to fill the cache). The salted-min + band fold runs in
+    # the Arrow kernel (see :func:`_band_hashes_udf`).
+    banded = _lsh_bands(df, id_col, id_col, n, k, bands)
     # Candidate pairs via ONE shuffle: group each (band, band_hash)
     # bucket, then stream ordered pairs out of the sorted id array with
     # two nested generators (posexplode + explode(slice)) — generator
@@ -431,8 +409,18 @@ def span_dup_stats(
                           i -> md5(concat_ws(' ', slice(tokens, i, {n}))))
       END
     """
+    # span COUNT is pure arithmetic on the token count — size() over the
+    # transform above would compute (and discard) every slice+md5 a
+    # second time in this branch's corpus pass (round-7 review)
     base = toks.select(
-        id_col, F.size(F.expr(span_expr)).cast("long").alias("n_spans")
+        id_col,
+        F.when(
+            F.size("tokens") >= n,
+            F.floor((F.size("tokens") - n) / stride) + 1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("n_spans"),
     )
     occ = (
         toks.select(id_col, F.explode(F.expr(span_expr)).alias("span_h"))
@@ -505,16 +493,18 @@ def trim_duplicated_spans(
         id_col, F.explode(F.expr(span_pos_expr)).alias("sp")
     ).select(id_col, F.col("sp.pos").alias("pos"), F.col("sp.span_h").alias("span_h"))
     w = Window.partitionBy("span_h")
-    # nd = docs sharing the span; owner = lowest doc id among them.
-    # min/approx over the raw occurrence rows (not doc-distinct) is
-    # correct for both: min ignores duplicates, and nd must count
-    # DISTINCT docs so within-doc repetition alone never trims.
+    # owner = lowest doc id sharing the span (min over the raw
+    # occurrence rows — duplicates don't affect min). doc != owner by
+    # itself PROVES cross-doc duplication (the owner is a different
+    # doc), so no distinct-doc count is needed: the round-7 review
+    # killed an earlier collect_set-per-row formulation here that was
+    # O(docs²) per hot boilerplate span — min() is constant-state.
+    # Within-doc-only repetition never trims: its only doc IS the owner.
     flagged = spans.select(
         id_col,
         "pos",
-        F.size(F.collect_set(id_col).over(w)).alias("nd"),
         F.min(id_col).over(w).alias("owner"),
-    ).filter((F.col("nd") > 1) & (F.col(id_col) != F.col("owner")))
+    ).filter(F.col(id_col) != F.col("owner"))
     merge_expr = f"""
       aggregate(
         array_sort(pos_arr),
@@ -552,6 +542,43 @@ def trim_duplicated_spans(
     )
 
 
+def _lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    out_id: str,
+    n: int,
+    k: int,
+    bands: int,
+) -> DataFrame:
+    """The shared banding pass: ``(out_id, band, band_hash)`` per doc,
+    with :func:`minhash_lsh_pairs`' small-scan fan-out gate — the
+    tokenize+minhash projection is the most compute-dense in the
+    engine, so a corpus arriving in fewer splits than cores is
+    repartitioned first (one cheap shuffle of raw text buys full-core
+    parallelism; the probe is ``inputFiles()`` — plan metadata, where
+    ``df.rdd.getNumPartitions()`` was driver-side plan-compilation work
+    on every invocation); at 100 TB the scan has thousands of splits
+    and the gate skips. Extracted in round 7: the expression was triplicated
+    across minhash_lsh_pairs / build_dedup_index / the batch side, and
+    the two newer copies had silently dropped the gate."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file source (memory/stream-backed frame)
+        n_splits = 0
+    fan = df.repartition(par) if 0 < n_splits < par else df
+    return (
+        shingle_sets(fan, id_col, n)
+        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
+        .select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
+                "band", "band_hash"
+            ),
+        )
+    )
+
+
 def build_dedup_index(
     reference: DataFrame,
     id_col: str = "doc_id",
@@ -571,16 +598,8 @@ def build_dedup_index(
 
     The (n, k, bands) parameters are baked into the index values; use
     the same ones when querying it."""
-    return (
-        shingle_sets(reference, id_col, n)
-        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
-        .select(
-            F.col(id_col).alias("ref_id"),
-            F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
-                "band", "band_hash"
-            ),
-        )
-        .select("band", "band_hash", "ref_id")
+    return _lsh_bands(reference, id_col, "ref_id", n, k, bands).select(
+        "band", "band_hash", "ref_id"
     )
 
 
@@ -618,16 +637,7 @@ def incremental_dedup_matches(
 
     if ref_index is None:
         ref_index = build_dedup_index(reference, id_col, n, k, bands)
-    batch_bands = (
-        shingle_sets(batch, id_col, n)
-        .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
-        .select(
-            F.col(id_col).alias("batch_id"),
-            F.posexplode(_band_hashes_udf(k, bands)("hash_arr")).alias(
-                "band", "band_hash"
-            ),
-        )
-    )
+    batch_bands = _lsh_bands(batch, id_col, "batch_id", n, k, bands)
     candidates = track(
         batch_bands.join(ref_index, ["band", "band_hash"])
         .select("batch_id", "ref_id")
@@ -678,18 +688,21 @@ def incremental_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     ref_index: "DataFrame | None" = None,
+    matches: "DataFrame | None" = None,
 ) -> DataFrame:
     """Doc-level incremental dedup verdict: for EVERY batch doc,
     ``is_novel`` (no reference near-dup found), how many reference docs
     it near-duplicates, and the best (highest, tie low ref id) match.
     ``WHERE is_novel = 1`` is the batch a pipeline appends to the
     corpus. Wraps :func:`incremental_dedup_matches` (pass a stored
-    :func:`build_dedup_index` via ``ref_index`` on the production
-    path); the rollup is one batch_id shuffle over MATCHES only, then a
-    broadcast-friendly left join back onto the batch ids."""
-    matches = incremental_dedup_matches(
-        batch, reference, id_col, n, k, bands, threshold, ref_index=ref_index
-    )
+    :func:`build_dedup_index` via ``ref_index`` on the production path,
+    or an already-computed ``matches`` frame to skip the pipeline
+    entirely); the rollup is one batch_id shuffle over MATCHES only,
+    then a broadcast-friendly left join back onto the batch ids."""
+    if matches is None:
+        matches = incremental_dedup_matches(
+            batch, reference, id_col, n, k, bands, threshold, ref_index=ref_index
+        )
     per = matches.groupBy("batch_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_ref_dups"),
         F.max("jaccard").alias("best_jaccard"),

@@ -363,7 +363,7 @@ kept AS (
                     WHERE m.doc_id = t.doc_id AND (t.tp).i BETWEEN m.s AND m.e)
 )
 SELECT t.doc_id,
-       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(t.ws), 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(r.removed, 0) AS BIGINT) AS n_removed_tokens,
        coalesce(k.txt, '') AS cleaned_text
 FROM toks t
@@ -404,9 +404,21 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus, restricted to odd-even pairs); (c) the doc-level
     rollup partitions the batch exactly (is_novel XOR has-dups, every
     batch doc present exactly once)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import track
+
     batch, ref = _batch_ref(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
-    matches = incremental_dedup_matches(batch, ref, threshold=JACCARD_THRESHOLD)
+    # ONE matches execution for all three invariants: the frame feeds
+    # the precision re-check, the recall semi-join, AND the doc-level
+    # rollup below — unpersisted, each consumer re-ran the whole
+    # cross-corpus band join + verification (round-7 review).
+    matches = track(
+        incremental_dedup_matches(batch, ref, threshold=JACCARD_THRESHOLD).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     sets = shingle_sets(docs, "doc_id")
     rechecked = (
         matches.join(
@@ -460,7 +472,9 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok")
         )
     )
-    rollup = incremental_dedup(batch, ref, threshold=JACCARD_THRESHOLD)
+    rollup = incremental_dedup(
+        batch, ref, threshold=JACCARD_THRESHOLD, matches=matches
+    )
     partition = (
         rollup.agg(
             F.coalesce(

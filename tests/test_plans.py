@@ -130,12 +130,14 @@ PLAN_BOUNDS = {
     # (band, band_hash, id) frames is big-big BY DESIGN (SMJ is the
     # intended plan — neither snapshot broadcasts at 100 TB); the
     # second SMJ is the doc-level rollup left join, which AQE
-    # broadcast-swaps at runtime when matches are small
-    "dedup_incremental": (3, 2),
-    # check sweep composes matches + exact twin + rollup (same class
-    # as dedup_minhash_lsh_check: stats-less derived-frame SMJs are
+    # broadcast-swaps at runtime when matches are small. 2 of the 5
+    # exchanges are the small-scan fan-out gate (skips at scale).
+    "dedup_incremental": (5, 2),
+    # check sweep composes matches (executed ONCE, persisted for its
+    # three consumers) + exact twin + rollup (same class as
+    # dedup_minhash_lsh_check: stats-less derived-frame SMJs are
     # expected inside *_check verification queries)
-    "dedup_incremental_check": (18, 4),
+    "dedup_incremental_check": (21, 4),
     # ANN family: exact baselines are one top-k shuffle; the *_check
     # sweeps compare approx vs exact so they carry both plans' shuffles
     # (SMJ between two derived frames without stats is expected there)
