@@ -589,12 +589,14 @@ def build_dedup_index(
     """The reference-side LSH index for :func:`incremental_dedup`:
     ``(band, band_hash, ref_id)`` — one row per (doc, band). In
     production this is computed ONCE per corpus snapshot and written
-    out (e.g. parquet bucketed by (band, band_hash), so the nightly
-    batch join needs no reference-side shuffle at all); pass the loaded
-    frame back via ``ref_index=`` and the nightly cost becomes
-    O(batch) + one join against the index — the 100 TB reference is
-    never rescanned for candidate generation. The index carries only
-    hashes and ids: ~``bands`` × 16 bytes per reference doc.
+    out via ``io.write_bucketed(index, ..., ["band", "band_hash"])``;
+    pass the loaded table back via ``ref_index=`` and the nightly cost
+    becomes O(batch) + one join that shuffles ONLY the batch side into
+    the index's bucketing — the 100 TB reference is never rescanned or
+    re-shuffled (plan-shape-pinned by
+    tests/test_io.py::test_bucketed_dedup_index_join_shuffles_batch_side_only).
+    The index carries only hashes and ids: ~``bands`` × 16 bytes per
+    reference doc.
 
     The (n, k, bands) parameters are baked into the index values; use
     the same ones when querying it."""

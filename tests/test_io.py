@@ -63,3 +63,52 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_dedup_index_join_shuffles_batch_side_only(spark, sf_dir, tmp_path):
+    """The production incremental-dedup promise (build_dedup_index
+    docstring): an index stored BUCKETED by (band, band_hash) makes the
+    nightly candidate join shuffle only the batch side INTO the index's
+    bucketing — the reference-sized index is read in place, no
+    index-side exchange. Asserted from the physical plan: exactly one
+    band-keyed exchange (the batch side), a bucketed index scan, and
+    candidate pairs identical to the inline-banding path."""
+    from flink_kafka_spark.operators.dedup import _lsh_bands, build_dedup_index
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter("pmod(doc_id, 2) = 1")
+    ref = docs.filter("pmod(doc_id, 2) = 0")
+    write_bucketed(
+        build_dedup_index(ref),
+        "dedup_idx_b",
+        ["band", "band_hash"],
+        8,
+        ["band", "band_hash"],
+        path=str(tmp_path / "idx"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = read_table(spark, "dedup_idx_b")
+        cand = (
+            _lsh_bands(batch, "doc_id", "batch_id", 3, 32, 8)
+            .join(idx, ["band", "band_hash"])
+            .select("batch_id", "ref_id")
+            .distinct()
+        )
+        plan = _plan(cand)
+        band_exchanges = plan.count("Exchange hashpartitioning(band")
+        assert band_exchanges == 1, plan  # batch side only; index read in place
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        inline = build_dedup_index(ref)
+        want = sorted(
+            tuple(r)
+            for r in _lsh_bands(batch, "doc_id", "batch_id", 3, 32, 8)
+            .join(inline, ["band", "band_hash"])
+            .select("batch_id", "ref_id")
+            .distinct()
+            .collect()
+        )
+        assert sorted(tuple(r) for r in cand.collect()) == want and len(want) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS dedup_idx_b")
