@@ -165,6 +165,77 @@ def shingle_prune_stats(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the crawl-overlap
+    diagnostic run before merging corpora: for every pair of sources,
+    how many distinct word n-grams they share, plus the Jaccard of
+    their shingle vocabularies. Output ``(source_a, source_b,
+    n_shared_shingles, jaccard)``, one row per unordered pair with any
+    overlap (source_a < source_b). High-Jaccard pairs are the same
+    crawl twice under different names; near-zero pairs are genuinely
+    disjoint corpora.
+
+    Scale design (100 TB): shingles leave the scan as md5 hashes and
+    the first shuffle is a map-side-combined ``collect_set(group)``
+    per shingle hash — the per-shingle state is bounded by the SOURCE
+    count (tens-to-thousands), never the doc count, so there is no
+    corpus self-join anywhere. Pairs explode from each shingle's
+    source set (≤ |sources|² rows per shingle, output bounded by
+    |sources|² total) into one count shuffle; per-source vocabulary
+    sizes fall out of the same per-shingle frame and broadcast back
+    onto the pair rows. The corpus is scanned once per branch (pairs +
+    sizes) — two narrow hash-projection passes, no persisted
+    corpus-sized state."""
+    expr = f"array_distinct({_shingle_expr(n)})"
+    per_sh = (
+        normalized_tokens(df, text_col)
+        .select(F.col(group_col).alias("grp"), F.explode(F.expr(expr)).alias("shingle"))
+        .select("grp", F.md5("shingle").alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("grp")).alias("grps"))
+    )
+    # unordered pairs from each shingle's sorted source set: the slice
+    # starts after g's own position so a < b by construction
+    pair_expr = (
+        "flatten(transform(grps, (g, i) ->"
+        " transform(slice(grps, i + 2, size(grps)),"
+        " h -> struct(g AS a, h AS b))))"
+    )
+    pairs = (
+        per_sh.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+    sizes = (
+        per_sh.select(F.explode("grps").alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    )
+    # floor-based round-half-up: shared/(|A|+|B|-shared) is a rational
+    # that can land exactly on a decimal half-point, where Spark's and
+    # DuckDB's round() diverge (same convention as repetition_stats)
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("grp", "source_a")), "source_a")
+        .withColumnRenamed("n_shingles", "_na")
+        .join(F.broadcast(sizes.withColumnRenamed("grp", "source_b")), "source_b")
+        .withColumnRenamed("n_shingles", "_nb")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_shingles",
+            F.expr(
+                "floor(n_shared_shingles / (_na + _nb - n_shared_shingles)"
+                " * 1000000 + 0.5) / 1000000"
+            ).alias("jaccard"),
+        )
+    )
+
+
 def shingle_sets(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingle_arr) — the distinct word-n-gram set per doc as one
     array column, built without any shuffle: array_distinct over the

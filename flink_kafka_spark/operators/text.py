@@ -250,6 +250,73 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram language model: ``(token, n_occ, logp)`` with
+    ``logp = ln(n_occ / total_tokens)`` — the model behind the
+    perplexity-proxy quality filter (CCNet-style: score each document
+    under a reference LM and drop the tails). Tokens are the shared
+    whitespace normalization every text operator here uses.
+
+    Scale design (100 TB): one explode + one map-side-combined groupBy
+    — the only shuffle moves (token, partial-count) pairs. The total
+    is a 1-row aggregate broadcast back onto the counts; the LM itself
+    is vocab-sized (Zipf-bounded: ~millions of types for a TB-scale
+    corpus, tens of MB), which is what makes the downstream scoring
+    join broadcastable."""
+    toks = df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n_occ",
+        F.log(F.col("n_occ") / F.col("_total")).alias("logp"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm: DataFrame | None = None,
+    oov_logp: float | None = None,
+) -> DataFrame:
+    """Per-document average negative log-probability under a unigram
+    LM — the cheap perplexity proxy (high = rare/garbled vocabulary,
+    low = repetitive/boilerplate; both tails are filter candidates).
+    Output ``(id, n_tokens, avg_neg_logprob)``.
+
+    With ``lm=None`` the model is fit on ``df`` itself (self-scoring:
+    every token is in-vocabulary by construction, so the join is
+    inner). Passing a reference ``lm`` (e.g. fit on a trusted corpus
+    via :func:`unigram_lm`) requires ``oov_logp``, the floor log-prob
+    charged to out-of-vocabulary tokens — scored via left join +
+    coalesce so OOV tokens penalize rather than silently vanish.
+
+    Scale design: tokens explode off the scan and broadcast-join the
+    vocab-sized LM (drop the hint if a pathological vocab outgrows the
+    broadcast ceiling — AQE falls back), then ONE map-side-combined
+    shuffle of (id, partial sum/count) pairs. Document text never
+    shuffles."""
+    if lm is None:
+        lm = unigram_lm(df, text_col)
+    elif oov_logp is None:
+        raise ValueError("scoring under an external lm requires oov_logp (OOV floor)")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    )
+    lm_side = F.broadcast(lm.select("token", "logp"))
+    if oov_logp is None:
+        joined = toks.join(lm_side, "token")
+        lp = F.col("logp")
+    else:
+        joined = toks.join(lm_side, "token", "left")
+        lp = F.coalesce(F.col("logp"), F.lit(float(oov_logp)))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(-F.avg(lp), 4).alias("avg_neg_logprob"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit-hex content fingerprint over the whitespace-normalized
     lowercased body — stable across engines (md5)."""

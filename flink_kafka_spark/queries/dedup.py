@@ -25,6 +25,7 @@ from ..operators.dedup import (
     shingle_sets,
     simhash,
     simhash_pairs,
+    source_overlap_matrix,
     span_dup_stats,
     trim_duplicated_spans,
 )
@@ -515,6 +516,37 @@ SELECT CAST(0 AS BIGINT) AS precision_violations, CAST(1 AS INT) AS recall_ok,
 MINHASH_RECALL_BOUND = 0.8  # 1-(1-j^4)^8 ≈ 0.88 at j=0.5, higher above
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram overlap matrix over `documents` — the
+    corpus-merge diagnostic (which sources are the same crawl twice)."""
+    return source_overlap_matrix(load(spark, sf_dir, "documents"))
+
+
+SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+gsh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM toks
+),
+sizes AS (SELECT source, count(*) AS n FROM gsh GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_shingles
+  FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared_shingles,
+       floor(n_shared_shingles * 1.0 / (sa.n + sb.n - n_shared_shingles)
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM pairs
+JOIN sizes sa ON source_a = sa.source
+JOIN sizes sb ON source_b = sb.source
+"""
+
+
 def _flag(cond) -> F.Column:
     return F.when(cond, 1).otherwise(0).cast("int")
 
@@ -678,6 +710,12 @@ QUERIES = [
         dedup_span_trim,
         DEDUP_SPAN_TRIM_ORACLE,
         "ext: excise cross-doc duplicated spans (keep owner)",
+    ),
+    Query(
+        "source_overlap",
+        source_overlap,
+        SOURCE_OVERLAP_ORACLE,
+        "ext: cross-source n-gram overlap matrix",
     ),
     Query(
         "dedup_incremental",

@@ -270,6 +270,34 @@ QUERIES = [
 ]
 
 
+def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average negative log-prob under the corpus's own
+    unigram LM — the perplexity-proxy quality filter (both tails are
+    filter candidates: high = garbled vocabulary, low = boilerplate)."""
+    from ..operators.text import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+DOC_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+),
+lm AS (
+  SELECT token, ln(count(*) * 1.0 / (SELECT count(*) FROM toks)) AS logp
+  FROM toks GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_tokens, round(-avg(logp), 4) AS avg_neg_logprob
+FROM toks JOIN lm USING (token)
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query("doc_logprob", doc_logprob, DOC_LOGPROB_ORACLE, "ext: unigram-LM perplexity proxy")
+)
+
+
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment over documents
     (extension: sampling/splitting surface). Pure projection — no

@@ -154,6 +154,15 @@ PLAN_BOUNDS = {
     "uv_approx_check": (6, 2),
     # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
     "decontaminate": (2, 0),
+    # unigram-LM scoring: token-count groupBy + 1-row total + per-doc
+    # rollup (the LM branch's shuffle appears twice pre-AQE because the
+    # count frame feeds both the total and the join; ReuseExchange
+    # collapses it at runtime). LM join must stay broadcast.
+    "doc_logprob": (4, 0),
+    # overlap matrix: per-shingle collect_set groupBy feeds the pair
+    # branch and the sizes branch (duplicated pre-AQE), + one pair
+    # count + one sizes count; size joins must stay broadcast
+    "source_overlap": (6, 0),
     # sampling / release family
     "export_shards": (3, 0),  # two-pass range partition
     "corpus_shuffle": (3, 0),  # same two-pass machinery over the md5 key

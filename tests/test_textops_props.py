@@ -110,6 +110,62 @@ def test_degenerate_docs_no_crash(spark):
     assert reps[5].top_bigram_frac == 0.5
 
 
+def test_unigram_logprob_external_lm_and_oov(spark):
+    """The registered doc_logprob query only exercises self-scoring
+    (every token in-vocabulary). The external-LM path must charge OOV
+    tokens the floor log-prob instead of dropping them, and must
+    refuse an external LM without a floor (silent inner-join token
+    loss would skew every score)."""
+    import math
+
+    import pytest
+
+    from flink_kafka_spark.operators.text import unigram_lm, unigram_logprob
+
+    ref = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string"
+    )  # LM: p(a)=3/4, p(b)=1/4
+    target = spark.createDataFrame(
+        [(10, "a b zzz"), (11, "zzz zzz")], "doc_id long, text string"
+    )
+    lm = unigram_lm(ref)
+    with pytest.raises(ValueError, match="oov_logp"):
+        unigram_logprob(target, lm=lm)
+
+    oov = -10.0
+    rows = {r.doc_id: r for r in unigram_logprob(target, lm=lm, oov_logp=oov).collect()}
+    assert rows[10].n_tokens == 3  # OOV token counted, not dropped
+    exp10 = -(math.log(3 / 4) + math.log(1 / 4) + oov) / 3
+    assert rows[10].avg_neg_logprob == round(exp10, 4)
+    assert rows[11].n_tokens == 2 and rows[11].avg_neg_logprob == 10.0
+
+    # self-scoring on the reference corpus reproduces the hand LM
+    self_rows = unigram_logprob(ref).collect()
+    exp_self = -(3 * math.log(3 / 4) + math.log(1 / 4)) / 4
+    assert self_rows[0].avg_neg_logprob == round(exp_self, 4)
+
+
+def test_source_overlap_matrix_constructed(spark):
+    """Hand-checkable overlap: sources X and Y share exactly one
+    3-gram vocabulary entry; Z shares nothing (too short for any
+    3-gram) so it produces no pair rows at all."""
+    from flink_kafka_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "X"),   # shingles {a b c, b c d}
+            (2, "a b c", "Y"),     # shingles {a b c}
+            (3, "q r", "Z"),       # none (< 3 tokens)
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap_matrix(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b, r.n_shared_shingles) == ("X", "Y", 1)
+    assert r.jaccard == 0.5  # 1 shared / (2 + 1 - 1)
+
+
 def test_mono_id_rank_contract_canary(spark):
     """CANARY for the bm25_search/multi_query_search rank contract
     (operators/text.py): the rank column reads row indices off

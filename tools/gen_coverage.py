@@ -82,10 +82,12 @@ SURVEY_IDS: dict[str, tuple[str, str]] = {
 
 EXTENSIONS = [
     ("dedup", "exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine"
-              " / span-level substring stats / incremental (cross-snapshot)"),
+              " / span-level substring stats / incremental (cross-snapshot)"
+              " / cross-source overlap matrix"),
     ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
-    ("text", "lang-id / quality / token counts / fingerprints"),
+    ("text", "lang-id / quality / token counts / fingerprints"
+             " / unigram-LM perplexity proxy"),
     ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"),
 ]
 
