@@ -52,6 +52,26 @@ def train_val_test_split(
     )
 
 
+def grouped_split(
+    df: DataFrame, group_col: str, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Assign train/val/test by deterministic bucket of a GROUP key
+    (near-dup cluster id, domain, url host …) instead of the row id —
+    the leakage-safe split: every member of a group lands in the SAME
+    split, so near-duplicates of a training document can never leak
+    into the eval set (the contamination mode Lee et al. flag when
+    dedup runs after splitting). Same narrow no-shuffle projection as
+    :func:`train_val_test_split`; the group key must be integral (use
+    a hash for string keys)."""
+    b = split_bucket_expr(group_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict[str, float], seed: int = 42
 ) -> DataFrame:

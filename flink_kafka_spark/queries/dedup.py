@@ -516,6 +516,77 @@ SELECT CAST(0 AS BIGINT) AS precision_violations, CAST(1 AS INT) AS recall_ok,
 MINHASH_RECALL_BOUND = 0.8  # 1-(1-j^4)^8 ≈ 0.88 at j=0.5, higher above
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: near-dup clusters (n-gram
+    Jaccard pairs → connected components) are bucketed by CLUSTER id,
+    so every member of a near-dup cluster lands in the same split and
+    a training document's near-duplicate can never contaminate the
+    eval set. Singletons degenerate to the plain id-hash split
+    (cluster_id = doc_id), so the assignment is a strict refinement of
+    dataset_split."""
+    from ..operators.dedup import connected_components
+    from ..operators.sampling import grouped_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cc = connected_components(pairs, docs, id_col="doc_id")
+    return grouped_split(cc, "cluster_id")
+
+
+# shared recursive min-reachable-id CTE (the DuckDB twin of the Spark
+# CC loop) — same text as inside DEDUP_CLUSTERS_ORACLE, factored for
+# oracles that BUILD ON the cluster assignment
+_CLUSTERS_CTE = f"""{{shingles}},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200)
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           n_inter * 1.0 / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+  ) WHERE round(jaccard, 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+)"""
+
+from ..operators.sampling import split_bucket_sql  # noqa: E402
+
+_CLUSTER_BUCKET = split_bucket_sql("cluster_id")
+
+LEAKAGE_SAFE_SPLIT_ORACLE = (
+    "WITH RECURSIVE "
+    + _CLUSTERS_CTE.format(shingles=_SHINGLES_CTE)
+    + f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN {_CLUSTER_BUCKET} < 80 THEN 'train'
+            WHEN {_CLUSTER_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+"""
+)
+
+
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source 3-gram overlap matrix over `documents` — the
     corpus-merge diagnostic (which sources are the same crawl twice)."""
@@ -716,6 +787,12 @@ QUERIES = [
         source_overlap,
         SOURCE_OVERLAP_ORACLE,
         "ext: cross-source n-gram overlap matrix",
+    ),
+    Query(
+        "leakage_safe_split",
+        leakage_safe_split,
+        LEAKAGE_SAFE_SPLIT_ORACLE,
+        "ext: cluster-aware (leakage-safe) train/val/test split",
     ),
     Query(
         "dedup_incremental",

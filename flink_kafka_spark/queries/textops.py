@@ -270,6 +270,78 @@ QUERIES = [
 ]
 
 
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-quality scorecard — the one-pass profile a data
+    lead runs before deciding mixture weights: doc/token volume, mean
+    quality, PII surface fraction, and agreement between the declared
+    `lang` column and the stopword-marker language ID (low agreement =
+    mislabeled or code-mixed source). Every signal is a JVM expression
+    over the same scan, aggregated map-side into ONE shuffle of
+    |sources| rows — no joins, no second pass."""
+    docs = load(spark, sf_dir, "documents")
+
+    def n(pat: str) -> F.Column:
+        return F.size(F.expr(f"regexp_extract_all(lower(text), '{pat}', 0)"))
+
+    has_pii = ((n(PII_EMAIL) + n(PII_URL) + n(PII_DIGIT_RUN)) > 0).cast("int")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(bpe_count_expr()).cast("long").alias("n_bpe_tokens"),
+        F.round(F.avg(quality_expr()), 6).alias("avg_quality"),
+        F.round(F.avg(has_pii), 6).alias("pii_frac"),
+        F.round(F.avg((pred_lang_expr() == F.col("lang")).cast("int")), 6).alias(
+            "lang_match_frac"
+        ),
+    )
+
+
+SOURCE_SCORECARD_ORACLE = f"""
+WITH t AS (
+  SELECT source, lang, lower(text) AS lt,
+         regexp_split_to_array(lower(text), '\\s+') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT *,
+         len(list_filter(ws, x -> x IN ({_markers_sql("de")}))) AS score_de,
+         len(list_filter(ws, x -> x IN ({_markers_sql("en")}))) AS score_en,
+         len(list_filter(ws, x -> x IN ({_markers_sql("es")}))) AS score_es,
+         len(list_filter(ws, x -> x IN ({_markers_sql("fr")}))) AS score_fr
+  FROM t
+),
+feats AS (
+  SELECT source,
+         len(regexp_extract_all(lt, '{TOKEN_REGEX}')) AS n_bpe,
+         round(0.5 * least(len(ws) / 200.0, 1.0)
+               + 0.5 * (len(list_distinct(ws)) / len(ws)), 4) AS q,
+         CASE WHEN len(regexp_extract_all(lt, '{PII_EMAIL}'))
+                   + len(regexp_extract_all(lt, '{PII_URL}'))
+                   + len(regexp_extract_all(lt, '{PII_DIGIT_RUN}')) > 0
+              THEN 1 ELSE 0 END AS has_pii,
+         CASE WHEN (CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                         WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                         WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                         WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                         ELSE 'fr' END) = lang
+              THEN 1 ELSE 0 END AS lang_match
+  FROM scored
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(avg(q), 6) AS avg_quality, round(avg(has_pii), 6) AS pii_frac,
+       round(avg(lang_match), 6) AS lang_match_frac
+FROM feats GROUP BY source
+"""
+
+QUERIES.append(
+    Query(
+        "source_scorecard",
+        source_scorecard,
+        SOURCE_SCORECARD_ORACLE,
+        "ext: per-source quality scorecard",
+    )
+)
+
+
 def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc average negative log-prob under the corpus's own
     unigram LM — the perplexity-proxy quality filter (both tails are

@@ -154,6 +154,13 @@ PLAN_BOUNDS = {
     "uv_approx_check": (6, 2),
     # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
     "decontaminate": (2, 0),
+    # leakage-safe split: CC runs while the plan is BUILT; the residual
+    # plan is broadcast label join + broadcast anti-join + bucket
+    # projection — same zero-shuffle class as dedup_clusters
+    "leakage_safe_split": (0, 0),
+    # scorecard: every signal a JVM expression over one scan, map-side
+    # combined into a single |sources|-row shuffle
+    "source_scorecard": (1, 0),
     # unigram-LM scoring: token-count groupBy + 1-row total + per-doc
     # rollup (the LM branch's shuffle appears twice pre-AQE because the
     # count frame feeds both the total and the join; ReuseExchange

@@ -602,3 +602,30 @@ def test_short_and_empty_docs_survive_every_shingle_path(spark):
     assert pairs == {(1, 2)}
     exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert exact == {(1, 2)}
+
+
+def test_leakage_safe_split_coassigns_near_dup_pairs(spark, sf_dir):
+    """The anti-leakage guarantee itself: for EVERY near-dup pair the
+    two documents land in the same split (no train/eval contamination
+    path), and singletons reduce to the plain id-hash split (the
+    cluster split is a strict refinement of dataset_split)."""
+    from flink_kafka_spark.operators.dedup import ngram_jaccard_pairs
+    from flink_kafka_spark.queries.dedup import JACCARD_THRESHOLD, leakage_safe_split
+    from flink_kafka_spark.tables import load
+
+    split = leakage_safe_split(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    assert pairs.count() > 0  # the corpus must actually exercise the guarantee
+    a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    leaked = pairs.join(a, "id_a").join(b, "id_b").filter("split_a <> split_b")
+    assert leaked.count() == 0
+
+    from flink_kafka_spark.operators.sampling import train_val_test_split
+
+    plain = train_val_test_split(docs.select("doc_id"), "doc_id").withColumnRenamed(
+        "split", "plain_split"
+    )
+    singles = split.filter("doc_id = cluster_id").join(plain, "doc_id")
+    assert singles.filter("split <> plain_split").count() == 0
