@@ -139,6 +139,23 @@ class Query:
 #                          multi_query_search, which builds on tf-idf)
 # IN: dedup_span_stats, dedup_span_trim (full-oracle span family rows;
 #     only the rows-only dedup_incremental stays outside until r8).
+#
+# Round-7 second wave (same immediate-hash rule for this round's four
+# new full-oracle registrations) — OUT, all green r5+r6:
+#   pii_scan          (pii_redact stays — same regex family — and the
+#                      incoming source_scorecard aggregates the same
+#                      PII signal; sweep oracle stays)
+#   repetition_stats  (text family keeps lang_id/doc_chunk/pii_redact/
+#                      text_quality/doc_fingerprint/bpe_token_count)
+#   dedup_ngram_jaccard (its pair pipeline is composed verbatim inside
+#                      the staying dedup_canonicalize/_skew rows AND
+#                      the incoming leakage_safe_split; jaccard
+#                      hypothesis pytest + sweep oracle stay)
+#   inverted_index    (bm25_search + multi_query_search stay and build
+#                      on the same postings; sweep oracle stays)
+# IN: doc_logprob, source_scorecard (text), source_overlap,
+#     leakage_safe_split (dedup) — all rehearsal-verified at sf0.01
+#     (the driver's exact compare) before entering the window.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
@@ -166,7 +183,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q13",
     "orders_rollup",
     # deduplication family
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_canonicalize",
@@ -175,6 +191,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_span_stats",
     "dedup_span_trim",
     "dedup_incremental_check",
+    "source_overlap",
+    "leakage_safe_split",
     # similarity / ANN family
     "ann_cosine_topk",
     "ann_lsh_check",
@@ -184,14 +202,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis family
     "lang_id",
     "doc_chunk",
-    "pii_scan",
     "pii_redact",
-    "repetition_stats",
     "text_quality",
     "doc_fingerprint",
     "bpe_token_count",
+    "doc_logprob",
+    "source_scorecard",
     # retrieval family
-    "inverted_index",
     "bm25_search",
     "multi_query_search",
     # sampling / release family
