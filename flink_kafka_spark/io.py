@@ -21,6 +21,7 @@ parallelism, too many makes small files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -54,3 +55,84 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: "str | None" = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Read newline-delimited JSON — the lingua franca of LLM training
+    data release. With an explicit ``schema`` the reader skips the
+    inference pass (at 100 TB, inference is a full extra scan) and
+    captures malformed lines in ``corrupt_col`` instead of failing the
+    job (PERMISSIVE mode): filter ``corrupt_col IS NOT NULL`` for the
+    quarantine stream, ``IS NULL`` for the clean one. Schema-less
+    calls fall back to inference for ad-hoc exploration."""
+    r = spark.read
+    if schema is not None:
+        # the corrupt column must exist in the schema for PERMISSIVE
+        # capture; appending it here keeps call sites declarative
+        r = r.schema(f"{schema}, {corrupt_col} string").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return r.option("mode", "PERMISSIVE").json(path)
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> "tuple[DataFrame, DataFrame]":
+    """Split a PERMISSIVE :func:`read_jsonl` frame into
+    ``(clean, quarantined)``. Spark refuses queries on the RAW
+    file-scan frame whose referenced columns are only the internal
+    corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN) — the parse must be materialized first, so this registers
+    ONE cached parse feeding both sides (released at the next query
+    boundary under the flink_kafka_spark.caching contract). For a
+    100 TB ingest prefer writing the parsed frame to storage once and
+    splitting the saved copy — a cache of that size belongs on disk,
+    not in the block store."""
+    from .caching import track
+
+    parsed = track(df.cache())
+    return (
+        parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col),
+        parsed.filter(F.col(corrupt_col).isNotNull()),
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: "int | None" = None,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Write newline-delimited JSON release shards. ``n_shards`` pins
+    the exact output file count (round-robin repartition — balanced
+    shards regardless of upstream partitioning skew); None keeps the
+    upstream partitioning and writes one file per partition.
+    Compressed by default: JSONL is ~10x more verbose than parquet,
+    and release artifacts are read once per consumer."""
+    w = df.repartition(n_shards) if n_shards else df
+    w.write.mode(mode).option("compression", compression).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_mb: int = 256
+) -> int:
+    """Rewrite a parquet dataset into ~``target_mb`` files — the
+    small-file compaction every long-running pipeline needs (streaming
+    sinks and over-parallel writes leave thousands of KB-sized files;
+    at 100 TB the NameNode/driver pays per-file costs and scans lose
+    sequential reads). File count = ceil(on-disk bytes / target), so
+    the rewrite is one round-robin repartition — no key shuffle, no
+    skew sensitivity. Returns the shard count written."""
+    df = spark.read.parquet(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df.repartition(int(n)).write.mode("overwrite").parquet(out_path)
+    return int(n)

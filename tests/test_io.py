@@ -112,3 +112,64 @@ def test_bucketed_dedup_index_join_shuffles_batch_side_only(spark, sf_dir, tmp_p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS dedup_idx_b")
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """JSONL is the release format: a schema'd read must skip
+    inference, round-trip values exactly, and quarantine malformed
+    lines in the corrupt column instead of failing the job."""
+    from flink_kafka_spark.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta", 1.5), (3, None, 2.5)],
+        "doc_id long, text string, score double",
+    )
+    out = str(tmp_path / "release")
+    write_jsonl(df, out, n_shards=2)
+    import glob
+
+    files = glob.glob(out + "/part-*.json.gz")
+    assert len(files) == 2  # exact shard pinning, compressed
+
+    back = read_jsonl(spark, out, "doc_id long, text string, score double")
+    assert sorted((r.doc_id, r.text, r.score) for r in back.collect()) == [
+        (1, "alpha", 0.5),
+        (2, "beta", 1.5),
+        (3, None, 2.5),
+    ]
+
+    # malformed line lands in the corrupt column, valid rows parse
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "score": 1.0}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also ok", "score": 2.0}\n'
+    )
+    from flink_kafka_spark.caching import release_all
+    from flink_kafka_spark.io import split_corrupt
+
+    got = read_jsonl(spark, str(bad), "doc_id long, text string, score double")
+    clean, quarantined = split_corrupt(got)
+    qrows = quarantined.collect()
+    assert len(qrows) == 1 and qrows[0]._corrupt_record == "THIS IS NOT JSON"
+    assert clean.count() == 2 and "_corrupt_record" not in clean.columns
+    release_all()
+
+
+def test_compact_parquet_hits_target_count(spark, tmp_path):
+    """Compaction must rewrite a fragmented dataset into the
+    size-derived shard count (round-robin, no key shuffle) and
+    preserve every row."""
+    from flink_kafka_spark.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    # 200 partitions of a small frame -> 200 tiny files
+    spark.range(10_000).repartition(200).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_mb=256)
+    assert n == 1  # tiny dataset -> single file target
+    import glob
+
+    assert len(glob.glob(out + "/part-*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 10_000

@@ -186,6 +186,52 @@ def main() -> None:
     timings[f"incremental_dedup_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert n_flagged == n_docs // 10, n_flagged
 
+    # unigram-LM scoring at the full doc count: the synthetic vocab is
+    # 500 near-uniformly-used words, so every doc's average negative
+    # log-prob must sit near ln(500) ~ 6.21 — a ground-truth band, not
+    # just a row count. The probe's real subject is the two-shuffle
+    # shape: one token groupBy for the LM, one per-doc rollup, LM
+    # broadcast between them.
+    from flink_kafka_spark.operators.text import unigram_logprob
+
+    t0 = time.perf_counter()
+    lp = unigram_logprob(docs)
+    lp_stats = lp.agg(
+        F.count("*").alias("n"), F.avg("avg_neg_logprob").alias("m")
+    ).collect()[0]
+    timings[f"doc_logprob_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert lp_stats.n == n_docs and 5.5 < lp_stats.m < 7.0, tuple(lp_stats)
+
+    # cross-source overlap matrix with 20 planted sources over ONE
+    # shared vocabulary: all 190 unordered pairs must appear with
+    # nonzero jaccard. Times the per-shingle collect_set + pair-explode
+    # shape (~38 shingles/doc exploding off a 100k-doc scan) — the
+    # plan's per-shingle state is bounded by the source count.
+    from flink_kafka_spark.operators.dedup import source_overlap_matrix
+
+    t0 = time.perf_counter()
+    sourced = docs.withColumn(
+        "source", F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)))
+    )
+    ov = source_overlap_matrix(sourced).collect()
+    timings[f"source_overlap_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert len(ov) == 190 and all(r.jaccard > 0 for r in ov), len(ov)
+
+    # leakage-safe split on the known chain graph: every decade chain
+    # is one cluster, so all 10 members must co-assign — zero pairs may
+    # straddle a split boundary (the anti-leakage guarantee at 100k
+    # nodes), and the three splits must all be non-empty.
+    from flink_kafka_spark.operators.sampling import grouped_split
+
+    t0 = time.perf_counter()
+    sp = grouped_split(cc, "cluster_id")
+    ed_a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    ed_b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    crossed = edges.join(ed_a, "id_a").join(ed_b, "id_b").filter("sa <> sb").count()
+    n_splits = sp.select("split").distinct().count()
+    timings[f"leakage_safe_split_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert crossed == 0 and n_splits == 3, (crossed, n_splits)
+
     # retrieval ops at 10x the sf0.1 corpus: the inverted index is the
     # explode-heavy shape (vocab 500, ~40 tokens/doc -> ~2M postings),
     # BM25 is two narrow passes + a broadcast stats row. Both must stay
