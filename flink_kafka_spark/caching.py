@@ -76,6 +76,39 @@ def track_rdds(ids) -> None:
         _LIVE_RDDS.append(frozenset(ids))
 
 
+def release_scope():
+    """Context manager releasing only the persists tracked INSIDE the
+    scope, leaving earlier registrations alone — the micro-batch
+    lifecycle: a ``foreachBatch`` body runs an operator pipeline whose
+    internal persists are dead once the batch's sink materializes, but
+    a long-running streaming query must not release the enclosing
+    session's tracked frames (release_all would)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        mark, mark_r = len(_LIVE), len(_LIVE_RDDS)
+        try:
+            yield
+        finally:
+            while len(_LIVE) > mark:
+                df = _LIVE.pop()
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped — nothing to release
+            while len(_LIVE_RDDS) > mark_r:
+                ids = _LIVE_RDDS.pop()
+                try:
+                    spark = SparkSession.getActiveSession()
+                    if spark is not None:
+                        unpersist_rdds(spark.sparkContext, ids)
+                except Exception:
+                    pass
+
+    return _scope()
+
+
 def release_all() -> int:
     """Unpersist every tracked DataFrame and RDD-level persist
     (non-blocking). Returns the number released. Safe to call at any

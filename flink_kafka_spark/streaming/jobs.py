@@ -115,6 +115,54 @@ def dedup_stream(
     )
 
 
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    reference: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    ref_index: "DataFrame | None" = None,
+):
+    """NEAR-dup-filter an incoming document stream against a static
+    reference corpus (the streaming face of
+    operators.dedup.incremental_dedup: dedup tonight's crawl feed
+    against the corpus you already trained on, as it arrives). Exact
+    per-key dedup is :func:`dedup_stream`; this catches the
+    high-Jaccard rewordings exact keys miss.
+
+    MinHash/LSH verification needs per-batch aggregation + self-scoped
+    persists, so the operator runs under ``foreachBatch`` — full batch
+    semantics per micro-batch — with each batch's internal persists
+    released as soon as its sink materializes (caching.release_scope),
+    so a long-running query holds no growing block-store state. The
+    reference index is built ONCE outside the loop (pass a stored
+    ``build_dedup_index`` frame — ideally bucketed on (band,
+    band_hash), see io.write_bucketed — so each micro-batch shuffles
+    only the batch side).
+
+    ``sink(verdicts_df, epoch_id)`` receives the is_novel verdict
+    frame per batch. Returns the configured ``DataStreamWriter`` —
+    caller sets trigger/checkpoint and ``.start()``s it.
+    """
+    from ..caching import release_scope
+    from ..operators.dedup import build_dedup_index, incremental_dedup
+
+    if ref_index is None:
+        ref_index = build_dedup_index(reference, id_col, n, k, bands)
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            verdicts = incremental_dedup(
+                batch_df, reference, id_col, n, k, bands, threshold, ref_index=ref_index
+            )
+            sink(verdicts, epoch_id)
+
+    return docs_stream.writeStream.foreachBatch(_process)
+
+
 def session_stats_stream(
     events: DataFrame,
     key: str = "user_id",

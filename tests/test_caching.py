@@ -35,3 +35,19 @@ def test_internal_persists_released_at_query_boundary(spark, sf_dir):
 def test_release_all_idempotent(spark):
     assert caching.release_all() == 0
     assert caching.release_all() == 0
+
+
+def test_release_scope_releases_only_inner_persists(spark):
+    """Micro-batch lifecycle: persists tracked inside the scope are
+    released at exit; the enclosing session's tracked frames stay."""
+    caching.release_all()
+    outer = caching.track(spark.range(10).persist())
+    outer.count()
+    with caching.release_scope():
+        inner = caching.track(spark.range(20).persist())
+        inner.count()
+        assert len(caching._LIVE) == 2
+    assert caching._LIVE == [outer]
+    assert outer.storageLevel.useMemory  # outer still cached
+    assert not inner.storageLevel.useMemory  # inner released
+    caching.release_all()

@@ -241,6 +241,59 @@ def test_dedup_stream(spark, tmp_path):
     assert sorted(r.user_id for r in got) == [1, 2, 3]
 
 
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Streaming near-dup filter: two micro-batches of incoming docs
+    against a static reference — the planted rewording must come back
+    non-novel, the genuinely new doc novel, in BOTH batches; and the
+    per-batch release_scope must leave no tracked persists behind
+    after the query stops."""
+    from flink_kafka_spark import caching
+    from flink_kafka_spark.streaming.jobs import incremental_dedup_stream
+
+    ref_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    reference = spark.createDataFrame(
+        [(1, ref_text), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    # batch docs: 10x = near-copy of ref 1 (one token changed), 10x+1 = novel
+    b = tmp_path / "in"
+    b.mkdir()
+    (b / "f0.json").write_text(
+        '{"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta eta theta iota NEW"}\n'
+        '{"doc_id": 11, "text": "completely unrelated fresh document body with new words"}\n'
+    )
+    (b / "f1.json").write_text(
+        '{"doc_id": 20, "text": "alpha beta gamma delta epsilon zeta eta theta iota kappa"}\n'
+        '{"doc_id": 21, "text": "another batch of genuinely novel text nothing shared here"}\n'
+    )
+
+    tracked_before = len(caching._LIVE)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .json(str(b))
+    )
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.collect()
+
+    q = incremental_dedup_stream(stream, reference, sink, threshold=0.5).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    assert len(seen) == 2  # one verdict frame per file
+    verdicts = {r.doc_id: r for rows in seen.values() for r in rows}
+    assert set(verdicts) == {10, 11, 20, 21}
+    for dup_id in (10, 20):
+        assert verdicts[dup_id].is_novel == 0 and verdicts[dup_id].best_ref_id == 1
+    assert verdicts[20].best_jaccard == 1.0  # verbatim copy
+    for novel_id in (11, 21):
+        assert verdicts[novel_id].is_novel == 1 and verdicts[novel_id].best_ref_id is None
+    assert len(caching._LIVE) == tracked_before  # scoped release held
+
+
 # --- click-fraud blacklist (T5): threshold warning + drop, per day ---
 
 
