@@ -85,11 +85,79 @@ GROUP BY l_returnflag
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix over `events`: users cohorted by
+    first-active epoch week, per (cohort_week, weeks_since) the count
+    of still-active users and the retained fraction of the cohort —
+    the standard product-analytics triangle. Weeks are epoch-week
+    integers (floor(epoch_s / 604800)) so cohorting is pure integer
+    math on both engines.
+
+    Scale shape: one (user, week) distinct, one user-partitioned
+    window for the per-user min week (the cohort label), one
+    (cohort, weeks_since) count — three shuffles over narrow frames
+    that only ever carry (user_id, week) pairs; the retained-fraction
+    denominator is the cohort's own weeks_since=0 row, read from a
+    window over the tiny counts frame instead of a join back."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_seconds("ts") / 604800).cast("long").alias("week"),
+    )
+    active = ev.distinct()
+    labeled = active.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    counts = labeled.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    size = F.max(F.when(F.col("weeks_since") == 0, F.col("n_active"))).over(
+        Window.partitionBy("cohort_week")
+    )
+    # floor-based round-half-up: k/cohort_size can land exactly on a
+    # decimal half-point, where engines' round() diverge
+    return counts.withColumn("cohort_size", size).select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        # CAST, not * 1.0: a Spark `1.0` literal is DECIMAL(2,1) and
+        # drags the whole expression (and floor()) into Decimal, which
+        # pandas renders as object and the driver hash rejects
+        F.expr(
+            "floor(CAST(n_active AS DOUBLE) / cohort_size * 1000000 + 0.5) / 1000000"
+        ).alias("retention_frac"),
+    )
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800.0) AS BIGINT) AS week
+  FROM events
+),
+labeled AS (
+  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM active
+),
+counts AS (
+  SELECT cohort_week, week - cohort_week AS weeks_since, count(*) AS n_active
+  FROM labeled GROUP BY 1, 2
+)
+SELECT cohort_week, weeks_since, n_active,
+       floor(n_active * 1.0
+             / max(CASE WHEN weeks_since = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_week)
+             * 1000000 + 0.5) / 1000000 AS retention_frac
+FROM counts
+"""
+
+
 QUERIES = [
     Query("customer_running_totals", customer_running_totals, CUSTOMER_RUNNING_ORACLE,
           "analytic windows (beyond ref)"),
     Query("quantity_percentiles", quantity_percentiles, QUANTITY_PCTL_ORACLE,
           "exact percentiles (beyond ref)"),
+    Query("retention_cohorts", retention_cohorts, RETENTION_COHORTS_ORACLE,
+          "retention cohort matrix (beyond ref)"),
 ]
 
 

@@ -342,6 +342,81 @@ QUERIES.append(
 )
 
 
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus-wide distribution — the atypicality signal behind mixture
+    re-weighting (a source far from the mixture either adds diversity
+    or is garbage; either way it needs eyes before training). Zero
+    issues by construction: every source token is in the corpus.
+
+    Scale shape: one (source, token) count shuffle off the scan; the
+    corpus distribution derives from those counts (token rollup), is
+    vocab-sized (Zipf-bounded) and broadcasts onto them; source totals
+    are a |sources|-row aggregate broadcast the same way; final rollup
+    is a |sources|-row groupBy. Token text crosses one shuffle, once."""
+    from ..caching import track
+
+    docs = load(spark, sf_dir, "documents")
+    # three branches (corpus dist, totals, the join) all derive from
+    # the (source, token) counts: persist the vocab×sources-sized frame
+    # once instead of re-scanning the corpus per branch (released at
+    # the next query boundary under the caching contract)
+    st = track(
+        docs.select(
+            "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .persist()
+    )
+    corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    corpus_total = corpus.agg(F.sum("n_t").alias("_ct"))
+    src_total = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    return (
+        st.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(src_total), "source")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("n_st") / F.col("n_s"))
+                    * F.log((F.col("n_st") / F.col("n_s")) / (F.col("n_t") / F.col("_ct")))
+                ),
+                4,
+            ).alias("kl_from_corpus"),
+        )
+    )
+
+
+SOURCE_DIVERGENCE_ORACLE = """
+WITH st AS (
+  SELECT source, token, count(*) AS n_st
+  FROM (SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+),
+corpus AS (SELECT token, sum(n_st) AS n_t FROM st GROUP BY 1),
+totals AS (SELECT sum(n_t) AS ct FROM corpus),
+src AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1)
+SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       round(sum((n_st * 1.0 / n_s)
+                 * ln((n_st * 1.0 / n_s) / (n_t * 1.0 / ct))), 4) AS kl_from_corpus
+FROM st JOIN corpus USING (token) JOIN src USING (source) CROSS JOIN totals
+GROUP BY source
+"""
+
+QUERIES.append(
+    Query(
+        "source_divergence",
+        source_divergence,
+        SOURCE_DIVERGENCE_ORACLE,
+        "ext: per-source KL from corpus distribution",
+    )
+)
+
+
 def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc average negative log-prob under the corpus's own
     unigram LM — the perplexity-proxy quality filter (both tails are

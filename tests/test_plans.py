@@ -73,6 +73,13 @@ PLAN_BOUNDS = {
     "order_line_reconciliation": (2, 2),
     "event_asof_order": (1, 0),
     "quantity_percentiles_approx_check": (3, 0),
+    # cohort matrix: (user,week) distinct + user window + cohort count
+    # + the tiny counts-frame window for the retained denominator
+    "retention_cohorts": (4, 0),
+    # per-source KL: one (source,token) count shuffle (persisted once,
+    # feeding three broadcast-side branches) + final |sources| rollup;
+    # the corpus-dist/total joins must stay broadcast
+    "source_divergence": (6, 0),
     # extensions: narrow projections must stay shuffle-free
     "text_stats": (0, 0),
     "dataset_split": (0, 0),
