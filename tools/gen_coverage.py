@@ -87,8 +87,9 @@ EXTENSIONS = [
     ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
     ("text", "lang-id / quality / token counts / fingerprints"
-             " / unigram-LM perplexity proxy"),
-    ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"),
+             " / unigram-LM perplexity proxy / per-source scorecard + KL"),
+    ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"
+                         " / retention cohorts"),
 ]
 
 
