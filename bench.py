@@ -102,6 +102,13 @@ BENCH_QUERIES = [
     "dedup_span_stats",
     "dedup_span_trim",
     "dedup_incremental",
+    # round-7 third wave: the containment twin (same bucket-pairing
+    # plan as dedup_ngram_jaccard, different score) and SemDeDup
+    # (the KMeans fit is intrinsic to the operator — unlike PQ's 8
+    # codebook fits, it's one k=8 fit, so it stays in the timing).
+    # No baseline entries yet; guardrail skips them.
+    "dedup_containment",
+    "semantic_dedup",
 ]
 
 

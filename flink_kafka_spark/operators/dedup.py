@@ -144,6 +144,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    stop_df: int = SHINGLE_STOP_DF,
+) -> DataFrame:
+    """Directed n-gram containment pairs: C = |A ∩ B| / min(|A|, |B|)
+    ≥ threshold, one row per unordered pair (id_a < id_b) with the
+    sizes of both shingle sets so the caller can tell which side is
+    the contained one. Containment catches the case symmetric Jaccard
+    structurally misses: a short document quoted inside a much longer
+    one (the union is dominated by the long doc, so Jaccard ≈
+    |short|/|long| → 0 while containment ≈ 1). This is the standard
+    quote/subset detector run alongside Jaccard dedup on crawl corpora
+    (cf. Broder's containment coefficient).
+
+    Same single-shuffle bucket-pairing plan as
+    :func:`ngram_jaccard_pairs` (shared ``shingles`` scan, stop-shingle
+    pruning before any fan-out), and the same lower-bound trade: the
+    intersection counts only rare shingles (document frequency ≤
+    stop_df) while min(|A|, |B|) uses the full set sizes, so the
+    reported containment is a lower bound on the true value — emitted
+    pairs are guaranteed ≥ threshold, pairs witnessed mainly by
+    frequent shingles can be missed.
+
+    Scale (100 TB): shuffle keys are shingles and (id_a, id_b) pairs,
+    never bodies; per-bucket fan-out is bounded by stop_df; the sizes
+    join is doc-count-sized on the build side but pair-sized on the
+    probe side, and AQE broadcasts the pair side when it fits —
+    identical shape to the Jaccard twin, no new scale surface."""
+    from ..caching import track
+
+    sh = track(shingles(df, id_col, n).cache())
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= stop_df))
+    )
+    inter = (
+        buckets.select("ids", F.posexplode("ids").alias("_i", "id_a"))
+        .select("id_a", F.expr("explode(slice(ids, _i + 2, size(ids)))").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "size_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "size_b")
+    # floor-based round-half-up: n_inter/min(sizes) lands exactly on
+    # decimal half-points (e.g. 1/2), where Spark's and DuckDB's
+    # round() diverge (same convention as source_overlap_matrix)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.expr("floor(n_inter / least(size_a, size_b) * 1000000 + 0.5) / 1000000"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "size_a", "size_b", "n_inter", "containment")
+    )
+
+
 def shingle_prune_stats(
     df: DataFrame, id_col: str = "doc_id", n: int = 3, stop_df: int = SHINGLE_STOP_DF
 ) -> DataFrame:

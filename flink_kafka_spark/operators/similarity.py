@@ -466,3 +466,71 @@ def cosine_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    every item whose cosine similarity to a LOWER-id item in the SAME
+    cluster is ≥ threshold. The min-id survivor rule makes the keep
+    decision deterministic and single-pass (no iterative component
+    labeling): an item survives iff no smaller-id same-cell near-dup
+    exists, so each near-dup group keeps exactly its smallest-id chain
+    head. Output is one row per corpus item: (id, cell, keep).
+
+    Cross-cluster near-dup pairs are out of scope BY DESIGN (that is
+    the SemDeDup trade: clustering bounds the candidate set, at the
+    cost of missing pairs k-means separates); the companion
+    ``semantic_dedup_check`` query measures realized within-cell
+    soundness/completeness and global recall on the test corpus.
+
+    Scale (100 TB): k-means fit + assignment are distributed JVM-side
+    (see :func:`ivf_cells`); the only shuffles after that are the
+    cell-key self-join and the id-key prune anti-marking. Per-cell
+    pairwise work is (n/k)² on balanced cells — operate with n_cells ∝
+    corpus size (paper: fixed ~avg cluster size) so per-cell cost is
+    constant; a skewed mega-cell surfaces in the ``cell`` column
+    (``groupBy('cell').count()``) before it bites. The assigned frame
+    is persisted once (three consumers: both self-join sides + the
+    final keep join) and released at the next query boundary."""
+    from ..caching import track
+
+    assigned, _ = ivf_cells(corpus, id_col, vec_col, n_cells, seed)
+    assigned = track(assigned.persist())
+    a = assigned.select(F.col(id_col).alias("id_a"), "cell", F.col("v").alias("qv"))
+    b = assigned.select(F.col(id_col).alias("id_b"), "cell", F.col("v").alias("cv"))
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                F.expr(
+                    f"({_DOT.format(a='qv', b='cv')}) / "
+                    f"(({_NORM.format(v='qv')}) * ({_NORM.format(v='cv')}))"
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias("_pruned_id"))
+        .distinct()
+    )
+    # id-key left join (not broadcast): the pruned set is a large
+    # fraction of the corpus when duplication is heavy — the paper
+    # prunes up to 50% — so it cannot be assumed build-side small
+    return (
+        assigned.select(id_col, "cell")
+        .join(pruned, F.col(id_col) == F.col("_pruned_id"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.when(F.col("_pruned_id").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )

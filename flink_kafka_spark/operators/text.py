@@ -61,6 +61,75 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return df.select(F.col(id_col), quality_expr(text_col).alias("quality_score"))
 
 
+def quality_threshold_sweep(
+    df: DataFrame, text_col: str = "text", steps: int = 10
+) -> DataFrame:
+    """Pass-rate curve for the quality filter: for every threshold t in
+    {0, 1/steps, …, 1}, the docs and whitespace-tokens that survive
+    ``quality_score >= t``, as counts and corpus fractions — the
+    diagnostic run BEFORE committing to a filter cutoff (how much of
+    the token budget does each candidate threshold cost?).
+
+    Scale (100 TB): each source row is touched exactly once — a narrow
+    (bucket, n_tokens) projection feeds an integer-bucket histogram
+    (one map-side-combined shuffle into ≤ steps+1 groups); the
+    suffix-cumulative pass counts and the totals are windows over that
+    (steps+1)-row frame (one SinglePartition exchange of steps+1
+    rows). The naive alternative (cross-join the grid, aggregate per
+    threshold) multiplies the aggregation input by steps+1.
+
+    Bucket boundaries vs the oracle's double comparison: the score is
+    rounded to 4 dp, so ``round(q*10^4)`` is an exact integer q4 and
+    ``q >= i/steps  ⟺  q4 >= 10^4·i/steps`` whenever 10^4 is a
+    multiple of steps — the integer floor-bucketing below reproduces
+    the double ``>=`` exactly (steps must divide 10^4)."""
+    from pyspark.sql.window import Window
+
+    if 10000 % steps:
+        raise ValueError(f"steps must divide 10^4, got {steps}")
+    width = 10000 // steps
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scored = df.select(
+        F.floor(F.round(quality_expr(text_col) * 10000, 0) / width).cast("int").alias("bucket"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_tokens").alias("nt")
+    )
+    spark = df.sparkSession
+    grid = spark.range(0, steps + 1).select(F.col("id").cast("int").alias("gi"))
+    filled = grid.join(hist, grid.gi == hist.bucket, "left").select(
+        "gi", F.coalesce("nd", F.lit(0)).alias("nd"), F.coalesce("nt", F.lit(0)).alias("nt")
+    )
+    # suffix sums over the tiny grid frame: pass(t) = Σ buckets ≥ t.
+    # SinglePartition window is fine — the frame is steps+1 rows.
+    w_sfx = Window.orderBy(F.col("gi").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("gi").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # floor-based round-half-up on the fractions (doc fraction k/N can
+    # land exactly on a decimal half-point; same convention as
+    # source_overlap_matrix)
+    return (
+        filled.select(
+            "gi",
+            F.sum("nd").over(w_sfx).alias("n_docs_pass"),
+            F.sum("nt").over(w_sfx).alias("n_tokens_pass"),
+            F.sum("nd").over(w_all).alias("_td"),
+            F.sum("nt").over(w_all).alias("_tt"),
+        )
+        .select(
+            (F.col("gi").cast("double") / steps).alias("threshold"),
+            F.col("n_docs_pass").cast("long").alias("n_docs_pass"),
+            F.expr("floor(n_docs_pass / _td * 1000000 + 0.5) / 1000000").alias("frac_docs"),
+            F.col("n_tokens_pass").cast("long").alias("n_tokens_pass"),
+            F.expr("floor(n_tokens_pass / _tt * 1000000 + 0.5) / 1000000").alias(
+                "frac_tokens"
+            ),
+        )
+    )
+
+
 def pred_lang_expr(text_col: str = "text") -> Column:
     """Stopword-marker language ID as a single expression: argmax of
     marker-token frequency, deterministic tie-break on language code,

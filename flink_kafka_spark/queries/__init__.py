@@ -156,11 +156,27 @@ class Query:
 # IN: doc_logprob, source_scorecard (text), source_overlap,
 #     leakage_safe_split (dedup) — all rehearsal-verified at sf0.01
 #     (the driver's exact compare) before entering the window.
+#
+# Round-7 third wave (same immediate-hash rule for the round's last
+# three registrations; semantic_dedup_check additionally REQUIRED
+# inside by the *_check rule) — OUT, all green r5+r6:
+#   unique_visitors   (A6 exact distinct; uv_bloom stays with the same
+#                      per-window exact counts, uv_approx_check stays,
+#                      sweep oracle + streaming pytest remain)
+#   dedup_embedding_cosine (embedding near-dup; the incoming
+#                      semantic_dedup_check recomputes the same cosine
+#                      recheck machinery with strictly stronger
+#                      invariants; sweep oracle stays)
+#   order_ship_interval_join (J1; interval-join hypothesis pytest +
+#                      row-identical binned twin test stay, and
+#                      order_line_reconciliation keeps the join family)
+# IN: semantic_dedup_check (SemDeDup property oracle),
+#     dedup_containment, filter_threshold_sweep — all
+#     rehearsal-verified at sf0.01 before entering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
     "hot_items_sql",
-    "unique_visitors",
     "uv_approx_check",
     "uv_bloom",
     "channel_stats",
@@ -168,7 +184,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "order_timeout",
     "click_blacklist",
     "sessionize",
-    "order_ship_interval_join",
     "order_line_reconciliation",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
@@ -187,7 +202,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_check",
     "dedup_canonicalize",
     "dedup_canonicalize_skew",
-    "dedup_embedding_cosine",
+    "dedup_containment",
     "dedup_span_stats",
     "dedup_span_trim",
     "dedup_incremental_check",
@@ -199,11 +214,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_check",
     "ann_pq_check",
     "ann_cosine_topk_pq",
+    "semantic_dedup_check",
     # text analysis family
     "lang_id",
     "doc_chunk",
     "pii_redact",
     "text_quality",
+    "filter_threshold_sweep",
     "doc_fingerprint",
     "bpe_token_count",
     "doc_logprob",

@@ -15,6 +15,7 @@ from ..operators.dedup import (
     SHINGLE_STOP_DF,
     canonicalize_clusters,
     connected_components,
+    containment_pairs,
     embedding_cosine_pairs,
     exact_dedup,
     incremental_dedup,
@@ -111,6 +112,44 @@ SELECT id_a, id_b, jaccard FROM (
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
 ) WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (quote/subset detector):
+    C = |A∩B| / min(|A|,|B|) ≥ 0.6 — catches a short doc embedded in a
+    long one, which symmetric Jaccard misses (union dominated by the
+    long doc). Same single-shuffle bucket plan as the Jaccard twin."""
+    return containment_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=CONTAINMENT_THRESHOLD,
+        stop_df=NGRAM_STOP_DF,
+    )
+
+
+DEDUP_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+rare AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {NGRAM_STOP_DF})
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, size_a, size_b, n_inter, containment FROM (
+  SELECT id_a, id_b, sa.n AS size_a, sb.n AS size_b, n_inter,
+         floor(n_inter * 1.0 / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000
+           AS containment
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+) WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
 
 
@@ -731,6 +770,12 @@ QUERIES = [
         dedup_prune_stats,
         DEDUP_PRUNE_STATS_ORACLE,
         "ext: stop-shingle pruning visibility",
+    ),
+    Query(
+        "dedup_containment",
+        dedup_containment,
+        DEDUP_CONTAINMENT_ORACLE,
+        "ext: directed n-gram containment (quote/subset detector)",
     ),
     Query("dedup_minhash_lsh", dedup_minhash_lsh, None, "ext: minhash+lsh"),
     Query(

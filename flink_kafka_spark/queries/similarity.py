@@ -6,10 +6,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    _DOT,
+    _NORM,
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
     cosine_topk_pq,
+    semantic_dedup,
 )
 from ..tables import load
 from . import Query
@@ -244,4 +247,113 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 QUERIES.append(
     Query("ann_cosine_topk_int8", ann_cosine_topk_int8, ANN_INT8_ORACLE,
           "ext: int8-quantized ANN (engine-exact oracle)")
+)
+
+
+# SemDeDup constants: τ matches the corpus's near-dup cosine threshold
+# (queries/dedup.py COSINE_DUP_THRESHOLD); 8 cells on the near-uniform
+# synthetic embeddings give measured within-cell recall ~0.41-0.47 at
+# sf0.001/0.01 (k-means cells align only loosely with cosine structure
+# on uniform data — the paper's corpora are far clumpier); the bound
+# leaves margin for KMeans partitioning nondeterminism.
+SEMDEDUP_CELLS = 8
+SEMDEDUP_THRESHOLD = 0.35
+SEMDEDUP_RECALL_BOUND = 0.25
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune) keep/prune decision per embedding.
+    KMeans cell ids are model-dependent → rows-only check;
+    `semantic_dedup_check` carries the invariant oracle."""
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"),
+        n_cells=SEMDEDUP_CELLS,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+def semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup invariants, recomputed independently from raw vectors:
+
+    - ``prune_violations`` = 0: the keep flag is EXACTLY the min-id
+      survivor rule — an item is pruned iff a lower-id same-cell item
+      with cosine ≥ τ exists (both directions counted);
+    - ``recall_ok``: within-cell exact pairs ≥ bound × ALL exact pairs
+      (the all-pairs sweep is the labeled exact baseline, check scale
+      only — the operator itself never goes quadratic)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sd = semantic_dedup(
+        emb, n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_THRESHOLD
+    )
+    from ..caching import track
+
+    v = emb.select(
+        F.col("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    sdv = track(sd.join(v, "vec_id").persist())
+    sdv.count()  # three consumers (a/b recheck sides + flag join)
+    cos = F.round(
+        F.expr(
+            f"({_DOT.format(a='qv', b='cv')}) / "
+            f"(({_NORM.format(v='qv')}) * ({_NORM.format(v='cv')}))"
+        ),
+        6,
+    )
+    a = sdv.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("ca"), F.col("v").alias("qv"))
+    b = sdv.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cb"), F.col("v").alias("cv"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select("id_a", "id_b", "ca", "cb")
+    )
+    within = exact.filter(F.col("ca") == F.col("cb"))
+    expected_pruned = within.select(F.col("id_b").alias("vec_id")).distinct()
+    flags = sd.join(
+        expected_pruned.withColumn("_exp", F.lit(1)), "vec_id", "left"
+    )
+    violations = flags.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("keep") == 0) != F.col("_exp").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("prune_violations")
+    )
+    recall = (
+        exact.agg(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(within.agg(F.count(F.lit(1)).alias("_w")))
+        .select(
+            F.when(
+                (F.col("_n") == 0) | (F.col("_w") / F.col("_n") >= SEMDEDUP_RECALL_BOUND), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("recall_ok")
+        )
+    )
+    return violations.crossJoin(recall)
+
+
+SEMDEDUP_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS prune_violations, CAST(1 AS INT) AS recall_ok
+"""
+
+
+QUERIES.append(
+    Query("semantic_dedup", semantic_dedup_q, None, "ext: SemDeDup cluster-then-prune")
+)
+QUERIES.append(
+    Query(
+        "semantic_dedup_check",
+        semantic_dedup_check,
+        SEMDEDUP_CHECK_ORACLE,
+        "ext: SemDeDup property oracle",
+    )
 )

@@ -20,6 +20,7 @@ from ..operators.text import (
     pred_lang_expr,
     quality_expr,
     quality_score,
+    quality_threshold_sweep,
     redact_pii,
     token_count_bpe,
     token_stats,
@@ -61,6 +62,37 @@ SELECT doc_id,
        round(0.5 * least(len(ws) / 200.0, 1.0)
              + 0.5 * (len(list_distinct(ws)) / len(ws)), 4) AS quality_score
 FROM t
+"""
+
+
+def filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter pass-rate curve: docs/tokens surviving
+    ``quality_score >= t`` for t in {0.0, 0.1, …, 1.0} — the cutoff-
+    selection diagnostic (token-budget cost per candidate threshold).
+    One histogram shuffle + an 11-row window; no row amplification."""
+    return quality_threshold_sweep(load(spark, sf_dir, "documents"), steps=10)
+
+
+FILTER_SWEEP_ORACLE = """
+WITH t AS (
+  SELECT round(0.5 * least(len(ws) / 200.0, 1.0)
+               + 0.5 * (len(list_distinct(ws)) / len(ws)), 4) AS q,
+         len(ws) AS n_tokens
+  FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents)
+),
+grid AS (SELECT i / 10.0 AS threshold FROM range(0, 11) r(i)),
+tot AS (SELECT count(*) AS td, sum(n_tokens) AS tt FROM t)
+SELECT g.threshold,
+       CAST(sum(CASE WHEN t.q >= g.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_pass,
+       floor(sum(CASE WHEN t.q >= g.threshold THEN 1 ELSE 0 END) * 1.0
+             / any_value(tot.td) * 1000000 + 0.5) / 1000000 AS frac_docs,
+       CAST(sum(CASE WHEN t.q >= g.threshold THEN t.n_tokens ELSE 0 END) AS BIGINT)
+         AS n_tokens_pass,
+       floor(sum(CASE WHEN t.q >= g.threshold THEN t.n_tokens ELSE 0 END) * 1.0
+             / any_value(tot.tt) * 1000000 + 0.5) / 1000000 AS frac_tokens
+FROM grid g CROSS JOIN t CROSS JOIN tot
+GROUP BY g.threshold
 """
 
 
@@ -264,6 +296,12 @@ QUERIES = [
     Query("decontaminate", decontaminate, DECONTAMINATE_ORACLE, "ext: benchmark decontamination"),
     Query("corpus_prep", corpus_prep, CORPUS_PREP_ORACLE, "ext: composed prep pipeline"),
     Query("text_quality", text_quality, TEXT_QUALITY_ORACLE, "ext: quality score"),
+    Query(
+        "filter_threshold_sweep",
+        filter_threshold_sweep,
+        FILTER_SWEEP_ORACLE,
+        "ext: quality-cutoff pass-rate curve",
+    ),
     Query("lang_id", lang_id, LANG_ID_ORACLE, "ext: language id"),
     Query("bpe_token_count", bpe_token_count, BPE_COUNT_ORACLE, "ext: token budget"),
     Query("doc_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE, "ext: fingerprint"),

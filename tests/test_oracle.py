@@ -63,12 +63,14 @@ def test_driver_window_covers_every_family():
         "dedup": ["dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh_check",
                   "dedup_simhash_check", "dedup_clusters", "dedup_embedding_cosine",
                   "dedup_canonicalize", "dedup_canonicalize_skew",
-                  "dedup_span_stats", "dedup_span_trim", "dedup_incremental_check"],
+                  "dedup_span_stats", "dedup_span_trim", "dedup_incremental_check",
+                  "dedup_containment", "semantic_dedup_check"],
         "ann": ["ann_cosine_topk", "ann_lsh_check", "ann_ivf_check",
                 "embedding_quantize", "ann_cosine_topk_int8", "ann_pq_check"],
         "text": ["text_stats", "corpus_prep", "decontaminate", "lang_id",
                  "doc_chunk", "pii_scan", "pii_redact", "repetition_stats",
-                 "text_quality", "doc_fingerprint", "bpe_token_count"],
+                 "text_quality", "doc_fingerprint", "bpe_token_count",
+                 "filter_threshold_sweep"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",

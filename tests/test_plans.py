@@ -90,6 +90,9 @@ PLAN_BOUNDS = {
     "repetition_stats": (0, 0),
     "lang_id": (0, 0),
     "text_quality": (0, 0),
+    # pass-rate curve: histogram shuffle (≤ steps+1 groups, map-side
+    # combined) + the SinglePartition window over the 11-row grid
+    "filter_threshold_sweep": (2, 0),
     "bpe_token_count": (0, 0),
     "doc_fingerprint": (0, 0),
     "media_features": (0, 0),
@@ -106,6 +109,9 @@ PLAN_BOUNDS = {
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
     "dedup_ngram_jaccard": (4, 0),  # narrow shingles + bucket pairing
+    # containment twin: identical bucket-pairing plan (shared shingle
+    # scan, stop-shingle pruning before fan-out), different score
+    "dedup_containment": (4, 0),
     "dedup_prune_stats": (2, 0),
     # bench headline (not in DRIVER_WINDOW itself): fan-out repartition
     # + band-bucket groupBy + candidate distinct; everything else
@@ -154,6 +160,14 @@ PLAN_BOUNDS = {
     "ann_cosine_topk_ivf": (1, 0),
     "ann_cosine_topk_pq": (1, 0),
     "dedup_simhash": (1, 0),
+    # SemDeDup: the cell self-join and the id-key prune join are both
+    # corpus×corpus BY DESIGN (neither side broadcasts at 100 TB; with
+    # n_cells ∝ corpus size the cell keys spread, so SMJ is the
+    # intended plan — same class as order_line_reconciliation)
+    "semantic_dedup": (3, 2),
+    # check: operator + independent recheck + all-pairs exact baseline
+    # (labeled, check scale only) — derived-frame SMJs expected
+    "semantic_dedup_check": (12, 12),
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
     "ann_pq_check": (12, 4),

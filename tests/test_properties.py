@@ -629,3 +629,28 @@ def test_leakage_safe_split_coassigns_near_dup_pairs(spark, sf_dir):
     )
     singles = split.filter("doc_id = cluster_id").join(plain, "doc_id")
     assert singles.filter("split <> plain_split").count() == 0
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The reason containment exists: a short doc quoted verbatim
+    inside a much longer one has containment 1.0 but Jaccard
+    |short|/|long| → below any useful threshold. Also pins the
+    direction metadata (sizes) and the floor-half-up rounding."""
+    from flink_kafka_spark.operators.dedup import containment_pairs
+
+    words = [f"w{i}" for i in range(60)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[20:30])  # 10-token verbatim excerpt
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc), (2, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    from flink_kafka_spark.operators.dedup import ngram_jaccard_pairs
+
+    assert ngram_jaccard_pairs(docs, threshold=0.5, stop_df=100).count() == 0
+    rows = {(r.id_a, r.id_b): r for r in containment_pairs(docs, threshold=0.6, stop_df=100).collect()}
+    assert set(rows) == {(0, 1)}
+    r = rows[(0, 1)]
+    # long doc: 58 3-gram shingles, excerpt: 8, all shared
+    assert (r.size_a, r.size_b, r.n_inter) == (58, 8, 8)
+    assert r.containment == 1.0

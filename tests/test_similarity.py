@@ -54,3 +54,36 @@ def test_int8_recall_near_exact(spark, sf_dir, exact):
     got = _neighbor_sets(ann_cosine_topk_int8(spark, sf_dir))
     assert set(got) == set(exact)
     assert _recall(got, exact) >= 0.8
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """Min-id survivor rule on a constructed corpus: three well-
+    separated duplicate groups (k-means must isolate them) plus
+    orthogonal singletons — each group keeps exactly its smallest id,
+    every singleton survives, and the keep column is total."""
+    from flink_kafka_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+
+    def vec(axis, scale=1.0, bump=0.0):
+        v = [0.0] * dim
+        v[axis] = scale
+        v[(axis + 1) % dim] = bump  # tiny in-group perturbation
+        return v
+
+    rows = []
+    # groups on axes 0,1,2: ids {0,1,2}, {3,4}, {5,6,7}
+    for gid, (axis, ids) in enumerate([(0, [0, 1, 2]), (1, [3, 4]), (2, [5, 6, 7])]):
+        for j, i in enumerate(ids):
+            rows.append((i, vec(axis, 1.0 + 0.01 * j, 0.02 * j)))
+    # singletons on axes 3,4 (cosine ~0 to everything else)
+    rows.append((8, vec(3)))
+    rows.append((9, vec(4)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(df, n_cells=5, threshold=0.9).collect()}
+    assert set(out) == set(range(10))
+    kept = {i for i, r in out.items() if r.keep == 1}
+    assert kept == {0, 3, 5, 8, 9}
+    # group members landed in one cell each (k-means isolated them)
+    for ids in ([0, 1, 2], [3, 4], [5, 6, 7]):
+        assert len({out[i].cell for i in ids}) == 1

@@ -202,3 +202,34 @@ def test_mono_id_rank_contract_canary(spark):
         "sortWithinPartitions; ranks no longer follow sort order — "
         "switch operators/text.py to the take(k) rank-join fallback"
     )
+
+
+def test_threshold_sweep_matches_naive(spark, sf_dir):
+    """The histogram+suffix-sum plan must equal the naive per-threshold
+    scan, including the bucket-boundary equivalence the docstring
+    argues (q >= t at 1-dp thresholds == integer-bucket >= t*steps)."""
+    import math
+    import re
+
+    from flink_kafka_spark.operators.text import quality_threshold_sweep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        round(r.threshold, 1): (r.n_docs_pass, r.frac_docs, r.n_tokens_pass, r.frac_tokens)
+        for r in quality_threshold_sweep(docs, steps=10).collect()
+    }
+    rows = [(r.text or "") for r in docs.select("text").collect()]
+    scored = []
+    for text in rows:
+        ws = re.split(r"\s+", text.lower())
+        q = round(0.5 * min(len(ws) / 200.0, 1.0) + 0.5 * (len(set(ws)) / len(ws)), 4)
+        scored.append((q, len(ws)))
+    td, tt = len(scored), sum(n for _, n in scored)
+    assert set(got) == {round(i / 10, 1) for i in range(11)}
+    for i in range(11):
+        t = i / 10.0
+        nd = sum(1 for q, _ in scored if q >= t)
+        nt = sum(n for q, n in scored if q >= t)
+        fd = math.floor(nd / td * 1e6 + 0.5) / 1e6
+        ft = math.floor(nt / tt * 1e6 + 0.5) / 1e6
+        assert got[round(t, 1)] == (nd, fd, nt, ft), f"threshold {t}"

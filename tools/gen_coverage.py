@@ -81,13 +81,15 @@ SURVEY_IDS: dict[str, tuple[str, str]] = {
 }
 
 EXTENSIONS = [
-    ("dedup", "exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine"
+    ("dedup", "exact / MinHash+LSH / SimHash / n-gram Jaccard / containment"
+              " / embedding-cosine / SemDeDup (cluster-then-prune)"
               " / span-level substring stats / incremental (cross-snapshot)"
               " / cross-source overlap matrix"),
     ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
     ("text", "lang-id / quality / token counts / fingerprints"
-             " / unigram-LM perplexity proxy / per-source scorecard + KL"),
+             " / unigram-LM perplexity proxy / per-source scorecard + KL"
+             " / quality-cutoff pass-rate sweep"),
     ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"
                          " / retention cohorts"),
 ]

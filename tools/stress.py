@@ -186,6 +186,70 @@ def main() -> None:
     timings[f"incremental_dedup_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert n_flagged == n_docs // 10, n_flagged
 
+    # containment at the full doc count: doc 10k+9 is a VERBATIM copy
+    # of doc 10k+1, so every planted pair must surface with containment
+    # exactly 1.0 — same bucket-pairing shape as the Jaccard probe, so
+    # the timing difference isolates the score change.
+    from flink_kafka_spark.operators.dedup import containment_pairs
+
+    t0 = time.perf_counter()
+    cont = containment_pairs(docs, threshold=0.6)
+    n_full = cont.filter(
+        "pmod(id_a, 10) = 1 AND id_b = id_a + 8 AND containment = 1.0"
+    ).count()
+    timings[f"containment_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert n_full == n_docs // 10, n_full
+
+    # quality-threshold sweep at the full doc count: 11 grid rows, the
+    # t=0 row must account for every doc, and pass counts must be
+    # monotone non-increasing in t (the suffix-sum correctness at a
+    # scale where a bucket-boundary bug would actually show).
+    from flink_kafka_spark.operators.text import quality_threshold_sweep
+
+    t0 = time.perf_counter()
+    sweep = sorted(
+        quality_threshold_sweep(docs, steps=10).collect(), key=lambda r: r.threshold
+    )
+    timings[f"threshold_sweep_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert len(sweep) == 11 and sweep[0].n_docs_pass == n_docs
+    assert all(
+        a.n_docs_pass >= b.n_docs_pass and a.n_tokens_pass >= b.n_tokens_pass
+        for a, b in zip(sweep, sweep[1:])
+    )
+
+    # SemDeDup at 100k embeddings with planted ground truth: 10k groups
+    # of 10, each group a deterministic ±1/√32 base direction with
+    # member j flipping component j — cos(member j>0, member 0) =
+    # 30/32 = 0.9375 ≥ τ=0.9 while cross-member cos (28/32) and
+    # cross-group cos (random ±1 directions, P[cos ≥ 0.9] = 2⁻³²) stay
+    # below τ. So the min-id survivor rule must NEVER prune a group
+    # head, and must prune ~90% of the corpus — up to k-means cell
+    # straddle (a group split across cells can't see all its prunes;
+    # measured straddle loss ≈ a few %, bound leaves margin).
+    from flink_kafka_spark.operators.similarity import semantic_dedup
+
+    n_vecs = 100_000
+    t0 = time.perf_counter()
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 31), c -> "
+            " CAST(pmod(xxhash64(floor(id / 10), c), 2) * 2 - 1 AS DOUBLE)"
+            " * (CASE WHEN pmod(id, 10) > 0 AND c = pmod(id, 10) THEN -1.0 ELSE 1.0 END))"
+        ).alias("embedding"),
+    )
+    sd = semantic_dedup(emb, n_cells=256, threshold=0.9)
+    sd_stats = sd.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("keep") == 0) & (F.pmod("vec_id", F.lit(10)) == 0)).cast("int")).alias(
+            "pruned_heads"
+        ),
+        F.sum((F.col("keep") == 0).cast("int")).alias("pruned"),
+    ).collect()[0]
+    timings[f"semantic_dedup_{n_vecs}"] = round(time.perf_counter() - t0, 2)
+    assert sd_stats.n == n_vecs and sd_stats.pruned_heads == 0, tuple(sd_stats)
+    assert sd_stats.pruned >= 0.75 * (n_vecs * 9 // 10), sd_stats.pruned
+
     # unigram-LM scoring at the full doc count: the synthetic vocab is
     # 500 near-uniformly-used words, so every doc's average negative
     # log-prob must sit near ln(500) ~ 6.21 — a ground-truth band, not
