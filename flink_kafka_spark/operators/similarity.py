@@ -492,45 +492,59 @@ def semantic_dedup(
     soundness/completeness and global recall on the test corpus.
 
     Scale (100 TB): k-means fit + assignment are distributed JVM-side
-    (see :func:`ivf_cells`); the only shuffles after that are the
-    cell-key self-join and the id-key prune anti-marking. Per-cell
-    pairwise work is (n/k)² on balanced cells — operate with n_cells ∝
-    corpus size (paper: fixed ~avg cluster size) so per-cell cost is
-    constant; a skewed mega-cell surfaces in the ``cell`` column
-    (``groupBy('cell').count()``) before it bites. The assigned frame
-    is persisted once (three consumers: both self-join sides + the
-    final keep join) and released at the next query boundary."""
-    from ..caching import track
+    (see :func:`ivf_cells`); after that the ONE shuffle is the
+    cell-key regroup feeding an Arrow ``applyInPandas`` that computes
+    each cell's keep flags with a chunked BLAS gram matrix — the
+    (n/k)² pairwise work runs vectorized instead of as an interpreted
+    per-pair HOF expression, and no second pass/join over the corpus
+    is needed (the earlier self-join + distinct + left-join plan cost
+    3 exchanges, 2 sort-merge joins, and re-ran the pair join for the
+    flag join). Per-cell memory is O(cell×dim + block×cell); operate
+    with n_cells ∝ corpus size (paper: fixed ~avg cluster size) so
+    per-cell cost is constant. A skewed mega-cell serializes onto one
+    task under either plan (cell-key join or cell-key regroup) and
+    surfaces in the ``cell`` column (``groupBy('cell').count()``)
+    before it bites."""
+    import numpy as np
+    import pandas as pd
 
+    id_type = corpus.schema[id_col].dataType.simpleString()
     assigned, _ = ivf_cells(corpus, id_col, vec_col, n_cells, seed)
-    assigned = track(assigned.persist())
-    a = assigned.select(F.col(id_col).alias("id_a"), "cell", F.col("v").alias("qv"))
-    b = assigned.select(F.col(id_col).alias("id_b"), "cell", F.col("v").alias("cv"))
-    pruned = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(
-                F.expr(
-                    f"({_DOT.format(a='qv', b='cv')}) / "
-                    f"(({_NORM.format(v='qv')}) * ({_NORM.format(v='cv')}))"
-                ),
-                6,
-            )
-            >= threshold
+
+    def _prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = x / np.linalg.norm(x, axis=1)[:, None]
+        pruned = np.zeros(n, dtype=bool)
+        # Row-block the gram matrix so a large cell never materializes
+        # the full (n_c)² similarity matrix.
+        block = max(64, min(2048, 10_000_000 // max(n, 1)))
+        cols = np.arange(n)
+        for start in range(0, n, block):
+            end = min(start + block, n)
+            sims = u[start:end] @ u.T
+            # Spark's round() is decimal HALF_UP; floor(x*1e6 + 0.5)
+            # matches it for the non-negative range that can reach the
+            # threshold (np.round would use half-even).
+            sims = np.floor(sims * 1e6 + 0.5) / 1e6
+            # Spark orders NaN above every double, so a NaN cosine
+            # (zero-norm vector) compares >= threshold there — mirror
+            # that rather than numpy's NaN-comparisons-are-false.
+            hit = (sims >= threshold) | np.isnan(sims)
+            hit &= cols[None, :] < np.arange(start, end)[:, None]
+            pruned[start:end] = hit.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "keep": (~pruned).astype("int32"),
+            }
         )
-        .select(F.col("id_b").alias("_pruned_id"))
-        .distinct()
-    )
-    # id-key left join (not broadcast): the pruned set is a large
-    # fraction of the corpus when duplication is heavy — the paper
-    # prunes up to 50% — so it cannot be assumed build-side small
+
     return (
-        assigned.select(id_col, "cell")
-        .join(pruned, F.col(id_col) == F.col("_pruned_id"), "left")
-        .select(
-            id_col,
-            "cell",
-            F.when(F.col("_pruned_id").isNull(), 1).otherwise(0).cast("int").alias("keep"),
-        )
+        assigned.select(id_col, "v", "cell")
+        .groupBy("cell")
+        .applyInPandas(_prune_cell, schema=f"{id_col} {id_type}, cell int, keep int")
     )

@@ -162,12 +162,12 @@ PLAN_BOUNDS = {
     "dedup_simhash": (1, 0),
     # SemDeDup: the cell self-join and the id-key prune join are both
     # corpus×corpus BY DESIGN (neither side broadcasts at 100 TB; with
-    # n_cells ∝ corpus size the cell keys spread, so SMJ is the
-    # intended plan — same class as order_line_reconciliation)
-    "semantic_dedup": (3, 2),
+    # one cell-key regroup feeding the per-cell BLAS applyInPandas —
+    # no pair join, no flag join (round-7 rework)
+    "semantic_dedup": (1, 0),
     # check: operator + independent recheck + all-pairs exact baseline
     # (labeled, check scale only) — derived-frame SMJs expected
-    "semantic_dedup_check": (12, 12),
+    "semantic_dedup_check": (8, 2),
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
     "ann_pq_check": (12, 4),
