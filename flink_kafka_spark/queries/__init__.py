@@ -173,20 +173,39 @@ class Query:
 # IN: semantic_dedup_check (SemDeDup property oracle),
 #     dedup_containment, filter_threshold_sweep — all
 #     rehearsal-verified at sf0.01 before entering.
+#
+# Round-7 fourth wave (immediate-hash rule for the round's last four
+# full-oracle registrations; heavy_hitters_check additionally REQUIRED
+# inside by the *_check rule) — OUT, all green r5+r6:
+#   channel_stats     (A3/G5/W3 windowed count; global_stats keeps the
+#                      windowed-agg family, reference-parity pytest +
+#                      sweep oracle stay)
+#   sessionize        (gap sessionization; retention_cohorts'
+#                      user-window shape + the incoming
+#                      event_transitions cover the per-user ordered
+#                      window; sweep oracle + pytest stay)
+#   uv_bloom          (stateful BF distinct; uv_approx_check stays —
+#                      the same per-window exact counts are its
+#                      invariant input — plus streaming eviction pytest)
+#   multi_query_search (bm25_search stays for the retrieval family and
+#                      shares the postings/index machinery)
+# IN: heavy_hitters_check (Misra-Gries sketch property oracle),
+#     event_transitions, traffic_anomalies, word_pmi — all
+#     rehearsal-verified at sf0.01 before entering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
     "hot_items_sql",
     "uv_approx_check",
-    "uv_bloom",
-    "channel_stats",
     "global_stats",
     "order_timeout",
     "click_blacklist",
-    "sessionize",
     "order_line_reconciliation",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
+    # analytics additions (r7 fourth wave)
+    "event_transitions",
+    "traffic_anomalies",
     # relational block (q4/q6/q7/q10/q12 rotated in r6;
     # q8/q13/orders_rollup rotated in r7 — r02-stale rows)
     "tpch_q4",
@@ -225,9 +244,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_token_count",
     "doc_logprob",
     "source_scorecard",
+    "word_pmi",
+    "heavy_hitters_check",
     # retrieval family
     "bm25_search",
-    "multi_query_search",
     # sampling / release family
     "stratified_cap",
     "corpus_shuffle",

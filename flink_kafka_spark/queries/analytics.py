@@ -217,3 +217,96 @@ QUERIES.append(
     Query("quantity_percentiles_approx_check", quantity_percentiles_approx_check,
           PCTL_APPROX_CHECK_ORACLE, "approx percentile rank-error property oracle")
 )
+
+
+# --- Markov transition matrix over per-user event sequences ---
+#
+# The reference's CEP operators (LoginFailWithCep.java, OrderTimeout*)
+# match FIXED event sequences; the transition matrix is the analytic
+# complement — the empirical P(next | prev) over every user's ordered
+# stream. One shuffle on user_id for the lag, one on the (prev, next)
+# pair for the count; the probability denominator is a window over the
+# tiny counts frame, not a join back. Identical ANSI text runs on both
+# engines (the sessionize pattern).
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       count(*) AS n,
+       -- floor-based half-up rounding: engines' round() diverge on
+       -- exact decimal half-points (see retention_cohorts)
+       floor(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS prob
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts and conditional
+    probabilities (empirical Markov chain over the event stream)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(EVENT_TRANSITIONS_SQL)
+
+
+EVENT_TRANSITIONS_ORACLE = EVENT_TRANSITIONS_SQL
+
+
+# --- z-score anomaly flags on windowed counts ---
+#
+# The streaming-analytics use the reference serves (hot items, channel
+# stats) feeds exactly this batch question: which hourly buckets are
+# anomalous vs their key's own history? Mean/stddev are per-key windows
+# over the ALREADY-AGGREGATED hourly frame (one row per key x hour), so
+# the second pass costs nothing at scale; the raw-event pass is one
+# (key, hour) count shuffle.
+
+TRAFFIC_ANOMALIES_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(unix_seconds(ts) / 3600) AS BIGINT) * 3600 AS hour_s,
+         count(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT *,
+         avg(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(CAST(cnt AS DOUBLE)) OVER (PARTITION BY event_type) AS sigma
+  FROM hourly
+)
+SELECT event_type, hour_s, cnt,
+       floor((CAST(cnt AS DOUBLE) - mu)
+             / CASE WHEN sigma = 0 THEN NULL ELSE sigma END
+             * 10000 + 0.5) / 10000 AS z,
+       CASE WHEN sigma > 0 AND CAST(cnt AS DOUBLE) - mu > 3 * sigma
+            THEN 1 ELSE 0 END AS anomaly
+FROM stats
+"""
+
+
+def traffic_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type counts flagged against their own
+    mean + 3 sigma (population stddev; z rounded half-up to 4 dp)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(TRAFFIC_ANOMALIES_SQL)
+
+
+TRAFFIC_ANOMALIES_ORACLE = TRAFFIC_ANOMALIES_SQL.replace("unix_seconds(ts)", "epoch(ts)")
+
+
+QUERIES.append(
+    Query("event_transitions", event_transitions, EVENT_TRANSITIONS_ORACLE,
+          "empirical Markov transitions (beyond ref)")
+)
+QUERIES.append(
+    Query("traffic_anomalies", traffic_anomalies, TRAFFIC_ANOMALIES_ORACLE,
+          "windowed z-score anomaly flags (beyond ref)")
+)

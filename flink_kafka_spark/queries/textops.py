@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.text import (
     LANG_MARKERS,
@@ -1004,4 +1005,177 @@ QUERIES.append(
         MULTI_QUERY_SEARCH_ORACLE,
         "ext: index-driven batch retrieval",
     )
+)
+
+
+# --- Misra-Gries heavy hitters over corpus tokens ---
+
+HH_K = 16  # sketch capacity; error/coverage bound is n/(HH_K+1)
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top tokens via the mergeable Misra-Gries sketch
+    (operators/sketches.py): per-partition k-counter partials, one
+    k x partitions shuffle — distinct-token cardinality never touches
+    the wire. Which borderline items survive (and their undercounts)
+    depends on partitioning → rows-only driver check; the bounds are
+    driver-hashed by `heavy_hitters_check`."""
+    from ..operators.sketches import misra_gries
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return misra_gries(toks, "tok", HH_K)
+
+
+def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch guarantees, checked against exact counts (the exact
+    groupBy is the labeled baseline — check scale only):
+
+    - ``err_violations`` = 0: every sketched item exists and its
+      estimate e satisfies  true - n/(k+1) <= e <= true  (integer
+      arithmetic: (true - e) * (k+1) <= n);
+    - ``coverage_misses`` = 0: every token with true count
+      > n/(k+1) survives the sketch (PODS'12 mergeability theorem —
+      holds for ANY partitioning/merge order, which is what makes
+      this driver-hashable while the raw sketch row set is not)."""
+    from ..caching import track
+    from ..operators.sketches import misra_gries
+
+    toks = track(
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .persist()
+    )
+    sk = misra_gries(toks, "tok", HH_K)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_c"))
+    ex = exact.crossJoin(F.broadcast(exact.agg(F.sum("true_c").alias("n"))))
+    j = sk.join(ex, sk.item == ex.tok, "left")
+    err = j.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tok").isNull()
+                    | (F.col("est") > F.col("true_c"))
+                    | ((F.col("true_c") - F.col("est")) * (HH_K + 1) > F.col("n")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("err_violations")
+    )
+    cov = (
+        ex.filter(F.col("true_c") * (HH_K + 1) > F.col("n"))
+        .join(sk, F.col("tok") == F.col("item"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("coverage_misses"))
+    )
+    return err.crossJoin(cov)
+
+
+HEAVY_HITTERS_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS err_violations, CAST(0 AS BIGINT) AS coverage_misses
+"""
+
+QUERIES.append(
+    Query("heavy_hitters", heavy_hitters, None, "ext: Misra-Gries heavy hitters")
+)
+QUERIES.append(
+    Query(
+        "heavy_hitters_check",
+        heavy_hitters_check,
+        HEAVY_HITTERS_CHECK_ORACLE,
+        "ext: heavy-hitter sketch property oracle",
+    )
+)
+
+
+# --- word co-occurrence PMI ---
+
+PMI_TOPK = 50
+
+
+def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-level co-occurring word pairs by pointwise mutual
+    information: pmi = ln(P(a,b) / (P(a) P(b))) with doc-frequency
+    probabilities, rounded half-up to 6 dp; ties broken by pair.
+
+    Scale: the pair explode is VOCABULARY-bounded — pairs come from the
+    per-doc DISTINCT word array via a nested JVM transform (no self
+    join), so a doc contributes at most |vocab ∩ doc|² pairs; at web
+    scale prune ws to a broadcast top-V vocabulary first and the
+    fan-out is V²-capped per doc. Word doc-frequencies are a broadcast
+    (vocab-sized) side; the only large shuffle is the (w1, w2) count.
+    The final rank is a single-partition window over the vocab²-bounded
+    pair-count frame."""
+    from ..caching import track
+
+    t = track(
+        load(spark, sf_dir, "documents")
+        .select(F.array_sort(F.array_distinct(F.split("text", " "))).alias("ws"))
+        .persist()
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ws, (x, i) -> "
+                "transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cw = t.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    nd = t.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        cab.join(F.broadcast(cw.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))), "w1")
+        .join(F.broadcast(cw.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr(
+                "floor(ln(CAST(c_ab AS DOUBLE) * nd / (CAST(c_a AS DOUBLE) * c_b)) "
+                "* 1000000 + 0.5) / 1000000"
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PMI_TOPK)
+    )
+
+
+WORD_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ws FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+cab AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+),
+cw AS (SELECT w, count(*) AS c_w FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM t),
+scored AS (
+  SELECT w1, w2, c_ab,
+         floor(ln(CAST(c_ab AS DOUBLE) * nd / (CAST(ca.c_w AS DOUBLE) * cb.c_w))
+               * 1000000 + 0.5) / 1000000 AS pmi
+  FROM cab
+  JOIN cw ca ON ca.w = cab.w1
+  JOIN cw cb ON cb.w = cab.w2
+  CROSS JOIN n
+)
+SELECT w1, w2, c_ab, pmi, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank FROM scored
+) WHERE rank <= {PMI_TOPK}
+"""
+
+QUERIES.append(
+    Query("word_pmi", word_pmi, WORD_PMI_ORACLE, "ext: co-occurrence PMI")
 )

@@ -80,6 +80,20 @@ PLAN_BOUNDS = {
     # feeding three broadcast-side branches) + final |sources| rollup;
     # the corpus-dist/total joins must stay broadcast
     "source_divergence": (6, 0),
+    # Markov transitions: user-key lag window + pair count + the tiny
+    # per-prev denominator window
+    "event_transitions": (3, 0),
+    # (key,hour) count + per-key stats window over the hourly frame
+    "traffic_anomalies": (2, 0),
+    # MG sketch: k x P partials shuffle + single-partition compress
+    # window; exactly ONE corpus scan (summed partials persisted)
+    "heavy_hitters": (2, 0),
+    # sketch + exact-count baseline + bound joins (check scale only);
+    # everything joinable must broadcast
+    "heavy_hitters_check": (9, 0),
+    # pair-count shuffle + vocab-bounded broadcast joins + global rank
+    # window over the pair frame
+    "word_pmi": (4, 0),
     # extensions: narrow projections must stay shuffle-free
     "text_stats": (0, 0),
     "dataset_split": (0, 0),

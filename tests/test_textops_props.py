@@ -233,3 +233,41 @@ def test_threshold_sweep_matches_naive(spark, sf_dir):
         fd = math.floor(nd / td * 1e6 + 0.5) / 1e6
         ft = math.floor(nt / tt * 1e6 + 0.5) / 1e6
         assert got[round(t, 1)] == (nd, fd, nt, ft), f"threshold {t}"
+
+
+# --- Misra-Gries heavy-hitter sketch (operators/sketches.py) ---
+
+def test_misra_gries_bounds_on_planted_zipf(spark):
+    """Planted skew the corpus tables can't provide (their token
+    distribution is near-uniform): a few mega-keys over a long tail.
+    The mergeable-summaries guarantees must hold on ANY partitioning:
+    estimates never overcount, undercount <= n/(k+1), and every item
+    with true count > n/(k+1) survives — checked on three different
+    partitionings of the same data."""
+    import pandas as pd
+
+    from flink_kafka_spark.operators.sketches import misra_gries
+
+    rows = (
+        [("mega_a",)] * 4000
+        + [("mega_b",)] * 2500
+        + [("mid",)] * 700
+        + [(f"tail_{i % 397}",) for i in range(2800)]
+    )
+    n, k = len(rows), 8
+    true = pd.Series([r[0] for r in rows]).value_counts()
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "item string").repartition(parts)
+        est = {r["item"]: r["est"] for r in misra_gries(df, "item", k).collect()}
+        assert len(est) <= k
+        for item, e in est.items():
+            t = int(true[item])
+            assert e <= t, (parts, item)
+            assert (t - e) * (k + 1) <= n, (parts, item)
+        for item, t in true.items():
+            if int(t) * (k + 1) > n:
+                assert item in est, (parts, item)
+    # capacity >= distinct count -> the sketch degrades to exact counts
+    small = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "item string")
+    exact = {r["item"]: r["est"] for r in misra_gries(small, "item", 16).collect()}
+    assert exact == {"a": 5, "b": 2}

@@ -89,9 +89,12 @@ EXTENSIONS = [
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
     ("text", "lang-id / quality / token counts / fingerprints"
              " / unigram-LM perplexity proxy / per-source scorecard + KL"
-             " / quality-cutoff pass-rate sweep"),
+             " / quality-cutoff pass-rate sweep / co-occurrence PMI"),
+    ("sketches", "Misra-Gries heavy hitters (mergeable k-counter partials,"
+                 " n/(k+1) bound driver-hashed by heavy_hitters_check)"),
     ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"
-                         " / retention cohorts"),
+                         " / retention cohorts / Markov event transitions"
+                         " / z-score traffic anomaly flags"),
 ]
 
 
