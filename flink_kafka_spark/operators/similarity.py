@@ -548,3 +548,118 @@ def semantic_dedup(
         .groupBy("cell")
         .applyInPandas(_prune_cell, schema=f"{id_col} {id_type}, cell int, keep int")
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.7,
+    n_candidates: int = 40,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily pick k results maximizing
+    ``lam * sim(query, d) - (1 - lam) * max sim(d, selected)`` — the
+    diversity-aware top-k a training-data pipeline uses for exemplar
+    selection, where plain cosine top-k returns k near-copies.
+
+    Plan: candidate generation is the existing distributed brute-force
+    top-``n_candidates`` (swap in the LSH/IVF variant at scale); the
+    candidate list (Q x C rows) is then BROADCAST into one corpus scan
+    to fetch candidate vectors — the corpus is never shuffled. Both
+    similarity surfaces (query-candidate and candidate-candidate) are
+    computed JVM-side with the same zip_with/aggregate expressions as
+    every other cosine in this module, rounded half-up to 6 dp, so the
+    greedy consumes engine-deterministic doubles. The greedy itself is
+    inherently sequential IN k but embarrassingly parallel ACROSS
+    queries: a cogrouped applyInPandas per query over the two bounded
+    frames (C and C² rows per query). Ties break to the lowest
+    neighbor id (strict-> scan in ascending id order).
+    """
+    import math
+
+    import pandas as pd
+
+    from ..caching import track
+
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    cands = cosine_topk_bruteforce(queries, corpus, id_col, vec_col, n_candidates)
+    vecs = _as_double(corpus, id_col, vec_col, "nid", "nv")
+    # candidate vectors: broadcast the small candidate list onto the
+    # corpus scan; persisted once (three consumers: qsim frame + both
+    # sides of the pairwise join)
+    cv = track(
+        vecs.join(
+            F.broadcast(cands.select("query_id", "neighbor_id", "cosine")),
+            F.col("nid") == F.col("neighbor_id"),
+        )
+        .select("query_id", "neighbor_id", "cosine", "nv")
+        .persist()
+    )
+    a = cv.select("query_id", F.col("neighbor_id").alias("id_a"), F.col("nv").alias("va"))
+    # fresh alias on the self-join key: both sides share cv's lineage,
+    # so joining on the bare name is ambiguous to the analyzer
+    b = cv.select(
+        F.col("query_id").alias("_qid_b"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("nv").alias("vb"),
+    )
+    pairs = (
+        a.join(b, F.col("query_id") == F.col("_qid_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            # fresh attribute id: the cogroup below would otherwise see
+            # the SAME query_id attribute on both of its sides (shared
+            # cv lineage) and reject the grouping as ambiguous
+            F.col("query_id").alias("qid"),
+            "id_a",
+            "id_b",
+            F.round(
+                F.expr(
+                    f"({_DOT.format(a='va', b='vb')}) / "
+                    f"(({_NORM.format(v='va')}) * ({_NORM.format(v='vb')}))"
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    qsims = cv.select("query_id", "neighbor_id", "cosine")
+
+    def _greedy(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "neighbor_id", "mmr_rank", "score"]
+        if left.empty:
+            return pd.DataFrame(columns=cols)
+        qid = left["query_id"].iloc[0]
+        qsim = dict(zip(left["neighbor_id"], left["cosine"]))
+        sim: dict = {}
+        for t in right[["id_a", "id_b", "sim"]].itertuples(index=False):
+            sim[(t.id_a, t.id_b)] = t.sim
+            sim[(t.id_b, t.id_a)] = t.sim
+        selected: list = []
+        remaining = sorted(qsim)
+        rows = []
+        while remaining and len(selected) < k:
+            best_id, best_score = None, None
+            for cid in remaining:
+                pen = max((sim.get((cid, s), 0.0) for s in selected), default=0.0)
+                sc = lam * qsim[cid] - (1.0 - lam) * pen
+                if best_score is None or sc > best_score:
+                    best_id, best_score = cid, sc
+            selected.append(best_id)
+            remaining.remove(best_id)
+            rows.append(
+                (qid, best_id, len(selected), math.floor(best_score * 1e6 + 0.5) / 1e6)
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        qsims.groupBy("query_id")
+        .cogroup(pairs.groupBy("qid"))
+        .applyInPandas(
+            _greedy,
+            schema=f"query_id {qid_t}, neighbor_id {nid_t}, mmr_rank int, score double",
+        )
+    )

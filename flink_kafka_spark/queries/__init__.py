@@ -192,6 +192,14 @@ class Query:
 # IN: heavy_hitters_check (Misra-Gries sketch property oracle),
 #     event_transitions, traffic_anomalies, word_pmi — all
 #     rehearsal-verified at sf0.01 before entering.
+#
+# Round-7 fifth wave — OUT, green r5+r6:
+#   ann_cosine_topk   (exact brute-force; ann_lsh/ivf/pq checks stay
+#                      full-oracle in window, the sweep oracle stays,
+#                      and the incoming mmr_rerank_check re-runs the
+#                      same brute-force builder as its candidate stage)
+# IN: mmr_rerank_check (MMR greedy equivalence + invariants — the
+#     *_check rule requires it inside immediately).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
@@ -228,10 +236,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_overlap",
     "leakage_safe_split",
     # similarity / ANN family
-    "ann_cosine_topk",
     "ann_lsh_check",
     "ann_ivf_check",
     "ann_pq_check",
+    "mmr_rerank_check",
     "ann_cosine_topk_pq",
     "semantic_dedup_check",
     # text analysis family

@@ -357,3 +357,173 @@ QUERIES.append(
         "ext: SemDeDup property oracle",
     )
 )
+
+
+# --- MMR diversified re-rank ---
+
+MMR_K = 8
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 40
+
+
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k per query vector (Carbonell & Goldstein
+    1998). The greedy consumes JVM-rounded cosines, so its decisions
+    are engine-deterministic — but the selection itself is iterative
+    and not SQL-expressible → rows-only driver check;
+    `mmr_rerank_check` carries the full-oracle equivalence row."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return mmr_rerank(
+        queries, emb, k=MMR_K, lam=MMR_LAMBDA, n_candidates=MMR_CANDIDATES
+    )
+
+
+def mmr_rerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-derives the MMR selection with an INDEPENDENTLY WRITTEN
+    greedy (vectorized numpy state machine vs the operator's dict/loop
+    scan — same rounded JVM similarity inputs, same IEEE double
+    arithmetic, so agreement is exact, not approximate) and counts
+    row-level disagreements (missing rank, different pick, different
+    score). Also asserts structural invariants no greedy bug survives:
+    rank 1 must be the plain cosine argmax, and per-step MMR scores
+    must be non-increasing (the chosen maximum only shrinks as the
+    penalty set grows — a theorem for fixed lambda). Check scale only:
+    the reference greedy collects the per-query candidate frames
+    (Q x C and Q x C² bounded rows), never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from ..caching import track
+    from ..operators.similarity import _DOT, _NORM, _as_double, mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    got = mmr_rerank(queries, emb, k=MMR_K, lam=MMR_LAMBDA, n_candidates=MMR_CANDIDATES)
+
+    # independent candidate surfaces (same public brute-force builder)
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    cands = cosine_topk_bruteforce(queries, emb, k=MMR_CANDIDATES)
+    vecs = _as_double(emb, "vec_id", "embedding", "nid", "nv")
+    cv = track(
+        vecs.join(
+            F.broadcast(cands.select("query_id", "neighbor_id", "cosine")),
+            F.col("nid") == F.col("neighbor_id"),
+        )
+        .select("query_id", "neighbor_id", "cosine", "nv")
+        .persist()
+    )
+    a = cv.select("query_id", F.col("neighbor_id").alias("id_a"), F.col("nv").alias("va"))
+    # fresh alias on the self-join key: both sides share cv's lineage,
+    # so joining on the bare name is ambiguous to the analyzer
+    b = cv.select(
+        F.col("query_id").alias("_qid_b"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("nv").alias("vb"),
+    )
+    pair_rows = (
+        a.join(b, F.col("query_id") == F.col("_qid_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            # fresh attribute id: the cogroup below would otherwise see
+            # the SAME query_id attribute on both of its sides (shared
+            # cv lineage) and reject the grouping as ambiguous
+            F.col("query_id").alias("qid"),
+            "id_a",
+            "id_b",
+            F.round(
+                F.expr(
+                    f"({_DOT.format(a='va', b='vb')}) / "
+                    f"(({_NORM.format(v='va')}) * ({_NORM.format(v='vb')}))"
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .collect()
+    )
+    qsim_rows = cv.select("query_id", "neighbor_id", "cosine").collect()
+
+    by_q: dict = {}
+    for r in qsim_rows:
+        by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cosine"]
+    pairs_q: dict = {}
+    for r in pair_rows:
+        pairs_q.setdefault(r["qid"], []).append((r["id_a"], r["id_b"], r["sim"]))
+
+    import math
+
+    expected = []
+    monotonic_violations = 0
+    rank1_violations = 0
+    for qid, qs in sorted(by_q.items()):
+        ids = sorted(qs)
+        idx = {d: i for i, d in enumerate(ids)}
+        n = len(ids)
+        qv = np.array([qs[d] for d in ids])
+        s_mat = np.zeros((n, n))
+        for ia, ib, s in pairs_q.get(qid, []):
+            s_mat[idx[ia], idx[ib]] = s
+            s_mat[idx[ib], idx[ia]] = s
+        # pens is the TRUE running max over selected — it can be
+        # negative (textbook MMR doesn't clamp the penalty at 0, and
+        # neither does the operator), so it starts as the first pick's
+        # similarity column, NOT zeros (zeros would silently floor
+        # every penalty at 0 and diverge on anti-correlated vectors)
+        pens: "np.ndarray | None" = None
+        taken = np.zeros(n, dtype=bool)
+        prev_score = None
+        for step in range(min(MMR_K, n)):
+            if pens is None:
+                # bitwise-identical to the operator's `- (1-lam)*0.0`
+                scores = MMR_LAMBDA * qv - (1.0 - MMR_LAMBDA) * 0.0
+            else:
+                scores = MMR_LAMBDA * qv - (1.0 - MMR_LAMBDA) * pens
+            masked = np.where(taken, -np.inf, scores)
+            best = int(np.argmax(masked))
+            sc = float(scores[best])
+            if step == 0 and ids[best] != min(qs, key=lambda d: (-qs[d], d)):
+                rank1_violations += 1
+            # monotone non-increasing holds from step 1 on (penalties
+            # are maxes over growing sets); the 0->1 transition is
+            # exempt — step 0 drops the penalty term entirely (the MMR
+            # convention), and with NEGATIVE similarities the true max
+            # at step 1 sits below that implicit 0, so scores may rise
+            if step >= 2 and sc > prev_score:
+                monotonic_violations += 1
+            prev_score = sc
+            taken[best] = True
+            col = s_mat[:, best]
+            pens = col.copy() if pens is None else np.maximum(pens, col)
+            expected.append(
+                (qid, ids[best], step + 1, math.floor(sc * 1e6 + 0.5) / 1e6)
+            )
+    exp_df = spark.createDataFrame(
+        pd.DataFrame(expected, columns=["query_id", "neighbor_id", "mmr_rank", "score"])
+    )
+    diff = (
+        got.join(exp_df, ["query_id", "neighbor_id", "mmr_rank", "score"], "full_outer")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select((F.col("_n") - F.lit(len(expected))).cast("bigint").alias("mismatches"))
+    )
+    return diff.select(
+        "mismatches",
+        F.lit(rank1_violations).cast("bigint").alias("rank1_violations"),
+        F.lit(monotonic_violations).cast("bigint").alias("monotonic_violations"),
+    )
+
+
+MMR_CHECK_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS mismatches, CAST(0 AS BIGINT) AS rank1_violations,
+       CAST(0 AS BIGINT) AS monotonic_violations
+"""
+
+QUERIES.append(
+    Query("mmr_rerank", mmr_rerank_q, None, "ext: MMR diversity re-rank")
+)
+QUERIES.append(
+    Query("mmr_rerank_check", mmr_rerank_check, MMR_CHECK_ORACLE,
+          "ext: MMR greedy equivalence + invariants oracle")
+)

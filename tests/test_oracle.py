@@ -66,7 +66,8 @@ def test_driver_window_covers_every_family():
                   "dedup_span_stats", "dedup_span_trim", "dedup_incremental_check",
                   "dedup_containment", "semantic_dedup_check"],
         "ann": ["ann_cosine_topk", "ann_lsh_check", "ann_ivf_check",
-                "embedding_quantize", "ann_cosine_topk_int8", "ann_pq_check"],
+                "embedding_quantize", "ann_cosine_topk_int8", "ann_pq_check",
+                "mmr_rerank_check"],
         "text": ["text_stats", "corpus_prep", "decontaminate", "lang_id",
                  "doc_chunk", "pii_scan", "pii_redact", "repetition_stats",
                  "text_quality", "doc_fingerprint", "bpe_token_count",

@@ -179,6 +179,13 @@ PLAN_BOUNDS = {
     # one cell-key regroup feeding the per-cell BLAS applyInPandas —
     # no pair join, no flag join (round-7 rework)
     "semantic_dedup": (1, 0),
+    # MMR: brute-force candidates + one corpus scan for vectors; the
+    # candidate-candidate pair join and the cogroup run on query_id —
+    # SMJ is the INTENDED plan there (both sides are Q x C candidate
+    # frames that scale with the query batch; broadcasting them would
+    # cap Q)
+    "mmr_rerank": (4, 2),
+    "mmr_rerank_check": (7, 2),
     # check: operator + independent recheck + all-pairs exact baseline
     # (labeled, check scale only) — derived-frame SMJs expected
     "semantic_dedup_check": (8, 2),

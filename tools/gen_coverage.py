@@ -85,7 +85,8 @@ EXTENSIONS = [
               " / embedding-cosine / SemDeDup (cluster-then-prune)"
               " / span-level substring stats / incremental (cross-snapshot)"
               " / cross-source overlap matrix"),
-    ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"),
+    ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"
+                   " / MMR diversity re-rank"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
     ("text", "lang-id / quality / token counts / fingerprints"
              " / unigram-LM perplexity proxy / per-source scorecard + KL"
