@@ -326,3 +326,47 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct, min_val, max_val)"
         ),
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def weighted_sample_expr(id_col: str, weight_sql: str, seed: int = 1) -> Column:
+    """Efraimidis-Spirakis A-Res sampling key (Inf. Proc. Letters 97,
+    2006): rank rows by ``u^(1/w)`` — equivalently by ``ln(u) / w``,
+    which this returns — and the top-m per stratum are a weighted
+    sample WITHOUT replacement, exactly as if rows were drawn one by
+    one with probability ∝ weight.
+
+    ``u`` is NOT rand(): it is the Knuth mix of (seed, id) mapped into
+    (0, 1], an exact rational both engines compute bit-identically, so
+    the sample is reproducible across runs, partitionings, and engines
+    (the only cross-engine wobble is libm ln(), absorbed by rounding
+    the key to 9 dp — callers must tie-break on id). Weights must be
+    strictly positive."""
+    u = (
+        f"(CAST(pmod((pmod({id_col} + {seed}, 1000000007) * {_KNUTH}L), 1000000007) + 1 "
+        f"AS DOUBLE) / 1000000008.0)"
+    )
+    return F.expr(
+        f"floor(ln({u}) / CAST({weight_sql} AS DOUBLE) * 1000000000 + 0.5) / 1000000000"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_sql: str,
+    stratum_col: str,
+    m: int,
+    seed: int = 1,
+) -> DataFrame:
+    """Top-m weighted sample per stratum: one shuffle on the stratum
+    key, rank by the A-Res key desc (keys are ≤ 0; closer to 0 wins —
+    heavier rows win more often), id tie-break. At 100 TB this is the
+    sampler that never needs a global state: the key is a narrow
+    projection, and a skewed stratum degrades to one task's window
+    sort of that stratum only (swap in a per-partition partial top-m
+    + re-rank if a stratum outgrows a task)."""
+    from pyspark.sql.window import Window
+
+    keyed = df.withColumn("wkey", weighted_sample_expr(id_col, weight_sql, seed))
+    w = Window.partitionBy(stratum_col).orderBy(F.col("wkey").desc(), F.col(id_col).asc())
+    return keyed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= m)

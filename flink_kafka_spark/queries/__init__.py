@@ -200,6 +200,15 @@ class Query:
 #                      same brute-force builder as its candidate stage)
 # IN: mmr_rerank_check (MMR greedy equivalence + invariants — the
 #     *_check rule requires it inside immediately).
+#
+# Round-7 sixth wave — OUT, both green r5+r6:
+#   click_blacklist   (T5/F7/G6/W12; the blacklist_stream streaming
+#                      pytest + order_timeout keep the stateful family)
+#   order_line_reconciliation (J2; tx_match streaming pytest + the
+#                      interval-join row-identity tests keep the join
+#                      family hashed via staying rows)
+# IN: weighted_sample (A-Res per-stratum draw), snapshot_diff
+#     (release-diff verdicts) — both rehearsal-verified at sf0.01.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
@@ -207,8 +216,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "uv_approx_check",
     "global_stats",
     "order_timeout",
-    "click_blacklist",
-    "order_line_reconciliation",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
     # analytics additions (r7 fourth wave)
@@ -259,6 +266,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sampling / release family
     "stratified_cap",
     "corpus_shuffle",
+    "weighted_sample",
+    "snapshot_diff",
     # multimodal family
     "media_features",
     "media_features_check",

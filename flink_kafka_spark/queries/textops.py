@@ -1179,3 +1179,85 @@ SELECT w1, w2, c_ab, pmi, CAST(rank AS INT) AS rank FROM (
 QUERIES.append(
     Query("word_pmi", word_pmi, WORD_PMI_ORACLE, "ext: co-occurrence PMI")
 )
+
+
+# --- deterministic weighted sampling ---
+
+WS_M = 20
+WS_SEED = 7
+
+
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample (weight = n_chars) via the A-Res
+    key: heavier docs win proportionally more often, the draw is a
+    pure function of (seed, doc_id) — reproducible on any
+    partitioning, oracle-checkable on any ANSI engine."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", "lang", WS_M, WS_SEED)
+
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         floor(ln(CAST((((doc_id + {WS_SEED}) % 1000000007) * 2654435761)
+                       % 1000000007 + 1 AS DOUBLE) / 1000000008.0)
+               / CAST(n_chars AS DOUBLE) * 1000000000 + 0.5) / 1000000000 AS wkey
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, wkey, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY wkey DESC, doc_id ASC) AS rank
+  FROM keyed
+) WHERE rank <= {WS_M}
+"""
+
+QUERIES.append(
+    Query("weighted_sample", weighted_sample_q, WEIGHTED_SAMPLE_ORACLE,
+          "ext: Efraimidis-Spirakis weighted sampling")
+)
+
+
+# --- snapshot diff (dataset versioning) ---
+
+
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two simulated corpus releases (drop-3 snapshot vs drop-7
+    snapshot with every 5th doc edited): row-level added / removed /
+    changed / unchanged verdicts. The operator ships (id, md5) pairs
+    into the full-outer join; the oracle re-derives the verdicts by
+    comparing the TEXTS directly, so the fingerprinting itself is
+    under test."""
+    from ..operators.versioning import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 7
+)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text <> n.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+QUERIES.append(
+    Query("snapshot_diff", snapshot_diff_q, SNAPSHOT_DIFF_ORACLE,
+          "ext: dataset-release diff (K4 batch analog)")
+)

@@ -76,6 +76,7 @@ def test_driver_window_covers_every_family():
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
                      "mixture_resample", "dataset_split", "stratified_cap",
+                     "weighted_sample", "snapshot_diff",
                      "corpus_shuffle"],
         "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check"],
     }

@@ -186,6 +186,11 @@ PLAN_BOUNDS = {
     # cap Q)
     "mmr_rerank": (4, 2),
     "mmr_rerank_check": (7, 2),
+    # A-Res weighted sample: narrow key projection + one stratum window
+    "weighted_sample": (1, 0),
+    # fingerprint full-outer on id: SMJ is the intended plan — both
+    # snapshot sides are corpus-sized, nothing is broadcastable
+    "snapshot_diff": (2, 2),
     # check: operator + independent recheck + all-pairs exact baseline
     # (labeled, check scale only) — derived-frame SMJs expected
     "semantic_dedup_check": (8, 2),

@@ -93,6 +93,11 @@ EXTENSIONS = [
              " / quality-cutoff pass-rate sweep / co-occurrence PMI"),
     ("sketches", "Misra-Gries heavy hitters (mergeable k-counter partials,"
                  " n/(k+1) bound driver-hashed by heavy_hitters_check)"),
+    ("sampling", "train/val/test split / sequence packing / mixture resample"
+                 " / stratified cap / shard export / corpus shuffle"
+                 " / A-Res weighted sampling (Efraimidis-Spirakis)"),
+    ("versioning", "JSONL release I/O + corrupt-line quarantine + compaction"
+                   " / snapshot diff (added/removed/changed verdicts)"),
     ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"
                          " / retention cohorts / Markov event transitions"
                          " / z-score traffic anomaly flags"),
