@@ -109,6 +109,17 @@ BENCH_QUERIES = [
     # No baseline entries yet; guardrail skips them.
     "dedup_containment",
     "semantic_dedup",
+    # round-7 fourth-sixth waves: the MG sketch (mapInPandas partials),
+    # vocab-bounded PMI pair counts, the per-user transition window,
+    # MMR's cogrouped greedy, the A-Res sample window, and the
+    # fingerprint full-outer diff. No baseline entries yet; guardrail
+    # skips them until the next justified re-record.
+    "heavy_hitters",
+    "word_pmi",
+    "event_transitions",
+    "mmr_rerank",
+    "weighted_sample",
+    "snapshot_diff",
 ]
 
 

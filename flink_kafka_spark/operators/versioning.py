@@ -23,23 +23,19 @@ def snapshot_diff(
     """Row-level diff of two snapshots keyed by ``id_col``: one row per
     id present in either side with status ``added`` / ``removed`` /
     ``changed`` / ``unchanged``, comparing an md5 over the content
-    columns (NULL-tagged concat, so NULL vs '' differ) instead of the
-    payloads themselves.
+    columns instead of the payloads themselves. The digest input is the
+    JSON of a struct of the columns: JSON quoting/field-dropping makes
+    NULL, empty string, and the literal string 'null' three distinct
+    digests (a coalesce-to-sentinel concat would collide them), so the
+    comparison has IS DISTINCT FROM semantics — NULL is a value,
+    matching the oracle's formulation.
 
     Scale: both sides shed everything but (id, 16-byte digest) BEFORE
     the full-outer join — the one shuffle moves fingerprints, never
     content. Joining on the id (not the digest) keeps the plan
     skew-free for the common republish case where most rows are
     unchanged."""
-    fp = F.md5(
-        F.concat_ws(
-            "",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("null"))
-                for c in content_cols
-            ],
-        )
-    )
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
     o = old.select(F.col(id_col).alias("_oid"), fp.alias("_ofp"))
     n = new.select(F.col(id_col).alias("_nid"), fp.alias("_nfp"))
     return (

@@ -1252,7 +1252,7 @@ new AS (
 SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN o.text <> n.text THEN 'changed'
+            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """

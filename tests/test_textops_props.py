@@ -271,3 +271,85 @@ def test_misra_gries_bounds_on_planted_zipf(spark):
     small = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "item string")
     exact = {r["item"]: r["est"] for r in misra_gries(small, "item", 16).collect()}
     assert exact == {"a": 5, "b": 2}
+
+
+def test_snapshot_diff_null_semantics(spark):
+    """NULL, '', and the literal string 'null' must be three distinct
+    contents (the JSON-struct digest guarantees it; a sentinel concat
+    would collide NULL with 'null'), and NULL compares as a value —
+    IS DISTINCT FROM semantics on both the operator and its oracle."""
+    from flink_kafka_spark.operators.versioning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "null"), (4, "same"), (5, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "null"), (2, None), (3, "null"), (4, "same"), (6, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "changed",    # NULL -> 'null' literal: distinct digests
+        2: "changed",    # '' -> NULL
+        3: "unchanged",
+        4: "unchanged",
+        5: "removed",
+        6: "added",
+    }
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Hand-built geometry where plain cosine top-2 is {a, b} but MMR
+    at lambda=0.5 must pick a then c: b's redundancy penalty dwarfs
+    c's relevance gap."""
+    from flink_kafka_spark.operators.similarity import mmr_rerank
+
+    # q != a so penalty and relevance decouple: cos(q,a)=.78 (top),
+    # cos(q,b)=.76 with cos(a,b)=.9995 (redundant), cos(q,c)=.60 with
+    # cos(a,c)=.094 (diverse). Step 2 scores: b = .5(.76-.9995) < 0,
+    # c = .5(.60-.094) = +.25.
+    rows = [
+        (100, [1.0, 0.0, 0.0]),                 # query
+        (1, [1.0, 0.8, 0.0]),                   # a: most relevant
+        (2, [1.0, 0.85, 0.0]),                  # b: near-copy of a
+        (3, [0.6, -0.6, 0.53]),                 # c: diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(
+        df.filter("vec_id = 100"), df.filter("vec_id < 100"),
+        k=2, lam=0.5, n_candidates=3,
+    ).orderBy("mmr_rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 3]
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    """The A-Res draw is a pure function of (seed, id): identical rows
+    out on 1, 5, and 32 input partitions, and every stratum returns
+    exactly min(m, stratum size) rows."""
+    from flink_kafka_spark.operators.sampling import weighted_sample
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    ref = None
+    for parts in (1, 5, 32):
+        got = sorted(
+            tuple(r)
+            for r in weighted_sample(
+                docs.repartition(parts), "doc_id", "n_chars", "lang", 7, seed=3
+            ).collect()
+        )
+        if ref is None:
+            ref = got
+            sizes = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(
+                __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
+            ).collect()}
+            per = {}
+            for t in got:
+                per[t[1]] = per.get(t[1], 0) + 1
+            for lang, c in sizes.items():
+                assert per.get(lang, 0) == min(7, c), (lang, c, per)
+        else:
+            assert got == ref, parts

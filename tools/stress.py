@@ -218,14 +218,19 @@ def main() -> None:
     )
 
     # SemDeDup at 100k embeddings with planted ground truth: 10k groups
-    # of 10, each group a deterministic ±1/√32 base direction with
+    # of 10, each group a deterministic ±1/√64 base direction with
     # member j flipping component j — cos(member j>0, member 0) =
-    # 30/32 = 0.9375 ≥ τ=0.9 while cross-member cos (28/32) and
-    # cross-group cos (random ±1 directions, P[cos ≥ 0.9] = 2⁻³²) stay
-    # below τ. So the min-id survivor rule must NEVER prune a group
-    # head, and must prune ~90% of the corpus — up to k-means cell
-    # straddle (a group split across cells can't see all its prunes;
-    # measured straddle loss ≈ a few %, bound leaves margin).
+    # 62/64 ≥ τ=0.9 (and cross-member 60/64 also prunes, which is
+    # fine: members only ever prune members) while cross-group cos
+    # needs 61-of-64 sign agreement between independent ±1 directions
+    # (P ≈ 2.4e-15/pair — unreachable at ~20M within-cell pairs; the
+    # earlier dim-32 construction admitted genuine 31/32 collisions at
+    # P ≈ 7.7e-9, which DID fire at this scale, and whether the
+    # colliding pair shared a cell made the probe k-means-flaky). So
+    # the min-id survivor rule must NEVER prune a group head, and must
+    # prune ~90% of the corpus — up to k-means cell straddle (a group
+    # split across cells can't see all its prunes; measured straddle
+    # loss ≈ a few %, bound leaves margin).
     from flink_kafka_spark.operators.similarity import semantic_dedup
 
     n_vecs = 100_000
@@ -233,7 +238,7 @@ def main() -> None:
     emb = spark.range(n_vecs).select(
         F.col("id").alias("vec_id"),
         F.expr(
-            "transform(sequence(0, 31), c -> "
+            "transform(sequence(0, 63), c -> "
             " CAST(pmod(xxhash64(floor(id / 10), c), 2) * 2 - 1 AS DOUBLE)"
             " * (CASE WHEN pmod(id, 10) > 0 AND c = pmod(id, 10) THEN -1.0 ELSE 1.0 END))"
         ).alias("embedding"),
@@ -311,6 +316,56 @@ def main() -> None:
     hits = bm25_search(docs, ["w1", "w2", "w3"], k=10).collect()
     timings[f"bm25_search_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert len(hits) == 10 and all(r.score > 0 for r in hits), hits
+
+    # Misra-Gries sketch at cardinality the exact groupBy would choke
+    # on: ~1M distinct tail keys + 3 planted mega-keys over n_events
+    # tokens. The probe asserts the PODS'12 guarantees at scale: the
+    # mega-keys (each > n/(k+1)) all survive and no estimate violates
+    # the n/(k+1) undercount bound vs their exact counts.
+    from flink_kafka_spark.operators.sketches import misra_gries
+
+    mega = ["mega_a", "mega_b", "mega_c"]
+    toks = spark.range(n_events).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 3,
+               F.element_at(F.array(*[F.lit(m) for m in mega]),
+                            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(3)) + 1).cast("int")))
+        .otherwise(F.concat(F.lit("tail_"),
+                            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(1_000_000)).cast("string")))
+        .alias("tok")
+    )
+    t0 = time.perf_counter()
+    sketch = {r["item"]: r["est"] for r in misra_gries(toks, "tok", k=16).collect()}
+    timings[f"misra_gries_{n_events}"] = round(time.perf_counter() - t0, 2)
+    exact_mega = {
+        r["tok"]: r["c"]
+        for r in toks.filter(F.col("tok").isin(mega)).groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    }
+    for m in mega:
+        assert m in sketch, (m, sorted(sketch))
+        assert sketch[m] <= exact_mega[m]
+        assert (exact_mega[m] - sketch[m]) * 17 <= n_events, (m, sketch[m], exact_mega[m])
+
+    # MMR over a 200-query batch against a 100k x 64 corpus (fresh
+    # pseudo-random directions): the greedy is per-query-parallel, so
+    # wall time should track the brute-force candidate stage, not
+    # k x Q.
+    from flink_kafka_spark.operators.similarity import mmr_rerank
+
+    n_mmr_vecs = 100_000
+    vecs = spark.range(n_mmr_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j -> CAST(pmod(xxhash64(concat(CAST(id AS STRING), "
+            "'|', CAST(j AS STRING))), 1000) AS FLOAT) / 1000.0 - 0.5)"
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    mmr_rows = mmr_rerank(
+        vecs.filter(F.col("vec_id") < 200), vecs, k=8, n_candidates=40
+    ).count()
+    timings[f"mmr_rerank_200x{n_mmr_vecs}"] = round(time.perf_counter() - t0, 2)
+    assert mmr_rows == 200 * 8, mmr_rows
 
     # streaming stateful ops (round-2 vectorization evidence): per-key
     # Arrow frames of thousands of rows exercise the numpy batch scans
