@@ -540,3 +540,214 @@ def bm25_search(
         F.expr("floor(_raw * 10000 + 0.5) / 10000").alias("score"),
         (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
     )
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram language model: ``(w1, w2, n_b, n_c)`` — the
+    observed count of each adjacent whitespace-token pair plus the
+    context total ``n_c = Σ_w2 n_b(w1, ·)``, so the MLE transition
+    probability is ``n_b / n_c``. The context denominator is derived
+    from the bigram table itself (occurrences of w1 in non-final
+    position), which keeps the model self-consistent: probabilities
+    out of every context sum to exactly 1.
+
+    Scale design (100 TB): bigrams leave the scan as (w1, w2) pairs
+    from a per-row ``transform`` over the token array — one narrow
+    explode, one map-side-combined groupBy. The context totals are a
+    window over w1 within the bigram-vocab-sized count frame (no
+    second corpus pass). The model is bigram-vocab-sized (Zipf-bounded
+    well below the token count), small enough to persist as a table
+    and usually to broadcast for scoring."""
+    from pyspark.sql import Window
+
+    arr = F.split(F.lower(F.col(text_col)), r"\s+")
+    bi_expr = (
+        "CASE WHEN size(_arr) < 2 THEN array() "
+        "ELSE transform(sequence(2, size(_arr)), "
+        "i -> struct(element_at(_arr, i - 1) AS w1, element_at(_arr, i) AS w2)) END"
+    )
+    counts = (
+        df.select(arr.alias("_arr"))
+        .select(F.explode(F.expr(bi_expr)).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return counts.withColumn(
+        "n_c", F.sum("n_b").over(Window.partitionBy("w1"))
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document average negative log-probability under an
+    interpolated bigram LM — the KenLM-style perplexity filter one
+    order up from :func:`unigram_logprob` (CCNet scores under a
+    5-gram model; the bigram captures the word-order signal a unigram
+    cannot: scrambled text scores identically to fluent text under a
+    unigram LM but not under this).
+
+    Each transition is scored ``-ln(λ·n_b/n_c + (1-λ)·n_u(w2)/T)``
+    (Jelinek-Mercer interpolation with the corpus unigram as the
+    backoff, so unseen-in-context pairs get a finite penalty), and the
+    doc score averages its ``size-1`` transitions. Output
+    ``(id, n_bigrams, avg_neg_logprob)`` for EVERY doc; docs with <2
+    tokens have 0 transitions and score 0.0. Self-scoring (model fit
+    on ``df`` itself), so every transition's n_b ≥ 1 by construction.
+
+    Scale design (100 TB): the per-position bigram frame joins the
+    bigram model on (w1, w2) — bigram-vocab-sized, usually
+    broadcastable but left unhinted so AQE downgrades to shuffle
+    rather than OOM if the vocabulary explodes — and the unigram
+    model + 1-row total broadcast. One map-side-combined (id, partial)
+    shuffle closes it; document text never shuffles."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    arr = F.split(F.lower(F.col(text_col)), r"\s+")
+    bi_expr = (
+        "CASE WHEN size(_arr) < 2 THEN array() "
+        "ELSE transform(sequence(2, size(_arr)), "
+        "i -> struct(element_at(_arr, i - 1) AS w1, element_at(_arr, i) AS w2)) END"
+    )
+    pos = (
+        df.select(F.col(id_col), arr.alias("_arr"))
+        .select(id_col, F.explode(F.expr(bi_expr)).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    model = bigram_lm(df, text_col)
+    uni = (
+        df.select(F.explode(arr).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_u"))
+    )
+    total = uni.agg(F.sum("n_u").alias("_total"))
+    lp = F.log(
+        F.lit(float(lam)) * F.col("n_b") / F.col("n_c")
+        + F.lit(1.0 - lam) * F.col("n_u") / F.col("_total")
+    )
+    scored = (
+        pos.join(model, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("token", "w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.avg(lp), 4).alias("avg_neg_logprob"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("avg_neg_logprob", F.lit(0.0)).alias("avg_neg_logprob"),
+    )
+
+
+# Hashed-linear-classifier constants: bucket count, Knuth multiplier,
+# and a prime modulus for the weight mix. 65536 buckets keeps
+# bucket * _CLF_MIX < 2^48 — safe BIGINT arithmetic in every ANSI
+# engine (no overflow wrap/promote divergence; same concern as
+# sampling.split_bucket_expr).
+CLF_BUCKETS = 65536
+_CLF_MIX = 2654435761
+_CLF_PRIME = 1000003
+
+
+def classifier_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Model-based quality scoring with a hashed linear classifier —
+    the fastText-shaped filtering stage of an LLM data pipeline
+    (LLaMA/CCNet-style: a cheap linear model over hashed bag-of-words
+    features gates which documents reach training). The trained-weight
+    load is deliberately replaced by a DETERMINISTIC weight function
+    so the engine-side contract — feature hashing, exact integer
+    aggregation, the logit/sigmoid transform — is testable
+    cross-engine without shipping a model artifact; swap
+    ``w(bucket)`` for a broadcast weight table lookup to serve real
+    weights (the plan shape is identical: the weight table is
+    ``CLF_BUCKETS`` rows, always broadcastable).
+
+    Per token: bucket = first-8-hex-chars(md5(token)) mod 65536 (the
+    cross-engine portable hash — Spark ``conv`` and an ANSI hex cast
+    agree), integer weight ``(bucket · 2654435761) mod 1000003``. Per
+    doc: ``n_tokens`` and the EXACT integer weight sum, then ONE float
+    op chain at the end: ``logit = 2·(Σw / n) / P − 1`` (centered to
+    roughly [-1, 1)) and ``clf_score = σ(4·logit)``. Keeping the
+    aggregation integer-exact means the only FP divergence surface is
+    the final per-row transform on identical inputs — the same
+    convention the decimal TPC-H block uses.
+
+    Scale design (100 TB): hash + weight are JVM expressions inside
+    the scan projection; the only shuffle is the map-side-combined
+    (id, n, Σw) rollup. No join, no model shipping, no UDF."""
+    tok = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    bucket = F.expr(
+        f"cast(conv(substr(md5(token), 1, 8), 16, 10) AS bigint) % {CLF_BUCKETS}"
+    )
+    w_int = F.expr(f"(_bucket * {_CLF_MIX}L) % {_CLF_PRIME}")
+    per_tok = (
+        df.select(F.col(id_col), tok)
+        .withColumn("_bucket", bucket)
+        .withColumn("_w", w_int)
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_w").cast("long").alias("_sw"),
+    )
+    logit = (F.col("_sw") * 2.0 / F.col("n_tokens")) / _CLF_PRIME - 1.0
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.round(logit, 6).alias("clf_logit"),
+        F.round(1.0 / (1.0 + F.exp(-4.0 * logit)), 4).alias("clf_score"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: score every document's
+    out-of-vocabulary rate against the corpus's own top-``vocab_size``
+    tokens (by frequency, ties broken by token ascending — a total
+    order, so the vocab is deterministic). High OOV rate flags docs a
+    fixed-vocabulary tokenizer would shred into bytes/UNKs — the
+    standard pre-training audit before committing a tokenizer to a
+    corpus mix. Output ``(id, n_tokens, n_oov, oov_rate)``.
+
+    Scale design (100 TB): the vocab is a top-k over the token-count
+    frame — ``orderBy(...).limit(k)`` compiles to TakeOrdered (per-
+    partition heaps + k-row driver merge, no global sort shuffle).
+    Scoring broadcasts the k-row vocab as a left-semi-style flag join
+    onto the exploded tokens and closes with one map-side-combined
+    (id, n, n_in) shuffle. The corpus is scanned twice (count pass +
+    score pass) — at 100 TB, persist the counts or reuse a saved vocab
+    table instead of refitting per query."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("_in_vocab")).cast("long").alias("n_oov"),
+            F.expr(
+                "floor((count(1) - count(_in_vocab)) / count(1) * 1000000 + 0.5) / 1000000"
+            ).alias("oov_rate"),
+        )
+    )

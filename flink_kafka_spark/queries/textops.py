@@ -1261,3 +1261,128 @@ QUERIES.append(
     Query("snapshot_diff", snapshot_diff_q, SNAPSHOT_DIFF_ORACLE,
           "ext: dataset-release diff (K4 batch analog)")
 )
+
+
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc avg negative log-prob under the corpus's own
+    Jelinek-Mercer-interpolated bigram LM — the word-order-aware
+    perplexity filter one order up from doc_logprob."""
+    from ..operators.text import bigram_logprob
+
+    return bigram_logprob(load(spark, sf_dir, "documents"))
+
+
+DOC_BIGRAM_LOGPROB_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents
+),
+pos AS (
+  SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS i) t
+  WHERE len(arr) >= 2
+),
+bic AS (SELECT w1, w2, count(*) AS n_b FROM pos GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(n_b) AS n_c FROM bic GROUP BY 1),
+uni AS (
+  SELECT token, count(*) AS n_u
+  FROM (SELECT unnest(arr) AS token FROM docs) GROUP BY 1
+),
+tot AS (SELECT sum(n_u) AS t FROM uni),
+scored AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         round(-avg(ln(0.75 * n_b / n_c + 0.25 * n_u / t)), 4) AS avg_neg_logprob
+  FROM pos
+  JOIN bic USING (w1, w2) JOIN ctx USING (w1)
+  JOIN uni ON uni.token = pos.w2 CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(s.avg_neg_logprob, 0.0) AS avg_neg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+QUERIES.append(
+    Query(
+        "doc_bigram_logprob",
+        doc_bigram_logprob,
+        DOC_BIGRAM_LOGPROB_ORACLE,
+        "ext: interpolated bigram-LM perplexity proxy",
+    )
+)
+
+
+def clf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear-classifier quality scoring over documents — the
+    model-based filtering stage (deterministic weight function stands
+    in for trained weights; plan shape identical)."""
+    from ..operators.text import classifier_score
+
+    return classifier_score(load(spark, sf_dir, "documents"))
+
+
+CLF_QUALITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % 65536 AS bucket
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum((bucket * 2654435761) % 1000003) AS BIGINT) AS sw
+  FROM toks GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round((sw * 2.0 / n_tokens) / 1000003 - 1.0, 6) AS clf_logit,
+       round(1.0 / (1.0 + exp(-4.0 * ((sw * 2.0 / n_tokens) / 1000003 - 1.0))), 4)
+         AS clf_score
+FROM agg
+"""
+
+QUERIES.append(
+    Query(
+        "clf_quality_score",
+        clf_quality_score,
+        CLF_QUALITY_ORACLE,
+        "ext: hashed linear classifier quality gate",
+    )
+)
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate against the corpus's top-500 token vocabulary
+    — the tokenizer-coverage audit."""
+    from ..operators.text import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"))
+
+
+VOCAB_OOV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM (SELECT token, count(*) AS n_occ FROM toks GROUP BY 1)
+  ORDER BY n_occ DESC, token ASC LIMIT 500
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(v.token) AS BIGINT) AS n_oov,
+       floor((count(*) - count(v.token)) * 1.0 / count(*) * 1000000 + 0.5) / 1000000
+         AS oov_rate
+FROM toks LEFT JOIN vocab v USING (token)
+GROUP BY doc_id
+"""
+
+QUERIES.append(
+    Query(
+        "vocab_oov_rate",
+        vocab_oov_rate,
+        VOCAB_OOV_ORACLE,
+        "ext: tokenizer vocabulary coverage audit",
+    )
+)

@@ -213,6 +213,20 @@ PLAN_BOUNDS = {
     # count frame feeds both the total and the join; ReuseExchange
     # collapses it at runtime). LM join must stay broadcast.
     "doc_logprob": (4, 0),
+    # bigram-LM scoring: bigram-count groupBy (appears twice pre-AQE —
+    # model join + context window branch), w1 context window, unigram
+    # groupBy ×2 (total + backoff join), per-doc rollup; every join
+    # must stay broadcast (the bigram model join is unhinted — AQE may
+    # downgrade it at pathological vocab, which would fail this pin
+    # loudly rather than silently regress)
+    "doc_bigram_logprob": (6, 0),
+    # hashed classifier: hash + integer weight inside the scan
+    # projection, ONE map-side-combined (id, n, Σw) shuffle — no join,
+    # no model shipping
+    "clf_quality_score": (1, 0),
+    # vocab audit: token-count groupBy feeding a TakeOrdered top-k (no
+    # global sort exchange) + per-doc rollup; vocab join must broadcast
+    "vocab_oov_rate": (2, 0),
     # overlap matrix: per-shingle collect_set groupBy feeds the pair
     # branch and the sizes branch (duplicated pre-AQE), + one pair
     # count + one sizes count; size joins must stay broadcast

@@ -353,3 +353,98 @@ def test_weighted_sample_partitioning_invariant(spark):
                 assert per.get(lang, 0) == min(7, c), (lang, c, per)
         else:
             assert got == ref, parts
+
+
+def test_bigram_lm_detects_scrambled_word_order(spark):
+    """The signal that justifies the bigram LM over the unigram: a
+    token-scrambled doc has the SAME unigram score as its fluent twin
+    but a strictly worse (higher avg-neg-logprob) bigram score, while
+    a doc made of corpus-frequent transitions scores better than one
+    of corpus-rare transitions. Plus the probability axioms: the MLE
+    transition rows out of every context sum to exactly their context
+    total, and self-scoring assigns every doc a finite score."""
+    from flink_kafka_spark.operators.text import (
+        bigram_lm,
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    toks = fluent.split()
+    scrambled = " ".join(toks[::2] + toks[1::2])  # same bag, broken order
+    rows = [(i, fluent) for i in range(8)] + [(100, fluent), (101, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r.doc_id: r.avg_neg_logprob for r in unigram_logprob(df).collect()}
+    assert uni[100] == uni[101]  # unigram is order-blind by construction
+
+    bi = {r.doc_id: r.avg_neg_logprob for r in bigram_logprob(df).collect()}
+    assert bi[101] > bi[100]  # bigram sees the broken order
+
+    model = bigram_lm(df).collect()
+    by_ctx = {}
+    for r in model:
+        by_ctx.setdefault(r.w1, []).append(r)
+    for w1, rs in by_ctx.items():
+        assert sum(r.n_b for r in rs) == rs[0].n_c  # P(·|w1) sums to 1
+        assert all(r.n_c == rs[0].n_c for r in rs)
+
+    short = spark.createDataFrame([(1, "one"), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(short).collect()}
+    assert out[1].n_bigrams == 0 and out[1].avg_neg_logprob == 0.0
+
+
+def test_classifier_score_matches_naive_python(spark):
+    """The hashed linear classifier against a from-scratch Python
+    reimplementation (hashlib md5 + integer arithmetic) — pins the
+    full contract: bucket hash, weight mix, exact integer sum, logit
+    and sigmoid transforms."""
+    import hashlib
+    import math
+
+    from flink_kafka_spark.operators.text import (
+        CLF_BUCKETS,
+        _CLF_MIX,
+        _CLF_PRIME,
+        classifier_score,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "aaa aaa aaa aaa",
+        3: "Mixed CASE Words 123 !!",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in classifier_score(df).collect()}
+    for doc_id, text in texts.items():
+        toks = [t for t in text.lower().split()]
+        ws = []
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % CLF_BUCKETS
+            ws.append((b * _CLF_MIX) % _CLF_PRIME)
+        logit = (sum(ws) * 2.0 / len(ws)) / _CLF_PRIME - 1.0
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.clf_logit == round(logit, 6)
+        assert r.clf_score == round(1.0 / (1.0 + math.exp(-4.0 * logit)), 4)
+
+
+def test_vocab_coverage_exact_on_constructed_vocab(spark):
+    """vocab_size=2 over a corpus where the top-2 tokens (and the
+    frequency tie-break) are known: per-doc OOV counts must be exact,
+    and the tie at rank 2 must resolve token-ascending."""
+    from flink_kafka_spark.operators.text import vocab_coverage
+
+    # counts: 'x'=4, 'b'=3, 'z'=3 (tie: 'b' < 'z' wins rank 2), 'q'=1
+    rows = [
+        (1, "x x b z"),
+        (2, "x b z q"),
+        (3, "x b z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    # vocab = {x, b}; OOV per doc = occurrences of z/q
+    assert (out[1].n_tokens, out[1].n_oov) == (4, 1)
+    assert (out[2].n_tokens, out[2].n_oov) == (4, 2)
+    assert (out[3].n_tokens, out[3].n_oov) == (3, 1)
+    assert out[2].oov_rate == 0.5
