@@ -310,3 +310,155 @@ QUERIES.append(
     Query("traffic_anomalies", traffic_anomalies, TRAFFIC_ANOMALIES_ORACLE,
           "windowed z-score anomaly flags (beyond ref)")
 )
+
+
+# --- PSI distribution drift between stream halves ---
+#
+# The monitoring question behind every windowed aggregate the
+# reference computes: has the VALUE DISTRIBUTION of a key shifted
+# between two periods (deploys, data-source switches, bot floods) —
+# not just its count, which traffic_anomalies already covers?
+# Population Stability Index per event_type between the first and
+# second half of the stream's time range: 10 equal-width value
+# buckets over the GLOBAL [min, max] (shared edges — per-half edges
+# would hide drift), add-one smoothing so empty buckets contribute a
+# finite penalty, psi = Σ (p_i − q_i)·ln(p_i/q_i). The usual alarm
+# thresholds: <0.1 stable, 0.1-0.25 moderate, >0.25 shifted.
+#
+# Scale design (100 TB): the bounds are a 1-row aggregate broadcast
+# back onto the scan (two passes over a narrow 3-col projection); the
+# half/bucket assignment is a JVM expression, so the only corpus-sized
+# shuffle is the map-side-combined (type, half, bucket) count —
+# ≤ |types|·20 rows out. The 10-bucket grid is built per type from a
+# sequence() literal and left-joined by broadcast, so zero-count
+# buckets still enter the sum; counts stay integer-exact until the
+# final per-row float transform (the classifier_score convention).
+# The half split compares 2·epoch ≤ tmin+tmax — pure integer, no
+# division, no boundary FP.
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min(F.unix_timestamp("ts")).alias("tmin"),
+        F.max(F.unix_timestamp("ts")).alias("tmax"),
+    )
+    binned = (
+        events.select("event_type", F.unix_timestamp("ts").alias("te"), "value")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(2 * F.col("te") <= F.col("tmin") + F.col("tmax"), 0)
+            .otherwise(1)
+            .alias("half"),
+            F.when(F.col("vmax") == F.col("vmin"), 0)
+            .otherwise(
+                F.least(
+                    F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10.0)),
+                    F.lit(9),
+                )
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    # conditional aggregation, NOT a count-per-half + two filtered
+    # joins: half-filters would push below the aggregate and fork the
+    # plan into two full corpus scans, while one (type, bucket) groupBy
+    # carries both halves out in a single shuffle — and the grid branch
+    # then reads the SAME exchange (plan-identical child → Spark's
+    # ReuseExchange), so the corpus is scanned exactly twice total
+    # (bounds pass + count pass)
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"))
+    )
+    pivot = grid.join(F.broadcast(counts), ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("c0", F.lit(0)).alias("c0"),
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+    )
+    w = Window.partitionBy("event_type")
+    smoothed = pivot.select(
+        "event_type",
+        "c0",
+        "c1",
+        (F.sum("c0").over(w)).alias("n0"),
+        (F.sum("c1").over(w)).alias("n1"),
+    ).select(
+        "event_type",
+        "n0",
+        "n1",
+        ((F.col("c0") + 1.0) / (F.col("n0") + 10.0)).alias("p"),
+        ((F.col("c1") + 1.0) / (F.col("n1") + 10.0)).alias("q"),
+    )
+    return smoothed.groupBy("event_type").agg(
+        F.max("n0").cast("long").alias("n_first"),
+        F.max("n1").cast("long").alias("n_second"),
+        F.expr(
+            "floor(sum((p - q) * ln(p / q)) * 1000000 + 0.5) / 1000000"
+        ).alias("psi"),
+    )
+
+
+VALUE_DRIFT_PSI_ORACLE = """
+WITH bounds AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS tmin,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS tmax
+  FROM events
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN 2 * CAST(floor(epoch(ts)) AS BIGINT) <= tmin + tmax
+              THEN 0 ELSE 1 END AS half,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE CAST(least(floor((value - vmin) / ((vmax - vmin) / 10.0)), 9) AS INTEGER)
+         END AS bucket
+  FROM events CROSS JOIN bounds
+),
+counts AS (
+  SELECT event_type, half, bucket, count(*) AS c FROM binned GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(0, 9)) AS bucket) g
+),
+filled AS (
+  SELECT g.event_type, g.bucket,
+         COALESCE(c0.c, 0) AS c0, COALESCE(c1.c, 0) AS c1
+  FROM grid g
+  LEFT JOIN counts c0 ON c0.event_type = g.event_type
+                     AND c0.bucket = g.bucket AND c0.half = 0
+  LEFT JOIN counts c1 ON c1.event_type = g.event_type
+                     AND c1.bucket = g.bucket AND c1.half = 1
+),
+smoothed AS (
+  SELECT event_type, c0, c1,
+         sum(c0) OVER (PARTITION BY event_type) AS n0,
+         sum(c1) OVER (PARTITION BY event_type) AS n1
+  FROM filled
+)
+SELECT event_type,
+       CAST(max(n0) AS BIGINT) AS n_first,
+       CAST(max(n1) AS BIGINT) AS n_second,
+       floor(sum(((c0 + 1.0) / (n0 + 10.0) - (c1 + 1.0) / (n1 + 10.0))
+                 * ln(((c0 + 1.0) / (n0 + 10.0)) / ((c1 + 1.0) / (n1 + 10.0))))
+             * 1000000 + 0.5) / 1000000 AS psi
+FROM smoothed
+GROUP BY event_type
+"""
+
+QUERIES.append(
+    Query("value_drift_psi", value_drift_psi, VALUE_DRIFT_PSI_ORACLE,
+          "PSI distribution drift between stream halves (beyond ref)")
+)

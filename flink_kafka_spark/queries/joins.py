@@ -150,3 +150,34 @@ QUERIES = [
     Query("order_line_reconciliation", order_line_reconciliation, RECONCILE_ORACLE, "J2 K2 F5"),
     Query("event_asof_order", event_asof_order, ASOF_ORACLE, "ext: as-of join"),
 ]
+
+
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: blocked fuzzy self-linkage
+    (block = first name token, verify = Levenshtein <= 2). The batch
+    analog of the reference's keyed-matching surface applied to the
+    dirty-catalog problem."""
+    from ..operators.joins import fuzzy_match_pairs
+
+    return fuzzy_match_pairs(load(spark, sf_dir, "part"), "p_partkey", "p_name")
+
+
+FUZZY_PART_ORACLE = """
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_name AS a_name, b.p_name AS b_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev_dist
+FROM part a JOIN part b
+  ON split_part(lower(a.p_name), ' ', 1) = split_part(lower(b.p_name), ' ', 1)
+ AND a.p_partkey < b.p_partkey
+WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+QUERIES.append(
+    Query(
+        "fuzzy_part_matches",
+        fuzzy_part_matches,
+        FUZZY_PART_ORACLE,
+        "ext: blocked fuzzy record linkage",
+    )
+)

@@ -227,6 +227,16 @@ PLAN_BOUNDS = {
     # vocab audit: token-count groupBy feeding a TakeOrdered top-k (no
     # global sort exchange) + per-doc rollup; vocab join must broadcast
     "vocab_oov_rate": (2, 0),
+    # blocked fuzzy linkage: block-key equi-join broadcasts at test SF
+    # (a degrade to SMJ — the intended plan when neither catalog side
+    # broadcasts at 100 TB — would fail this pin loudly, which is the
+    # point: it means stats changed underneath the query)
+    "fuzzy_part_matches": (0, 0),
+    # PSI drift: one conditional-agg (type, bucket) corpus shuffle
+    # (appears twice pre-AQE — grid branch + join branch, ReuseExchange
+    # collapses it) + tiny distinct/window/final aggs; grid join must
+    # stay broadcast
+    "value_drift_psi": (4, 0),
     # overlap matrix: per-shingle collect_set groupBy feeds the pair
     # branch and the sizes branch (duplicated pre-AQE), + one pair
     # count + one sizes count; size joins must stay broadcast
