@@ -120,6 +120,16 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "weighted_sample",
     "snapshot_diff",
+    # round-7 seventh wave: the interpolated bigram LM (the registry's
+    # biggest LM join), the hashed classifier gate (pure-scan floor —
+    # the cheapest possible corpus pass, a useful lower-bound row), the
+    # vocab OOV audit, blocked fuzzy linkage, and PSI drift. No
+    # baseline entries yet; guardrail skips them.
+    "doc_bigram_logprob",
+    "clf_quality_score",
+    "vocab_oov_rate",
+    "fuzzy_part_matches",
+    "value_drift_psi",
 ]
 
 

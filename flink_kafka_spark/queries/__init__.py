@@ -209,18 +209,36 @@ class Query:
 #                      family hashed via staying rows)
 # IN: weighted_sample (A-Res per-stratum draw), snapshot_diff
 #     (release-diff verdicts) — both rehearsal-verified at sf0.01.
+#
+# Round-7 seventh wave (immediate-hash rule for three of the round's
+# five newest full-oracle registrations; doc_bigram_logprob and
+# vocab_oov_rate hold sweep-oracle coverage outside until r8 — the
+# only remaining twice-green rotation candidates after them were
+# hot_items_topn, the flagship, and bm25_search, the retrieval
+# family's sole in-window row) — OUT, all green r5+r6:
+#   hot_items_sql     (§2.11 SQL surface; hot_items_topn stays with
+#                      identical semantics/oracle and the SQL-path
+#                      parity pytest remains)
+#   global_stats      (A4/G4/G8 global windowed agg; hot_items_topn
+#                      keeps the windowed family, sweep oracle stays)
+#   order_timeout     (T3/T4/G7; the order-timeout streaming replay
+#                      pytest + patterns CEP pytests keep the state
+#                      machines exercised; returns in the r8 window)
+# IN: clf_quality_score (hashed-linear model gate), fuzzy_part_matches
+#     (blocked record linkage), value_drift_psi (PSI drift) — all
+#     rehearsal-verified at sf0.01 before entering.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
-    "hot_items_sql",
     "uv_approx_check",
-    "global_stats",
-    "order_timeout",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # analytics additions (r7 fourth wave)
+    # analytics additions (r7 fourth + seventh waves)
     "event_transitions",
     "traffic_anomalies",
+    "value_drift_psi",
+    # joins family (r7 seventh wave)
+    "fuzzy_part_matches",
     # relational block (q4/q6/q7/q10/q12 rotated in r6;
     # q8/q13/orders_rollup rotated in r7 — r02-stale rows)
     "tpch_q4",
@@ -258,6 +276,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_fingerprint",
     "bpe_token_count",
     "doc_logprob",
+    "clf_quality_score",
     "source_scorecard",
     "word_pmi",
     "heavy_hitters_check",

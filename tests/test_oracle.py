@@ -71,7 +71,9 @@ def test_driver_window_covers_every_family():
         "text": ["text_stats", "corpus_prep", "decontaminate", "lang_id",
                  "doc_chunk", "pii_scan", "pii_redact", "repetition_stats",
                  "text_quality", "doc_fingerprint", "bpe_token_count",
-                 "filter_threshold_sweep", "word_pmi", "heavy_hitters_check"],
+                 "filter_threshold_sweep", "word_pmi", "heavy_hitters_check",
+                 "doc_logprob", "doc_bigram_logprob", "clf_quality_score",
+                 "vocab_oov_rate", "source_scorecard"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",

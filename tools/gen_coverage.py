@@ -89,7 +89,9 @@ EXTENSIONS = [
                    " / MMR diversity re-rank"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
     ("text", "lang-id / quality / token counts / fingerprints"
-             " / unigram-LM perplexity proxy / per-source scorecard + KL"
+             " / unigram + interpolated-bigram LM perplexity proxies"
+             " / hashed-linear classifier gate / vocab OOV audit"
+             " / per-source scorecard + KL"
              " / quality-cutoff pass-rate sweep / co-occurrence PMI"),
     ("sketches", "Misra-Gries heavy hitters (mergeable k-counter partials,"
                  " n/(k+1) bound driver-hashed by heavy_hitters_check)"),
@@ -98,9 +100,11 @@ EXTENSIONS = [
                  " / A-Res weighted sampling (Efraimidis-Spirakis)"),
     ("versioning", "JSONL release I/O + corrupt-line quarantine + compaction"
                    " / snapshot diff (added/removed/changed verdicts)"),
+    ("linkage", "blocked fuzzy record linkage (Levenshtein verify,"
+                " length-band candidate pruning)"),
     ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"
                          " / retention cohorts / Markov event transitions"
-                         " / z-score traffic anomaly flags"),
+                         " / z-score traffic anomaly flags / PSI value-drift"),
 ]
 
 

@@ -367,6 +367,137 @@ def main() -> None:
     timings[f"mmr_rerank_200x{n_mmr_vecs}"] = round(time.perf_counter() - t0, 2)
     assert mmr_rows == 200 * 8, mmr_rows
 
+    # bigram LM on a corpus with planted word-order structure: fluent
+    # docs walk a fixed 500-token cycle (every transition deterministic
+    # -> near-probability-1 under the model), every 10th doc reverses
+    # alternate halves (same token bag, broken transitions). The probe
+    # asserts PERFECT SEPARATION — every scrambled doc scores above
+    # every fluent doc — which is exactly the signal the unigram
+    # operator cannot produce (identical bags score identically there).
+    from flink_kafka_spark.operators.text import bigram_logprob
+
+    n_lm = 2 * n_docs
+    fluent_words = F.expr(
+        "transform(sequence(0, 39), i -> concat('w', pmod(id + i, 500)))"
+    )
+    # perfect-shuffle permutation of the SAME 40 offsets (evens take
+    # 0..19, odds take 20..39): identical token bag, every transition
+    # a ±20-ish jump the fluent corpus never makes
+    scrambled_words = F.expr(
+        "transform(sequence(0, 39), i -> concat('w', pmod(id + "
+        "CASE WHEN pmod(i, 2) = 0 THEN CAST(floor(i / 2) AS INT) "
+        "ELSE 20 + CAST(floor((i - 1) / 2) AS INT) END, 500)))"
+    )
+    lm_docs = spark.range(n_lm).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.when(F.pmod("id", F.lit(10)) == 9, scrambled_words).otherwise(fluent_words)
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    sep = (
+        bigram_logprob(lm_docs)
+        .select(
+            F.min(
+                F.when(F.pmod("doc_id", F.lit(10)) == 9, F.col("avg_neg_logprob"))
+            ).alias("min_scrambled"),
+            F.max(
+                F.when(F.pmod("doc_id", F.lit(10)) != 9, F.col("avg_neg_logprob"))
+            ).alias("max_fluent"),
+        )
+        .collect()[0]
+    )
+    timings[f"bigram_logprob_{n_lm}"] = round(time.perf_counter() - t0, 2)
+    assert sep.min_scrambled > sep.max_fluent, tuple(sep)
+
+    # hashed classifier + vocab audit over the same 100k corpus. The
+    # classifier probe asserts the integer-exact contract holds at
+    # scale (scores in (0,1), every doc scored); the vocab probe has
+    # exact ground truth — the synthetic vocabulary is exactly w0..w499,
+    # so against vocab_size=500 every 7th doc's planted unique token is
+    # the ONLY out-of-vocabulary occurrence in the corpus.
+    from flink_kafka_spark.operators.text import classifier_score, vocab_coverage
+
+    t0 = time.perf_counter()
+    clf = classifier_score(lm_docs).agg(
+        F.count("*").alias("n"),
+        F.min("clf_score").alias("lo"),
+        F.max("clf_score").alias("hi"),
+    ).collect()[0]
+    timings[f"classifier_score_{n_lm}"] = round(time.perf_counter() - t0, 2)
+    assert clf.n == n_lm and 0.0 < clf.lo <= clf.hi < 1.0, tuple(clf)
+
+    oov_docs = lm_docs.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0,
+            F.concat("text", F.lit(" zqx"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    oov = vocab_coverage(oov_docs, vocab_size=500).agg(
+        F.sum("n_oov").alias("total_oov"),
+        F.sum((F.col("n_oov") > 0).cast("int")).alias("docs_with_oov"),
+    ).collect()[0]
+    timings[f"vocab_coverage_{n_lm}"] = round(time.perf_counter() - t0, 2)
+    n_planted = (n_lm + 6) // 7
+    assert (oov.total_oov, oov.docs_with_oov) == (n_planted, n_planted), tuple(oov)
+
+    # blocked fuzzy linkage at 200k rows / 100k blocks: each block
+    # holds exactly one planted pair one edit apart ('mk one' vs
+    # 'mk ones'), so the exact pair set is known — n/2 pairs, every
+    # distance 1, zero cross-block leakage.
+    from flink_kafka_spark.operators.joins import fuzzy_match_pairs
+
+    n_link = 200_000
+    catalog = spark.range(n_link).select(
+        F.col("id").alias("rec_id"),
+        F.concat(
+            F.lit("prod"),
+            F.floor(F.col("id") / 2).cast("string"),
+            F.when(F.pmod("id", F.lit(2)) == 0, F.lit(" mk one")).otherwise(
+                F.lit(" mk ones")
+            ),
+        ).alias("name"),
+    )
+    t0 = time.perf_counter()
+    linked = fuzzy_match_pairs(catalog, "rec_id", "name", max_dist=2).agg(
+        F.count("*").alias("n"), F.max("lev_dist").alias("dmax")
+    ).collect()[0]
+    timings[f"fuzzy_link_{n_link}"] = round(time.perf_counter() - t0, 2)
+    assert (linked.n, linked.dmax) == (n_link // 2, 1), tuple(linked)
+
+    # PSI drift at the event scale: one event type's value distribution
+    # jumps between stream halves (planted), the rest are stationary by
+    # construction — the planted type must clear the 0.25 alarm line
+    # and every stationary type must sit under 0.01.
+    from flink_kafka_spark.queries.analytics import value_drift_psi as _psi_q
+    import tempfile as _tf
+
+    drift_ev = synth_events(spark, n_events).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.unix_timestamp("ts") >= F.lit(1_700_000_000 + 302_400)),
+            F.lit(450.0) + F.pmod(F.xxhash64("event_id"), F.lit(50)).cast("double"),
+        )
+        .otherwise(F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(100)).cast("double"))
+        .alias("value"),
+        F.lit("").alias("props"),
+    )
+    with _tf.TemporaryDirectory() as td:
+        drift_ev.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        t0 = time.perf_counter()
+        psi_rows = {r.event_type: r.psi for r in _psi_q(spark, td).collect()}
+        timings[f"value_drift_psi_{n_events}"] = round(time.perf_counter() - t0, 2)
+    assert psi_rows["error"] > 0.25, psi_rows
+    assert all(v < 0.01 for t, v in psi_rows.items() if t != "error"), psi_rows
+
     # streaming stateful ops (round-2 vectorization evidence): per-key
     # Arrow frames of thousands of rows exercise the numpy batch scans
     # that replaced the per-row iterrows() loops — the round-1 scale
