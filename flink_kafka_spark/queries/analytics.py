@@ -338,6 +338,8 @@ QUERIES.append(
 
 
 def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.drift import bucket_expr, psi_from_counts
+
     events = load(spark, sf_dir, "events")
     bounds = events.agg(
         F.min("value").alias("vmin"),
@@ -353,15 +355,7 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("te") <= F.col("tmin") + F.col("tmax"), 0)
             .otherwise(1)
             .alias("half"),
-            F.when(F.col("vmax") == F.col("vmin"), 0)
-            .otherwise(
-                F.least(
-                    F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10.0)),
-                    F.lit(9),
-                )
-            )
-            .cast("int")
-            .alias("bucket"),
+            bucket_expr("value", 10),
         )
     )
     # conditional aggregation, NOT a count-per-half + two filtered
@@ -386,27 +380,7 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c0", F.lit(0)).alias("c0"),
         F.coalesce("c1", F.lit(0)).alias("c1"),
     )
-    w = Window.partitionBy("event_type")
-    smoothed = pivot.select(
-        "event_type",
-        "c0",
-        "c1",
-        (F.sum("c0").over(w)).alias("n0"),
-        (F.sum("c1").over(w)).alias("n1"),
-    ).select(
-        "event_type",
-        "n0",
-        "n1",
-        ((F.col("c0") + 1.0) / (F.col("n0") + 10.0)).alias("p"),
-        ((F.col("c1") + 1.0) / (F.col("n1") + 10.0)).alias("q"),
-    )
-    return smoothed.groupBy("event_type").agg(
-        F.max("n0").cast("long").alias("n_first"),
-        F.max("n1").cast("long").alias("n_second"),
-        F.expr(
-            "floor(sum((p - q) * ln(p / q)) * 1000000 + 0.5) / 1000000"
-        ).alias("psi"),
-    )
+    return psi_from_counts(pivot, "event_type", 10)
 
 
 VALUE_DRIFT_PSI_ORACLE = """

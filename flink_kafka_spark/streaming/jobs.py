@@ -270,3 +270,76 @@ def tx_match_join_stream(
         .otherwise(F.lit("unmatched_receipt"))
         .alias("result_type"),
     )
+
+
+def drift_monitor_stream(
+    events_stream: DataFrame,
+    reference: DataFrame,
+    sink,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 10,
+    ref_hist: "tuple[DataFrame, DataFrame] | None" = None,
+):
+    """Streaming distribution-drift monitor: score every micro-batch's
+    value distribution per key against a static reference corpus via
+    PSI (operators.drift) and hand ``(psi_df, epoch_id)`` to ``sink``
+    — the production shape of the batch ``value_drift_psi`` query
+    (deploy watch: the reference is last month's corpus, the stream is
+    live traffic, an alert fires when any key's psi crosses ~0.25).
+
+    PSI needs per-batch totals and a full bucket grid, so the operator
+    runs under ``foreachBatch`` (full batch semantics per micro-batch)
+    rather than as a stateful aggregation. The reference is reduced
+    ONCE, outside the loop, to its (bounds, per-(key, bucket) counts)
+    histogram — pass a stored :func:`operators.drift.reference_histogram`
+    pair via ``ref_hist`` and the reference corpus is touched zero
+    times per batch; the per-batch work is one narrow scan of the
+    batch + joins against two broadcast-sized frames. Keys the batch
+    has never seen score against the reference's buckets (and vice
+    versa: a batch key absent from the reference drifts maximally) —
+    the grid is the UNION of both sides' keys.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import bucket_expr, psi_from_counts, reference_histogram
+
+    bounds, ref_counts = (
+        ref_hist
+        if ref_hist is not None
+        else reference_histogram(reference, key_col, value_col, n_buckets)
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_counts = (
+            batch_df.select(key_col, value_col)
+            .crossJoin(F.broadcast(bounds))
+            .select(key_col, bucket_expr(value_col, n_buckets))
+            .groupBy(key_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("c_new"))
+        )
+        keys = (
+            ref_counts.select(key_col)
+            .union(batch_counts.select(key_col))
+            .distinct()
+        )
+        grid = keys.select(
+            key_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+        )
+        filled = (
+            grid.join(F.broadcast(ref_counts), [key_col, "bucket"], "left")
+            .join(F.broadcast(batch_counts), [key_col, "bucket"], "left")
+            .select(
+                key_col,
+                "bucket",
+                F.coalesce("c_ref", F.lit(0)).alias("c0"),
+                F.coalesce("c_new", F.lit(0)).alias("c1"),
+            )
+        )
+        psi = psi_from_counts(filled, key_col, n_buckets).withColumnRenamed(
+            "n_first", "n_reference"
+        ).withColumnRenamed("n_second", "n_batch")
+        sink(psi, epoch_id)
+
+    return events_stream.writeStream.foreachBatch(_process)

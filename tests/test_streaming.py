@@ -933,3 +933,74 @@ def test_sequence_match_stream_out_of_order(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_drift_monitor_stream(spark, tmp_path):
+    """Streaming PSI monitor: two micro-batches against a static
+    reference — a batch drawn from the reference's own distribution
+    scores near 0 for every key, a value-shifted batch crosses the
+    0.25 alarm line for the shifted key only, and a key ABSENT from
+    the reference (new event type appearing live) still produces a
+    scored row (the grid is the union of both key sets)."""
+    from flink_kafka_spark.streaming.jobs import drift_monitor_stream
+
+    # reference: two types, values uniform over known ranges
+    ref_rows = [("click", float(i % 100)) for i in range(1000)]
+    ref_rows += [("view", float(i % 100)) for i in range(1000)]
+    reference = spark.createDataFrame(ref_rows, "event_type string, value double")
+
+    b = tmp_path / "in"
+    b.mkdir()
+    # batch 0: same distribution as the reference
+    (b / "f0.json").write_text(
+        "\n".join(
+            f'{{"event_type": "click", "value": {float(i % 100)}}}' for i in range(500)
+        )
+        + "\n"
+        + "\n".join(
+            f'{{"event_type": "view", "value": {float(i % 100)}}}' for i in range(500)
+        )
+        + "\n"
+    )
+    # batch 1: click values collapse to the top bucket; view stays
+    # stationary; a brand-new type appears
+    (b / "f1.json").write_text(
+        "\n".join('{"event_type": "click", "value": 99.0}' for _ in range(500))
+        + "\n"
+        + "\n".join(
+            f'{{"event_type": "view", "value": {float(i % 100)}}}' for i in range(500)
+        )
+        + "\n"
+        + "\n".join('{"event_type": "fresh", "value": 50.0}' for _ in range(100))
+        + "\n"
+    )
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(b))
+    )
+    seen: dict[int, dict] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = {r.event_type: r for r in df.collect()}
+
+    q = (
+        drift_monitor_stream(stream, reference, sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(seen) == 2
+    b0, b1 = seen[0], seen[1]
+    # stationary batch: everything quiet (sample noise only)
+    assert b0["click"].psi < 0.05 and b0["view"].psi < 0.05
+    assert b0["click"].n_reference == 1000 and b0["click"].n_batch == 500
+    # drifted batch: the collapsed type alarms, the stationary one doesn't
+    assert b1["click"].psi > 0.25
+    assert b1["view"].psi < 0.05
+    # never-seen key still scored, against an all-zero reference row
+    assert b1["fresh"].n_reference == 0 and b1["fresh"].n_batch == 100
+    assert b1["fresh"].psi > 0.25
