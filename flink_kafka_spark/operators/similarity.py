@@ -132,6 +132,33 @@ def _nearest_cells_expr(centroids: list[list[float]], nprobe: int) -> str:
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable IVF index for :func:`cosine_topk_ivf`: the
+    assigned corpus ``(cell, id, v)`` plus the centroid table
+    ``(cell, centroid)``. In production the KMeans fit runs ONCE per
+    corpus snapshot — write the assignment via
+    ``io.write_bucketed(index, ..., ["cell"])`` and the centroids as a
+    plain n_cells-row table, then pass both back via ``ivf_index=``:
+    each query batch's cell join shuffles ONLY the query side into the
+    index's bucketing, and the 100 TB corpus is never re-fit,
+    re-assigned, or re-shuffled (plan-pinned by
+    tests/test_io.py::test_bucketed_ivf_index_join_shuffles_query_side_only).
+
+    The (n_cells, seed) parameters are baked into the stored cells;
+    ``nprobe`` stays a query-time knob."""
+    assigned, centroids = ivf_cells(corpus, id_col, vec_col, n_cells, seed)
+    cent = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    return assigned.select("cell", id_col, "v"), cent
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -141,12 +168,29 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    ivf_index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus partitioned into KMeans cells,
     each query probes its ``nprobe`` nearest cells only — the
     candidate set shrinks ~n_cells/nprobe-fold vs brute force, and the
-    cell equi-join shuffles each corpus vector once."""
-    assigned, centroids = ivf_cells(corpus, id_col, vec_col, n_cells, seed)
+    cell equi-join shuffles each corpus vector once.
+
+    With ``ivf_index`` (a :func:`build_ivf_index` pair, typically
+    loaded from storage) the per-invocation KMeans fit disappears:
+    ``corpus``/``n_cells``/``seed`` are ignored, the centroid table is
+    collected driver-side (n_cells rows — the same kilobyte-scale
+    payload the fit path inlines) and the stored assignment is joined
+    directly."""
+    if ivf_index is not None:
+        index_df, cent_df = ivf_index
+        centroids = [
+            [float(x) for x in r.centroid] for r in cent_df.orderBy("cell").collect()
+        ]
+        if not centroids:
+            raise ValueError("ivf_index centroid table is empty")
+        assigned = index_df.select(F.col(id_col), F.col("v"), F.col("cell"))
+    else:
+        assigned, centroids = ivf_cells(corpus, id_col, vec_col, n_cells, seed)
     q = _as_double(queries, id_col, vec_col, "query_id", "v").withColumn(
         "cell", F.explode(F.expr(_nearest_cells_expr(centroids, nprobe)))
     ).select("query_id", F.col("v").alias("qv"), "cell")

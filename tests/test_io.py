@@ -173,3 +173,43 @@ def test_compact_parquet_hits_target_count(spark, tmp_path):
 
     assert len(glob.glob(out + "/part-*.parquet")) == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_bucketed_ivf_index_join_shuffles_query_side_only(spark, sf_dir, tmp_path):
+    """The production ANN promise (build_ivf_index docstring): a stored
+    cell-bucketed IVF index makes each query batch's candidate join
+    shuffle only the query side — the corpus-sized assignment is read
+    in place with no index-side exchange, and no KMeans fit runs at
+    query time. Asserted from the physical plan (exactly one cell-keyed
+    exchange, bucketed scan) plus exact result equality between the
+    stored-index and in-memory-index paths."""
+    from flink_kafka_spark.operators.similarity import build_ivf_index, cosine_topk_ivf
+    from flink_kafka_spark.tables import load
+
+    vecs = load(spark, sf_dir, "embeddings")
+    index, cent = build_ivf_index(vecs, n_cells=8)
+    write_bucketed(
+        index, "ivf_idx_b", ["cell"], 8, ["cell"], path=str(tmp_path / "ivf")
+    )
+    cent_path = str(tmp_path / "cent")
+    cent.write.parquet(cent_path)
+
+    queries = vecs.filter("vec_id < 20")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stored = (
+            read_table(spark, "ivf_idx_b"),
+            spark.read.parquet(cent_path),
+        )
+        got = cosine_topk_ivf(queries, None, k=5, nprobe=2, ivf_index=stored)
+        plan = _plan(got)
+        assert plan.count("Exchange hashpartitioning(cell") == 1, plan
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        assert "KMeans" not in plan
+
+        want = cosine_topk_ivf(queries, None, k=5, nprobe=2, ivf_index=(index, cent))
+        got_rows = sorted(tuple(r) for r in got.collect())
+        assert got_rows == sorted(tuple(r) for r in want.collect())
+        assert len(got_rows) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
