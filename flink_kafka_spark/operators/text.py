@@ -751,3 +751,88 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+# Feature-hashing embedder constants: signs come from a second Knuth
+# mix over (bucket, dim). Operands stay < 2^48 (same BIGINT-overflow
+# discipline as the classifier weights).
+_EMB_MIX_DIM = 40503
+
+
+def hashed_doc_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing document embedder (the hashing trick / signed
+    random projection): ``emb[j] = Σ_tokens sign(bucket(token), j)``
+    with ±1 signs drawn deterministically per (bucket, dim) — the
+    no-model bridge from the ``documents`` table into embedding space,
+    so every vector operator here (cosine near-dup, SemDeDup, ANN,
+    MMR) can run on a text corpus before a learned embedder exists.
+    Sparse random projections preserve bag-of-words cosine geometry in
+    expectation (Johnson-Lindenstrauss; Achlioptas-style ±1 signs), so
+    shared-vocabulary documents land near each other — the pytest pins
+    that ordering on planted overlaps.
+
+    Output is LONG FORM ``(id, dim_idx, val)`` with ``val`` an EXACT
+    integer (the cross-engine-auditable shape; sums of ±1 never touch
+    floats). :func:`hashed_doc_embedding_vec` folds it to the
+    ``array<float>`` column the vector operators consume.
+
+    Scale design (100 TB): tokens leave the scan as 16-bit bucket ids;
+    one map-side-combined (id, bucket) count collapses repeated tokens
+    BEFORE the dim fan-out, so the explode multiplies distinct-buckets-
+    per-doc (≤ min(vocab, doc length)) by ``dim``, not raw tokens by
+    ``dim``; one final (id, dim) rollup. Both shuffles move integer
+    triples only."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    tok = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
+    bucket = F.expr(
+        f"cast(conv(substr(md5(token), 1, 8), 16, 10) AS bigint) % {CLF_BUCKETS}"
+    )
+    per_bucket = (
+        df.select(F.col(id_col), tok)
+        .select(id_col, bucket.alias("_bucket"))
+        .groupBy(id_col, "_bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    sign = F.expr(
+        f"((_bucket * {_CLF_MIX}L + dim_idx * {_EMB_MIX_DIM}L) % {_CLF_PRIME}) % 2 * 2 - 1"
+    )
+    return (
+        per_bucket.select(
+            id_col,
+            "_bucket",
+            "_cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("dim_idx"),
+        )
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum(F.col("_cnt") * sign).cast("long").alias("val"))
+    )
+
+
+def hashed_doc_embedding_vec(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """:func:`hashed_doc_embedding` folded to the ``array<float>``
+    column shape the similarity operators consume (``(id, embedding)``
+    — drop-in for the ``embeddings`` table's schema). One extra
+    (id)-keyed shuffle to assemble the array; dims are densely filled
+    (a dim with no contribution is exact 0)."""
+    long = hashed_doc_embedding(df, id_col, text_col, dim)
+    return (
+        long.groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim_idx, val))), "
+                "s -> CAST(s.val AS FLOAT))"
+            ).alias(out_col)
+        )
+    )

@@ -1386,3 +1386,39 @@ QUERIES.append(
         "ext: tokenizer vocabulary coverage audit",
     )
 )
+
+
+def doc_embedding_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings in auditable long form —
+    the no-model text→vector bridge (hashing trick, ±1 signs)."""
+    from ..operators.text import hashed_doc_embedding
+
+    return hashed_doc_embedding(load(spark, sf_dir, "documents"))
+
+
+DOC_EMBEDDING_HASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % 65536 AS bucket
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents)
+),
+pb AS (SELECT doc_id, bucket, count(*) AS cnt FROM toks GROUP BY 1, 2),
+expanded AS (
+  SELECT doc_id, dim_idx, cnt,
+         ((bucket * 2654435761 + dim_idx * 40503) % 1000003) % 2 * 2 - 1 AS sign
+  FROM pb, (SELECT unnest(generate_series(0, 63)) AS dim_idx) d
+)
+SELECT doc_id, CAST(dim_idx AS INTEGER) AS dim_idx,
+       CAST(sum(cnt * sign) AS BIGINT) AS val
+FROM expanded GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query(
+        "doc_embedding_hash",
+        doc_embedding_hash,
+        DOC_EMBEDDING_HASH_ORACLE,
+        "ext: feature-hashing doc embedder (text -> vector bridge)",
+    )
+)

@@ -227,6 +227,9 @@ PLAN_BOUNDS = {
     # vocab audit: token-count groupBy feeding a TakeOrdered top-k (no
     # global sort exchange) + per-doc rollup; vocab join must broadcast
     "vocab_oov_rate": (2, 0),
+    # feature-hashing embedder: (id, bucket) count BEFORE the dim
+    # fan-out + (id, dim) rollup — integer triples only, no join
+    "doc_embedding_hash": (2, 0),
     # blocked fuzzy linkage: block-key equi-join broadcasts at test SF
     # (a degrade to SMJ — the intended plan when neither catalog side
     # broadcasts at 100 TB — would fail this pin loudly, which is the

@@ -448,3 +448,45 @@ def test_vocab_coverage_exact_on_constructed_vocab(spark):
     assert (out[2].n_tokens, out[2].n_oov) == (4, 2)
     assert (out[3].n_tokens, out[3].n_oov) == (3, 1)
     assert out[2].oov_rate == 0.5
+
+
+def test_hashed_embedding_geometry(spark):
+    """The JL/Achlioptas property the embedder exists for: exact
+    duplicate docs embed identically (cosine exactly 1 — the sums are
+    integer-exact), high-overlap docs score above disjoint-vocabulary
+    docs, and the vec form is dense (every dim present, length = dim)
+    and consistent with the long form."""
+    import math
+
+    from flink_kafka_spark.operators.text import (
+        hashed_doc_embedding,
+        hashed_doc_embedding_vec,
+    )
+
+    docs = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+        3: "alpha beta gamma delta epsilon zeta eta OTHER",
+        4: "one two three four five six seven eight",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    vecs = {
+        r.doc_id: [float(x) for x in r.embedding]
+        for r in hashed_doc_embedding_vec(df, dim=32).collect()
+    }
+    assert all(len(v) == 32 for v in vecs.values())
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    assert vecs[1] == vecs[2]
+    assert cos(vecs[1], vecs[3]) > cos(vecs[1], vecs[4])
+
+    long = hashed_doc_embedding(df, dim=32).collect()
+    by_doc: dict = {}
+    for r in long:
+        by_doc.setdefault(r.doc_id, {})[r.dim_idx] = r.val
+    assert all(len(d) == 32 for d in by_doc.values())
+    for doc_id, v in vecs.items():
+        assert v == [float(by_doc[doc_id][j]) for j in range(32)]
