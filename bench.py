@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "vocab_oov_rate",
     "fuzzy_part_matches",
     "value_drift_psi",
+    # the composed no-model semantic near-dup (embedder + sign-bit LSH
+    # + blocked cosine) — the whole pipeline under one timing row.
+    "doc_semantic_pairs",
 ]
 
 

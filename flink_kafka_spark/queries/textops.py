@@ -1406,7 +1406,9 @@ WITH toks AS (
 pb AS (SELECT doc_id, bucket, count(*) AS cnt FROM toks GROUP BY 1, 2),
 expanded AS (
   SELECT doc_id, dim_idx, cnt,
-         ((bucket * 2654435761 + dim_idx * 40503) % 1000003) % 2 * 2 - 1 AS sign
+         (((bucket * 2654435761 + dim_idx * 40503) % 1000003)
+          * ((bucket * 2654435761 + dim_idx * 40503) % 1000003)
+          % 1000003) % 2 * 2 - 1 AS sign
   FROM pb, (SELECT unnest(generate_series(0, 63)) AS dim_idx) d
 )
 SELECT doc_id, CAST(dim_idx AS INTEGER) AS dim_idx,
@@ -1420,5 +1422,90 @@ QUERIES.append(
         doc_embedding_hash,
         DOC_EMBEDDING_HASH_ORACLE,
         "ext: feature-hashing doc embedder (text -> vector bridge)",
+    )
+)
+
+
+def doc_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NO-MODEL semantic near-dup over raw text: hashed
+    doc embeddings → sign-bit LSH blocking → blocked cosine pairs —
+    three operators composed, the whole pipeline (including the
+    blocking) expressible in ANSI SQL, so the driver hash covers the
+    COMPOSITION, not just each stage.
+
+    The blocking key is the sign pattern of the first 8 embedding
+    dims. No second hashing pass is needed: each hashed dim is already
+    a random signed projection of the bag-of-words, so its sign bit IS
+    an SRP plane — identical vectors collide with certainty, and
+    near-dups (cosine ≥ 0.8 here) collide with the usual LSH
+    probability; cross-block misses are the documented recall
+    trade-off the oracle mirrors exactly. Scale: the pair join is
+    equi-keyed on the 256-bucket block (same candidate-bounding shape
+    as dedup_embedding_cosine), embeddings are integer-exact, and the
+    cosine is the only float op."""
+    from ..operators.dedup import embedding_cosine_pairs
+    from ..operators.text import hashed_doc_embedding_vec
+
+    emb = hashed_doc_embedding_vec(load(spark, sf_dir, "documents"))
+    blocked = emb.withColumn(
+        "blk",
+        F.expr(
+            "aggregate(sequence(0, 7), 0L, (acc, j) -> "
+            "acc + IF(element_at(embedding, j + 1) >= 0, shiftleft(1L, j), 0L))"
+        ),
+    )
+    return embedding_cosine_pairs(
+        blocked, "doc_id", "embedding", block_col="blk", threshold=0.8
+    )
+
+
+DOC_SEMANTIC_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % 65536 AS bucket
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents)
+),
+pb AS (SELECT doc_id, bucket, count(*) AS cnt FROM toks GROUP BY 1, 2),
+expanded AS (
+  SELECT doc_id, dim_idx, cnt,
+         (((bucket * 2654435761 + dim_idx * 40503) % 1000003)
+          * ((bucket * 2654435761 + dim_idx * 40503) % 1000003)
+          % 1000003) % 2 * 2 - 1 AS sign
+  FROM pb, (SELECT unnest(generate_series(0, 63)) AS dim_idx) d
+),
+emb AS (
+  SELECT doc_id, dim_idx, CAST(sum(cnt * sign) AS BIGINT) AS val
+  FROM expanded GROUP BY 1, 2
+),
+blk AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN dim_idx < 8 AND val >= 0
+                       THEN CAST(pow(2, dim_idx) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS blk
+  FROM emb GROUP BY 1
+),
+nrm AS (SELECT doc_id, sqrt(sum(val * val) * 1.0) AS nn FROM emb GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.val * b.val) AS dot
+  FROM emb a JOIN emb b ON a.dim_idx = b.dim_idx AND a.doc_id < b.doc_id
+  JOIN blk ba ON ba.doc_id = a.doc_id
+  JOIN blk bb ON bb.doc_id = b.doc_id
+  WHERE ba.blk = bb.blk
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (na.nn * nb.nn), 6) AS cosine
+FROM pairs
+JOIN nrm na ON na.doc_id = id_a
+JOIN nrm nb ON nb.doc_id = id_b
+WHERE round(dot / (na.nn * nb.nn), 6) >= 0.8
+"""
+
+QUERIES.append(
+    Query(
+        "doc_semantic_pairs",
+        doc_semantic_pairs,
+        DOC_SEMANTIC_PAIRS_ORACLE,
+        "ext: composed text->embedding->LSH-blocked near-dup",
     )
 )

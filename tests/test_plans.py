@@ -230,6 +230,11 @@ PLAN_BOUNDS = {
     # feature-hashing embedder: (id, bucket) count BEFORE the dim
     # fan-out + (id, dim) rollup — integer triples only, no join
     "doc_embedding_hash": (2, 0),
+    # composed semantic pairs: the embedder's two shuffles (duplicated
+    # pre-AQE across the pair join's sides, ReuseExchange collapses) +
+    # vec assembly + block equi-join; block/pair joins broadcast at
+    # test SF
+    "doc_semantic_pairs": (6, 0),
     # blocked fuzzy linkage: block-key equi-join broadcasts at test SF
     # (a degrade to SMJ — the intended plan when neither catalog side
     # broadcasts at 100 TB — would fail this pin loudly, which is the

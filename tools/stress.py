@@ -469,6 +469,38 @@ def main() -> None:
     timings[f"fuzzy_link_{n_link}"] = round(time.perf_counter() - t0, 2)
     assert (linked.n, linked.dmax) == (n_link // 2, 1), tuple(linked)
 
+    # the full no-model compose path at corpus scale: text -> hashed
+    # embeddings -> SRP blocking -> blocked cosine pairs. The planted
+    # near-dup pairs (every 10th doc duplicating its decade's seed
+    # doc) have IDENTICAL token bags, so their hashed embeddings are
+    # bit-identical (integer sums), land in the same SRP bucket by
+    # construction, and must come back at cosine 1.0 — while two
+    # random 40-token draws from a 500-token vocabulary share far too
+    # little to cross 0.95. Exact pair-set recovery, composed from
+    # three operators that have never seen each other's internals.
+    from flink_kafka_spark.operators.dedup import embedding_cosine_pairs
+    from flink_kafka_spark.operators.similarity import srp_bucket
+    from flink_kafka_spark.operators.text import hashed_doc_embedding_vec
+
+    t0 = time.perf_counter()
+    hashed = hashed_doc_embedding_vec(docs, dim=64)
+    blocked = srp_bucket(hashed, "doc_id", "embedding", n_planes=8)
+    emb_pairs = embedding_cosine_pairs(
+        blocked, "doc_id", "v", block_col="bucket", threshold=0.95
+    )
+    pair_stats = emb_pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (
+                (F.pmod("id_a", F.lit(10)) == 1)
+                & (F.col("id_b") == F.col("id_a") + 8)
+                & (F.col("cosine") == 1.0)
+            ).cast("int")
+        ).alias("n_planted"),
+    ).collect()[0]
+    timings[f"hashed_embed_dedup_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert pair_stats.n == pair_stats.n_planted == n_docs // 10, tuple(pair_stats)
+
     # PSI drift at the event scale: one event type's value distribution
     # jumps between stream halves (planted), the rest are stationary by
     # construction — the planted type must clear the 0.25 alarm line
