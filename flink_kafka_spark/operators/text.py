@@ -847,3 +847,41 @@ def hashed_doc_embedding_vec(
             ).alias(out_col)
         )
     )
+
+
+# Encoding-damage patterns, kept dialect-portable (literal
+# alternations / explicit classes work identically in Java regex and
+# RE2): UTF-8-as-Latin-1 mojibake digraphs, the Unicode replacement
+# character, and C0 control bytes (minus \t\n\r).
+ENC_MOJIBAKE = "Ã[©¨«¤¶¼±£ ]|â€[™œ¦“”]?|Â[« »]?"
+ENC_REPLACEMENT = "�"
+ENC_CONTROL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Encoding-damage audit per document: counts of UTF-8-decoded-as-
+    Latin-1 mojibake digraphs (the 'Ã©'/'â€™' artifacts of a
+    double-encoding bug somewhere upstream), U+FFFD replacement
+    characters (lossy transcoding already happened), and stray C0
+    control bytes — the standard crawl-hygiene signals a text pipeline
+    gates on before tokenization (a tokenizer happily shreds mojibake
+    into junk subwords that poison the vocab). ``clean = 1`` iff all
+    three counts are 0.
+
+    Pure regexp projection over the scan: zero shuffle, zero UDF,
+    bandwidth-bound at 100 TB like the rest of the text family."""
+
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+
+    return df.select(
+        F.col(id_col),
+        n(ENC_MOJIBAKE).alias("n_mojibake"),
+        n(ENC_REPLACEMENT).alias("n_replacement"),
+        n(ENC_CONTROL).alias("n_control"),
+        (
+            (n(ENC_MOJIBAKE) == 0) & (n(ENC_REPLACEMENT) == 0) & (n(ENC_CONTROL) == 0)
+        )
+        .cast("int")
+        .alias("clean"),
+    )

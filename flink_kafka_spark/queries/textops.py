@@ -1509,3 +1509,104 @@ QUERIES.append(
         "ext: composed text->embedding->LSH-blocked near-dup",
     )
 )
+
+
+def filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reason-coded filter audit: corpus_prep's verdict for EVERY doc
+    — (doc_id, keep, reasons) with reasons the comma-joined failed
+    rules in fixed order (dup, lang, quality). corpus_prep answers
+    "what survives"; this answers the operational question "why did
+    each doc die", which is what you audit before shipping a filter
+    change (pytest pins keep=1 ⇔ corpus_prep emits the doc). Same
+    scale shape as corpus_prep: one scan, one content-hash shuffle,
+    every rule a JVM expression."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower("text")))
+    is_dup = F.col("doc_id") != F.min("doc_id").over(w)
+    reasons = F.concat_ws(
+        ",",
+        F.when(is_dup, "dup"),
+        F.when(pred_lang_expr() == "und", "lang"),
+        F.when(quality_expr() < CORPUS_QUALITY_MIN, "quality"),
+    )
+    return docs.select(
+        "doc_id",
+        reasons.alias("reasons"),
+    ).select(
+        "doc_id",
+        F.when(F.col("reasons") == "", 1).otherwise(0).alias("keep"),
+        "reasons",
+    )
+
+
+FILTER_AUDIT_ORACLE = f"""
+WITH markers AS (
+  SELECT doc_id,
+         greatest(
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("de")}))),
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("en")}))),
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("es")}))),
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("fr")})))
+         ) AS max_markers,
+         round(0.5 * least(len(regexp_split_to_array(lower(text), '\\s+')) / 200.0, 1.0)
+               + 0.5 * (len(list_distinct(regexp_split_to_array(lower(text), '\\s+')))
+                        / len(regexp_split_to_array(lower(text), '\\s+'))), 4) AS q,
+         CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(text)))
+              THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+),
+verdicts AS (
+  SELECT doc_id,
+         concat_ws(',',
+           CASE WHEN is_dup = 1 THEN 'dup' END,
+           CASE WHEN max_markers = 0 THEN 'lang' END,
+           CASE WHEN q < {CORPUS_QUALITY_MIN} THEN 'quality' END) AS reasons
+  FROM markers
+)
+SELECT doc_id,
+       CASE WHEN reasons = '' THEN 1 ELSE 0 END AS keep,
+       reasons
+FROM verdicts
+"""
+
+QUERIES.append(
+    Query(
+        "filter_audit",
+        filter_audit,
+        FILTER_AUDIT_ORACLE,
+        "ext: reason-coded filter verdicts (corpus_prep audit twin)",
+    )
+)
+
+
+def encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit (mojibake digraphs / U+FFFD / control
+    bytes) over documents. The synthetic corpus is clean ASCII, so
+    every count is 0 here — the planted-damage cross-engine parity
+    lives in tests/test_textops_props.py; this row pins that the
+    operator stays zero-false-positive on clean text."""
+    from ..operators.text import encoding_flags
+
+    return encoding_flags(load(spark, sf_dir, "documents"))
+
+
+ENCODING_AUDIT_ORACLE = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, 'Ã[©¨«¤¶¼±£ ]|â€[™œ¦“”]?|Â[« »]?')) AS INTEGER) AS n_mojibake,
+  CAST(len(regexp_extract_all(text, '�')) AS INTEGER) AS n_replacement,
+  CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS INTEGER) AS n_control,
+  CASE WHEN len(regexp_extract_all(text, 'Ã[©¨«¤¶¼±£ ]|â€[™œ¦“”]?|Â[« »]?')) = 0
+        AND len(regexp_extract_all(text, '�')) = 0
+        AND len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0
+       THEN 1 ELSE 0 END AS clean
+FROM documents
+"""
+
+QUERIES.append(
+    Query(
+        "encoding_audit",
+        encoding_audit,
+        ENCODING_AUDIT_ORACLE,
+        "ext: encoding-damage (mojibake/U+FFFD/control) audit",
+    )
+)

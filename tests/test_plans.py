@@ -116,6 +116,10 @@ PLAN_BOUNDS = {
     "bm25_search": (1, 0),
     "tfidf_top_terms": (4, 0),
     "corpus_prep": (2, 0),
+    # audit twin: the dedup groupBy becomes a content-hash window —
+    # one shuffle, every rule a JVM expression over the same scan
+    "filter_audit": (1, 0),
+    "encoding_audit": (0, 0),  # pure regexp projection
     # composed: tfidf(4) + index(2) + score groupBy + topk window;
     # queries must stay broadcast (smj would mean the build side grew)
     "multi_query_search": (7, 0),

@@ -495,3 +495,44 @@ def test_hashed_embedding_geometry(spark):
     assert all(len(d) == 32 for d in by_doc.values())
     for doc_id, v in vecs.items():
         assert v == [float(by_doc[doc_id][j]) for j in range(32)]
+
+
+def test_filter_audit_consistent_with_corpus_prep(spark, sf_dir):
+    """The audit twin's contract: keep=1 is EXACTLY the corpus_prep
+    survivor set, and every keep=0 row carries at least one reason
+    code from the fixed vocabulary in the fixed order."""
+    from flink_kafka_spark.queries.textops import corpus_prep, filter_audit
+
+    audit_rows = filter_audit(spark, sf_dir).collect()
+    kept = {r.doc_id for r in audit_rows if r.keep == 1}
+    prep = {r.doc_id for r in corpus_prep(spark, sf_dir).collect()}
+    assert kept == prep and len(kept) > 0
+
+    order = ["dup", "lang", "quality"]
+    for r in audit_rows:
+        if r.keep == 1:
+            assert r.reasons == ""
+        else:
+            parts = r.reasons.split(",")
+            assert parts and all(p in order for p in parts)
+            assert parts == [o for o in order if o in parts]  # fixed order
+
+
+def test_encoding_flags_planted_damage(spark):
+    """Planted encoding damage: mojibake digraphs, replacement chars
+    and control bytes are counted exactly and independently; clean
+    ASCII text flags clean."""
+    from flink_kafka_spark.operators.text import encoding_flags
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "cafÃ© moji Ã© and â€™ twice â€œ"),
+        (3, "bad � char ��"),
+        (4, "ctrl\x01here\x1f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding_flags(df).collect()}
+    assert (got[1].n_mojibake, got[1].n_replacement, got[1].n_control, got[1].clean) == (0, 0, 0, 1)
+    assert got[2].n_mojibake == 4 and got[2].clean == 0
+    assert got[3].n_replacement == 3 and got[3].clean == 0
+    assert got[4].n_control == 2 and got[4].clean == 0
