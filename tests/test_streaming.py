@@ -1004,3 +1004,65 @@ def test_drift_monitor_stream(spark, tmp_path):
     # never-seen key still scored, against an all-zero reference row
     assert b1["fresh"].n_reference == 0 and b1["fresh"].n_batch == 100
     assert b1["fresh"].psi > 0.25
+
+
+def test_heavy_hitters_stream(spark, tmp_path):
+    """Continuous MG sketch across micro-batches: after replaying two
+    batches with planted mega-keys over a wide tail, every key whose
+    TRUE total exceeds n/(k+1) survives in the final sketch, no
+    estimate exceeds its true count, and no undercount exceeds
+    n/(k+1) — the PODS'12 bound, asserted against exact counts over
+    the union of both batches."""
+    import collections
+    import json
+
+    from flink_kafka_spark.streaming.jobs import heavy_hitters_stream
+
+    k = 8
+    b = tmp_path / "in"
+    b.mkdir()
+    batches = []
+    for fi in range(2):
+        rows = []
+        for i in range(600):
+            rows.append(f"tail_{fi}_{i % 150}")  # wide tail, 4 each
+        rows += ["mega_a"] * 400 + ["mega_b"] * 300
+        if fi == 1:
+            rows += ["late_mega"] * 700  # heavy key appearing late
+        batches.append(rows)
+        (b / f"f{fi}.json").write_text(
+            "\n".join(json.dumps({"key": r}) for r in rows) + "\n"
+        )
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(b))
+    )
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.collect()
+
+    q = (
+        heavy_hitters_stream(stream, sink, col="key", k=k)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(seen) == 2
+    exact = collections.Counter(r for rows in batches for r in rows)
+    n = sum(exact.values())
+    final = {r.item: r.est for r in seen[1] if r.item is not None}
+    assert final and all(est <= exact[item] for item, est in final.items())
+    bound = n / (k + 1)
+    for item, true in exact.items():
+        if true > bound:
+            assert item in final, (item, true, bound)
+    for item, est in final.items():
+        assert exact[item] - est <= bound
+    assert seen[1][0].n_seen == n
+    # the late-arriving mega key must have displaced earlier tail mass
+    assert "late_mega" in final and "mega_a" in final
