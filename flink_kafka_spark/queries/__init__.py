@@ -227,6 +227,19 @@ class Query:
 # IN: clf_quality_score (hashed-linear model gate), fuzzy_part_matches
 #     (blocked record linkage), value_drift_psi (PSI drift) — all
 #     rehearsal-verified at sf0.01 before entering.
+#
+# r8 ROTATION SCHEDULE (written r7 so the next round starts from a
+# plan, not archaeology). Never-driver-hashed full-oracle rows, all
+# sweep-green and sf0.01-rehearsed this round: doc_bigram_logprob,
+# vocab_oov_rate, doc_embedding_hash, doc_semantic_pairs,
+# filter_audit, encoding_audit. Overdue relational rows (hashed r06
+# or earlier, due under once-per-~3-rounds): tpch_q14-q17, q19, q21,
+# q22. Natural r8 outs (would be twice-green r6+r7): the five tpch
+# rows rotated in r6 (q4/q6/q7/q10/q12), lang_id, doc_chunk,
+# pii_redact, stratified_cap, dedup_canonicalize — with order_timeout
+# returning per the seventh-wave note. Keep every *_check in, keep
+# >=1 full-oracle row per family (test_driver_window_covers_every_
+# family enumerates membership).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
