@@ -242,13 +242,20 @@ def fuzzy_match_pairs(
         F.col(name_col).alias("b_name"),
         blk.alias("_block"),
     )
+    # equality short-circuit before the DP kernel: exact-duplicate
+    # names dominate real catalogs (and any low-cardinality one —
+    # measured 66% of the sf0.1 part candidates), and a string
+    # equality test is O(len) vs Levenshtein's O(len²)
+    lev = F.when(F.col("a_name") == F.col("b_name"), F.lit(0)).otherwise(
+        F.levenshtein("a_name", "b_name")
+    )
     return (
         a.join(b, "_block")
         .filter(F.col("a_key") < F.col("b_key"))
         .filter(
             F.abs(F.length("a_name") - F.length("b_name")) <= F.lit(max_dist)
         )
-        .withColumn("lev_dist", F.levenshtein("a_name", "b_name"))
+        .withColumn("lev_dist", lev)
         .filter(F.col("lev_dist") <= F.lit(max_dist))
         .select("a_key", "b_key", "a_name", "b_name", F.col("lev_dist").cast("int").alias("lev_dist"))
     )

@@ -153,13 +153,29 @@ QUERIES = [
 
 
 def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution over part names: blocked fuzzy self-linkage
-    (block = first name token, verify = Levenshtein <= 2). The batch
-    analog of the reference's keyed-matching surface applied to the
-    dirty-catalog problem."""
+    """Entity resolution over part names: blocked fuzzy self-linkage,
+    verify = Levenshtein <= 2. The blocking key is COMPOSITE — first
+    name token plus the second token's initial — because selectivity
+    is the whole scale story for a self-join: the part catalog has
+    only ~8 distinct first tokens, so first-token blocks grow
+    linearly with the catalog and the candidate set quadratically
+    (measured: 25M candidate pairs and ~37 s at sf0.1, vs ~1M and
+    ~1.5 s composite — and only the quadratic one gets worse at
+    100x). The recall cost (a typo in either blocking character hides
+    a match) is the documented knob; production recovers it with a
+    second complementary blocking pass unioned in (see
+    fuzzy_match_pairs docstring)."""
+    from pyspark.sql import functions as F
+
     from ..operators.joins import fuzzy_match_pairs
 
-    return fuzzy_match_pairs(load(spark, sf_dir, "part"), "p_partkey", "p_name")
+    toks = F.split(F.lower(F.col("p_name")), r"\s+")
+    block = F.concat_ws(
+        "|", toks.getItem(0), F.substring(F.coalesce(toks.getItem(1), F.lit("")), 1, 1)
+    )
+    return fuzzy_match_pairs(
+        load(spark, sf_dir, "part"), "p_partkey", "p_name", block=block
+    )
 
 
 FUZZY_PART_ORACLE = """
@@ -167,7 +183,10 @@ SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
        a.p_name AS a_name, b.p_name AS b_name,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS lev_dist
 FROM part a JOIN part b
-  ON split_part(lower(a.p_name), ' ', 1) = split_part(lower(b.p_name), ' ', 1)
+  ON split_part(lower(a.p_name), ' ', 1) || '|'
+       || substr(split_part(lower(a.p_name), ' ', 2), 1, 1)
+     = split_part(lower(b.p_name), ' ', 1) || '|'
+       || substr(split_part(lower(b.p_name), ' ', 2), 1, 1)
  AND a.p_partkey < b.p_partkey
 WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
   AND levenshtein(a.p_name, b.p_name) <= 2
