@@ -1446,13 +1446,23 @@ def doc_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_cosine_pairs
     from ..operators.text import hashed_doc_embedding_vec
 
+    from ..caching import track
+
     emb = hashed_doc_embedding_vec(load(spark, sf_dir, "documents"))
-    blocked = emb.withColumn(
-        "blk",
-        F.expr(
-            "aggregate(sequence(0, 7), 0L, (acc, j) -> "
-            "acc + IF(element_at(embedding, j + 1) >= 0, shiftleft(1L, j), 0L))"
-        ),
+    # persist the embedded+blocked corpus: the pair join consumes it
+    # on BOTH sides, and without the persist each side re-runs the
+    # full embedder pipeline (filters on the join keys diverge the
+    # branches, so ReuseExchange can't always collapse them). One
+    # corpus-sized cache, released at the query boundary — the same
+    # pattern as the MinHash candidates persist.
+    blocked = track(
+        emb.withColumn(
+            "blk",
+            F.expr(
+                "aggregate(sequence(0, 7), 0L, (acc, j) -> "
+                "acc + IF(element_at(embedding, j + 1) >= 0, shiftleft(1L, j), 0L))"
+            ),
+        ).persist()
     )
     return embedding_cosine_pairs(
         blocked, "doc_id", "embedding", block_col="blk", threshold=0.8
