@@ -365,7 +365,16 @@ def heavy_hitters_stream(
     This is the streaming answer the reference's per-window exact
     Top-N (HotItems) cannot give at 100 TB/day key cardinalities: the
     shuffled state per batch is capped at k rows per partition no
-    matter how many distinct keys the stream carries."""
+    matter how many distinct keys the stream carries.
+
+    Restart contract: the running sketch lives in THIS process (a
+    foreachBatch closure), not in the checkpoint — after a restart the
+    stream resumes from the checkpoint offsets but the sketch restarts
+    empty, i.e. it summarizes the events seen since the current
+    process started. For a restart-durable sketch, persist the emitted
+    (item, est, n_seen) frame per epoch and seed ``state`` from the
+    last one on startup; the merge that makes that sound is the same
+    PODS'12 property used here."""
     import pandas as pd
 
     from ..caching import release_scope
