@@ -731,3 +731,126 @@ def test_value_drift_psi_detects_planted_shift(spark, tmp_path):
     assert res["stable"].psi == 0.0
     assert res["shifted"].psi > 0.25
     assert all(r.psi >= 0.0 for r in res.values())
+
+
+# --- fuzzy linkage: random dirty catalogs vs a naive reimplementation ---
+
+catalog_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["acme", "acne", "zeta"]),                 # first token
+        st.sampled_from(["widget", "widgets", "wadget", "bolt"]),  # second token
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(names=catalog_strategy)
+@settings(**SETTINGS)
+def test_fuzzy_match_pairs_matches_naive_on_random_catalogs(spark, names):
+    """Exact pair-set equality (keys AND distances) between the
+    blocked fuzzy join and an O(n²) pure-Python sweep with a DP edit
+    distance, over random catalogs dense in near-misses, duplicate
+    names, and cross-block decoys."""
+    import itertools
+
+    from flink_kafka_spark.operators.joins import fuzzy_match_pairs
+
+    rows = [(i, f"{a} {b}") for i, (a, b) in enumerate(names)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.a_key, r.b_key, r.lev_dist)
+        for r in fuzzy_match_pairs(df, "id", "name", max_dist=2).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    by_id = dict(rows)
+    want = {
+        (a, b, lev(by_id[a], by_id[b]))
+        for a, b in itertools.combinations(sorted(by_id), 2)
+        if by_id[a].split()[0] == by_id[b].split()[0]
+        and abs(len(by_id[a]) - len(by_id[b])) <= 2
+        and lev(by_id[a], by_id[b]) <= 2
+    }
+    assert got == want
+
+
+# --- PSI: random two-sample histograms vs a pure-Python formula ---
+
+psi_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(0, 1),       # half
+        st.floats(0.0, 100.0, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(samples=psi_strategy)
+@settings(**SETTINGS)
+def test_value_drift_psi_matches_naive(spark, samples, tmp_path_factory):
+    """The registered PSI query against a from-scratch Python
+    reimplementation (global equal-width buckets from the data's own
+    bounds, integer-exact counts, add-one smoothing, floor-half-up
+    rounding) on random two-half samples — pins the full numeric
+    contract including empty-bucket smoothing and the clamped top
+    edge."""
+    import datetime
+    import math
+
+    from flink_kafka_spark.queries.analytics import value_drift_psi
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # ts encodes the half deterministically: halves split at the
+    # midpoint of [0, 1000] seconds
+    for i, (key, half, val) in enumerate(samples):
+        ts = base + datetime.timedelta(seconds=(0 if half == 0 else 1000) + (i % 400))
+        rows.append((i, ts, 1, key, float(val), ""))
+    # anchor both extremes so the midpoint (and so the half split) is fixed
+    rows.append((9000, base, 9, "k1", 50.0, ""))
+    rows.append((9001, base + datetime.timedelta(seconds=2000), 9, "k1", 50.0, ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    td = tmp_path_factory.mktemp("psi")
+    df.coalesce(1).write.mode("overwrite").parquet(str(td / "events.parquet"))
+    got = {r.event_type: r for r in value_drift_psi(spark, str(td)).collect()}
+
+    # naive reimplementation
+    vals = [r[4] for r in rows]
+    ts_e = [int(r[1].timestamp()) for r in rows]
+    vmin, vmax, tmin, tmax = min(vals), max(vals), min(ts_e), max(ts_e)
+
+    def bucket(v):
+        if vmax == vmin:
+            return 0
+        return min(int(math.floor((v - vmin) / ((vmax - vmin) / 10.0))), 9)
+
+    counts: dict = {}
+    for r in rows:
+        key, half = r[3], 0 if 2 * int(r[1].timestamp()) <= tmin + tmax else 1
+        counts.setdefault(key, [[0] * 10, [0] * 10])[half][bucket(r[4])] += 1
+    for key, (c0, c1) in counts.items():
+        n0, n1 = sum(c0), sum(c1)
+        psi = sum(
+            ((a + 1.0) / (n0 + 10.0) - (b + 1.0) / (n1 + 10.0))
+            * math.log(((a + 1.0) / (n0 + 10.0)) / ((b + 1.0) / (n1 + 10.0)))
+            for a, b in zip(c0, c1)
+        )
+        want_psi = math.floor(psi * 1000000 + 0.5) / 1000000
+        assert got[key].n_first == n0 and got[key].n_second == n1
+        assert got[key].psi == want_psi, (key, got[key].psi, want_psi)
