@@ -259,3 +259,41 @@ def fuzzy_match_pairs(
         .filter(F.col("lev_dist") <= F.lit(max_dist))
         .select("a_key", "b_key", "a_name", "b_name", F.col("lev_dist").cast("int").alias("lev_dist"))
     )
+
+
+def fuzzy_match_pairs_multi(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    blocks: "list[Column] | None" = None,
+) -> DataFrame:
+    """Multi-pass blocked fuzzy linkage: run :func:`fuzzy_match_pairs`
+    once per blocking expression and union the pair sets — the
+    standard recall recovery for blocking-based linkage, because a
+    typo that breaks one blocking key (a first-token misspelling)
+    rarely breaks all of them. Default passes: first whitespace token;
+    LAST whitespace token; (name length, first character). Output
+    schema matches the single-pass operator; pairs found by several
+    passes appear once.
+
+    Scale design: P passes = P bounded block joins over narrow
+    (key, name, block) projections + ONE pair-keyed distinct — the
+    union multiplies candidate work by P (choose 2-3 complementary
+    keys, not ten), never by catalog size. Recall composes: a pair is
+    missed only if EVERY pass's blocking key is broken for it."""
+    from functools import reduce
+
+    if blocks is None:
+        toks = F.split(F.lower(F.col(name_col)), r"\s+")
+        blocks = [
+            toks.getItem(0),
+            F.element_at(toks, -1),
+            F.concat_ws("|", F.length(name_col), F.substring(F.lower(F.col(name_col)), 1, 1)),
+        ]
+    if not blocks:
+        raise ValueError("blocks must be non-empty")
+    passes = [
+        fuzzy_match_pairs(df, key_col, name_col, max_dist, block=b) for b in blocks
+    ]
+    return reduce(lambda a, b: a.unionByName(b), passes).distinct()

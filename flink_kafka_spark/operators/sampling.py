@@ -370,3 +370,39 @@ def weighted_sample(
     keyed = df.withColumn("wkey", weighted_sample_expr(id_col, weight_sql, seed))
     w = Window.partitionBy(stratum_col).orderBy(F.col("wkey").desc(), F.col(id_col).asc())
     return keyed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= m)
+
+
+def k_anonymity(
+    df: DataFrame,
+    id_col: str,
+    quasi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Suppression-based k-anonymity gate for dataset release: every
+    row tagged with the size of its quasi-identifier equivalence class
+    and ``keep = 1`` iff that class has ≥ k members — rows whose
+    metadata combination is rare enough to re-identify are suppressed,
+    the standard pre-release privacy audit for the per-record metadata
+    (source, language, geography, segment) that ships alongside
+    training corpora. Output ``(id, *quasi_cols, class_size, keep)``;
+    generalization (coarsening a column until classes merge) is the
+    domain-specific complement — run this audit per candidate
+    generalization and pick the coarsest that passes.
+
+    Scale design (100 TB): one window shuffle on the quasi key — the
+    class count is a map-side-combinable aggregate the window executes
+    per partition after the shuffle; no join, no second pass. Skewed
+    quasi keys (huge classes) are harmless here: the window computes
+    only a count."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*quasi_cols)
+    return df.select(
+        id_col,
+        *quasi_cols,
+        F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
+    ).withColumn("keep", (F.col("class_size") >= k).cast("int"))

@@ -436,3 +436,34 @@ QUERIES.append(
     Query("value_drift_psi", value_drift_psi, VALUE_DRIFT_PSI_ORACLE,
           "PSI distribution drift between stream halves (beyond ref)")
 )
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression-based k-anonymity (k=10) over customer metadata:
+    (c_nationkey, c_mktsegment) is the quasi-identifier pair — the
+    release-gate audit for per-record metadata."""
+    from ..operators.sampling import k_anonymity
+
+    return k_anonymity(
+        load(spark, sf_dir, "customer"),
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+    )
+
+
+K_ANONYMITY_ORACLE = """
+SELECT c_custkey,
+       c_nationkey,
+       c_mktsegment,
+       CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT)
+         AS class_size,
+       CASE WHEN count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) >= 10
+            THEN 1 ELSE 0 END AS keep
+FROM customer
+"""
+
+QUERIES.append(
+    Query("k_anonymity_audit", k_anonymity_audit, K_ANONYMITY_ORACLE,
+          "suppression k-anonymity release gate (beyond ref)")
+)

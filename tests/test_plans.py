@@ -85,6 +85,8 @@ PLAN_BOUNDS = {
     "event_transitions": (3, 0),
     # (key,hour) count + per-key stats window over the hourly frame
     "traffic_anomalies": (2, 0),
+    # k-anonymity: one quasi-key window, count-only (skew-harmless)
+    "k_anonymity_audit": (1, 0),
     # MG sketch: k x P partials shuffle + single-partition compress
     # window; exactly ONE corpus scan (summed partials persisted)
     "heavy_hitters": (2, 0),
