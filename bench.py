@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     # the composed no-model semantic near-dup (embedder + sign-bit LSH
     # + blocked cosine) — the whole pipeline under one timing row.
     "doc_semantic_pairs",
+    # the full assembly compose (gates + decontam + mixture + split).
+    "training_mix_snapshot",
 ]
 
 

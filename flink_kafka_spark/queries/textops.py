@@ -1620,3 +1620,140 @@ QUERIES.append(
         "ext: encoding-damage (mojibake/U+FFFD/control) audit",
     )
 )
+
+
+def training_mix_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE assembly query: the full training-mix manifest in one
+    composition — (1) prep gates (exact-dup suppression by content
+    hash, language identified, quality ≥ 0.40), (2) benchmark
+    decontamination (drop anything sharing a distinct 5-gram with the
+    held-out benchmark subset), (3) token-budget mixture resampling
+    (3:1 even:odd source weights inside a 50% budget, thresholds
+    computed over the FILTERED corpus — the budget applies to what
+    survived, not to raw crawl volume), (4) deterministic
+    train/val/test assignment. Output: (doc_id, source, n_tokens,
+    split) for exactly the docs a trainer would read — the manifest
+    export_shards/corpus_shuffle then materialize.
+
+    Every stage is the registered single-stage operator's machinery,
+    and the whole composition carries ONE exact oracle — so the driver
+    hash pins the interactions (a gate reordering or a budget computed
+    over the wrong corpus fails the hash even when each stage is
+    individually correct).
+
+    Scale shape: content-hash window + broadcast benchmark-shingle
+    anti-join + per-source 1-row-per-source totals broadcast + pure
+    projections — the corpus shuffles once for the dup window and once
+    as (id, shingle-hash) pairs; no corpus-sized join anywhere."""
+    from ..operators.sampling import mixture_resample, split_bucket_expr
+    from ..operators.text import contamination_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower("text")))
+    is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
+    gated = (
+        docs.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("_min_id"))
+            & ~is_bench
+            & (pred_lang_expr() != "und")
+            & (quality_expr() >= CORPUS_QUALITY_MIN)
+        )
+        .select("doc_id", "source", "text")
+    )
+    contaminated = contamination_overlap(
+        gated, docs.filter(is_bench), n=DECON_N
+    ).select("doc_id")
+    from ..caching import track
+
+    # persist the filtered narrow (id, source, n_tokens) frame: the
+    # mixture stage consumes it three ways (per-source totals, grand
+    # total, and the final keep join) and each consumer would
+    # otherwise replay gates + decontamination from the scan — at
+    # 100 TB that is three full corpus passes for a kilobytes-wide
+    # survivor manifest. Released at the query boundary as usual.
+    clean = track(
+        gated.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", bpe_count_expr().alias("n_tokens"))
+        .persist()
+    )
+    mixed = mixture_resample(clean, _MIX_WEIGHTS, budget_permille=_MIX_BP).filter(
+        F.col("keep") == 1
+    )
+    bucket = split_bucket_expr("doc_id")
+    return mixed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+TRAINING_MIX_ORACLE = f"""
+WITH marker AS (
+  SELECT doc_id, source, text,
+         greatest(
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("de")}))),
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("en")}))),
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("es")}))),
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t IN ({_markers_sql("fr")})))
+         ) AS max_markers,
+         round(0.5 * least(len(regexp_split_to_array(lower(text), '\\s+')) / 200.0, 1.0)
+               + 0.5 * (len(list_distinct(regexp_split_to_array(lower(text), '\\s+')))
+                        / len(regexp_split_to_array(lower(text), '\\s+'))), 4) AS q,
+         min(doc_id) OVER (PARTITION BY md5(lower(text))) AS min_id
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, source, text FROM marker
+  WHERE doc_id = min_id AND doc_id % {DECON_MOD} <> 0
+    AND max_markers > 0 AND q >= {CORPUS_QUALITY_MIN}
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - {DECON_N - 1}, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (shingle)
+),
+clean AS (
+  SELECT g.doc_id, g.source,
+         len(regexp_extract_all(lower(g.text), '{TOKEN_REGEX}')) AS n_tokens
+  FROM gated g LEFT JOIN contaminated c ON g.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL
+),
+totals AS (SELECT source, sum(n_tokens) AS src_tokens FROM clean GROUP BY 1),
+grand AS (SELECT sum(src_tokens) AS grand_tokens FROM totals),
+th AS (
+  SELECT source,
+         least(1000000, CAST(floor(
+           CAST(CAST(floor(CAST(grand_tokens AS DECIMAL(38,0)) * {_MIX_BP} * ({_MIX_CASE})
+                           / ({_MIX_WSUM} * 1000)) AS BIGINT) AS DECIMAL(38,0)) * 1000000
+           / src_tokens) AS BIGINT)) AS keep_thresh
+  FROM totals, grand
+)
+SELECT t.doc_id, t.source, t.n_tokens,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM clean t JOIN th USING (source)
+WHERE {_MIX_BUCKET} < keep_thresh
+"""
+
+QUERIES.append(
+    Query(
+        "training_mix_snapshot",
+        training_mix_snapshot,
+        TRAINING_MIX_ORACLE,
+        "ext: full assembly compose (gates+decontam+mixture+split)",
+    )
+)

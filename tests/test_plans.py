@@ -121,6 +121,11 @@ PLAN_BOUNDS = {
     # audit twin: the dedup groupBy becomes a content-hash window —
     # one shuffle, every rule a JVM expression over the same scan
     "filter_audit": (1, 0),
+    # the full assembly compose: dup window + (id, shingle) shuffles +
+    # survivor-manifest persist feeding the mixture totals; benchmark
+    # shingles and per-source thresholds must stay broadcast — three
+    # narrow corpus scans total (gates, shingle branch, bench branch)
+    "training_mix_snapshot": (7, 0),
     "encoding_audit": (0, 0),  # pure regexp projection
     # composed: tfidf(4) + index(2) + score groupBy + topk window;
     # queries must stay broadcast (smj would mean the build side grew)

@@ -536,3 +536,29 @@ def test_encoding_flags_planted_damage(spark):
     assert got[2].n_mojibake == 4 and got[2].clean == 0
     assert got[3].n_replacement == 3 and got[3].clean == 0
     assert got[4].n_control == 2 and got[4].clean == 0
+
+
+def test_training_mix_snapshot_composes_its_stages(spark, sf_dir):
+    """Compositional consistency with the constituent registered
+    queries: every manifest doc survives corpus_prep, is not the
+    benchmark subset, is not flagged by decontaminate, carries keep=1
+    in mixture_resample (computed over the clean corpus), and wears
+    dataset_split's assignment."""
+    from flink_kafka_spark.queries.textops import (
+        DECON_MOD,
+        corpus_prep,
+        dataset_split,
+        decontaminate,
+        training_mix_snapshot,
+    )
+
+    snap = {r.doc_id: r for r in training_mix_snapshot(spark, sf_dir).collect()}
+    assert snap
+    prep = {r.doc_id for r in corpus_prep(spark, sf_dir).collect()}
+    contaminated = {r.doc_id for r in decontaminate(spark, sf_dir).collect()}
+    splits = {r.doc_id: r.split for r in dataset_split(spark, sf_dir).collect()}
+    for doc_id, r in snap.items():
+        assert doc_id in prep
+        assert doc_id % DECON_MOD != 0
+        assert doc_id not in contaminated
+        assert r.split == splits[doc_id]
