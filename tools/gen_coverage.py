@@ -84,7 +84,8 @@ EXTENSIONS = [
     ("dedup", "exact / MinHash+LSH / SimHash / n-gram Jaccard / containment"
               " / embedding-cosine / SemDeDup (cluster-then-prune)"
               " / span-level substring stats / incremental (cross-snapshot)"
-              " / cross-source overlap matrix"),
+              " / cross-source overlap matrix / composed no-model"
+              " text->embedding->LSH near-dup (doc_semantic_pairs)"),
     ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"
                    " / MMR diversity re-rank"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames"),
@@ -97,11 +98,14 @@ EXTENSIONS = [
                  " n/(k+1) bound driver-hashed by heavy_hitters_check)"),
     ("sampling", "train/val/test split / sequence packing / mixture resample"
                  " / stratified cap / shard export / corpus shuffle"
-                 " / A-Res weighted sampling (Efraimidis-Spirakis)"),
+                 " / A-Res weighted sampling (Efraimidis-Spirakis)"
+                 " / k-anonymity release gate"
+                 " / full assembly compose (training_mix_snapshot)"),
     ("versioning", "JSONL release I/O + corrupt-line quarantine + compaction"
                    " / snapshot diff (added/removed/changed verdicts)"),
     ("linkage", "blocked fuzzy record linkage (Levenshtein verify,"
-                " length-band candidate pruning)"),
+                " length-band pruning, equal-name short-circuit,"
+                " multi-pass blocking union for recall)"),
     ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"
                          " / retention cohorts / Markov event transitions"
                          " / z-score traffic anomaly flags / PSI value-drift"),
