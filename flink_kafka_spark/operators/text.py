@@ -885,3 +885,46 @@ def encoding_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         .cast("int")
         .alias("clean"),
     )
+
+
+# Markup-stripping patterns, dialect-portable (no backreferences — RE2
+# silently fails to match a \1 pattern rather than erroring, so the
+# script/style closers are spelled out in an alternation).
+MARKUP_BLOCKS = "(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>|<!--.*?-->"
+MARKUP_TAG = "<[^>]+>"
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST, so '&amp;lt;' unescapes once, not twice
+]
+
+
+def strip_markup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Markup-to-text extraction — the boilerplate-stage predecessor of
+    every text filter here: drop script/style/comment blocks wholesale
+    (their CONTENT is code, not prose), strip remaining tags, unescape
+    the six ubiquitous HTML entities (&amp; last, so double-escaped
+    text unescapes exactly one level), and collapse whitespace. Output
+    ``(id, clean_text, removed_chars)`` — ``removed_chars`` (raw minus
+    clean length) is the cheap markup-density signal: a doc that loses
+    most of its bytes to markup was navigation, not content.
+
+    Pure chained-regexp projection: zero shuffle, zero UDF,
+    bandwidth-bound. Patterns are dialect-portable (tested identical
+    under Java regex and RE2 — including the RE2 backreference trap
+    the module constant documents). A full boilerplate extractor
+    (jusText/trafilatura-class, DOM-aware) is a Pandas-UDF stage by
+    nature; this is the JVM-side 95% that runs at scan speed."""
+    clean = F.regexp_replace(F.col(text_col), MARKUP_BLOCKS, " ")
+    clean = F.regexp_replace(clean, MARKUP_TAG, " ")
+    for ent, rep in _ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(rep))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (F.length(text_col) - F.length(clean)).cast("int").alias("removed_chars"),
+    )

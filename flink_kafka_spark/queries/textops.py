@@ -1757,3 +1757,38 @@ QUERIES.append(
         "ext: full assembly compose (gates+decontam+mixture+split)",
     )
 )
+
+
+def markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text extraction over documents (the synthetic corpus
+    is markup-free, so clean_text == normalized text and
+    removed_chars pins zero false stripping; the planted-markup
+    cross-engine parity lives in tests/test_textops_props.py)."""
+    from ..operators.text import strip_markup
+
+    return strip_markup(load(spark, sf_dir, "documents"))
+
+
+MARKUP_STRIP_ORACLE = r"""
+WITH s1 AS (SELECT doc_id, text, regexp_replace(text,
+      '(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>|<!--.*?-->',
+      ' ', 'g') AS t FROM documents),
+s2 AS (SELECT doc_id, text, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, text,
+       replace(replace(replace(replace(replace(replace(t,
+         '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),
+         '&amp;','&') AS t FROM s2),
+s4 AS (SELECT doc_id, text, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s3)
+SELECT doc_id, t AS clean_text,
+       CAST(len(text) - len(t) AS INTEGER) AS removed_chars
+FROM s4
+"""
+
+QUERIES.append(
+    Query(
+        "markup_strip",
+        markup_strip,
+        MARKUP_STRIP_ORACLE,
+        "ext: markup-to-text extraction (boilerplate stage)",
+    )
+)

@@ -127,6 +127,7 @@ PLAN_BOUNDS = {
     # narrow corpus scans total (gates, shingle branch, bench branch)
     "training_mix_snapshot": (7, 0),
     "encoding_audit": (0, 0),  # pure regexp projection
+    "markup_strip": (0, 0),  # chained-regexp projection
     # composed: tfidf(4) + index(2) + score groupBy + topk window;
     # queries must stay broadcast (smj would mean the build side grew)
     "multi_query_search": (7, 0),

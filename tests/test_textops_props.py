@@ -562,3 +562,25 @@ def test_training_mix_snapshot_composes_its_stages(spark, sf_dir):
         assert doc_id % DECON_MOD != 0
         assert doc_id not in contaminated
         assert r.split == splits[doc_id]
+
+
+def test_strip_markup_planted_html(spark):
+    """Planted markup: script/style/comment content vanishes wholesale,
+    tags strip, the six entities unescape exactly one level (&amp;
+    last — double-escaped text stays single-escaped), whitespace
+    collapses, and plain text passes through byte-identical."""
+    from flink_kafka_spark.operators.text import strip_markup
+
+    rows = [
+        (1, "plain text stays"),
+        (2, "<html><head><script>var x = '<p>';</script>"
+            "<style>.c{color:red}</style></head>"
+            "<body><p>Hello &amp; welcome</p><!-- note -->"
+            "<div>bye&nbsp;now</div></body></html>"),
+        (3, "a &amp;amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in strip_markup(df).collect()}
+    assert got[1].clean_text == "plain text stays" and got[1].removed_chars == 0
+    assert got[2].clean_text == "Hello & welcome bye now"
+    assert got[3].clean_text == "a &amp; b <tag> \"q\" 's'"
