@@ -49,3 +49,60 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def changes_from_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """The changelog a republish SHIPS: :func:`snapshot_diff` verdicts
+    joined with payloads — ``(id, op, *content_cols)`` where op is
+    ``upsert`` (added/changed rows carry the NEW payload) or
+    ``delete`` (payload columns null). Unchanged rows don't appear:
+    the changelog's size is the edit volume, not the corpus.
+
+    Scale: the diff shuffles fingerprints only; the payload join
+    touches just the added/changed ids (broadcast-friendly for the
+    common small-edit republish)."""
+    diff = snapshot_diff(old, new, id_col, content_cols)
+    upserts = (
+        diff.filter(F.col("status").isin("added", "changed"))
+        .select(id_col)
+        .join(new, id_col)
+        .select(id_col, F.lit("upsert").alias("op"), *content_cols)
+    )
+    deletes = diff.filter(F.col("status") == "removed").select(
+        id_col,
+        F.lit("delete").alias("op"),
+        *[F.lit(None).cast(dict(new.dtypes)[c]).alias(c) for c in content_cols],
+    )
+    return upserts.unionByName(deletes)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """MERGE INTO without a table format: apply a
+    :func:`changes_from_diff`-shaped changelog to a base snapshot —
+    upserts replace-or-insert by id, deletes drop the id — yielding
+    the next snapshot. ``apply_changes(old, changes_from_diff(old,
+    new)) == new`` exactly (the roundtrip the registered
+    ``changelog_roundtrip`` query pins against an oracle that computes
+    ``new`` directly).
+
+    Scale: one id-keyed anti-join (base rows whose id appears in the
+    changelog at all — superseded or deleted) + a union with the
+    upsert payloads. The changelog side is edit-volume-sized, so AQE
+    broadcasts it for the common small-edit republish; the base is
+    never shuffled."""
+    keyed = changes.select(F.col(id_col), "op", *content_cols)
+    survivors = base.select(id_col, *content_cols).join(
+        keyed.select(id_col), id_col, "left_anti"
+    )
+    upserts = keyed.filter(F.col("op") == "upsert").select(id_col, *content_cols)
+    return survivors.unionByName(upserts)

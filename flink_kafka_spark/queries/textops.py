@@ -1792,3 +1792,39 @@ QUERIES.append(
         "ext: markup-to-text extraction (boilerplate stage)",
     )
 )
+
+
+def changelog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioning closure: diff two synthetic snapshots (the
+    snapshot_diff query's construction), ship the diff as an
+    upsert/delete changelog, and APPLY it back to the old snapshot —
+    the oracle computes the new snapshot directly, so the driver hash
+    pins apply(old, changes(old, new)) == new exactly (MERGE INTO
+    semantics without a table format)."""
+    from ..operators.versioning import apply_changes, changes_from_diff
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod("doc_id", F.lit(10)) != 3).select("doc_id", "text")
+    new = docs.filter(F.pmod("doc_id", F.lit(10)) != 7).select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.concat("text", F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return apply_changes(old, changes_from_diff(old, new))
+
+
+CHANGELOG_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+FROM documents WHERE doc_id % 10 <> 7
+"""
+
+QUERIES.append(
+    Query(
+        "changelog_roundtrip",
+        changelog_roundtrip,
+        CHANGELOG_ROUNDTRIP_ORACLE,
+        "ext: K4 closure — apply(old, diff(old,new)) == new",
+    )
+)

@@ -203,6 +203,11 @@ PLAN_BOUNDS = {
     # fingerprint full-outer on id: SMJ is the intended plan — both
     # snapshot sides are corpus-sized, nothing is broadcastable
     "snapshot_diff": (2, 2),
+    # roundtrip compose: the diff's full-outer + the changelog payload
+    # join + the apply anti-join, each an SMJ between derived
+    # corpus-sized frames pre-AQE (runtime broadcast-swaps the
+    # edit-volume sides); exchanges are their co-partitionings
+    "changelog_roundtrip": (8, 8),
     # check: operator + independent recheck + all-pairs exact baseline
     # (labeled, check scale only) — derived-frame SMJs expected
     "semantic_dedup_check": (8, 2),

@@ -928,3 +928,30 @@ def test_fuzzy_multi_pass_recovers_cross_block_matches(spark):
     assert truth - multi == {(2, 3)}
     rows = fuzzy_match_pairs_multi(df, "id", "name", 2).collect()
     assert len(rows) == len({(r.a_key, r.b_key) for r in rows})  # deduped
+
+
+def test_apply_changes_roundtrip_and_changelog_shape(spark):
+    """MERGE closure on a constructed pair of snapshots: the changelog
+    carries exactly the edited/added ids as upserts with NEW payloads
+    and removed ids as null-payload deletes, and applying it to the
+    old snapshot reproduces the new one row-for-row (including that a
+    deleted id is really gone and an unchanged id keeps its payload)."""
+    from flink_kafka_spark.operators.versioning import (
+        apply_changes,
+        changes_from_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (4, "four")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "one"), (2, "two v2"), (4, "four"), (5, "five")], "doc_id long, text string"
+    )
+    changes = {r.doc_id: r for r in changes_from_diff(old, new).collect()}
+    assert set(changes) == {2, 3, 5}
+    assert changes[2].op == "upsert" and changes[2].text == "two v2"
+    assert changes[5].op == "upsert" and changes[5].text == "five"
+    assert changes[3].op == "delete" and changes[3].text is None
+
+    applied = sorted(tuple(r) for r in apply_changes(old, changes_from_diff(old, new)).collect())
+    assert applied == sorted(tuple(r) for r in new.collect())
