@@ -467,3 +467,62 @@ QUERIES.append(
     Query("k_anonymity_audit", k_anonymity_audit, K_ANONYMITY_ORACLE,
           "suppression k-anonymity release gate (beyond ref)")
 )
+
+
+# --- SCD2 validity intervals from an event stream ---
+#
+# The warehousing view of the reference's keyed state: instead of "the
+# latest value per key" (what a stateful operator holds), the FULL
+# history as type-2 slowly-changing-dimension rows — one row per
+# maximal run of an unchanged value, with [valid_from, valid_to)
+# bounds. Built from ordered events with two same-key windows (change
+# flags -> run ids via running sum, then the next run's start as this
+# run's end), so the single shuffle is the user key; identical ANSI
+# text runs on both engines (the sessionize pattern).
+
+SCD2_HISTORY_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         CAST(floor(unix_seconds(ts)) AS BIGINT) AS ts_s,
+         event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+runs AS (
+  SELECT user_id, event_type, ts_s,
+         sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM seq
+),
+spans AS (
+  SELECT user_id, run_id,
+         min(event_type) AS event_type,
+         min(ts_s) AS valid_from_s,
+         count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, valid_from_s,
+       lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id ASC)
+         AS valid_to_s,
+       CAST(n_events AS BIGINT) AS n_events
+FROM spans
+"""
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type: one row per maximal
+    unchanged run with [valid_from, valid_to) epoch-second bounds
+    (valid_to null on the open current run)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(SCD2_HISTORY_SQL)
+
+
+SCD2_HISTORY_ORACLE = SCD2_HISTORY_SQL.replace("unix_seconds(ts)", "epoch(ts)")
+
+QUERIES.append(
+    Query("scd2_history", scd2_history, SCD2_HISTORY_ORACLE,
+          "SCD2 validity intervals from keyed events (beyond ref)")
+)

@@ -87,6 +87,9 @@ PLAN_BOUNDS = {
     "traffic_anomalies": (2, 0),
     # k-anonymity: one quasi-key window, count-only (skew-harmless)
     "k_anonymity_audit": (1, 0),
+    # SCD2: lag + running-sum + run rollup + lead, ALL on the user key
+    # — one shuffle carries four window passes
+    "scd2_history": (1, 0),
     # MG sketch: k x P partials shuffle + single-partition compress
     # window; exactly ONE corpus scan (summed partials persisted)
     "heavy_hitters": (2, 0),

@@ -955,3 +955,37 @@ def test_apply_changes_roundtrip_and_changelog_shape(spark):
 
     applied = sorted(tuple(r) for r in apply_changes(old, changes_from_diff(old, new)).collect())
     assert applied == sorted(tuple(r) for r in new.collect())
+
+
+def test_scd2_history_constructed_runs(spark, tmp_path):
+    """Constructed per-user sequences: runs open/close exactly at value
+    changes, intervals tile the user's timeline ([from, to) chaining
+    with the open current run's null end), and n_events counts each
+    run's membership."""
+    import datetime
+
+    from flink_kafka_spark.queries.analytics import scd2_history
+
+    base = datetime.datetime(2024, 1, 1)
+    seq = ["a", "a", "b", "b", "b", "a", "c"]
+    rows = [
+        (i, base + datetime.timedelta(seconds=10 * i), 1, v, 0.0, "")
+        for i, v in enumerate(seq)
+    ]
+    rows += [(100, base, 2, "solo", 0.0, "")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        (r.user_id, r.valid_from_s, r.valid_to_s, r.event_type, r.n_events)
+        for r in scd2_history(spark, str(tmp_path)).collect()
+    )
+    e = int(base.timestamp())
+    assert out == [
+        (1, e, e + 20, "a", 2),
+        (1, e + 20, e + 50, "b", 3),
+        (1, e + 50, e + 60, "a", 1),
+        (1, e + 60, None, "c", 1),
+        (2, e, None, "solo", 1),
+    ]
