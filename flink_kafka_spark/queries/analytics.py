@@ -526,3 +526,54 @@ QUERIES.append(
     Query("scd2_history", scd2_history, SCD2_HISTORY_ORACLE,
           "SCD2 validity intervals from keyed events (beyond ref)")
 )
+
+
+# --- last-touch attribution ---
+#
+# The question downstream of click_blacklist/funnel: which click gets
+# credit for each purchase? Last-touch = the user's most recent click
+# strictly before the purchase — a conditional last_value IGNORE NULLS
+# over the user's ordered stream, i.e. the as-of join collapsed into
+# one window because both sides live in the same table. One user-key
+# shuffle; never-attributed purchases (no prior click) keep NULL.
+# Engine dialect note: Spark spells it `last_value(x) IGNORE NULLS`,
+# DuckDB `last_value(x IGNORE NULLS)` — the oracle is a mechanical
+# rewrite of the same text.
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(unix_seconds(ts)) AS BIGINT) AS ts_s,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END) IGNORE NULLS
+           OVER w AS attributed_click_id,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN CAST(floor(unix_seconds(ts)) AS BIGINT) END) IGNORE NULLS
+           OVER w AS attributed_click_ts_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_event_id, user_id,
+       ts_s AS purchase_ts_s,
+       attributed_click_id,
+       ts_s - attributed_click_ts_s AS gap_s
+FROM seq WHERE event_type = 'purchase'
+"""
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent strictly-preceding click (NULL when none)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(PURCHASE_ATTRIBUTION_SQL)
+
+
+PURCHASE_ATTRIBUTION_ORACLE = (
+    PURCHASE_ATTRIBUTION_SQL.replace("unix_seconds(ts)", "epoch(ts)")
+    .replace("END) IGNORE NULLS", "END IGNORE NULLS)")
+)
+
+QUERIES.append(
+    Query("purchase_attribution", purchase_attribution, PURCHASE_ATTRIBUTION_ORACLE,
+          "last-touch conversion attribution (beyond ref)")
+)

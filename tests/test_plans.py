@@ -90,6 +90,9 @@ PLAN_BOUNDS = {
     # SCD2: lag + running-sum + run rollup + lead, ALL on the user key
     # — one shuffle carries four window passes
     "scd2_history": (1, 0),
+    # last-touch attribution: conditional last_value IGNORE NULLS,
+    # one user-key shuffle (the as-of join collapsed into a window)
+    "purchase_attribution": (1, 0),
     # MG sketch: k x P partials shuffle + single-partition compress
     # window; exactly ONE corpus scan (summed partials persisted)
     "heavy_hitters": (2, 0),

@@ -989,3 +989,38 @@ def test_scd2_history_constructed_runs(spark, tmp_path):
         (1, e + 60, None, "c", 1),
         (2, e, None, "solo", 1),
     ]
+
+
+def test_purchase_attribution_last_touch(spark, tmp_path):
+    """Constructed timeline: a purchase credits the most recent
+    STRICTLY-preceding click (same-instant click at the purchase row's
+    position doesn't self-credit — the frame ends 1 PRECEDING), an
+    earlier purchase with no prior click stays unattributed, and other
+    users' clicks never leak."""
+    import datetime
+
+    from flink_kafka_spark.queries.analytics import purchase_attribution
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, uid, etype):
+        return (eid, base + datetime.timedelta(seconds=sec), uid, etype, 0.0, "")
+
+    rows = [
+        ev(1, 0, 1, "purchase"),   # no prior click -> NULL
+        ev(2, 10, 1, "click"),
+        ev(3, 20, 1, "view"),
+        ev(4, 30, 1, "purchase"),  # -> click 2, gap 20
+        ev(5, 40, 1, "click"),
+        ev(6, 50, 1, "purchase"),  # -> click 5, gap 10
+        ev(7, 5, 2, "click"),      # other user: must not leak
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.purchase_event_id: r for r in purchase_attribution(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 4, 6}
+    assert out[1].attributed_click_id is None and out[1].gap_s is None
+    assert (out[4].attributed_click_id, out[4].gap_s) == (2, 20)
+    assert (out[6].attributed_click_id, out[6].gap_s) == (5, 10)
