@@ -577,3 +577,106 @@ QUERIES.append(
     Query("purchase_attribution", purchase_attribution, PURCHASE_ATTRIBUTION_ORACLE,
           "last-touch conversion attribution (beyond ref)")
 )
+
+
+# --- RFM segmentation (cut-point bucketing, not global ntile) ---
+#
+# The textbook formulation is ntile(4) over the full customer set —
+# a SINGLE-PARTITION global sort, exactly the anti-pattern the plan
+# tests reject at 100 TB. The scale-correct plan computes the three
+# quartile cut points as a 1-row exact-percentile aggregate (broadcast
+# back) and buckets by comparison: quartile assignment becomes a pure
+# function of the customer's own values, ties land deterministically
+# on the same side in both engines, and the corpus never converges on
+# one task. Quartile 1 = best (most recent / most frequent / highest
+# spend).
+
+RFM_SQL = """
+WITH agg AS (
+  SELECT o_custkey,
+         max(CAST(floor(unix_seconds(o_orderdate)) AS BIGINT)) AS last_order_s,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT percentile(last_order_s, 0.25) AS r25, percentile(last_order_s, 0.5) AS r50,
+         percentile(last_order_s, 0.75) AS r75,
+         percentile(frequency, 0.25) AS f25, percentile(frequency, 0.5) AS f50,
+         percentile(frequency, 0.75) AS f75,
+         percentile(monetary, 0.25) AS m25, percentile(monetary, 0.5) AS m50,
+         percentile(monetary, 0.75) AS m75
+  FROM agg
+)
+SELECT o_custkey, last_order_s, frequency, monetary,
+       CASE WHEN last_order_s >= r75 THEN 1 WHEN last_order_s >= r50 THEN 2
+            WHEN last_order_s >= r25 THEN 3 ELSE 4 END AS r_quartile,
+       CASE WHEN frequency >= f75 THEN 1 WHEN frequency >= f50 THEN 2
+            WHEN frequency >= f25 THEN 3 ELSE 4 END AS f_quartile,
+       CASE WHEN monetary >= m75 THEN 1 WHEN monetary >= m50 THEN 2
+            WHEN monetary >= m25 THEN 3 ELSE 4 END AS m_quartile
+FROM agg CROSS JOIN cuts
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quartile segmentation per customer
+    (quartile 1 = best), bucketed against exact percentile cut points
+    instead of a global ntile sort."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(RFM_SQL)
+
+
+RFM_ORACLE = RFM_SQL.replace("unix_seconds(o_orderdate)", "epoch(o_orderdate)").replace(
+    "percentile(", "quantile_cont("
+)
+
+QUERIES.append(
+    Query("rfm_segments", rfm_segments, RFM_ORACLE,
+          "RFM quartile segmentation, cut-point bucketing (beyond ref)")
+)
+
+
+# --- market-basket co-occurrence with lift ---
+#
+# word_pmi's relational cousin: part pairs co-ordered in the same
+# order, with support counts and lift = P(a,b)/(P(a)P(b)). The pair
+# join is a self-join on l_orderkey — fan-out bounded by items per
+# order (TPC-H ≤ 7), never corpus²; item totals and the order count
+# are broadcast-sized. Counts stay integer-exact; lift is the one
+# terminal float (floor-half-up 4 dp).
+
+BASKET_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_ord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_both,
+       floor(CAST(n_both AS DOUBLE) * n_orders
+             / (ia.n_item * ib.n_item) * 10000 + 0.5) / 10000 AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n_ord
+WHERE n_both >= 3
+"""
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair co-occurrence with lift over orders (support >= 3)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(BASKET_LIFT_SQL)
+
+
+QUERIES.append(
+    Query("basket_lift", basket_lift, BASKET_LIFT_SQL,
+          "market-basket pair lift (beyond ref)")
+)

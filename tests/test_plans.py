@@ -93,6 +93,14 @@ PLAN_BOUNDS = {
     # last-touch attribution: conditional last_value IGNORE NULLS,
     # one user-key shuffle (the as-of join collapsed into a window)
     "purchase_attribution": (1, 0),
+    # RFM: custkey agg + 1-row percentile cuts broadcast back (the agg
+    # exchange appears twice pre-AQE; ReuseExchange collapses) — no
+    # global ntile sort anywhere
+    "rfm_segments": (3, 0),
+    # basket lift: order-key self-join (fan-out bounded by items per
+    # order) + pair/item counts; the distinct-baskets exchange feeds
+    # three branches pre-AQE, item/total joins broadcast
+    "basket_lift": (9, 0),
     # MG sketch: k x P partials shuffle + single-partition compress
     # window; exactly ONE corpus scan (summed partials persisted)
     "heavy_hitters": (2, 0),

@@ -1024,3 +1024,43 @@ def test_purchase_attribution_last_touch(spark, tmp_path):
     assert out[1].attributed_click_id is None and out[1].gap_s is None
     assert (out[4].attributed_click_id, out[4].gap_s) == (2, 20)
     assert (out[6].attributed_click_id, out[6].gap_s) == (5, 10)
+
+
+def test_basket_lift_matches_naive(spark, tmp_path):
+    """Constructed baskets vs a pure-Python pair/lift sweep: pair
+    counts, the support cutoff, and the lift formula (with repeated
+    part lines in one order counted once)."""
+    import itertools
+    import math
+
+    from flink_kafka_spark.queries.analytics import basket_lift
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20, 20],  # duplicate line: counts once
+        4: [10, 30],
+        5: [20, 30],
+        6: [40],
+    }
+    rows = []
+    for ok, parts in baskets.items():
+        for i, p in enumerate(parts):
+            rows.append((ok, p, i))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_linenumber int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {(r.part_a, r.part_b): r for r in basket_lift(spark, str(tmp_path)).collect()}
+
+    sets = {k: set(v) for k, v in baskets.items()}
+    n_orders = len(sets)
+    item = {}
+    for s_ in sets.values():
+        for p in s_:
+            item[p] = item.get(p, 0) + 1
+    want = {}
+    for a, b in itertools.combinations(sorted(item), 2):
+        n_both = sum(1 for s_ in sets.values() if a in s_ and b in s_)
+        if n_both >= 3:
+            lift = math.floor(n_both * n_orders / (item[a] * item[b]) * 10000 + 0.5) / 10000
+            want[(a, b)] = (n_both, lift)
+    assert {k: (v.n_both, v.lift) for k, v in got.items()} == want and want
