@@ -232,9 +232,12 @@ class Query:
 # plan, not archaeology). Never-driver-hashed full-oracle rows, all
 # sweep-green and sf0.01-rehearsed this round: doc_bigram_logprob,
 # vocab_oov_rate, doc_embedding_hash, doc_semantic_pairs,
-# filter_audit, encoding_audit, k_anonymity_audit, markup_strip, and
-# the round's flagship compose training_mix_snapshot (window priority:
-# the compose first — its hash pins four stages' interactions). Overdue relational rows (hashed r06
+# filter_audit, encoding_audit, k_anonymity_audit, markup_strip,
+# changelog_roundtrip, scd2_history, purchase_attribution,
+# rfm_segments, basket_lift, orders_status_pivot, and the round's
+# flagship compose training_mix_snapshot (window priority: the
+# compose first — its hash pins four stages' interactions; then the
+# closure property changelog_roundtrip). Overdue relational rows (hashed r06
 # or earlier, due under once-per-~3-rounds): tpch_q14-q17, q19, q21,
 # q22. Natural r8 outs (would be twice-green r6+r7): the five tpch
 # rows rotated in r6 (q4/q6/q7/q10/q12), lang_id, doc_chunk,

@@ -680,3 +680,39 @@ QUERIES.append(
     Query("basket_lift", basket_lift, BASKET_LIFT_SQL,
           "market-basket pair lift (beyond ref)")
 )
+
+
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame PIVOT surface (reference has none): monthly order
+    counts pivoted to one column per order status. The status domain
+    is passed EXPLICITLY — with an inferred domain Spark runs an extra
+    distinct job and the output schema depends on the data, both
+    wrong at scale; with explicit values the pivot compiles to the
+    same single-shuffle conditional aggregation the oracle spells
+    out."""
+    o = load(spark, sf_dir, "orders")
+    out = (
+        o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("month")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "month",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}") for c in ("F", "O", "P")],
+    )
+
+
+ORDERS_PIVOT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES.append(
+    Query("orders_status_pivot", orders_status_pivot, ORDERS_PIVOT_ORACLE,
+          "PIVOT surface: monthly counts by status (beyond ref)")
+)

@@ -101,6 +101,10 @@ PLAN_BOUNDS = {
     # order) + pair/item counts; the distinct-baskets exchange feeds
     # three branches pre-AQE, item/total joins broadcast
     "basket_lift": (9, 0),
+    # pivot with explicit domain: single conditional-agg shuffle (+1
+    # pre-AQE partial split); an inferred domain would add a distinct
+    # job and a data-dependent schema
+    "orders_status_pivot": (2, 0),
     # MG sketch: k x P partials shuffle + single-partition compress
     # window; exactly ONE corpus scan (summed partials persisted)
     "heavy_hitters": (2, 0),
