@@ -102,13 +102,18 @@ EXTENSIONS = [
                  " / k-anonymity release gate"
                  " / full assembly compose (training_mix_snapshot)"),
     ("versioning", "JSONL release I/O + corrupt-line quarantine + compaction"
-                   " / snapshot diff (added/removed/changed verdicts)"),
+                   " / snapshot diff (added/removed/changed verdicts)"
+                   " / upsert-delete changelog ship + MERGE-style apply"
+                   " (roundtrip closure driver-pinned)"),
     ("linkage", "blocked fuzzy record linkage (Levenshtein verify,"
                 " length-band pruning, equal-name short-circuit,"
                 " multi-pass blocking union for recall)"),
-    ("batch-relational", "TPC-H-shape q1-q22 subset + rollup (joins, subqueries)"
+    ("batch-relational", "TPC-H-shape q1-q22 subset + rollup + pivot"
+                         " (joins, subqueries, grouping sets)"
                          " / retention cohorts / Markov event transitions"
-                         " / z-score traffic anomaly flags / PSI value-drift"),
+                         " / z-score traffic anomaly flags / PSI value-drift"
+                         " / SCD2 validity intervals / last-touch attribution"
+                         " / RFM segments / market-basket lift"),
 ]
 
 
