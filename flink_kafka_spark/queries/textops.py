@@ -1600,14 +1600,21 @@ def encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_flags(load(spark, sf_dir, "documents"))
 
 
-ENCODING_AUDIT_ORACLE = """
+# the oracle interpolates the OPERATOR's pattern constants — one
+# source of truth, so a pattern tweak cannot silently diverge the two
+# engines (round-7 cleanup)
+from ..operators.text import ENC_CONTROL as _ENC_CONTROL
+from ..operators.text import ENC_MOJIBAKE as _ENC_MOJ
+from ..operators.text import ENC_REPLACEMENT as _ENC_REP
+
+ENCODING_AUDIT_ORACLE = f"""
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, 'Ã[©¨«¤¶¼±£ ]|â€[™œ¦“”]?|Â[« »]?')) AS INTEGER) AS n_mojibake,
-  CAST(len(regexp_extract_all(text, '�')) AS INTEGER) AS n_replacement,
-  CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS INTEGER) AS n_control,
-  CASE WHEN len(regexp_extract_all(text, 'Ã[©¨«¤¶¼±£ ]|â€[™œ¦“”]?|Â[« »]?')) = 0
-        AND len(regexp_extract_all(text, '�')) = 0
-        AND len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0
+  CAST(len(regexp_extract_all(text, '{_ENC_MOJ}')) AS INTEGER) AS n_mojibake,
+  CAST(len(regexp_extract_all(text, '{_ENC_REP}')) AS INTEGER) AS n_replacement,
+  CAST(len(regexp_extract_all(text, '{_ENC_CONTROL}')) AS INTEGER) AS n_control,
+  CASE WHEN len(regexp_extract_all(text, '{_ENC_MOJ}')) = 0
+        AND len(regexp_extract_all(text, '{_ENC_REP}')) = 0
+        AND len(regexp_extract_all(text, '{_ENC_CONTROL}')) = 0
        THEN 1 ELSE 0 END AS clean
 FROM documents
 """
@@ -1769,16 +1776,25 @@ def markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_markup(load(spark, sf_dir, "documents"))
 
 
-MARKUP_STRIP_ORACLE = r"""
+from ..operators.text import _ENTITIES as _MARKUP_ENTITIES
+from ..operators.text import MARKUP_BLOCKS as _MARKUP_BLOCKS
+from ..operators.text import MARKUP_TAG as _MARKUP_TAG
+
+# entity unescape chain generated from the operator's own table (one
+# source of truth — a pattern tweak cannot silently diverge the two
+# engines, same rule as ENCODING_AUDIT_ORACLE)
+_entity_chain = "t"
+for _ent, _rep in _MARKUP_ENTITIES:
+    _entity_chain = (
+        f"replace({_entity_chain}, '{_ent}', '{_rep.replace(chr(39), chr(39) * 2)}')"
+    )
+
+MARKUP_STRIP_ORACLE = f"""
 WITH s1 AS (SELECT doc_id, text, regexp_replace(text,
-      '(?s)<script[^>]*>.*?</script>|(?s)<style[^>]*>.*?</style>|<!--.*?-->',
-      ' ', 'g') AS t FROM documents),
-s2 AS (SELECT doc_id, text, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
-s3 AS (SELECT doc_id, text,
-       replace(replace(replace(replace(replace(replace(t,
-         '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),
-         '&amp;','&') AS t FROM s2),
-s4 AS (SELECT doc_id, text, trim(regexp_replace(t, '\s+', ' ', 'g')) AS t FROM s3)
+      '{_MARKUP_BLOCKS}', ' ', 'g') AS t FROM documents),
+s2 AS (SELECT doc_id, text, regexp_replace(t, '{_MARKUP_TAG}', ' ', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, text, {_entity_chain} AS t FROM s2),
+s4 AS (SELECT doc_id, text, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s3)
 SELECT doc_id, t AS clean_text,
        CAST(len(text) - len(t) AS INTEGER) AS removed_chars
 FROM s4
