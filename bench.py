@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "doc_semantic_pairs",
     # the full assembly compose (gates + decontam + mixture + split).
     "training_mix_snapshot",
+    # round-7 late additions with distinct plan shapes: four window
+    # passes on one shuffle, and the diff-ship-apply SMJ compose.
+    "scd2_history",
+    "changelog_roundtrip",
 ]
 
 
