@@ -584,3 +584,48 @@ def test_strip_markup_planted_html(spark):
     assert got[1].clean_text == "plain text stays" and got[1].removed_chars == 0
     assert got[2].clean_text == "Hello & welcome bye now"
     assert got[3].clean_text == "a &amp; b <tag> \"q\" 's'"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token_st = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789!?.", min_size=1, max_size=8
+)
+
+
+@given(docs=st.lists(st.lists(_token_st, min_size=1, max_size=12), min_size=1, max_size=5))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_classifier_score_hypothesis_vs_naive(spark, docs):
+    """Random token bags vs the hashlib reimplementation — sweeps the
+    md5-bucket/weight/logit contract over arbitrary token shapes, not
+    just the fixed example."""
+    import hashlib
+    import math
+
+    from flink_kafka_spark.operators.text import (
+        CLF_BUCKETS,
+        _CLF_MIX,
+        _CLF_PRIME,
+        classifier_score,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in classifier_score(df).collect()}
+    for i, _ in enumerate(docs):
+        toks = rows[i][1].lower().split()
+        ws = [
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % CLF_BUCKETS)
+            * _CLF_MIX
+            % _CLF_PRIME
+            for t in toks
+        ]
+        logit = (sum(ws) * 2.0 / len(ws)) / _CLF_PRIME - 1.0
+        assert got[i].n_tokens == len(toks)
+        assert got[i].clf_logit == round(logit, 6)
+        assert got[i].clf_score == round(1.0 / (1.0 + math.exp(-4.0 * logit)), 4)
