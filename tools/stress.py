@@ -484,7 +484,16 @@ def main() -> None:
 
     t0 = time.perf_counter()
     hashed = hashed_doc_embedding_vec(docs, dim=64)
-    blocked = srp_bucket(hashed, "doc_id", "embedding", n_planes=8)
+    # persist the embedded+blocked corpus (the doc_semantic_pairs
+    # production pattern): the pair join consumes it on both sides,
+    # and without this each side replays the full embedder pipeline.
+    # 12 planes (4096 buckets), not the query's 8: bucket granularity
+    # is THE quadratic-term lever — 256 buckets over 100k docs means
+    # ~390-doc blocks and ~20M cosine pairs (~55 s measured), 4096
+    # buckets ~24-doc blocks and ~1M pairs. Identical-embedding
+    # planted pairs collide at any plane count, so the exact-recovery
+    # assertion is granularity-independent.
+    blocked = srp_bucket(hashed, "doc_id", "embedding", n_planes=12).persist()
     emb_pairs = embedding_cosine_pairs(
         blocked, "doc_id", "v", block_col="bucket", threshold=0.95
     )
@@ -499,6 +508,7 @@ def main() -> None:
         ).alias("n_planted"),
     ).collect()[0]
     timings[f"hashed_embed_dedup_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    blocked.unpersist()
     assert pair_stats.n == pair_stats.n_planted == n_docs // 10, tuple(pair_stats)
 
     # PSI drift at the event scale: one event type's value distribution
