@@ -716,3 +716,41 @@ QUERIES.append(
     Query("orders_status_pivot", orders_status_pivot, ORDERS_PIVOT_ORACLE,
           "PIVOT surface: monthly counts by status (beyond ref)")
 )
+
+
+def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNPIVOT surface, as a closure property: melt the pivoted
+    monthly-status matrix back to long form — the result must equal a
+    plain (month, status) GROUP BY, which is exactly what the oracle
+    computes, so the driver hash pins pivot ∘ unpivot == identity
+    (zero-filled cells are dropped on melt: a (month, status) pair
+    with no orders never existed in long form)."""
+    wide = orders_status_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "month",
+            ["n_F", "n_O", "n_P"],
+            "status_col",
+            "n_orders",
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "month",
+            F.substring("status_col", 3, 1).alias("o_orderstatus"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+
+
+ORDERS_UNPIVOT_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    Query("orders_status_unpivot", orders_status_unpivot, ORDERS_UNPIVOT_ORACLE,
+          "UNPIVOT surface: pivot-melt closure (beyond ref)")
+)

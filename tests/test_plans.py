@@ -105,6 +105,8 @@ PLAN_BOUNDS = {
     # pre-AQE partial split); an inferred domain would add a distinct
     # job and a data-dependent schema
     "orders_status_pivot": (2, 0),
+    # unpivot closure: the pivot's shuffle + a narrow Expand melt
+    "orders_status_unpivot": (2, 0),
     # MG sketch: k x P partials shuffle + single-partition compress
     # window; exactly ONE corpus scan (summed partials persisted)
     "heavy_hitters": (2, 0),
