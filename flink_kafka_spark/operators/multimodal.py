@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -175,7 +175,7 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("features", ArrayType(DoubleType())),
         StructField("dim", IntegerType()),
     ]
 )
@@ -185,7 +185,16 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Fixed-size float feature vector per payload (strided byte means)
     — the shape of an embedding/feature-extraction stage. NumPy inside
     Arrow batches; vectorized, never per-row Python in the hot loop.
+
+    Components are doubles rounded with the repo-wide half-up
+    convention (``floor(x*1e4 + 0.5)/1e4``) so the numpy path, the JVM
+    recompute in ``media_features_check`` and the DuckDB oracle all
+    land on the identical bit pattern: the strided sum of uint8 bytes
+    is exact in float64, the division is one IEEE op on both engines,
+    and the floor-based round is a pure function of that double.
     """
+    import math
+
     import numpy as np
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,7 +206,12 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     out.append([0.0] * dim)
                     continue
                 out.append(
-                    [round(float(arr[j::dim].mean()) if arr[j::dim].size else 0.0, 4) for j in range(dim)]
+                    [
+                        math.floor(float(arr[j::dim].mean()) * 10000 + 0.5) / 10000
+                        if arr[j::dim].size
+                        else 0.0
+                        for j in range(dim)
+                    ]
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "features": out, "dim": [dim] * len(pdf)}

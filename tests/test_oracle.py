@@ -85,3 +85,21 @@ def test_driver_window_covers_every_family():
     for fam, members in families.items():
         in_window = [m for m in members if m in DRIVER_WINDOW and QUERIES[m].oracle]
         assert in_window, f"family {fam} has no full-oracle query in the driver window"
+
+
+def test_no_registered_query_emits_nested_columns(spark, sf_dir):
+    """The driver's pandas canonicalizer sorts and hashes every cell,
+    so array/map/struct output columns raise `unhashable type: 'list'`
+    and burn a window slot as a red row (round-7: media_features).
+    Flat long form is the registry contract — schemas are lazy, so
+    this sweeps every query without executing any."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, q in QUERIES.items():
+        schema = q.fn(spark, sf_dir).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not nested, f"{name} emits nested columns {nested}"

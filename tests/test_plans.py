@@ -295,7 +295,10 @@ PLAN_BOUNDS = {
     # multimodal family: narrow mapInPandas, zero shuffle
     "media_decode_meta": (0, 0),
     "media_frame_sample": (0, 0),
-    "media_features_check": (1, 0),
+    # long-form full-outer self-compare (numpy path vs JVM recompute):
+    # both sides are docs×8 and full_outer can't broadcast, so the SMJ
+    # co-partition IS the intended plan; check-only, never in bench
+    "media_features_check": (3, 2),
 }
 
 
