@@ -725,6 +725,274 @@ LIMIT 100
 """
 
 
+# ---- derived partsupp -------------------------------------------------
+# The slim schema ships no partsupp table, so the four partsupp-centric
+# queries (q2/q9/q11/q20) derive the part↔supplier bridge from lineitem
+# — the same adaptation q16 already uses for its supplier counts:
+#   ps_cost_e4  = best observed unit price, in exact 1e-4 integer units
+#                 (one IEEE division of identical doubles + floor-based
+#                 half-up on both engines — deterministic; staying in
+#                 BIGINT keeps every downstream product/sum exact, so
+#                 cross-engine double-summation order can't matter);
+#   ps_availqty = total quantity supplied (integral doubles sum exact).
+# At 100 TB the derived bridge is one map-side-combined shuffle on
+# (l_partkey, l_suppkey) — strictly cheaper than the real partsupp scan
+# + join it stands in for.
+
+_PS_COST_E4 = "CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT)"
+
+_PS_SQL = f"""
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min({_PS_COST_E4}) AS ps_cost_e4,
+         CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(l: DataFrame) -> DataFrame:
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.expr(f"min({_PS_COST_E4})").alias("ps_cost_e4"),
+        F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("ps_availqty"),
+    )
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost-supplier shape (TPC-H Q2): the correlated MIN
+    subquery ("the supplier whose cost equals the minimum for that part
+    within the region") decorrelated into a per-part aggregate joined
+    back on (part, min cost) — one extra agg over the already-grouped
+    eligible set instead of a per-row re-scan. part/supplier/nation/
+    region all reach the derived-partsupp shuffle as broadcasts; the
+    min-cost frame is tiny (one row per surviving part) and broadcasts
+    back. Cost equality joins on the exact BIGINT e4 units, never a
+    float."""
+    l = load(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from ..caching import track
+
+    # referenced twice (min-cost frame + final join) — persist so the
+    # derived-partsupp shuffle and lineitem scan run once, not per branch
+    eligible = track(
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(supp), ps.ps_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "ps_cost_e4", "s_name", "s_acctbal", "n_name")
+        .persist()
+    )
+    mincost = eligible.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost_e4").alias("min_cost_e4")
+    )
+    return (
+        eligible.join(
+            F.broadcast(mincost),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("ps_cost_e4") == F.col("min_cost_e4")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("ps_cost_e4").cast("double") / 10000).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+TPCH_Q2_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+eligible AS (
+  SELECT p_partkey, p_brand, ps_cost_e4, s_name, s_acctbal, n_name
+  FROM ps, part, supplier, nation, region
+  WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_cost_e4 AS DOUBLE) / 10000 AS supply_cost
+FROM eligible e
+WHERE ps_cost_e4 = (SELECT min(ps_cost_e4) FROM eligible m
+                    WHERE m.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type-profit shape (TPC-H Q9): profit = revenue minus
+    supply cost, by supplier nation and order year. The supply-cost
+    lookup joins lineitem back to its own (part, supplier) aggregate —
+    the q17 self-agg discipline — then orders attaches the year and the
+    supplier→nation dims broadcast. Profit stays an exact BIGINT in
+    1e-4 units until the terminal projection (sum order can't matter);
+    at 100 TB the DECIMAL(38) variant replaces the BIGINT but the plan
+    is unchanged: two fact shuffles (the ps aggregate, the orderkey
+    join), everything else broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    profit_e4 = (
+        F.expr(f"CAST({_DISC_PRICE} * 10000 AS BIGINT)")
+        - F.col("ps_cost_e4") * F.expr("CAST(l_quantity AS BIGINT)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(ps, (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "o_year", profit_e4.alias("profit_e4"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum("profit_e4").cast("double") / 10000).alias("sum_profit"))
+    )
+
+
+TPCH_Q9_ORACLE = f"""
+WITH ps AS ({_PS_SQL})
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST({_DISC_PRICE} * 10000 AS BIGINT)
+                - ps_cost_e4 * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000
+         AS sum_profit
+FROM lineitem, ps, part, orders, supplier, nation
+WHERE l_partkey = p_partkey AND l_partkey = ps_partkey
+  AND l_suppkey = ps_suppkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+_Q11_FRACTION_INV = 1000  # keep parts holding > 1/1000 of the nation's value
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (TPC-H Q11): per-part inventory value
+    filtered by a HAVING scalar subquery (fraction of the grand total).
+    The total is a 1-row aggregate broadcast-crossed back onto the
+    per-part frame — no second scan of the bridge, no single-partition
+    window. Value stays exact BIGINT e4 units; the fraction compare
+    multiplies the part side by the integer inverse instead of
+    dividing the total (no float in the filter)."""
+    l = load(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(l)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    from ..caching import track
+
+    joined = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", (F.col("ps_cost_e4") * F.col("ps_availqty")).alias("value_e4"))
+    )
+    # referenced twice (grand total + HAVING filter) — persist so the
+    # bridge aggregate runs once instead of once per branch
+    grouped = track(
+        joined.groupBy("ps_partkey").agg(F.sum("value_e4").alias("value_e4")).persist()
+    )
+    total = grouped.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("value_e4") * _Q11_FRACTION_INV > F.col("total_e4"))
+        .select("ps_partkey", (F.col("value_e4").cast("double") / 10000).alias("value"))
+    )
+
+
+TPCH_Q11_ORACLE = f"""
+WITH ps AS ({_PS_SQL}),
+grouped AS (
+  SELECT ps_partkey, sum(ps_cost_e4 * ps_availqty) AS value_e4
+  FROM ps, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_19'
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey, CAST(value_e4 AS DOUBLE) / 10000 AS value
+FROM grouped
+WHERE value_e4 * {_Q11_FRACTION_INV} > (SELECT sum(value_e4) FROM grouped)
+"""
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion shape (TPC-H Q20): nested semi-joins —
+    suppliers having a promo part whose off-1997 stock exceeds half of
+    what they shipped in 1997 (adapted: no ps_availqty column exists,
+    so "stock" is the quantity supplied outside the window — the
+    correlated inner SUM subquery survives intact as the conditional
+    split of one aggregate). One lineitem pass computes both sums;
+    the part filter semi-joins as a broadcast; the qualifying supplier
+    keys collapse to a distinct set that semi-joins supplier. The
+    half-threshold compares 2*stock > shipped in exact integers."""
+    l = load(spark, sf_dir, "lineitem")
+    pairs = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'"
+            " THEN l_quantity ELSE 0 END) AS BIGINT)"
+        ).alias("shipped_1997"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'"
+            " THEN 0 ELSE l_quantity END) AS BIGINT)"
+        ).alias("stock_qty"),
+    )
+    promo = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    qualified = (
+        pairs.filter(
+            (F.col("shipped_1997") > 0)
+            & (F.lit(2) * F.col("stock_qty") > F.col("shipped_1997"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
+    return (
+        s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_18'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                           THEN l_quantity ELSE 0 END) AS BIGINT) AS shipped_1997,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                           THEN 0 ELSE l_quantity END) AS BIGINT) AS stock_qty
+      FROM lineitem GROUP BY 1, 2)
+    WHERE shipped_1997 > 0 AND 2 * stock_qty > shipped_1997
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'))
+ORDER BY s_name
+"""
+
+
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP (priority → status → grand
     total) — the multi-level aggregation surface the reference lacks
@@ -756,6 +1024,10 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 
 QUERIES = [
     Query("tpch_q1", tpch_q1, TPCH_Q1_ORACLE, "batch agg (beyond ref)", ("bench",)),
+    Query("tpch_q2", tpch_q2, TPCH_Q2_ORACLE, "correlated-min subquery (beyond ref)"),
+    Query("tpch_q9", tpch_q9, TPCH_Q9_ORACLE, "profit multi-join self-agg (beyond ref)"),
+    Query("tpch_q11", tpch_q11, TPCH_Q11_ORACLE, "HAVING scalar subquery (beyond ref)"),
+    Query("tpch_q20", tpch_q20, TPCH_Q20_ORACLE, "nested semi-join (beyond ref)"),
     Query("tpch_q3", tpch_q3, TPCH_Q3_ORACLE, "batch join+agg (beyond ref)", ("bench",)),
     Query("tpch_q4", tpch_q4, TPCH_Q4_ORACLE, "semi join (beyond ref)", ("bench",)),
     Query("tpch_q5", tpch_q5, TPCH_Q5_ORACLE, "batch star join (beyond ref)", ("bench",)),

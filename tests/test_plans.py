@@ -27,12 +27,16 @@ PLAN_BOUNDS = {
     "tpch_q1": (1, 0),
     "tpch_q6": (1, 0),  # partial agg -> 1-row single-partition exchange -> final
     # dimension joins must all broadcast
+    "tpch_q2": (3, 0),  # derived-ps agg + persisted eligible reused by the min-cost branch
     "tpch_q3": (2, 0),
     "tpch_q4": (1, 0),  # semi-join broadcasts, one agg shuffle
     "tpch_q5": (2, 0),
     "tpch_q7": (1, 0),  # all 5 dims broadcast onto the lineitem scan
     "tpch_q8": (1, 0),
+    "tpch_q9": (2, 0),  # derived-ps agg + orderkey join; every dim broadcast
     "tpch_q10": (2, 0),
+    "tpch_q11": (5, 0),  # ps agg + per-part agg (persisted) + 1-row total broadcast
+    "tpch_q20": (3, 0),  # pair agg + distinct suppkeys + ordered output
     "tpch_q12": (1, 0),  # orders broadcast-joins the pushed lineitem scan
     "tpch_q13": (2, 0),  # right-outer count + distribution agg
     "tpch_q14": (1, 0),
