@@ -852,8 +852,12 @@ def hashed_doc_embedding_vec(
 # Encoding-damage patterns, kept dialect-portable (literal
 # alternations / explicit classes work identically in Java regex and
 # RE2): UTF-8-as-Latin-1 mojibake digraphs, the Unicode replacement
-# character, and C0 control bytes (minus \t\n\r).
-ENC_MOJIBAKE = "Ã[©¨«¤¶¼±£ ]|â€[™œ¦“”]?|Â[« »]?"
+# character, and C0 control bytes (minus \t\n\r). Every alternative
+# requires the FULL digraph — a bare 'â€' or 'Â' prefix is legitimate
+# text (French 'Âge', 'â' + Euro sign) and must not trip a gate that
+# suppresses documents (r7 advisory: the optional suffix classes were
+# high-recall false positives).
+ENC_MOJIBAKE = "Ã[©¨«¤¶¼±£ ]|â€[™œ¦“”]|Â[« »]"
 ENC_REPLACEMENT = "�"
 ENC_CONTROL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
 

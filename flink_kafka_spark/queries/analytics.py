@@ -482,7 +482,7 @@ QUERIES.append(
 
 SCD2_HISTORY_SQL = """
 WITH seq AS (
-  SELECT user_id, event_type,
+  SELECT user_id, event_type, ts,
          CAST(floor(unix_seconds(ts)) AS BIGINT) AS ts_s,
          event_id,
          lag(event_type) OVER w AS prev_type
@@ -490,10 +490,14 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ),
 runs AS (
+  -- same (ts, event_id) total order as seq's lag window: ordering the
+  -- accumulation by second-truncated ts_s could disagree with the
+  -- change flags inside one second and mis-segment runs; ts_s survives
+  -- only as the output epoch column
   SELECT user_id, event_type, ts_s,
          sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
                   THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM seq
 ),

@@ -304,11 +304,21 @@ def drift_monitor_stream(
 
     from ..operators.drift import bucket_expr, psi_from_counts, reference_histogram
 
-    bounds, ref_counts = (
-        ref_hist
-        if ref_hist is not None
-        else reference_histogram(reference, key_col, value_col, n_buckets)
-    )
+    if ref_hist is not None:
+        bounds, ref_counts = ref_hist
+    else:
+        # materialize the reduction HERE, once: the histogram pair is
+        # KB-sized (per-key bounds, keys x buckets counts) but its lazy
+        # plan holds the full reference-corpus reduction, which would
+        # otherwise re-execute inside every micro-batch's joins.
+        # Collected local frames (not persist) so nothing cached can be
+        # evicted or released out from under a long-running stream.
+        lazy_bounds, lazy_counts = reference_histogram(
+            reference, key_col, value_col, n_buckets
+        )
+        spark = reference.sparkSession
+        bounds = spark.createDataFrame(lazy_bounds.collect(), lazy_bounds.schema)
+        ref_counts = spark.createDataFrame(lazy_counts.collect(), lazy_counts.schema)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         batch_counts = (
@@ -385,8 +395,17 @@ def heavy_hitters_stream(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         with release_scope():
             spark = batch_df.sparkSession
-            batch_rows = misra_gries(batch_df.select(col), col, k).collect()
-            state["n"] += batch_df.count()
+            # one source scan per batch: the sketch and the batch total
+            # are two actions over the same persisted projection, and n
+            # counts only non-null keys — the sketch can never emit a
+            # null item, so a null-heavy batch must not inflate the
+            # n/(k+1) error budget
+            sel = batch_df.select(col).filter(F.col(col).isNotNull()).persist()
+            try:
+                batch_rows = misra_gries(sel, col, k).collect()
+                state["n"] += sel.count()
+            finally:
+                sel.unpersist()
             if batch_rows:
                 batch_sketch = pd.Series(
                     {r.item: r.est for r in batch_rows}, dtype="int64"
