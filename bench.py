@@ -139,6 +139,14 @@ BENCH_QUERIES = [
     # passes on one shuffle, and the diff-ship-apply SMJ compose.
     "scd2_history",
     "changelog_roundtrip",
+    # round-8: the four correlated-subquery TPC-H shapes that complete
+    # the q1-q22 block, all built on the derived-partsupp bridge (one
+    # map-side-combined lineitem shuffle). No baseline entries yet;
+    # guardrail skips them until the next justified re-record.
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
 ]
 
 

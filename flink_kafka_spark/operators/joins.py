@@ -198,6 +198,7 @@ def fuzzy_match_pairs(
     name_col: str,
     max_dist: int = 2,
     block: Column | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Record linkage by blocking + edit-distance verification: every
     unordered pair of rows that shares a blocking key and whose
@@ -223,24 +224,24 @@ def fuzzy_match_pairs(
     O(len²) edit-distance kernel runs, and both filters evaluate
     JVM-side inside the join. Block sizes bound the quadratic term:
     a hot blocking key (every "john" in a person table) is the skew
-    risk, mitigated by choosing more selective keys, not by salting —
-    salting a self-join's block key would drop pairs."""
+    risk, bounded two ways: choose more selective keys (salting a
+    self-join's block key would drop pairs), and/or pass ``max_block``
+    — blocks larger than it additionally fold the length-band residual
+    INTO the join key (length buckets of width ``max_dist+1``, probe
+    side replicated into the ±1 neighbor buckets). That loses ZERO
+    recall — the band ``|len(a) − len(b)| ≤ max_dist`` is already a
+    hard filter, and a within-band pair's buckets differ by at most 1
+    — but turns a hot block's candidate term from H² into
+    Σ bucket_size × 3·bucket_size (the stress probe measures ~L× on a
+    planted 20%-hot key, L = distinct length buckets in the block).
+    Costs one extra narrow count aggregation + a broadcast of the
+    (few) hot keys; cold blocks take the exact original path."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     blk = (
         block
         if block is not None
         else F.split(F.lower(F.col(name_col)), r"\s+").getItem(0)
-    )
-    a = df.select(
-        F.col(key_col).alias("a_key"),
-        F.col(name_col).alias("a_name"),
-        blk.alias("_block"),
-    )
-    b = df.select(
-        F.col(key_col).alias("b_key"),
-        F.col(name_col).alias("b_name"),
-        blk.alias("_block"),
     )
     # equality short-circuit before the DP kernel: exact-duplicate
     # names dominate real catalogs (and any low-cardinality one —
@@ -249,9 +250,59 @@ def fuzzy_match_pairs(
     lev = F.when(F.col("a_name") == F.col("b_name"), F.lit(0)).otherwise(
         F.levenshtein("a_name", "b_name")
     )
+    if max_block is None:
+        a = df.select(
+            F.col(key_col).alias("a_key"),
+            F.col(name_col).alias("a_name"),
+            blk.alias("_block"),
+        )
+        b = df.select(
+            F.col(key_col).alias("b_key"),
+            F.col(name_col).alias("b_name"),
+            blk.alias("_block"),
+        )
+        joined = a.join(b, "_block")
+    else:
+        # hot-block split: (_block, _jb) is the join key, where _jb is
+        # the length bucket for hot rows and a sentinel for cold rows —
+        # a two-column key, so refined hot keys can never collide with
+        # a cold block's string (concat would allow that)
+        width = max_dist + 1
+        cold_jb = F.lit(-(1 << 31))
+        base = df.select(
+            F.col(key_col).alias("_key"),
+            F.col(name_col).alias("_name"),
+            blk.alias("_block"),
+        )
+        hot = F.broadcast(
+            base.groupBy("_block")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_block)
+            .select("_block", F.lit(True).alias("_hot"))
+        )
+        flagged = base.join(hot, "_block", "left")
+        bucket = F.floor(F.length("_name") / width)
+        a = flagged.select(
+            F.col("_key").alias("a_key"),
+            F.col("_name").alias("a_name"),
+            "_block",
+            F.when(F.col("_hot"), bucket).otherwise(cold_jb).alias("_jb"),
+        )
+        offs = F.when(F.col("_hot"), F.array(F.lit(-1), F.lit(0), F.lit(1))).otherwise(
+            F.array(F.lit(0))
+        )
+        b = flagged.select(
+            F.col("_key").alias("b_key"),
+            F.col("_name").alias("b_name"),
+            "_block",
+            F.when(F.col("_hot"), bucket).otherwise(cold_jb).alias("_jb0"),
+            F.explode(offs).alias("_off"),
+        ).select(
+            "b_key", "b_name", "_block", (F.col("_jb0") + F.col("_off")).alias("_jb")
+        )
+        joined = a.join(b, ["_block", "_jb"])
     return (
-        a.join(b, "_block")
-        .filter(F.col("a_key") < F.col("b_key"))
+        joined.filter(F.col("a_key") < F.col("b_key"))
         .filter(
             F.abs(F.length("a_name") - F.length("b_name")) <= F.lit(max_dist)
         )

@@ -164,7 +164,13 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     100x). The recall cost (a typo in either blocking character hides
     a match) is the documented knob; production recovers it with a
     second complementary blocking pass unioned in (see
-    fuzzy_match_pairs docstring)."""
+    fuzzy_match_pairs docstring). Composite blocks still grow
+    linearly with the catalog (the name vocabulary is fixed), so the
+    query also arms ``max_block``: any block past 1000 rows folds the
+    length-band residual into the join key — lossless (the band is
+    already a hard filter; stress-probed) — capping the quadratic
+    term at 100 TB instead of documenting it away. At test SFs every
+    block is cold and the pair set is byte-identical either way."""
     from pyspark.sql import functions as F
 
     from ..operators.joins import fuzzy_match_pairs
@@ -174,7 +180,8 @@ def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|", toks.getItem(0), F.substring(F.coalesce(toks.getItem(1), F.lit("")), 1, 1)
     )
     return fuzzy_match_pairs(
-        load(spark, sf_dir, "part"), "p_partkey", "p_name", block=block
+        load(spark, sf_dir, "part"), "p_partkey", "p_name", block=block,
+        max_block=1000,
     )
 
 

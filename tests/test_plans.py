@@ -280,7 +280,9 @@ PLAN_BOUNDS = {
     # (a degrade to SMJ — the intended plan when neither catalog side
     # broadcasts at 100 TB — would fail this pin loudly, which is the
     # point: it means stats changed underneath the query)
-    "fuzzy_part_matches": (0, 0),
+    # +2 narrow exchanges since r8: the armed max_block hot-block cap
+    # adds a block-count aggregation (broadcast back as the hot set)
+    "fuzzy_part_matches": (2, 0),
     # PSI drift: one conditional-agg (type, bucket) corpus shuffle
     # (appears twice pre-AQE — grid branch + join branch, ReuseExchange
     # collapses it) + tiny distinct/window/final aggs; grid join must

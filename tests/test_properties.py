@@ -701,6 +701,40 @@ def test_fuzzy_match_pairs_vs_naive(spark):
     assert (1, 6, 1) not in got  # the blocking recall boundary, explicitly
 
 
+def test_fuzzy_match_pairs_hot_block_cap_is_lossless(spark):
+    """max_block folds the length-band residual into the join key for
+    oversized blocks (±1-bucket replication). The band is already a
+    hard filter, so the capped path must return the EXACT pair set of
+    the uncapped path — on a catalog where one block is hot (planted
+    ~50% share, the stress-probe shape), blocks sit exactly at the
+    threshold boundary, and names inside the hot block straddle
+    length-bucket boundaries (the replication's reason to exist)."""
+    from flink_kafka_spark.operators.joins import fuzzy_match_pairs
+
+    rows = []
+    # hot block: 40 names, lengths straddling several width-3 buckets
+    for i in range(40):
+        rows.append((i, "hot " + "x" * (3 + i % 7) + ("y" if i % 2 else "")))
+    # boundary block: exactly max_block rows (must stay cold)
+    for i in range(5):
+        rows.append((100 + i, "edge name" + "z" * (i % 3)))
+    # cold blocks
+    rows += [(200, "cold bolt"), (201, "cold bolts"), (202, "lone widget")]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def pairs(**kw):
+        return {
+            (r.a_key, r.b_key, r.a_name, r.b_name, r.lev_dist)
+            for r in fuzzy_match_pairs(df, "id", "name", max_dist=2, **kw).collect()
+        }
+
+    uncapped = pairs()
+    assert uncapped  # the planted catalog must actually produce pairs
+    assert pairs(max_block=5) == uncapped
+    assert pairs(max_block=1) == uncapped  # every block refined
+    assert pairs(max_block=10_000) == uncapped  # no block refined
+
+
 def test_value_drift_psi_detects_planted_shift(spark, tmp_path):
     """PSI on a constructed stream: a type whose value distribution
     jumps between halves scores far above the 0.25 'shifted' alarm

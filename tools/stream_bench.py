@@ -1,0 +1,154 @@
+"""Wall-time datapoints for the four applyInPandasWithState paths
+(round-7 verdict #5): login_fail / order_timeout / tx_match /
+blacklist replayed under ``trigger(availableNow)`` at sf0.1 volume
+(100k events, matching events.parquet at that SF) into a noop sink.
+
+These rows have NO bench-baseline entry by policy (the frozen-baseline
+guardrail skips new rows); they are recorded in README's bench section
+as absolute datapoints plus a state-store sizing note.
+
+Usage: python tools/stream_bench.py [n_rows]   (default 100_000)
+Prints one JSON line: {"stream_bench": {name: sec, ...}, "n": n}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_kafka_spark.schemas import (  # noqa: E402
+    AD_CLICK,
+    LOGIN_EVENT,
+    ORDER_EVENT,
+    RECEIPT_EVENT,
+)
+from flink_kafka_spark.session import get_spark  # noqa: E402
+from flink_kafka_spark.streaming.sources import csv_replay_source  # noqa: E402
+from flink_kafka_spark.streaming.stateful import (  # noqa: E402
+    blacklist_stream,
+    login_fail_stream,
+    order_timeout_stream,
+    tx_match_stream,
+)
+
+BASE_TS = 1_700_000_000
+
+
+def run_stream(df, ckpt: str) -> None:
+    q = (
+        df.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # login: 200 users, ~75% fails, 200 events/s -> long fail chains
+        login_src = os.path.join(tmp, "login")
+        spark.range(n).select(
+            F.concat_ws(
+                ",",
+                F.pmod("id", F.lit(200)).cast("string"),
+                F.lit("ip"),
+                F.when(F.pmod(F.xxhash64("id"), F.lit(4)) == 0, "success").otherwise("fail"),
+                (F.lit(BASE_TS) + (F.col("id") / 200).cast("long")).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(login_src)
+        stream = csv_replay_source(spark, login_src, LOGIN_EVENT).withWatermark("ts", "1 second")
+        t0 = time.perf_counter()
+        run_stream(login_fail_stream(stream, max_gap_s=2), os.path.join(tmp, "ck_login"))
+        timings["login_fail_stream"] = round(time.perf_counter() - t0, 2)
+
+        # orders: n/2 order ids; even ids create+pay, odd ids create only
+        # (time out when the watermark passes create_ts + 900)
+        order_src = os.path.join(tmp, "orders")
+        ids = spark.range(n)
+        creates = ids.filter(F.pmod("id", F.lit(2)) == 0).select(
+            F.concat_ws(
+                ",",
+                (F.col("id") / 2).cast("long").cast("string"),
+                F.lit("create"),
+                F.lit(""),
+                (F.lit(BASE_TS) + (F.col("id") / 100).cast("long")).cast("string"),
+            ).alias("value")
+        )
+        pays = ids.filter(F.pmod("id", F.lit(4)) == 1).select(
+            F.concat_ws(
+                ",",
+                ((F.col("id") - 1) / 2).cast("long").cast("string"),
+                F.lit("pay"),
+                F.concat(F.lit("tx"), F.col("id").cast("string")),
+                (F.lit(BASE_TS) + (F.col("id") / 100).cast("long") + 30).cast("string"),
+            ).alias("value")
+        )
+        creates.union(pays).coalesce(4).write.mode("overwrite").text(order_src)
+        stream = csv_replay_source(spark, order_src, ORDER_EVENT).withWatermark("ts", "1 second")
+        t0 = time.perf_counter()
+        run_stream(order_timeout_stream(stream, timeout_s=900), os.path.join(tmp, "ck_order"))
+        timings["order_timeout_stream"] = round(time.perf_counter() - t0, 2)
+
+        # tx reconciliation: half the txs get a receipt 5s later
+        txo_src = os.path.join(tmp, "txo")
+        txr_src = os.path.join(tmp, "txr")
+        spark.range(n // 2).select(
+            F.concat_ws(
+                ",",
+                F.col("id").cast("string"),
+                F.lit("pay"),
+                F.concat(F.lit("tx"), F.col("id").cast("string")),
+                (F.lit(BASE_TS) + (F.col("id") / 100).cast("long")).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(txo_src)
+        spark.range(n // 2).filter(F.pmod("id", F.lit(2)) == 0).select(
+            F.concat_ws(
+                ",",
+                F.concat(F.lit("tx"), F.col("id").cast("string")),
+                F.lit("wechat"),
+                (F.lit(BASE_TS) + (F.col("id") / 100).cast("long") + 5).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(txr_src)
+        orders = csv_replay_source(spark, txo_src, ORDER_EVENT).withWatermark("ts", "1 second")
+        receipts = csv_replay_source(spark, txr_src, RECEIPT_EVENT).withWatermark("ts", "1 second")
+        t0 = time.perf_counter()
+        run_stream(tx_match_stream(orders, receipts), os.path.join(tmp, "ck_tx"))
+        timings["tx_match_stream"] = round(time.perf_counter() - t0, 2)
+
+        # ad clicks: 100 users x 10 ads, ~100 clicks per (user, ad) ->
+        # threshold=100 exercises the warn-once blacklist transition
+        click_src = os.path.join(tmp, "clicks")
+        spark.range(n).select(
+            F.concat_ws(
+                ",",
+                F.pmod("id", F.lit(100)).cast("string"),
+                F.pmod("id", F.lit(10)).cast("string"),
+                F.lit("p"),
+                F.lit("c"),
+                (F.lit(BASE_TS) + (F.col("id") / 1000).cast("long")).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(click_src)
+        clicks = csv_replay_source(spark, click_src, AD_CLICK).withWatermark("ts", "1 second")
+        t0 = time.perf_counter()
+        run_stream(blacklist_stream(clicks, threshold=100), os.path.join(tmp, "ck_click"))
+        timings["blacklist_stream"] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps({"stream_bench": timings, "n": n}))
+
+
+if __name__ == "__main__":
+    main()

@@ -317,6 +317,64 @@ def main() -> None:
     timings[f"bm25_search_{n_docs}"] = round(time.perf_counter() - t0, 2)
     assert len(hits) == 10 and all(r.score > 0 for r in hits), hits
 
+    # fuzzy-linkage hot-block probe (round-7 verdict #6): plant a
+    # catalog where 20% of rows share one first token — the
+    # block-quadratic shape the operator docstring warns about. The
+    # hot block is H = n/5 rows -> ~H² = 100M raw candidates at the
+    # default 50k. Two cost regimes, probed separately:
+    # - OUT-OF-BAND candidate mass (join output discarded by the
+    #   length-band filter): max_block folds the band into the join
+    #   key, removing it losslessly — this catalog plants lengths in
+    #   steps of 4 (> max_dist), so nearly all of the 100M candidate
+    #   pairs are out-of-band and the cap's saving is the observable
+    #   (measured ~2x wall at 50k; the ratio grows with H since
+    #   uncapped mass is H² vs capped H²/buckets).
+    # - IN-BAND verify mass (pairs the band admits): irreducible under
+    #   ANY lossless refinement — the selectivity of the blocking key
+    #   is the only lever (which is why fuzzy_part_matches uses a
+    #   composite key AND arms max_block).
+    # The probe asserts the capped pair set is IDENTICAL (the lossless
+    # claim of test_fuzzy_match_pairs_hot_block_cap_is_lossless, at
+    # scale) and the wall saving is real.
+    from flink_kafka_spark.operators.joins import fuzzy_match_pairs
+
+    n_fuzzy = 50_000
+    catalog = spark.range(n_fuzzy).select(
+        F.col("id"),
+        F.when(
+            F.pmod("id", F.lit(5)) == 0,
+            # hot first token; lengths step by 4 over ~40 band buckets
+            F.concat(
+                F.lit("hot "),
+                F.repeat(
+                    F.lit("abcd"),
+                    (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(40)) + 1).cast("int"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("tok"),
+                F.pmod(F.xxhash64("id", F.lit(5)), F.lit(2000)).cast("string"),
+                F.lit(" part_"),
+                F.pmod(F.xxhash64("id"), F.lit(4000)).cast("string"),
+            )
+        )
+        .alias("name"),
+    ).persist()
+    catalog.count()
+    t0 = time.perf_counter()
+    n_uncapped = fuzzy_match_pairs(catalog, "id", "name").count()
+    t_uncapped = round(time.perf_counter() - t0, 2)
+    timings[f"fuzzy_hot_block_uncapped_{n_fuzzy}"] = t_uncapped
+    t0 = time.perf_counter()
+    n_capped = fuzzy_match_pairs(catalog, "id", "name", max_block=1000).count()
+    t_capped = round(time.perf_counter() - t0, 2)
+    timings[f"fuzzy_hot_block_capped_{n_fuzzy}"] = t_capped
+    assert n_capped == n_uncapped, (n_capped, n_uncapped)
+    assert t_uncapped > 1.5 * t_capped, (t_uncapped, t_capped)
+    catalog.unpersist()
+
     # Misra-Gries sketch at cardinality the exact groupBy would choke
     # on: ~1M distinct tail keys + 3 planted mega-keys over n_events
     # tokens. The probe asserts the PODS'12 guarantees at scale: the
