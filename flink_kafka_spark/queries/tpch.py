@@ -882,17 +882,22 @@ GROUP BY 1, 2
 """
 
 
-_Q11_FRACTION_INV = 1000  # keep parts holding > 1/1000 of the nation's value
+_Q11_SHARE_MULT = 2  # keep parts holding > 2x the average part's value
 
 
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important-stock shape (TPC-H Q11): per-part inventory value
-    filtered by a HAVING scalar subquery (fraction of the grand total).
-    The total is a 1-row aggregate broadcast-crossed back onto the
-    per-part frame — no second scan of the bridge, no single-partition
-    window. Value stays exact BIGINT e4 units; the fraction compare
-    multiplies the part side by the integer inverse instead of
-    dividing the total (no float in the filter)."""
+    filtered by a HAVING scalar subquery against the grand total. The
+    canonical fixed fraction scales as 1/SF in the spec (a constant
+    share selects nothing as the catalog grows), so the threshold here
+    is SIZE-RELATIVE — parts holding more than ``_Q11_SHARE_MULT``
+    times the average part's value — which keeps the selectivity
+    stable at every SF. Both scalars (total, part count) come from ONE
+    1-row aggregate broadcast-crossed back onto the per-part frame —
+    no second scan of the bridge, no single-partition window. Value
+    stays exact BIGINT e4 units; the compare cross-multiplies integers
+    (no float in the filter; at true 100 TB card the product needs
+    DECIMAL(38) headroom, same swap as q9's profit note)."""
     l = load(spark, sf_dir, "lineitem")
     ps = _derived_partsupp(l)
     s = load(spark, sf_dir, "supplier")
@@ -909,10 +914,15 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = track(
         joined.groupBy("ps_partkey").agg(F.sum("value_e4").alias("value_e4")).persist()
     )
-    total = grouped.agg(F.sum("value_e4").alias("total_e4"))
+    total = grouped.agg(
+        F.sum("value_e4").alias("total_e4"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         grouped.join(F.broadcast(total))
-        .filter(F.col("value_e4") * _Q11_FRACTION_INV > F.col("total_e4"))
+        .filter(
+            F.col("value_e4") * F.col("n_parts")
+            > _Q11_SHARE_MULT * F.col("total_e4")
+        )
         .select("ps_partkey", (F.col("value_e4").cast("double") / 10000).alias("value"))
     )
 
@@ -928,7 +938,8 @@ grouped AS (
 )
 SELECT ps_partkey, CAST(value_e4 AS DOUBLE) / 10000 AS value
 FROM grouped
-WHERE value_e4 * {_Q11_FRACTION_INV} > (SELECT sum(value_e4) FROM grouped)
+WHERE value_e4 * (SELECT count(*) FROM grouped)
+      > {_Q11_SHARE_MULT} * (SELECT sum(value_e4) FROM grouped)
 """
 
 
