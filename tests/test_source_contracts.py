@@ -91,6 +91,73 @@ def test_socket_source_plan_contract(spark):
     assert df.columns == [f.name for f in APACHE_LOG.fields]
 
 
+def test_socket_source_end_to_end(spark):
+    """S3 EXECUTED, not just plan-pinned (round-7 'What's missing' #2):
+    a localhost TCP server feeds CSV lines through the real built-in
+    socket provider, the stream parses them with the positional schema
+    and lands them in a memory sink. No external peer needed — the
+    server lives in a test thread on an ephemeral port."""
+    import socket
+    import threading
+    import time
+
+    from flink_kafka_spark.schemas import USER_BEHAVIOR
+
+    t0 = 1_511_658_000
+    lines = [
+        f"543462,1715,1464116,pv,{t0}",
+        f"662867,2244074,1575622,pv,{t0 + 1}",
+    ]
+    done = threading.Event()
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            done.wait(60)  # keep the connection open while Spark reads
+        finally:
+            conn.close()
+            server.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    q = (
+        socket_source(spark, "127.0.0.1", port, USER_BEHAVIOR)
+        .writeStream.format("memory")
+        .queryName("socket_e2e")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM socket_e2e").first().c >= len(lines):
+                break
+            time.sleep(0.5)
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT user_id, item_id, category_id, behavior,"
+                    " unix_seconds(ts) AS ts_s FROM socket_e2e"
+                ).collect(),
+            )
+        )
+    finally:
+        done.set()
+        q.stop()
+    assert got == [
+        (543462, 1715, 1464116, "pv", t0),
+        (662867, 2244074, 1575622, "pv", t0 + 1),
+    ]
+
+
 def test_kafka_source_plan_contract_when_connector_present(spark):
     # full end-to-end plan assertion — runs wherever spark-sql-kafka is
     # deployed; in this sandbox the provider is absent and the failure

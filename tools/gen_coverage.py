@@ -16,7 +16,7 @@ from flink_kafka_spark.queries import all_queries  # noqa: E402
 SURVEY_IDS: dict[str, tuple[str, str]] = {
     "S1": ("Kafka consumer source", "streaming/sources.py:kafka_source; tests/test_source_contracts.py (option contract)"),
     "S2": ("Text-file source (CSV replay)", "streaming/sources.py:csv_replay_source; schemas.py:parse_csv_lines; tests/test_streaming.py"),
-    "S3": ("Socket source", "streaming/sources.py:socket_source; tests/test_source_contracts.py (analyzed-plan pin)"),
+    "S3": ("Socket source", "streaming/sources.py:socket_source; tests/test_source_contracts.py (EXECUTED end-to-end vs an in-test TCP server, plus analyzed-plan pin)"),
     "S4": ("Synthetic generator source", "streaming/sources.py:rate_marketing_source"),
     "S5": ("Kafka producer feed", "streaming/sinks.py:kafka_sink; tests/test_source_contracts.py (producer options + CSV payload)"),
     "K1": ("Console/print sink", "streaming/sinks.py:console_sink / memory sink in tests"),
