@@ -1107,8 +1107,10 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale prune ws to a broadcast top-V vocabulary first and the
     fan-out is V²-capped per doc. Word doc-frequencies are a broadcast
     (vocab-sized) side; the only large shuffle is the (w1, w2) count.
-    The final rank is a single-partition window over the vocab²-bounded
-    pair-count frame."""
+    The final top-k is orderBy+limit — Spark's TakeOrderedAndProject,
+    a per-partition partial top-k merged on the driver, so the
+    vocab²-sized pair frame never moves to one partition; only the
+    ≤ PMI_TOPK surviving rows pay a (bounded) rank window."""
     from ..caching import track
 
     t = track(
@@ -1143,11 +1145,9 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(PMI_TOPK)
     w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PMI_TOPK)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 WORD_PMI_ORACLE = f"""
