@@ -41,7 +41,9 @@ from flink_kafka_spark.streaming.stateful import (  # noqa: E402
 BASE_TS = 1_700_000_000
 
 
-def run_stream(df, ckpt: str) -> None:
+def run_stream(df, ckpt: str) -> dict:
+    """Run to completion; return peak state-store metrics across the
+    replay's micro-batches (rows + bytes from stateOperators)."""
     q = (
         df.writeStream.outputMode("append")
         .format("noop")
@@ -50,6 +52,13 @@ def run_stream(df, ckpt: str) -> None:
         .start()
     )
     q.awaitTermination(600)
+    rows = bytes_ = 0
+    for p in q.recentProgress:
+        prog = p if isinstance(p, dict) else json.loads(p.json)
+        for so in prog.get("stateOperators", []):
+            rows = max(rows, so.get("numRowsTotal", 0))
+            bytes_ = max(bytes_, so.get("memoryUsedBytes", 0))
+    return {"peak_state_rows": rows, "peak_state_bytes": bytes_}
 
 
 def main() -> None:
@@ -57,6 +66,7 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    state: dict[str, dict] = {}
 
     with tempfile.TemporaryDirectory() as tmp:
         # login: 200 users, ~75% fails, 200 events/s -> long fail chains
@@ -72,7 +82,9 @@ def main() -> None:
         ).coalesce(4).write.mode("overwrite").text(login_src)
         stream = csv_replay_source(spark, login_src, LOGIN_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
-        run_stream(login_fail_stream(stream, max_gap_s=2), os.path.join(tmp, "ck_login"))
+        state["login_fail_stream"] = run_stream(
+            login_fail_stream(stream, max_gap_s=2), os.path.join(tmp, "ck_login")
+        )
         timings["login_fail_stream"] = round(time.perf_counter() - t0, 2)
 
         # orders: n/2 order ids; even ids create+pay, odd ids create only
@@ -100,7 +112,9 @@ def main() -> None:
         creates.union(pays).coalesce(4).write.mode("overwrite").text(order_src)
         stream = csv_replay_source(spark, order_src, ORDER_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
-        run_stream(order_timeout_stream(stream, timeout_s=900), os.path.join(tmp, "ck_order"))
+        state["order_timeout_stream"] = run_stream(
+            order_timeout_stream(stream, timeout_s=900), os.path.join(tmp, "ck_order")
+        )
         timings["order_timeout_stream"] = round(time.perf_counter() - t0, 2)
 
         # tx reconciliation: half the txs get a receipt 5s later
@@ -126,7 +140,9 @@ def main() -> None:
         orders = csv_replay_source(spark, txo_src, ORDER_EVENT).withWatermark("ts", "1 second")
         receipts = csv_replay_source(spark, txr_src, RECEIPT_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
-        run_stream(tx_match_stream(orders, receipts), os.path.join(tmp, "ck_tx"))
+        state["tx_match_stream"] = run_stream(
+            tx_match_stream(orders, receipts), os.path.join(tmp, "ck_tx")
+        )
         timings["tx_match_stream"] = round(time.perf_counter() - t0, 2)
 
         # ad clicks: 100 users x 10 ads, ~100 clicks per (user, ad) ->
@@ -144,10 +160,12 @@ def main() -> None:
         ).coalesce(4).write.mode("overwrite").text(click_src)
         clicks = csv_replay_source(spark, click_src, AD_CLICK).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
-        run_stream(blacklist_stream(clicks, threshold=100), os.path.join(tmp, "ck_click"))
+        state["blacklist_stream"] = run_stream(
+            blacklist_stream(clicks, threshold=100), os.path.join(tmp, "ck_click")
+        )
         timings["blacklist_stream"] = round(time.perf_counter() - t0, 2)
 
-    print(json.dumps({"stream_bench": timings, "n": n}))
+    print(json.dumps({"stream_bench": timings, "state": state, "n": n}))
 
 
 if __name__ == "__main__":
