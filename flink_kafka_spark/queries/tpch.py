@@ -737,7 +737,13 @@ LIMIT 100
 #   ps_availqty = total quantity supplied (integral doubles sum exact).
 # At 100 TB the derived bridge is one map-side-combined shuffle on
 # (l_partkey, l_suppkey) — strictly cheaper than the real partsupp scan
-# + join it stands in for.
+# + join it stands in for. Each caller additionally PRE-FILTERS the
+# lineitem side with a broadcast left-semi join on its selective
+# dimension predicate BEFORE the aggregate (Spark does not push joins
+# through aggregates itself): the predicates are on grouping keys, so
+# every surviving group keeps all of its rows and the aggregate values
+# are identical — but the bridge shuffle carries only the few percent
+# of groups the query will keep.
 
 _PS_COST_E4 = "CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT)"
 
@@ -768,12 +774,18 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     region all reach the derived-partsupp shuffle as broadcasts; the
     min-cost frame is tiny (one row per surviving part) and broadcasts
     back. Cost equality joins on the exact BIGINT e4 units, never a
-    float."""
-    l = load(spark, sf_dir, "lineitem")
-    ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
+    float. The part filter semi-joins lineitem BELOW the bridge
+    aggregate (predicate on a grouping key — result-identical), so the
+    shuffle carries only the surviving parts' groups."""
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
     )
+    l = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -842,10 +854,17 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4 units until the terminal projection (sum order can't matter);
     at 100 TB the DECIMAL(38) variant replaces the BIGINT but the plan
     is unchanged: two fact shuffles (the ps aggregate, the orderkey
-    join), everything else broadcast."""
-    l = load(spark, sf_dir, "lineitem")
-    ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
+    join), everything else broadcast — and both shuffles carry only
+    the '%gear%' parts' rows, because the part filter semi-joins
+    lineitem below the bridge aggregate (grouping-key predicate,
+    result-identical)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    l = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select(F.col("p_partkey").alias("_fp"))),
+        F.col("l_partkey") == F.col("_fp"),
+        "left_semi",
+    )
+    ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("o_year")
     )
@@ -897,17 +916,25 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second scan of the bridge, no single-partition window. Value
     stays exact BIGINT e4 units; the compare cross-multiplies integers
     (no float in the filter; at true 100 TB card the product needs
-    DECIMAL(38) headroom, same swap as q9's profit note)."""
-    l = load(spark, sf_dir, "lineitem")
-    ps = _derived_partsupp(l)
+    DECIMAL(38) headroom, same swap as q9's profit note). The nation's
+    supplier keys semi-join lineitem below the bridge aggregate
+    (grouping-key predicate, result-identical), so the shuffle carries
+    one nation's groups, not the world's."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    l = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(nat_supp),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = _derived_partsupp(l)
     from ..caching import track
 
-    joined = (
-        ps.join(s, ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select("ps_partkey", (F.col("ps_cost_e4") * F.col("ps_availqty")).alias("value_e4"))
+    # the semi-join above already restricts the bridge to the nation's
+    # suppliers — no post-aggregate supplier/nation join needed
+    joined = ps.select(
+        "ps_partkey", (F.col("ps_cost_e4") * F.col("ps_availqty")).alias("value_e4")
     )
     # referenced twice (grand total + HAVING filter) — persist so the
     # bridge aggregate runs once instead of once per branch
@@ -952,8 +979,14 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     split of one aggregate). One lineitem pass computes both sums;
     the part filter semi-joins as a broadcast; the qualifying supplier
     keys collapse to a distinct set that semi-joins supplier. The
-    half-threshold compares 2*stock > shipped in exact integers."""
-    l = load(spark, sf_dir, "lineitem")
+    half-threshold compares 2*stock > shipped in exact integers. The
+    promo-part semi-join sits BELOW the pair aggregate (grouping-key
+    predicate, result-identical), so the shuffle carries only promo
+    parts' groups."""
+    promo = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    l = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
     pairs = l.groupBy("l_partkey", "l_suppkey").agg(
         F.expr(
             "CAST(sum(CASE WHEN l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'"
@@ -964,13 +997,11 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 0 ELSE l_quantity END) AS BIGINT)"
         ).alias("stock_qty"),
     )
-    promo = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     qualified = (
         pairs.filter(
             (F.col("shipped_1997") > 0)
             & (F.lit(2) * F.col("stock_qty") > F.col("shipped_1997"))
         )
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_suppkey")
         .distinct()
     )

@@ -145,14 +145,17 @@ def main() -> None:
         )
         timings["tx_match_stream"] = round(time.perf_counter() - t0, 2)
 
-        # ad clicks: 100 users x 10 ads, ~100 clicks per (user, ad) ->
-        # threshold=100 exercises the warn-once blacklist transition
+        # ad clicks: 100 users x 10 ads = 1000 keys, ~100 clicks per
+        # (user, ad) -> threshold=100 exercises the warn-once
+        # transition. ad must be an INDEPENDENT residue: id % 10 is
+        # fully determined by id % 100, which would collapse the
+        # keyspace to 100 keys at 10x the click density.
         click_src = os.path.join(tmp, "clicks")
         spark.range(n).select(
             F.concat_ws(
                 ",",
                 F.pmod("id", F.lit(100)).cast("string"),
-                F.pmod("id", F.lit(10)).cast("string"),
+                F.pmod(F.xxhash64("id"), F.lit(10)).cast("string"),
                 F.lit("p"),
                 F.lit("c"),
                 (F.lit(BASE_TS) + (F.col("id") / 1000).cast("long")).cast("string"),
