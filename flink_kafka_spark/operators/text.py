@@ -397,7 +397,11 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def inverted_index(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Posting-list inverted index over whitespace tokens: one row per
     (term, document) with the term's document frequency attached —
@@ -409,11 +413,23 @@ def inverted_index(
     are unique per (term, id) by construction, so no distinct shuffle)
     → df via a window over the term; the one shuffle co-partitions the
     postings by term for the downstream merge.
+
+    ``terms`` (a 1-column ``term`` frame, broadcast-sized) restricts
+    the index to those terms BELOW the dfreq window — per-term df
+    depends only on that term's own postings, so the restricted rows
+    are byte-identical to the full index's, but the term shuffle
+    carries a query batch's postings instead of the corpus vocabulary
+    (the aggregate-pushdown discipline of the derived-partsupp TPC-H
+    block).
     """
     from pyspark.sql.window import Window
 
     ws = F.split(F.lower(F.col(text_col)), r"\s+")
     postings = df.select(F.col(id_col), F.explode(F.array_distinct(ws)).alias("term"))
+    if terms is not None:
+        postings = postings.join(
+            F.broadcast(terms.select("term").distinct()), "term", "left_semi"
+        )
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     return (
         postings.withColumn("dfreq", dfreq)

@@ -930,18 +930,26 @@ def multi_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: queries (id, term) broadcast against the postings (bounded
     query batches; flip the build side for query-heavy workloads), one
-    groupBy on (query_id, doc_id), per-query top-k window."""
+    groupBy on (query_id, doc_id), per-query top-k window. The query
+    batch's distinct terms also PRE-FILTER the index below its dfreq
+    window (per-term df is self-contained, so the restriction is
+    result-identical) — the term shuffle carries ~15 terms' postings
+    instead of the corpus vocabulary."""
     from pyspark.sql.window import Window
 
+    from ..caching import track
     from ..operators.text import inverted_index, tfidf_top_terms
 
     docs = load(spark, sf_dir, "documents")
-    queries = (
+    # consumed twice (term pre-filter + scoring join) — persist the
+    # ~15-row frame so tf-idf isn't recomputed per consumer
+    queries = track(
         tfidf_top_terms(docs, k=TFIDF_K)
         .filter(F.col("doc_id") < SEARCH_N_QUERIES)
         .select(F.col("doc_id").alias("query_id"), "term")
+        .persist()
     )
-    postings = inverted_index(docs, min_df=INDEX_MIN_DF)
+    postings = inverted_index(docs, min_df=INDEX_MIN_DF, terms=queries)
     scored = (
         postings.join(F.broadcast(queries), "term")
         .filter(F.col("doc_id") != F.col("query_id"))
