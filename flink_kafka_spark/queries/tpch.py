@@ -743,7 +743,18 @@ LIMIT 100
 # through aggregates itself): the predicates are on grouping keys, so
 # every surviving group keeps all of its rows and the aggregate values
 # are identical — but the bridge shuffle carries only the few percent
-# of groups the query will keep.
+# of groups the query will keep. The explicit F.broadcast assumes the
+# FILTERED key set stays broadcast-sized; that holds for a fixed name/
+# type/size predicate only up to the SF where a few percent of part
+# still fits an executor — past that, drop the hint and let AQE pick
+# the join side (the semi below the aggregate stays correct either
+# way, it just shuffles).
+
+
+def _push_semi(l: DataFrame, keys: DataFrame, left_col: str, key_col: str) -> DataFrame:
+    """Broadcast left-semi of ``l`` against a selective key frame —
+    the one pushdown pattern all four partsupp-derived queries share."""
+    return l.join(F.broadcast(keys), F.col(left_col) == F.col(key_col), "left_semi")
 
 _PS_COST_E4 = "CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT)"
 
@@ -780,10 +791,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
     )
-    l = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(p.select("p_partkey")),
-        F.col("l_partkey") == F.col("p_partkey"),
-        "left_semi",
+    l = _push_semi(
+        load(spark, sf_dir, "lineitem"), p.select("p_partkey"), "l_partkey", "p_partkey"
     )
     ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
     s = load(spark, sf_dir, "supplier")
@@ -859,12 +868,12 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem below the bridge aggregate (grouping-key predicate,
     result-identical)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
-    l = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(p.select(F.col("p_partkey").alias("_fp"))),
-        F.col("l_partkey") == F.col("_fp"),
-        "left_semi",
-    )
-    ps = _derived_partsupp(l).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
+    # only the BRIDGE input needs the semi — the fact path inner-joins
+    # broadcast(p) on the same key below, which subsumes it
+    l = load(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(
+        _push_semi(l, p.select(F.col("p_partkey").alias("_fp")), "l_partkey", "_fp")
+    ).select("ps_partkey", "ps_suppkey", "ps_cost_e4")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("o_year")
     )
@@ -923,10 +932,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
-    l = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(nat_supp),
-        F.col("l_suppkey") == F.col("s_suppkey"),
-        "left_semi",
+    l = _push_semi(
+        load(spark, sf_dir, "lineitem"), nat_supp, "l_suppkey", "s_suppkey"
     )
     ps = _derived_partsupp(l)
     from ..caching import track
@@ -984,9 +991,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, result-identical), so the shuffle carries only promo
     parts' groups."""
     promo = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
-    l = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
-    )
+    l = _push_semi(load(spark, sf_dir, "lineitem"), promo, "l_partkey", "p_partkey")
     pairs = l.groupBy("l_partkey", "l_suppkey").agg(
         F.expr(
             "CAST(sum(CASE WHEN l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'"

@@ -154,11 +154,10 @@ PLAN_BOUNDS = {
     "markup_strip": (0, 0),  # chained-regexp projection
     # composed: tfidf(4) + index(2) + score groupBy + topk window;
     # queries must stay broadcast (smj would mean the build side grew)
-    # 12 since r8: the persisted ~15-row query frame is referenced by
-    # both the term pre-filter and the scoring join, and the
-    # pre-materialization audit counts its tf-idf subtree once per
-    # reference; at runtime it materializes once (persist)
-    "multi_query_search": (12, 0),
+    # 8 since r8: +1 for the persisted query frame's materialization
+    # barrier feeding the new term pre-filter — explain substitutes
+    # the cached relation, so the tf-idf subtree is counted once
+    "multi_query_search": (8, 0),
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
