@@ -71,6 +71,47 @@ def file_stream_source(
     return reader.format(fmt).load(path)
 
 
+def json_lines_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sec_ts: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """JSON-lines file replay (beyond the reference's CSV-only surface
+    — the jq-able format every modern log pipeline emits): one JSON
+    object per line → typed columns via ``from_json``. Timestamp
+    fields arrive as epoch seconds (``sec_ts=False``: milliseconds)
+    and land as TimestampType, matching every other source here, so
+    the same windowed jobs run unchanged on either wire format.
+
+    Scale shape: the text scan is splittable per file, ``from_json``
+    is a JVM expression inside whole-stage codegen (no Python), and a
+    malformed line yields NULL columns rather than failing the batch —
+    gate on ``F.col(key).isNotNull()`` downstream for dead-letter
+    routing (the K2 side-output pattern)."""
+    shadow = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.LongType() if isinstance(f.dataType, T.TimestampType) else f.dataType,
+            )
+            for f in schema.fields
+        ]
+    )
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    rec = reader.text(path).select(F.from_json(F.col("value"), shadow).alias("_r"))
+    cols = []
+    for f in schema.fields:
+        c = F.col(f"_r.{f.name}")
+        if isinstance(f.dataType, T.TimestampType):
+            c = F.timestamp_seconds(c) if sec_ts else F.timestamp_millis(c)
+        cols.append(c.alias(f.name))
+    return rec.select(*cols)
+
+
 def csv_replay_source(
     spark: SparkSession,
     path: str,

@@ -109,6 +109,49 @@ def test_hot_items_stream_matches_batch(spark, tmp_path):
     assert ranked.groupBy("window_start_s").count().agg(F.max("count")).first()[0] <= 2
 
 
+# --- JSON-lines source parity: same events, either wire format ---
+
+
+def test_json_lines_source_matches_csv_replay(spark, tmp_path):
+    """The JSON-lines source (beyond the reference's CSV-only surface)
+    must feed the SAME windowed job to the SAME result as the CSV
+    replay of identical events — and a malformed line must degrade to
+    NULL columns (dead-letterable), not fail the batch."""
+    import json
+
+    from flink_kafka_spark.streaming.sources import json_lines_source
+
+    t0 = 1_511_658_000
+    events = [
+        (543462, 1715, 1464116, "pv", t0),
+        (543462, 1715, 1464116, "pv", t0 + 60),
+        (662867, 2244074, 1575622, "pv", t0 + 120),
+        (662867, 2244074, 1575622, "buy", t0 + 150),
+        # sentinel advances the final watermark past the first windows
+        (1, 1, 1, "pv", t0 + 7200),
+    ]
+    keys = ("user_id", "item_id", "category_id", "behavior", "ts")
+    _write_lines(
+        str(tmp_path / "csv" / "b0.csv"),
+        [",".join(str(v) for v in e) for e in events],
+    )
+    _write_lines(
+        str(tmp_path / "json" / "b0.jsonl"),
+        [json.dumps(dict(zip(keys, e))) for e in events] + ['{"not": "an event"'],
+    )
+
+    csv_stream = csv_replay_source(spark, str(tmp_path / "csv"), USER_BEHAVIOR)
+    json_stream = json_lines_source(spark, str(tmp_path / "json"), USER_BEHAVIOR)
+    # the malformed line parses to all-NULL columns; gate it like a
+    # dead-letter route would, then run the identical windowed job
+    json_stream = json_stream.filter(F.col("user_id").isNotNull())
+    _run_stream(hot_items_stream(csv_stream), "jsrc_csv_out")
+    _run_stream(hot_items_stream(json_stream), "jsrc_json_out")
+    csv_rows = sorted(map(tuple, spark.sql("SELECT * FROM jsrc_csv_out").collect()))
+    json_rows = sorted(map(tuple, spark.sql("SELECT * FROM jsrc_json_out").collect()))
+    assert csv_rows == json_rows and csv_rows
+
+
 # --- login-fail stateful detector (T1/T2) ---
 
 
