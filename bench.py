@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "tpch_q9",
     "tpch_q11",
     "tpch_q20",
+    # round-8: index-driven batch retrieval after the query-term
+    # pre-filter below the dfreq window. No baseline entry yet.
+    "multi_query_search",
 ]
 
 
