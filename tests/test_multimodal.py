@@ -68,3 +68,31 @@ def test_resize_truncates_and_pads(media):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"\x89PNG")
+
+
+def test_documents_fixture_is_ascii_everywhere(spark):
+    """MEDIA_FEATURES_ORACLE (queries/multimodal.py) compares a
+    character-based DuckDB recompute (ascii/substring/length) against
+    ``extract_features`` operating on UTF-8 payload BYTES; the parity
+    holds only while every fixture text is single-byte (r8 ADVICE). If
+    a future fixture plants non-ASCII (e.g. mojibake for
+    encoding_audit), fail HERE with the real cause rather than as an
+    opaque driver hash mismatch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = os.path.join("/root/testdata", sf)
+        if not os.path.isdir(path):
+            continue
+        bad = (
+            load(spark, path, "documents")
+            .filter(F.length("text") != F.octet_length("text"))
+            .count()
+        )
+        assert bad == 0, (
+            f"{sf}: {bad} non-ASCII documents — the char-based "
+            "media-features oracle no longer matches the byte-based "
+            "operator; rewrite MEDIA_FEATURES_ORACLE byte-wise first"
+        )

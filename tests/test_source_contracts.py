@@ -116,12 +116,27 @@ def test_socket_source_end_to_end(spark):
     server.listen(1)
 
     def serve():
-        conn, _ = server.accept()
+        # accept in a loop: if Spark's socket source reconnects after a
+        # transient reset, a one-shot accept would leave it hanging
+        # until the 60s deadline (r8 ADVICE) — serve every connection
+        # until the test signals done, keeping each open for reads
+        conns = []
+        server.settimeout(0.5)
         try:
-            conn.sendall(("\n".join(lines) + "\n").encode())
-            done.wait(60)  # keep the connection open while Spark reads
+            while not done.is_set():
+                try:
+                    conn, _ = server.accept()
+                except TimeoutError:
+                    continue
+                try:
+                    conn.sendall(("\n".join(lines) + "\n").encode())
+                except OSError:
+                    conn.close()
+                    continue
+                conns.append(conn)  # keep open while Spark reads
         finally:
-            conn.close()
+            for c in conns:
+                c.close()
             server.close()
 
     t = threading.Thread(target=serve, daemon=True)

@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
 
 from flink_kafka_spark.schemas import (  # noqa: E402
     AD_CLICK,
@@ -41,9 +42,42 @@ from flink_kafka_spark.streaming.stateful import (  # noqa: E402
 BASE_TS = 1_700_000_000
 
 
-def run_stream(df, ckpt: str) -> dict:
-    """Run to completion; return peak state-store metrics across the
-    replay's micro-batches (rows + bytes from stateOperators)."""
+class PeakStateListener(StreamingQueryListener):
+    """Accumulate per-query state-store maxima as progress events
+    arrive. Scanning ``q.recentProgress`` after termination is lossy:
+    Spark caps that buffer at spark.sql.streaming.
+    numRecentProgressUpdates (~100 entries), so an availableNow replay
+    with more micro-batches silently under-reports the peak."""
+
+    def __init__(self) -> None:
+        self.peaks: dict[str, dict] = {}
+        self.terminated: set[str] = set()
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        prog = json.loads(event.progress.json)
+        peak = self.peaks.setdefault(
+            str(prog["id"]), {"peak_state_rows": 0, "peak_state_bytes": 0}
+        )
+        for so in prog.get("stateOperators", []):
+            peak["peak_state_rows"] = max(peak["peak_state_rows"], so.get("numRowsTotal", 0))
+            peak["peak_state_bytes"] = max(
+                peak["peak_state_bytes"], so.get("memoryUsedBytes", 0)
+            )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self.terminated.add(str(event.id))
+
+
+def run_stream(df, ckpt: str, listener: PeakStateListener) -> dict:
+    """Run to completion; return peak state-store metrics across ALL of
+    the replay's micro-batches (rows + bytes from stateOperators),
+    collected by the listener rather than the capped recentProgress."""
     q = (
         df.writeStream.outputMode("append")
         .format("noop")
@@ -52,19 +86,22 @@ def run_stream(df, ckpt: str) -> dict:
         .start()
     )
     q.awaitTermination(600)
-    rows = bytes_ = 0
-    for p in q.recentProgress:
-        prog = p if isinstance(p, dict) else json.loads(p.json)
-        for so in prog.get("stateOperators", []):
-            rows = max(rows, so.get("numRowsTotal", 0))
-            bytes_ = max(bytes_, so.get("memoryUsedBytes", 0))
-    return {"peak_state_rows": rows, "peak_state_bytes": bytes_}
+    # listener events are delivered on a separate thread; wait for the
+    # terminated event so every progress update has been folded in
+    deadline = time.time() + 30
+    while str(q.id) not in listener.terminated and time.time() < deadline:
+        time.sleep(0.1)
+    return dict(
+        listener.peaks.get(str(q.id), {"peak_state_rows": 0, "peak_state_bytes": 0})
+    )
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    listener = PeakStateListener()
+    spark.streams.addListener(listener)
     timings: dict[str, float] = {}
     state: dict[str, dict] = {}
 
@@ -83,7 +120,7 @@ def main() -> None:
         stream = csv_replay_source(spark, login_src, LOGIN_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
         state["login_fail_stream"] = run_stream(
-            login_fail_stream(stream, max_gap_s=2), os.path.join(tmp, "ck_login")
+            login_fail_stream(stream, max_gap_s=2), os.path.join(tmp, "ck_login"), listener
         )
         timings["login_fail_stream"] = round(time.perf_counter() - t0, 2)
 
@@ -113,7 +150,7 @@ def main() -> None:
         stream = csv_replay_source(spark, order_src, ORDER_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
         state["order_timeout_stream"] = run_stream(
-            order_timeout_stream(stream, timeout_s=900), os.path.join(tmp, "ck_order")
+            order_timeout_stream(stream, timeout_s=900), os.path.join(tmp, "ck_order"), listener
         )
         timings["order_timeout_stream"] = round(time.perf_counter() - t0, 2)
 
@@ -141,7 +178,7 @@ def main() -> None:
         receipts = csv_replay_source(spark, txr_src, RECEIPT_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
         state["tx_match_stream"] = run_stream(
-            tx_match_stream(orders, receipts), os.path.join(tmp, "ck_tx")
+            tx_match_stream(orders, receipts), os.path.join(tmp, "ck_tx"), listener
         )
         timings["tx_match_stream"] = round(time.perf_counter() - t0, 2)
 
@@ -164,7 +201,7 @@ def main() -> None:
         clicks = csv_replay_source(spark, click_src, AD_CLICK).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
         state["blacklist_stream"] = run_stream(
-            blacklist_stream(clicks, threshold=100), os.path.join(tmp, "ck_click")
+            blacklist_stream(clicks, threshold=100), os.path.join(tmp, "ck_click"), listener
         )
         timings["blacklist_stream"] = round(time.perf_counter() - t0, 2)
 
