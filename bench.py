@@ -150,6 +150,13 @@ BENCH_QUERIES = [
     # round-8: index-driven batch retrieval after the query-term
     # pre-filter below the dfreq window. No baseline entry yet.
     "multi_query_search",
+    # round-9 additions: grid resample + ffill, RANGE-interval moving
+    # aggregate, first-arrival dedup, BPE pair induction. No baseline
+    # entries yet — guardrail skips them until a justified re-record.
+    "events_gapfill",
+    "orders_moving_revenue",
+    "events_dedup_late",
+    "bpe_merge_candidates",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Time-series resampling: regular-grid densification with
+forward-fill, the batch form of the gap-handling every windowed
+streaming aggregate implies (reference: HotItems-style windowed counts
+emit nothing for empty windows — Flink-kafka's window operators,
+SURVEY.md §2.6; a downstream consumer of those aggregates needs the
+empty buckets materialized and the last observation carried forward).
+
+Scale design (100 TB):
+- The raw stream is touched exactly once, as a narrow 3-column
+  projection, by the (key, bucket) partial-aggregated count/sum
+  shuffle; that grid-capped aggregate is persisted and re-read for the
+  1-row global bucket range (broadcast back), the distinct-key frame,
+  and the grid left join.
+- The dense grid is generated executor-side from the DISTINCT key
+  frame with ``explode(sequence(...))`` — |keys| x |buckets| rows that
+  never existed on the wire; no corpus-sized shuffle produces it.
+- The observed frame the grid left-joins is the POST-aggregation
+  (key, bucket) frame, whose size is capped by the grid itself, so the
+  broadcast hint is bounded by |keys| x |buckets| — the resample
+  resolution the caller chose — never by the corpus. For a resolution
+  too fine to broadcast (1 s buckets x 1 M keys), drop the hint and
+  the same plan runs as a co-partitioned shuffle join on (key, bucket).
+- Forward-fill is ONE window pass per key (``last(..., ignorenulls)``
+  over an unbounded-preceding frame), so the only post-grid exchange
+  is the per-key sort — again grid-sized, not corpus-sized. Per-key
+  grid length is bounded; a pathological span/resolution combination
+  shows up as grid size, not as skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _e4(col: str | Column) -> Column:
+    """Exact 4-dp fixed-point units (the repo's cross-engine money/
+    metric convention): floor-half-up to BIGINT so every downstream
+    sum is integer-exact and partition-order-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+) -> DataFrame:
+    """Densify an event stream onto a ``step_s``-second grid per key.
+
+    Returns one row per (key, grid bucket) over the GLOBAL observed
+    bucket range (shared range: a key silent at the edges still gets
+    rows, which is the monitoring semantics — silence IS the signal):
+
+    - ``cnt``          events observed in the bucket (0 when empty);
+    - ``bucket_avg``   mean value of the bucket's own events, half-up
+                       4 dp, NULL when the bucket is empty;
+    - ``filled_avg``   forward-filled ``bucket_avg`` (last observed
+                       bucket's mean carried across gaps; NULL until
+                       the key's first observation);
+    - ``gap_buckets``  distance in buckets since the last observed
+                       bucket (0 on observed rows, NULL before the
+                       first observation).
+    """
+    events = df.select(
+        F.col(key_col).alias("key"),
+        (F.floor(F.unix_timestamp(ts_col) / step_s) * step_s)
+        .cast("long")
+        .alias("bucket_s"),
+        F.col(value_col).alias("v"),
+    )
+    from ..caching import track
+
+    # obs is the grid-capped aggregated frame, read three times
+    # (bounds, distinct keys, the left join); persisting it bounds the
+    # raw-stream scans to exactly one.
+    obs = track(
+        events.groupBy("key", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_e4("v")).alias("val_e4"),
+        )
+        .persist()
+    )
+    bounds = obs.agg(
+        F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx")
+    )
+    grid = (
+        obs.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("mn", "mx", F.lit(int(step_s)).cast("long"))
+            ).alias("bucket_s"),
+        )
+    )
+    full = grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer-exact until this projection: avg_e4 = floor(sum_e4/cnt
+    # + 0.5); both operands are exact BIGINTs well under 2^53, so the
+    # double division is the same on any engine.
+    avg_e4 = F.floor(F.col("val_e4") / F.col("cnt") + F.lit(0.5))
+    return full.select(
+        F.col("key").alias(key_col),
+        "bucket_s",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        (avg_e4 / 10000.0).alias("bucket_avg"),
+        (F.last(avg_e4, ignorenulls=True).over(w) / 10000.0).alias("filled_avg"),
+        (
+            (
+                F.col("bucket_s")
+                - F.max(
+                    F.when(F.col("cnt").isNotNull(), F.col("bucket_s"))
+                ).over(w)
+            )
+            / F.lit(int(step_s))
+        )
+        .cast("long")
+        .alias("gap_buckets"),
+    )

@@ -758,3 +758,111 @@ QUERIES.append(
     Query("orders_status_unpivot", orders_status_unpivot, ORDERS_UNPIVOT_ORACLE,
           "UNPIVOT surface: pivot-melt closure (beyond ref)")
 )
+
+
+# --- regular-grid resample + forward-fill ---
+#
+# The batch form of the gap question every windowed streaming
+# aggregate leaves open (the reference's window operators emit nothing
+# for empty windows — SURVEY.md §2.6): densify the stream onto a
+# 5-minute grid per event_type, 0-fill the counts, carry the last
+# observed bucket mean forward, and report the gap distance. Scale
+# notes in operators/timeseries.py: the corpus is touched twice as a
+# narrow projection; the dense grid is generated executor-side and
+# everything after the (key, bucket) aggregate is grid-sized.
+
+GAPFILL_STEP_S = 300
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_ffill
+
+    events = load(spark, sf_dir, "events")
+    return resample_ffill(events, "event_type", "ts", "value", GAPFILL_STEP_S)
+
+
+EVENTS_GAPFILL_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / {GAPFILL_STEP_S}) AS BIGINT) * {GAPFILL_STEP_S} AS bucket_s,
+         count(*) AS cnt,
+         sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS val_e4
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(bucket_s) AS mn, max(bucket_s) AS mx FROM obs),
+grid AS (
+  SELECT k.key, t.bucket_s
+  FROM (SELECT DISTINCT key FROM obs) k, rng,
+       LATERAL (SELECT unnest(generate_series(rng.mn, rng.mx, {GAPFILL_STEP_S})) AS bucket_s) t
+),
+full_grid AS (
+  SELECT g.key, g.bucket_s, o.cnt,
+         floor(o.val_e4 / o.cnt + 0.5) AS avg_e4
+  FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.bucket_s = g.bucket_s
+)
+SELECT key AS event_type, bucket_s,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       avg_e4 / 10000.0 AS bucket_avg,
+       last_value(avg_e4 IGNORE NULLS)
+         OVER (PARTITION BY key ORDER BY bucket_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
+         AS filled_avg,
+       CAST((bucket_s - max(CASE WHEN cnt IS NOT NULL THEN bucket_s END)
+                          OVER (PARTITION BY key ORDER BY bucket_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            / {GAPFILL_STEP_S} AS BIGINT) AS gap_buckets
+FROM full_grid
+"""
+
+QUERIES.append(
+    Query("events_gapfill", events_gapfill, EVENTS_GAPFILL_ORACLE,
+          "ext: grid resample + forward-fill (empty-window densification)")
+)
+
+
+# --- RANGE-interval moving aggregates over sparse daily revenue ---
+#
+# The one window-frame shape the repo's window surface hadn't
+# demonstrated: a VALUE-range frame (RANGE BETWEEN 6 PRECEDING) over
+# integer day numbers, which — unlike the ROWS frames in
+# customer_running_totals — is gap-correct on sparse keys: a priority
+# with no orders for a week contributes nothing to the trailing sum,
+# no matter how the rows pack. Money stays integer cents through the
+# frame sum (partition-order-proof); the raw scan is one (priority,
+# day) partial-agg shuffle and every window runs on the day-level
+# frame (|priorities| x |days|, corpus-independent).
+
+ORDERS_MOVING_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(unix_seconds(o_orderdate) / 86400) AS BIGINT) AS day_num,
+         count(*) AS n_orders,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority,
+       day_num * 86400 AS day_s,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(rev_c AS DOUBLE) / 100 AS day_revenue,
+       CAST(sum(rev_c) OVER w7 AS DOUBLE) / 100 AS rev_7d,
+       CAST(sum(n_orders) OVER w7 AS BIGINT) AS orders_7d,
+       CAST(count(*) OVER w7 AS BIGINT) AS days_present_7d
+FROM daily
+WINDOW w7 AS (PARTITION BY priority ORDER BY day_num
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def orders_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORDERS_MOVING_SQL)
+
+
+ORDERS_MOVING_ORACLE = ORDERS_MOVING_SQL.replace(
+    "unix_seconds(o_orderdate)", "epoch(o_orderdate)"
+)
+
+QUERIES.append(
+    Query("orders_moving_revenue", orders_moving_revenue, ORDERS_MOVING_ORACLE,
+          "ext: RANGE-interval moving aggregate (gap-correct trailing 7d)")
+)

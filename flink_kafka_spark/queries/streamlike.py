@@ -372,6 +372,51 @@ FROM events WHERE event_type = 'purchase' AND value > 100.0
 """
 
 
+# --- first-arrival dedup within a watermark horizon ---
+#
+# The batch twin of Structured Streaming's
+# ``dropDuplicatesWithinWatermark`` (the streaming execution is
+# exercised in tests/test_streaming.py against this exact frame): an
+# at-least-once feed re-delivers events, and the consumer keeps the
+# FIRST arrival per logical key, counting how many deliveries it
+# absorbed. One groupBy shuffle with map-side partial aggregation —
+# deliberately NOT a row_number window, which would sort whole
+# partitions at 100 TB; the (first_ts, first_id) pair travels as one
+# packed BIGINT min (ts_s*1e7 + event_id ≈ 1.7e16 << 2^63, exact),
+# so the combiner stays a plain min and the decode is two integer ops
+# in the terminal projection.
+
+EVENTS_DEDUP_LATE_SQL = """
+WITH arrivals AS (
+  SELECT user_id, event_type,
+         CAST(floor(unix_seconds(ts)) AS BIGINT) AS ts_s,
+         event_id
+  FROM events
+)
+SELECT user_id, event_type,
+       min(ts_s * 10000000 + event_id) div 10000000 AS first_ts_s,
+       min(ts_s * 10000000 + event_id) % 10000000 AS first_event_id,
+       CAST(count(*) AS BIGINT) AS arrivals,
+       max(ts_s) - min(ts_s) AS span_s
+FROM arrivals
+GROUP BY user_id, event_type
+"""
+
+
+def events_dedup_late(spark, sf_dir):
+    from ..tables import load as _load
+
+    _load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(EVENTS_DEDUP_LATE_SQL)
+
+
+EVENTS_DEDUP_LATE_ORACLE = (
+    EVENTS_DEDUP_LATE_SQL
+    .replace("unix_seconds(ts)", "epoch(ts)")
+    .replace(" div ", " // ")
+)
+
+
 QUERIES = [
     Query("hot_items_topn", hot_items_topn, HOT_ITEMS_ORACLE, "W1 A1 G1 G2 R1 R4"),
     Query("hot_items_report", hot_items_report, HOT_ITEMS_REPORT_ORACLE, "P6 sink formatting"),
@@ -388,4 +433,6 @@ QUERIES = [
     Query("orders_daily_by_priority", orders_daily_by_priority, ORDERS_DAILY_ORACLE, "W4 A5 G7"),
     Query("hot_sources_topn", hot_sources_topn, HOT_SOURCES_ORACLE, "F2 F3 R2 G3"),
     Query("high_value_purchases", high_value_purchases, HIGH_VALUE_ORACLE, "P1 P2 P5 F1-F5"),
+    Query("events_dedup_late", events_dedup_late, EVENTS_DEDUP_LATE_ORACLE,
+          "ext: dropDuplicatesWithinWatermark batch twin (first-arrival dedup)"),
 ]

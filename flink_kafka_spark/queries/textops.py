@@ -1852,3 +1852,83 @@ QUERIES.append(
         "ext: K4 closure — apply(old, diff(old,new)) == new",
     )
 )
+
+
+# --- BPE merge-candidate induction (tokenizer-training step 1) ---
+#
+# The first iteration of byte-pair-encoding training: rank adjacent
+# symbol pairs by corpus frequency — the pair a BPE trainer would
+# merge next. The scale story is the two-level explode: token counts
+# collapse the corpus to a VOCABULARY frame first (one word shuffle
+# with map-side combine), and the character-pair fan-out happens on
+# distinct words only, weighted by their corpus frequency — a word
+# seen a billion times contributes its pairs once. The pair aggregate
+# is alphabet²-bounded, and the final top-k is orderBy+limit (Spark's
+# TakeOrderedAndProject — per-partition partial top-k, no full sort);
+# only the ≤ BPE_TOPK survivors pay the rank window.
+
+BPE_TOPK = 50
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # NB: guard length >= 2 BEFORE the sequence — Spark's
+    # sequence(1, 0) infers step -1 and yields [1, 0], not [].
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wf",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(BPE_TOPK)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "pair"))
+        .cast("long")
+        .alias("rank"),
+        "pair",
+        "freq",
+    )
+
+
+BPE_MERGE_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, count(*) AS wf FROM toks
+  WHERE w <> '' AND length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(v.w, t.i, 2) AS pair, v.wf
+  FROM vocab v,
+       LATERAL (SELECT unnest(generate_series(1, length(v.w) - 1)) AS i) t
+),
+topk AS (
+  SELECT pair, CAST(sum(wf) AS BIGINT) AS freq FROM pairs GROUP BY pair
+  ORDER BY freq DESC, pair LIMIT {BPE_TOPK}
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank,
+       pair, freq
+FROM topk
+"""
+
+QUERIES.append(
+    Query(
+        "bpe_merge_candidates",
+        bpe_merge_candidates,
+        BPE_MERGE_ORACLE,
+        "ext: BPE pair-merge induction (vocab-bounded explode)",
+    )
+)

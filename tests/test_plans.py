@@ -49,6 +49,15 @@ PLAN_BOUNDS = {
     "tpch_q22": (2, 0),
     "orders_rollup": (1, 0),
     "customer_running_totals": (1, 0),  # per-key window, one shuffle
+    # grid resample: obs agg (persisted, single scan) + distinct keys
+    # + per-key ffill window; bounds ride a 1-row broadcast
+    "events_gapfill": (3, 0),
+    # daily partial agg + priority RANGE-frame window over the day frame
+    "orders_moving_revenue": (2, 0),
+    # packed-min first-arrival dedup: one groupBy, map-side combined
+    "events_dedup_late": (1, 0),
+    # vocab count + pair count; top-k is TakeOrderedAndProject
+    "bpe_merge_candidates": (2, 0),
     "quantity_percentiles": (1, 0),
     "quantity_percentiles_approx": (1, 0),
     # windowed streaming analogs: one shuffle on (window, key) + topn

@@ -1,0 +1,178 @@
+"""Crafted-fixture semantics tests for the round-9 additions:
+grid resample + forward-fill, RANGE-interval moving aggregates,
+first-arrival dedup (batch twin of dropDuplicatesWithinWatermark),
+and BPE merge-candidate induction."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return F.timestamp_seconds(F.lit(s)).cast("timestamp")
+
+
+def test_resample_ffill_crafted(spark):
+    """Known gaps: 0-filled counts, bucket means carried forward across
+    the gap, gap distance in buckets, NULLs before a key's first
+    observation (key b starts one bucket after key a)."""
+    from flink_kafka_spark.operators.timeseries import resample_ffill
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    rows = [
+        # key a: buckets 0 and 3 observed, 1-2 are a gap
+        ("a", base + 5, 1.0),
+        ("a", base + 20, 2.0),
+        ("a", base + 3 * 60 + 1, 10.0),
+        # key b: first appears in bucket 1
+        ("b", base + 60 + 2, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, sec long, v double").select(
+        "key", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    out = resample_ffill(df, "key", "ts", "v", 60)
+    got = {
+        (r["key"], r["bucket_s"]): (r["cnt"], r["bucket_avg"], r["filled_avg"], r["gap_buckets"])
+        for r in out.collect()
+    }
+    # grid = global range buckets 0..3 for both keys
+    assert len(got) == 8
+    assert got[("a", base)] == (2, 1.5, 1.5, 0)
+    assert got[("a", base + 60)] == (0, None, 1.5, 1)
+    assert got[("a", base + 120)] == (0, None, 1.5, 2)
+    assert got[("a", base + 180)] == (1, 10.0, 10.0, 0)
+    # key b: leading bucket before first observation -> all-NULL fill
+    assert got[("b", base)] == (0, None, None, None)
+    assert got[("b", base + 60)] == (1, 4.0, 4.0, 0)
+    assert got[("b", base + 120)] == (0, None, 4.0, 1)
+    assert got[("b", base + 180)] == (0, None, 4.0, 2)
+
+
+def test_moving_revenue_range_frame_is_gap_correct(spark):
+    """The RANGE frame must exclude days older than 6 days by VALUE,
+    not by row position: a sparse priority with orders on days 0, 2,
+    and 20 gets a day-20 trailing sum of day-20 only — a ROWS 6
+    PRECEDING frame would wrongly include days 0 and 2."""
+    from flink_kafka_spark.queries.analytics import ORDERS_MOVING_SQL
+
+    day = 86400
+    rows = [
+        (1, 10, "1-URGENT", 100.0, 0),
+        (2, 11, "1-URGENT", 50.0, 2 * day),
+        (3, 12, "1-URGENT", 7.0, 20 * day),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderpriority string, o_totalprice double, sec long"
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+        F.timestamp_seconds("sec").alias("o_orderdate"),
+    ).createOrReplaceTempView("orders")
+    got = {r["day_s"]: (r["rev_7d"], r["orders_7d"], r["days_present_7d"])
+           for r in spark.sql(ORDERS_MOVING_SQL).collect()}
+    assert got[0] == (100.0, 1, 1)
+    assert got[2 * day] == (150.0, 2, 2)          # day 0 within 6-day range
+    assert got[20 * day] == (7.0, 1, 1)           # days 0,2 aged out by value
+
+
+def test_events_dedup_late_packed_min_decodes_first_arrival(spark):
+    """The packed-BIGINT min must decode to the earliest (ts, event_id)
+    arrival even when a later-delivered row has a smaller event_id."""
+    from flink_kafka_spark.queries.streamlike import EVENTS_DEDUP_LATE_SQL
+
+    t = 1_700_000_000
+    rows = [
+        (5, t + 10, 1, "click"),   # first by ts, larger id than the t+20 row
+        (1, t + 20, 1, "click"),
+        (9, t + 10, 1, "click"),   # ts tie -> smaller event_id 5 wins
+        (2, t + 99, 2, "view"),
+    ]
+    spark.createDataFrame(rows, "event_id long, sec long, user_id long, event_type string").select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id", "event_type"
+    ).createOrReplaceTempView("events")
+    got = {(r["user_id"], r["event_type"]): (r["first_ts_s"], r["first_event_id"], r["arrivals"], r["span_s"])
+           for r in spark.sql(EVENTS_DEDUP_LATE_SQL).collect()}
+    assert got[(1, "click")] == (t + 10, 5, 3, 10)
+    assert got[(2, "view")] == (t + 99, 2, 1, 0)
+
+
+def test_dedup_stream_parity_with_batch_twin(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed on (user_id, event_type)
+    keeps exactly the batch twin's first-arrival rows (fixture arrival
+    order == (ts, event_id) order, so both tie-breaks agree)."""
+    import pyspark.sql.types as T
+
+    from flink_kafka_spark.queries.streamlike import EVENTS_DEDUP_LATE_SQL
+    from flink_kafka_spark.schemas import parse_csv_lines
+    from flink_kafka_spark.streaming.jobs import dedup_stream
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = 1_700_000_000
+    rows = [
+        (1, 1, "click", t + 1),
+        (2, 1, "click", t + 5),    # re-delivery -> dropped
+        (3, 2, "click", t + 6),
+        (4, 1, "view", t + 7),
+        (5, 2, "click", t + 9),    # re-delivery -> dropped
+    ]
+    lines = [f"{e},{u},{ty},{s}" for e, u, ty, s in rows]
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part0.csv").write_text("\n".join(lines) + "\n")
+    stream = parse_csv_lines(
+        spark.readStream.text(str(p)), schema
+    )
+    q = (
+        dedup_stream(stream, ["user_id", "event_type"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_late_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {(r.user_id, r.event_type, r.event_id)
+            for r in spark.sql("SELECT user_id, event_type, event_id FROM dedup_late_out").collect()}
+
+    spark.createDataFrame(rows, "event_id long, user_id long, event_type string, sec long").select(
+        "event_id", "user_id", "event_type", F.timestamp_seconds("sec").alias("ts")
+    ).createOrReplaceTempView("events")
+    batch = {(r["user_id"], r["event_type"], r["first_event_id"])
+             for r in spark.sql(EVENTS_DEDUP_LATE_SQL).collect()}
+    assert kept == batch == {(1, "click", 1), (2, "click", 3), (1, "view", 4)}
+
+
+def test_bpe_pairs_match_python(spark):
+    """Vocab-bounded pair explode == naive per-occurrence Python count
+    (weighting by word frequency must equal counting every occurrence),
+    rank tie-break by pair string."""
+    from flink_kafka_spark.queries import textops
+
+    docs = ["low low lower", "newest newest wide", "a low"]
+    expected = Counter()
+    for d in docs:
+        for w in d.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    expected[w[i : i + 2]] += 1
+
+    spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+
+    orig = textops.load  # textops imports the symbol, patch it there
+    try:
+        textops.load = lambda s, _dir, name: s.table(name)
+        out = textops.bpe_merge_candidates(spark, "ignored").collect()
+    finally:
+        textops.load = orig
+    got = {r["pair"]: r["freq"] for r in out}
+    assert got == dict(expected)
+    ranked = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r["rank"], r["pair"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (i + 1, p) for i, (p, _) in enumerate(ranked)
+    ]
