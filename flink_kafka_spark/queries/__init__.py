@@ -60,75 +60,75 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-8 ROTATION (full rationale in ROTATION_LEDGER.md §Round 8):
-# OUT, all green r6+r7: tpch_q4 q6 q7 q10 q12, lang_id, doc_chunk,
-# pii_redact, stratified_cap, dedup_canonicalize; plus the no_oracle
-# retirement ann_cosine_topk_pq (r7 verdict item 4 — ann_pq_check
-# carries its invariant). IN: training_mix_snapshot (compose flagship),
-# changelog_roundtrip, scd2_history, purchase_attribution,
-# rfm_segments, basket_lift, order_timeout (returning), and the new
-# registrations tpch_q2 q9 q11 q20 (immediate-hash rule).
+# ROUND-9 ROTATION (full rationale in ROTATION_LEDGER.md §Round 9):
+# OUT, all green r7+r8: the 25 twice-green non-check rows (analytics
+# r7 wave, tpch q8/q13/rollup, the dedup/text/sampling r7 blocks,
+# fuzzy_part_matches, bm25_search). IN: the 10-row never-hashed queue
+# (doc_bigram_logprob ... orders_status_unpivot), the overdue
+# relational rows tpch_q14-q17/q19/q21/q22, family anchors
+# dedup_exact / order_line_reconciliation / inverted_index /
+# mixture_resample, and this round's new registrations
+# (immediate-hash rule).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_topn",
     "uv_approx_check",
     "order_timeout",
+    "order_line_reconciliation",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # analytics (r7 waves + r8 never-hashed rows)
-    "event_transitions",
-    "traffic_anomalies",
-    "value_drift_psi",
+    # analytics (first-hashed r8, stay until twice-green)
     "purchase_attribution",
     "rfm_segments",
     "basket_lift",
     "changelog_roundtrip",
     "scd2_history",
-    # joins family (r7 seventh wave)
-    "fuzzy_part_matches",
-    # relational block (q8/q13/rollup first-hashed r7; q2/q9/q11/q20
-    # registered this round — immediate-hash rule)
+    # analytics (never-hashed queue + new registrations)
+    "k_anonymity_audit",
+    "orders_status_pivot",
+    "orders_status_unpivot",
+    "events_gapfill",
+    "orders_moving_revenue",
+    "events_dedup_late",
+    # relational block (q2/q9/q11/q20 first-hashed r8; q14-q22 overdue)
     "tpch_q2",
-    "tpch_q8",
     "tpch_q9",
     "tpch_q11",
-    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
     "tpch_q20",
-    "orders_rollup",
+    "tpch_q21",
+    "tpch_q22",
     # deduplication family
+    "dedup_exact",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
-    "dedup_canonicalize_skew",
-    "dedup_containment",
-    "dedup_span_stats",
-    "dedup_span_trim",
     "dedup_incremental_check",
-    "source_overlap",
-    "leakage_safe_split",
     # similarity / ANN family
     "ann_lsh_check",
     "ann_ivf_check",
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    # text analysis family
-    "text_quality",
-    "filter_threshold_sweep",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "doc_logprob",
-    "clf_quality_score",
-    "source_scorecard",
-    "word_pmi",
+    # text analysis family (never-hashed queue + new registration)
+    "doc_bigram_logprob",
+    "vocab_oov_rate",
+    "doc_embedding_hash",
+    "doc_semantic_pairs",
+    "filter_audit",
+    "encoding_audit",
+    "markup_strip",
+    "bpe_merge_candidates",
     "heavy_hitters_check",
     # compose flagship (training-mix manifest — four stages' hash pin)
     "training_mix_snapshot",
     # retrieval family
-    "bm25_search",
+    "inverted_index",
     # sampling / release family
-    "corpus_shuffle",
-    "weighted_sample",
-    "snapshot_diff",
+    "mixture_resample",
     # multimodal family
     "media_features",
     "media_features_check",
