@@ -157,6 +157,9 @@ BENCH_QUERIES = [
     "orders_moving_revenue",
     "events_dedup_late",
     "bpe_merge_candidates",
+    "orders_cube",
+    "fk_coverage_audit",
+    "session_windows_native",
 ]
 
 

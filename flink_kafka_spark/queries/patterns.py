@@ -142,11 +142,74 @@ FROM sessions GROUP BY 1, 2
 SESSIONIZE_ORACLE = SESSIONIZE_SQL.replace("unix_seconds(ts)", "epoch(ts)")
 
 
+# --- native session windows (session_window operator) ---
+#
+# The same 30-min-gap sessions as :func:`sessionize`, through Spark's
+# built-in ``session_window`` operator instead of the lag+cumsum
+# islands plan — the operator a Structured Streaming job would use
+# (sessionize's plan is batch-only: lag over an unbounded partition
+# has no incremental form). Boundary semantics verified by crafted
+# test: session_window MERGES windows that touch (a gap of exactly
+# the timeout stays one session), i.e. the break condition is
+# `diff > gap` — the same islands grouping sessionize uses.
+# Events are truncated to whole seconds BEFORE windowing so the
+# engine-side microsecond arithmetic matches the epoch-second oracle
+# exactly. One shuffle on user_id + the in-partition merge pass.
+
+SESSION_GAP_S = 1800
+
+
+def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("tsec"),
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("tsec", f"{SESSION_GAP_S} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_s"),
+            F.unix_timestamp("session_window.end").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
+SESSION_NATIVE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts ASC) AS prev_ts_s
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_ts_s IS NULL OR ts_s - prev_ts_s > {SESSION_GAP_S}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM seq
+),
+sessions AS (
+  SELECT user_id, ts_s,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts_s) AS session_start_s,
+       max(ts_s) + {SESSION_GAP_S} AS session_end_s,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 QUERIES = [
     Query("login_fail_detect", login_fail_detect, LOGIN_FAIL_ORACLE, "T1 T2 W8"),
     Query("order_timeout", order_timeout, ORDER_TIMEOUT_ORACLE, "T3 T4"),
     Query("click_blacklist", click_blacklist, BLACKLIST_ORACLE, "T5 F7 G6 W12"),
     Query("sessionize", sessionize, SESSIONIZE_ORACLE, "extension: sessionization"),
+    Query("session_windows_native", session_windows_native, SESSION_NATIVE_ORACLE,
+          "W-family: built-in session_window operator (streaming-capable plan)"),
 ]
 
 

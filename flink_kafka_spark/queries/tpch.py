@@ -1069,6 +1069,104 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (order year, status): every cross-marginal —
+    the slices ROLLUP's strict hierarchy cannot produce (status totals
+    without a year, and the grand total, in one pass). Same physical
+    cost class as orders_rollup: one Expand (4 grouping sets) feeding
+    one aggregation exchange; at 100 TB the Expand multiplies the
+    map-side rows 4x but the partial aggregate collapses them before
+    the shuffle, so the wire carries |years x statuses| x 4 rows."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)"
+            ).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+ORDERS_CUBE_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_price,
+       GROUPING(year(o_orderdate), o_orderstatus) AS gid
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+"""
+
+
+# --- referential-integrity coverage audit ---
+#
+# The data-quality gate a warehouse load runs before anything joins:
+# for each FK edge of the star schema, how many child rows resolve a
+# parent and how many are orphans. The scale shape is
+# aggregate-then-probe: each child side collapses to its DISTINCT key
+# frame first (one map-side-combined groupBy, the only corpus-sized
+# shuffle), and the parent side joins as a bare unique-key projection
+# — broadcast when it fits, co-partitioned shuffle join when it
+# doesn't — so the join never carries child row multiplicity.
+
+FK_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def fk_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for edge, child, ckey, parent, pkey in FK_EDGES:
+        ca = (
+            load(spark, sf_dir, child)
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pk = load(spark, sf_dir, parent).select(
+            F.col(pkey).alias("k"), F.lit(1).alias("hit")
+        )
+        row = (
+            ca.join(pk, "k", "left")
+            .agg(
+                F.lit(edge).alias("edge"),
+                F.sum("cnt").cast("long").alias("child_rows"),
+                F.count(F.lit(1)).cast("long").alias("child_keys"),
+                F.sum(F.when(F.col("hit").isNotNull(), F.col("cnt")).otherwise(0))
+                .cast("long")
+                .alias("matched_rows"),
+                F.sum(F.when(F.col("hit").isNull(), F.col("cnt")).otherwise(0))
+                .cast("long")
+                .alias("orphan_rows"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+FK_AUDIT_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{edge}' AS edge,
+       CAST(sum(cnt) AS BIGINT) AS child_rows,
+       CAST(count(*) AS BIGINT) AS child_keys,
+       CAST(sum(CASE WHEN p.k IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS matched_rows,
+       CAST(sum(CASE WHEN p.k IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS orphan_rows
+FROM (SELECT {ckey} AS k, count(*) AS cnt FROM {child} GROUP BY 1) c
+LEFT JOIN (SELECT {pkey} AS k FROM {parent}) p USING (k)
+"""
+    for edge, child, ckey, parent, pkey in FK_EDGES
+)
+
+
 QUERIES = [
     Query("tpch_q1", tpch_q1, TPCH_Q1_ORACLE, "batch agg (beyond ref)", ("bench",)),
     Query("tpch_q2", tpch_q2, TPCH_Q2_ORACLE, "correlated-min subquery (beyond ref)"),
@@ -1093,4 +1191,7 @@ QUERIES = [
     Query("tpch_q21", tpch_q21, TPCH_Q21_ORACLE, "exists/not-exists self-join (beyond ref)"),
     Query("tpch_q22", tpch_q22, TPCH_Q22_ORACLE, "anti join + scalar subquery (beyond ref)"),
     Query("orders_rollup", orders_rollup, ORDERS_ROLLUP_ORACLE, "rollup/grouping-sets (beyond ref)"),
+    Query("orders_cube", orders_cube, ORDERS_CUBE_ORACLE, "full cube cross-marginals (beyond ref)"),
+    Query("fk_coverage_audit", fk_coverage_audit, FK_AUDIT_ORACLE,
+          "referential-integrity audit: aggregate-then-probe per FK edge (beyond ref)"),
 ]

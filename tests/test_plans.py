@@ -48,6 +48,11 @@ PLAN_BOUNDS = {
     "tpch_q21": (3, 0),  # exists/not-exists as semi/anti over lineitem
     "tpch_q22": (2, 0),
     "orders_rollup": (1, 0),
+    "orders_cube": (1, 0),  # one Expand + one agg exchange, like rollup
+    # 4 FK edges x (distinct-key agg + 1-row audit agg); parents broadcast
+    "fk_coverage_audit": (8, 0),
+    # built-in session_window: one user_id shuffle + in-partition merge
+    "session_windows_native": (1, 0),
     "customer_running_totals": (1, 0),  # per-key window, one shuffle
     # grid resample: obs agg (persisted, single scan) + distinct keys
     # + per-key ffill window; bounds ride a 1-row broadcast

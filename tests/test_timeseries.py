@@ -176,3 +176,94 @@ def test_bpe_pairs_match_python(spark):
     assert [(r["rank"], r["pair"]) for r in sorted(out, key=lambda r: r["rank"])] == [
         (i + 1, p) for i, (p, _) in enumerate(ranked)
     ]
+
+
+def test_orders_cube_contains_all_marginals(spark):
+    """CUBE must emit cell, both one-way marginals, and the grand
+    total, with grouping ids distinguishing real NULL-less groups."""
+    from flink_kafka_spark.queries import tpch
+
+    rows = [
+        (1, "F", 10.0, 1_000_000_000),   # 2001
+        (2, "O", 20.0, 1_000_000_000),
+        (3, "F", 5.0, 1_100_000_000),    # 2004
+    ]
+    view = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double, sec long"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice",
+             F.timestamp_seconds("sec").alias("o_orderdate"))
+    orig = tpch.load
+    try:
+        tpch.load = lambda s, _d, name: view
+        out = tpch.orders_cube(spark, "ignored").collect()
+    finally:
+        tpch.load = orig
+    got = {(r["order_year"], r["o_orderstatus"]): (r["n_orders"], r["total_price"], r["gid"])
+           for r in out}
+    assert got[(2001, "F")] == (1, 10.0, 0)
+    assert got[(2001, None)] == (2, 30.0, 1)      # year marginal
+    assert got[(None, "F")] == (2, 15.0, 2)       # status marginal
+    assert got[(None, None)] == (3, 35.0, 3)      # grand total
+    assert len(got) == 8  # 3 cells + 2 year + 2 status marginals + total
+
+
+def test_fk_audit_counts_planted_orphans(spark):
+    """Two lineitem rows referencing a missing order must count as
+    orphans on the lineitem->orders edge only."""
+    from flink_kafka_spark.queries import tpch
+
+    frames = {
+        "lineitem": spark.createDataFrame(
+            [(1, 100), (1, 100), (2, 101), (99, 100), (99, 100)],
+            "l_orderkey long, l_partkey long",
+        ),
+        "orders": spark.createDataFrame([(1, 7), (2, 7)], "o_orderkey long, o_custkey long"),
+        "part": spark.createDataFrame([(100,), (101,)], "p_partkey long"),
+        "customer": spark.createDataFrame([(7, 3)], "c_custkey long, c_nationkey long"),
+        "nation": spark.createDataFrame([(3,)], "n_nationkey long"),
+    }
+    orig = tpch.load
+    try:
+        tpch.load = lambda s, _d, name: frames[name]
+        out = {r["edge"]: (r["child_rows"], r["child_keys"], r["matched_rows"], r["orphan_rows"])
+               for r in tpch.fk_coverage_audit(spark, "ignored").collect()}
+    finally:
+        tpch.load = orig
+    assert out["lineitem->orders"] == (5, 3, 3, 2)
+    assert out["lineitem->part"] == (5, 2, 5, 0)
+    assert out["orders->customer"] == (2, 1, 2, 0)
+    assert out["customer->nation"] == (1, 1, 1, 0)
+
+
+def test_session_window_native_boundary_is_inclusive(spark):
+    """session_window MERGES windows that touch: a gap of exactly the
+    timeout stays one session (break is `diff > gap` — the same
+    grouping sessionize's islands use), a gap of timeout+1 breaks.
+    Also pins start/end arithmetic (end = last event + gap) and
+    grouping parity with the lag+cumsum sessionize plan."""
+    from flink_kafka_spark.queries import patterns
+
+    t = 1_700_000_000
+    rows = [(1, t), (1, t + 1800), (2, t), (2, t + 1801)]
+    view = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"),
+        F.lit(0).cast("long").alias("event_id"),
+    )
+    orig = patterns.load
+    try:
+        patterns.load = lambda s, _d, name: view
+        native = patterns.session_windows_native(spark, "ignored").collect()
+    finally:
+        patterns.load = orig
+    nat = {(r["user_id"], r["session_start_s"]): (r["session_end_s"], r["n_events"])
+           for r in native}
+    # user 1: exact-timeout gap -> windows touch -> ONE merged session
+    assert nat[(1, t)] == (t + 1800 + 1800, 2)
+    # user 2: timeout+1 gap -> break into two sessions
+    assert nat[(2, t)] == (t + 1800, 1)
+    assert nat[(2, t + 1801)] == (t + 1801 + 1800, 1)
+    # grouping parity with the legacy islands plan (same break rule)
+    view.createOrReplaceTempView("events")
+    legacy = {(r["user_id"], r["session_id"]): r["n_events"]
+              for r in spark.sql(patterns.SESSIONIZE_SQL).collect()}
+    assert legacy[(1, 1)] == 2 and legacy[(2, 1)] == 1 and legacy[(2, 2)] == 1
