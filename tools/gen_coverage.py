@@ -108,12 +108,24 @@ EXTENSIONS = [
     ("linkage", "blocked fuzzy record linkage (Levenshtein verify,"
                 " length-band pruning, equal-name short-circuit,"
                 " multi-pass blocking union for recall)"),
-    ("batch-relational", "TPC-H-shape q1-q22 subset + rollup + pivot"
+    ("batch-relational", "TPC-H-shape q1-q22 subset + rollup + CUBE"
+                         " cross-marginals + pivot"
                          " (joins, subqueries, grouping sets)"
+                         " / FK referential-integrity coverage audit"
                          " / retention cohorts / Markov event transitions"
                          " / z-score traffic anomaly flags / PSI value-drift"
                          " / SCD2 validity intervals / last-touch attribution"
                          " / RFM segments / market-basket lift"),
+    ("timeseries", "regular-grid resample + forward-fill (0-filled counts,"
+                   " carried bucket means, gap distances)"
+                   " / RANGE-interval trailing-window aggregates"
+                   " (gap-correct 7d sums on sparse keys)"
+                   " / native session_window sessions (streaming-capable"
+                   " plan, islands-oracle parity)"
+                   " / first-arrival dedup (dropDuplicatesWithinWatermark"
+                   " batch twin, packed-min groupBy)"
+                   " / BPE merge-candidate induction (vocab-bounded"
+                   " pair explode)"),
 ]
 
 
