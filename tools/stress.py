@@ -755,6 +755,47 @@ def main() -> None:
         n_matches = spark.sql("SELECT count(*) c FROM seq_stress").collect()[0].c
         assert n_matches == n_seq, n_matches
 
+    # --- grid resample + ffill: grid is resolution-bounded, not
+    # corpus-bounded. 10M events collapse onto 1000 keys x 1-min
+    # buckets over the week (~10.08M grid rows — deliberately the
+    # same order as the input, the worst honest ratio for this
+    # operator). Ground truth: natural key 0 is removed and replanted
+    # as a SINGLE observation (value 42) at the stream's first instant
+    # — its entire remaining grid must come back 0-count with 42.0
+    # carried forward and a gap that grows to the full week (~10k
+    # buckets), probing the ffill window across a maximal gap.
+    from flink_kafka_spark.operators.timeseries import resample_ffill
+
+    t0 = time.perf_counter()
+    planted = spark.range(1).select(
+        F.lit(0).cast("long").alias("gkey"),
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("ts"),
+        F.lit(42.0).alias("gv"),
+    )
+    tev = ev.select(
+        F.pmod(F.xxhash64("event_id", F.lit(7)), F.lit(1000)).alias("gkey"),
+        "ts",
+        (F.pmod(F.xxhash64("event_id", F.lit(8)), F.lit(1000)) / 100.0).alias("gv"),
+    ).filter(F.col("gkey") != 0).unionByName(planted)
+    grid = resample_ffill(tev, "gkey", "ts", "gv", 60)
+    agg = grid.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("gkey") == 0, 1).otherwise(0)).alias("k0_rows"),
+        F.sum(F.when((F.col("gkey") == 0) & (F.col("cnt") == 0), 1).otherwise(0)).alias("k0_empty"),
+        F.max(F.when(F.col("gkey") == 0, F.col("gap_buckets"))).alias("k0_gap"),
+        F.min(F.when((F.col("gkey") == 0) & (F.col("cnt") == 0), F.col("filled_avg"))).alias("k0_fill_min"),
+        F.max(F.when((F.col("gkey") == 0) & (F.col("cnt") == 0), F.col("filled_avg"))).alias("k0_fill_max"),
+    ).collect()[0]
+    timings[f"resample_ffill_{n_events}"] = round(time.perf_counter() - t0, 2)
+    # the planted observation sits in the global FIRST bucket, so key
+    # 0's grid = 1 observed + (n_buckets - 1) empty, gap peaking at
+    # n_buckets - 1, and the carried mean is exactly 42.0 throughout
+    n_buckets = agg["rows"] // 1000
+    assert agg["rows"] == n_buckets * 1000, agg["rows"]
+    assert agg["k0_rows"] == n_buckets and agg["k0_empty"] == n_buckets - 1
+    assert agg["k0_gap"] == n_buckets - 1, agg["k0_gap"]
+    assert agg["k0_fill_min"] == agg["k0_fill_max"] == 42.0
+
     print(
         json.dumps(
             {
