@@ -767,9 +767,10 @@ QUERIES.append(
 # for empty windows — SURVEY.md §2.6): densify the stream onto a
 # 5-minute grid per event_type, 0-fill the counts, carry the last
 # observed bucket mean forward, and report the gap distance. Scale
-# notes in operators/timeseries.py: the corpus is touched twice as a
-# narrow projection; the dense grid is generated executor-side and
-# everything after the (key, bucket) aggregate is grid-sized.
+# notes in operators/timeseries.py: the raw stream is scanned exactly
+# once (the grid-capped aggregate is persisted and re-read); the dense
+# grid is generated executor-side and everything after the
+# (key, bucket) aggregate is grid-sized.
 
 GAPFILL_STEP_S = 300
 

@@ -382,9 +382,14 @@ FROM events WHERE event_type = 'purchase' AND value > 100.0
 # absorbed. One groupBy shuffle with map-side partial aggregation —
 # deliberately NOT a row_number window, which would sort whole
 # partitions at 100 TB; the (first_ts, first_id) pair travels as one
-# packed BIGINT min (ts_s*1e7 + event_id ≈ 1.7e16 << 2^63, exact),
+# packed BIGINT min (ts_s*1e9 + event_id ≈ 1.7e18 < 2^63, exact),
 # so the combiner stays a plain min and the decode is two integer ops
-# in the terminal projection.
+# in the terminal projection. The packing is valid while
+# event_id < 1e9 and ts_s < ~9.2e9 (year 2261);
+# tests/test_timeseries.py::test_dedup_late_packing_bound_holds
+# guards the id bound against the fixtures so a generator change
+# fails loudly instead of silently mis-ordering (ids at or past the
+# bound would let a later small-id row win the min).
 
 EVENTS_DEDUP_LATE_SQL = """
 WITH arrivals AS (
@@ -394,8 +399,8 @@ WITH arrivals AS (
   FROM events
 )
 SELECT user_id, event_type,
-       min(ts_s * 10000000 + event_id) div 10000000 AS first_ts_s,
-       min(ts_s * 10000000 + event_id) % 10000000 AS first_event_id,
+       min(ts_s * 1000000000 + event_id) div 1000000000 AS first_ts_s,
+       min(ts_s * 1000000000 + event_id) % 1000000000 AS first_event_id,
        CAST(count(*) AS BIGINT) AS arrivals,
        max(ts_s) - min(ts_s) AS span_s
 FROM arrivals
@@ -404,9 +409,7 @@ GROUP BY user_id, event_type
 
 
 def events_dedup_late(spark, sf_dir):
-    from ..tables import load as _load
-
-    _load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(EVENTS_DEDUP_LATE_SQL)
 
 

@@ -1123,16 +1123,29 @@ FK_EDGES = (
 
 
 def fk_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+
+    # one scan per TABLE, not per edge: tables on 2+ edges (lineitem
+    # as child of two parents, orders/customer as both child and
+    # parent) are persisted as the narrow projection of exactly the
+    # key columns the edges touch, so the largest fact table is read
+    # from parquet once however many edges probe it
+    cols: dict[str, set[str]] = {}
+    for _edge, child, ckey, parent, pkey in FK_EDGES:
+        cols.setdefault(child, set()).add(ckey)
+        cols.setdefault(parent, set()).add(pkey)
+    frames = {
+        t: track(load(spark, sf_dir, t).select(*sorted(ks)).persist())
+        for t, ks in cols.items()
+    }
     out = None
     for edge, child, ckey, parent, pkey in FK_EDGES:
         ca = (
-            load(spark, sf_dir, child)
+            frames[child]
             .groupBy(F.col(ckey).alias("k"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        pk = load(spark, sf_dir, parent).select(
-            F.col(pkey).alias("k"), F.lit(1).alias("hit")
-        )
+        pk = frames[parent].select(F.col(pkey).alias("k"), F.lit(1).alias("hit"))
         row = (
             ca.join(pk, "k", "left")
             .agg(

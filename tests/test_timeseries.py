@@ -267,3 +267,25 @@ def test_session_window_native_boundary_is_inclusive(spark):
     legacy = {(r["user_id"], r["session_id"]): r["n_events"]
               for r in spark.sql(patterns.SESSIONIZE_SQL).collect()}
     assert legacy[(1, 1)] == 2 and legacy[(2, 1)] == 1 and legacy[(2, 2)] == 1
+
+
+def test_dedup_late_packing_bound_holds():
+    """events_dedup_late packs (ts_s, event_id) as ts_s*1e9 + event_id;
+    the min only orders correctly while event_id < 1e9 (and ts_s <
+    ~9.2e9 for BIGINT headroom). The oracle shares the expression, so
+    a fixture/generator drift past the bound would be silently wrong —
+    guard it loudly here (the r8 ASCII-guard precedent)."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        d = f"/root/testdata/sf{sf}/events.parquet"
+        if not os.path.exists(d):
+            continue
+        lo, hi, tmax = con.execute(
+            f"SELECT min(event_id), max(event_id), max(epoch(ts)) FROM '{d}'"
+        ).fetchone()
+        assert lo >= 0 and hi < 1_000_000_000, (sf, lo, hi)
+        assert tmax < 9_200_000_000, (sf, tmax)
