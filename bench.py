@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "orders_cube",
     "fk_coverage_audit",
     "session_windows_native",
+    "agg_incremental_update",
 ]
 
 

@@ -106,3 +106,68 @@ def apply_changes(
     )
     upserts = keyed.filter(F.col("op") == "upsert").select(id_col, *content_cols)
     return survivors.unionByName(upserts)
+
+
+def incremental_agg_maintenance(
+    old_facts: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    group_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+) -> DataFrame:
+    """Incremental view maintenance for an additive aggregate: update
+    ``old_facts``' per-group (count, sums) under an upsert/delete
+    changelog WITHOUT re-aggregating the unchanged corpus, so that
+
+        incremental_agg_maintenance(old, changes(old, new))
+            == aggregate(new)      (rows with n_rows = 0 dropped)
+
+    exactly — the closure the registered ``agg_incremental_update``
+    query pins against a DuckDB oracle that aggregates ``new``
+    directly.
+
+    ``old_facts``: one row per id — ``(id, *group_cols, *sum_cols)``.
+    ``changes``: :func:`changes_from_diff` shape — ``(id, op,
+    *group_cols, *sum_cols)``, upserts carrying the NEW payload,
+    deletes null payloads.
+
+    Scale: the old aggregate is ONE corpus pass (in steady state it is
+    the stored artifact and even that pass disappears); everything
+    else is edit-volume-sized — subtracting the old contribution of
+    every changed id needs their old rows, fetched by an id equi-join
+    the changelog side of which AQE broadcasts for the common
+    small-edit republish, and the delta merge is a groupBy over
+    |touched groups| + |stored groups| rows. An upsert that MOVES an
+    id between groups is handled naturally: its old row subtracts from
+    the old group, its payload adds to the new one."""
+    gcols = list(group_cols)
+    n = F.count(F.lit(1)).cast("long")
+    old_agg = old_facts.groupBy(*gcols).agg(
+        n.alias("n_rows"), *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+    )
+    # old contribution of every id the changelog touches (upsert of an
+    # existing id supersedes it; delete removes it) — negated
+    minus = (
+        changes.select(id_col)
+        .join(old_facts, id_col)
+        .groupBy(*gcols)
+        .agg(
+            (-n).alias("n_rows"),
+            *[(-F.sum(c)).cast("long").alias(c) for c in sum_cols],
+        )
+    )
+    plus = (
+        changes.filter(F.col("op") == "upsert")
+        .groupBy(*gcols)
+        .agg(n.alias("n_rows"), *[F.sum(c).cast("long").alias(c) for c in sum_cols])
+    )
+    return (
+        old_agg.unionByName(minus)
+        .unionByName(plus)
+        .groupBy(*gcols)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            *[F.sum(c).cast("long").alias(c) for c in sum_cols],
+        )
+        .filter(F.col("n_rows") > 0)
+    )

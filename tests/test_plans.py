@@ -53,6 +53,11 @@ PLAN_BOUNDS = {
     "fk_coverage_audit": (8, 0),
     # built-in session_window: one user_id shuffle + in-partition merge
     "session_windows_native": (1, 0),
+    # incremental view maintenance: the fingerprint full-outer diff is
+    # SMJ-bound like media_features_check (both sides corpus-sized);
+    # the edit-sized probe joins AQE-broadcast at runtime. The static
+    # count includes the persisted changelog's lineage shown inline.
+    "agg_incremental_update": (7, 6),
     "customer_running_totals": (1, 0),  # per-key window, one shuffle
     # grid resample: obs agg (persisted, single scan) + distinct keys
     # + per-key ffill window; bounds ride a 1-row broadcast

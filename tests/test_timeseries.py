@@ -289,3 +289,49 @@ def test_dedup_late_packing_bound_holds():
         ).fetchone()
         assert lo >= 0 and hi < 1_000_000_000, (sf, lo, hi)
         assert tmax < 9_200_000_000, (sf, tmax)
+
+
+def test_incremental_agg_handles_group_moves_adds_and_deletes(spark):
+    """The fixture republish only edits text; this pins the cases it
+    can't reach — an upsert MOVING an id between groups (subtract from
+    the old group, add to the new), a brand-new id, and a delete —
+    against a direct aggregate of the applied snapshot."""
+    from flink_kafka_spark.operators.versioning import (
+        apply_changes,
+        changes_from_diff,
+        incremental_agg_maintenance,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "aa", "s1"), (2, "bbb", "s1"), (3, "cccc", "s2")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "aa", "s2"),        # group move s1 -> s2, same text
+         (2, "bb", "s1"),        # in-place edit
+         (4, "dddd", "s1")],     # insert; id 3 deleted
+        "doc_id long, text string, source string",
+    )
+    payload = ("text", "source")
+    chars = F.length("text").cast("long").alias("chars")
+    facts = old.select("doc_id", "source", chars)
+    changes = changes_from_diff(old, new, content_cols=payload).select(
+        "doc_id", "op", "source", chars
+    )
+    got = {
+        r["source"]: (r["n_rows"], r["chars"])
+        for r in incremental_agg_maintenance(
+            facts, changes, "doc_id", ("source",), ("chars",)
+        ).collect()
+    }
+    want = {
+        r["source"]: (r["n_rows"], r["chars"])
+        for r in apply_changes(
+            old, changes_from_diff(old, new, content_cols=payload), content_cols=payload
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(F.length("text")).cast("long").alias("chars"))
+        .collect()
+    }
+    assert got == want == {"s1": (2, 6), "s2": (1, 2)}
