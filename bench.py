@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "fk_coverage_audit",
     "session_windows_native",
     "agg_incremental_update",
+    "events_gapfill_interp",
 ]
 
 

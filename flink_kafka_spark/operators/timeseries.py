@@ -127,3 +127,86 @@ def resample_ffill(
         .cast("long")
         .alias("gap_buckets"),
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+) -> DataFrame:
+    """The other standard resample mode: LINEAR interpolation between
+    the surrounding observed bucket means instead of carrying the last
+    one forward. Same grid/aggregation machinery as
+    :func:`resample_ffill`; the extra backward-looking neighbor adds a
+    second window FRAME over the same (key, bucket) sort — no extra
+    exchange, one more in-partition pass.
+
+    ``interp_avg`` is the bucket's own mean on observed rows, the
+    linear blend prev + (next − prev) · frac on interior gaps, and
+    NULL outside the key's [first, last] observation span (linear
+    interpolation has no defensible extrapolation; use the ffill
+    variant when you need edge carry). The blend is evaluated on
+    exact e4 integers with an identical expression on both engines,
+    so the doubles agree bit-for-bit."""
+    events = df.select(
+        F.col(key_col).alias("key"),
+        (F.floor(F.unix_timestamp(ts_col) / step_s) * step_s)
+        .cast("long")
+        .alias("bucket_s"),
+        F.col(value_col).alias("v"),
+    )
+    from ..caching import track
+
+    obs = track(
+        events.groupBy("key", "bucket_s")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(_e4("v")).alias("val_e4"))
+        .persist()
+    )
+    bounds = obs.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+    grid = (
+        obs.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("mn", "mx", F.lit(int(step_s)).cast("long"))
+            ).alias("bucket_s"),
+        )
+    )
+    full = grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
+    back = (
+        Window.partitionBy("key")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the forward lookups are phrased as PRECEDING frames over a
+    # DESCENDING sort, not CURRENT ROW..UNBOUNDED FOLLOWING: Spark
+    # evaluates unbounded-following ("shrinking") frames by
+    # recomputing the aggregate per row — O(n²) per partition, 13x
+    # slower on the sf0.1 grid — while preceding frames run
+    # incrementally; the extra cost is one more in-partition sort on
+    # the same exchange
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy(F.desc("bucket_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    avg_e4 = F.floor(F.col("val_e4") / F.col("cnt") + F.lit(0.5))
+    obs_bucket = F.when(F.col("cnt").isNotNull(), F.col("bucket_s"))
+    prev_v = F.last(avg_e4, ignorenulls=True).over(back)
+    next_v = F.last(avg_e4, ignorenulls=True).over(fwd)
+    prev_b = F.max(obs_bucket).over(back)
+    next_b = F.min(obs_bucket).over(fwd)
+    frac = (F.col("bucket_s") - prev_b) / (next_b - prev_b)
+    interp_e4 = F.when(F.col("cnt").isNotNull(), avg_e4).otherwise(
+        F.floor(prev_v + (next_v - prev_v) * frac + F.lit(0.5))
+    )
+    return full.select(
+        F.col("key").alias(key_col),
+        "bucket_s",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        (interp_e4 / 10000.0).alias("interp_avg"),
+    )

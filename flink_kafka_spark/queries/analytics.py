@@ -867,3 +867,58 @@ QUERIES.append(
     Query("orders_moving_revenue", orders_moving_revenue, ORDERS_MOVING_ORACLE,
           "ext: RANGE-interval moving aggregate (gap-correct trailing 7d)")
 )
+
+
+# --- linear-interpolation resample (the ffill twin) ---
+
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample_interp
+
+    events = load(spark, sf_dir, "events")
+    return resample_interp(events, "event_type", "ts", "value", GAPFILL_STEP_S)
+
+
+EVENTS_GAPFILL_INTERP_ORACLE = f"""
+WITH obs AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / {GAPFILL_STEP_S}) AS BIGINT) * {GAPFILL_STEP_S} AS bucket_s,
+         count(*) AS cnt,
+         sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS val_e4
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT min(bucket_s) AS mn, max(bucket_s) AS mx FROM obs),
+grid AS (
+  SELECT k.key, t.bucket_s
+  FROM (SELECT DISTINCT key FROM obs) k, rng,
+       LATERAL (SELECT unnest(generate_series(rng.mn, rng.mx, {GAPFILL_STEP_S})) AS bucket_s) t
+),
+full_grid AS (
+  SELECT g.key, g.bucket_s, o.cnt,
+         floor(o.val_e4 / o.cnt + 0.5) AS avg_e4
+  FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.bucket_s = g.bucket_s
+),
+nb AS (
+  SELECT *,
+         last_value(avg_e4 IGNORE NULLS) OVER wback AS prev_v,
+         first_value(avg_e4 IGNORE NULLS) OVER wfwd AS next_v,
+         max(CASE WHEN cnt IS NOT NULL THEN bucket_s END) OVER wback AS prev_b,
+         min(CASE WHEN cnt IS NOT NULL THEN bucket_s END) OVER wfwd AS next_b
+  FROM full_grid
+  WINDOW wback AS (PARTITION BY key ORDER BY bucket_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wfwd AS (PARTITION BY key ORDER BY bucket_s
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key AS event_type, bucket_s,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
+       CASE WHEN cnt IS NOT NULL THEN avg_e4
+            ELSE floor(prev_v + (next_v - prev_v)
+                       * ((bucket_s - prev_b) / (next_b - prev_b)) + 0.5)
+       END / 10000.0 AS interp_avg
+FROM nb
+"""
+
+QUERIES.append(
+    Query("events_gapfill_interp", events_gapfill_interp, EVENTS_GAPFILL_INTERP_ORACLE,
+          "ext: grid resample + linear interpolation (ffill twin)")
+)

@@ -62,6 +62,8 @@ PLAN_BOUNDS = {
     # grid resample: obs agg (persisted, single scan) + distinct keys
     # + per-key ffill window; bounds ride a 1-row broadcast
     "events_gapfill": (3, 0),
+    # same machinery; the backward+forward frames share one sort
+    "events_gapfill_interp": (3, 0),
     # daily partial agg + priority RANGE-frame window over the day frame
     "orders_moving_revenue": (2, 0),
     # packed-min first-arrival dedup: one groupBy, map-side combined

@@ -335,3 +335,33 @@ def test_incremental_agg_handles_group_moves_adds_and_deletes(spark):
         .collect()
     }
     assert got == want == {"s1": (2, 6), "s2": (1, 2)}
+
+
+def test_resample_interp_crafted(spark):
+    """Linear blend on interior gaps (two-thirds of the way from 1.5
+    to 10.5 across a 3-bucket gap), own mean on observed rows, NULL
+    outside the key's observation span (no extrapolation)."""
+    from flink_kafka_spark.operators.timeseries import resample_interp
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    rows = [
+        ("a", base + 5, 1.0),
+        ("a", base + 20, 2.0),          # bucket 0 mean 1.5
+        ("a", base + 3 * 60 + 1, 10.5), # bucket 3
+        ("b", base + 60 + 2, 4.0),      # key b spans only bucket 1
+    ]
+    df = spark.createDataFrame(rows, "key string, sec long, v double").select(
+        "key", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    got = {
+        (r["key"], r["bucket_s"]): (r["cnt"], r["interp_avg"])
+        for r in resample_interp(df, "key", "ts", "v", 60).collect()
+    }
+    assert got[("a", base)] == (2, 1.5)
+    assert got[("a", base + 60)] == (0, 4.5)    # 1.5 + (10.5-1.5)/3
+    assert got[("a", base + 120)] == (0, 7.5)   # 1.5 + 2*(10.5-1.5)/3
+    assert got[("a", base + 180)] == (1, 10.5)
+    assert got[("b", base)] == (0, None)        # before first obs
+    assert got[("b", base + 60)] == (1, 4.0)
+    assert got[("b", base + 120)] == (0, None)  # after last obs
+    assert got[("b", base + 180)] == (0, None)

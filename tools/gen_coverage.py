@@ -104,7 +104,10 @@ EXTENSIONS = [
     ("versioning", "JSONL release I/O + corrupt-line quarantine + compaction"
                    " / snapshot diff (added/removed/changed verdicts)"
                    " / upsert-delete changelog ship + MERGE-style apply"
-                   " (roundtrip closure driver-pinned)"),
+                   " (roundtrip closure driver-pinned)"
+                   " / incremental view maintenance: per-group delta"
+                   " update of a stored rollup under the changelog"
+                   " (maintain(agg(old), changes) == agg(new) pinned)"),
     ("linkage", "blocked fuzzy record linkage (Levenshtein verify,"
                 " length-band pruning, equal-name short-circuit,"
                 " multi-pass blocking union for recall)"),
@@ -118,6 +121,7 @@ EXTENSIONS = [
                          " / RFM segments / market-basket lift"),
     ("timeseries", "regular-grid resample + forward-fill (0-filled counts,"
                    " carried bucket means, gap distances)"
+                   " / linear-interpolation resample twin"
                    " / RANGE-interval trailing-window aggregates"
                    " (gap-correct 7d sums on sparse keys)"
                    " / native session_window sessions (streaming-capable"
