@@ -42,6 +42,47 @@ def _e4(col: str | Column) -> Column:
     return F.floor(c * 10000 + F.lit(0.5)).cast("long")
 
 
+def _grid_obs(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str, step_s: int
+) -> DataFrame:
+    """Shared grid machinery for both resample modes: the per-(key,
+    bucket) count/sum aggregate (persisted — the grid-capped frame is
+    read three times, so the raw stream is scanned exactly once), the
+    1-row global bucket range broadcast back, the executor-side dense
+    grid from the distinct-key frame, and the broadcast left join.
+    Returns one row per (key, bucket_s) with nullable cnt/val_e4."""
+    from ..caching import track
+
+    events = df.select(
+        F.col(key_col).alias("key"),
+        (F.floor(F.unix_timestamp(ts_col) / step_s) * step_s)
+        .cast("long")
+        .alias("bucket_s"),
+        F.col(value_col).alias("v"),
+    )
+    obs = track(
+        events.groupBy("key", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_e4("v")).alias("val_e4"),
+        )
+        .persist()
+    )
+    bounds = obs.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+    grid = (
+        obs.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("mn", "mx", F.lit(int(step_s)).cast("long"))
+            ).alias("bucket_s"),
+        )
+    )
+    return grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,
@@ -65,41 +106,7 @@ def resample_ffill(
                        bucket (0 on observed rows, NULL before the
                        first observation).
     """
-    events = df.select(
-        F.col(key_col).alias("key"),
-        (F.floor(F.unix_timestamp(ts_col) / step_s) * step_s)
-        .cast("long")
-        .alias("bucket_s"),
-        F.col(value_col).alias("v"),
-    )
-    from ..caching import track
-
-    # obs is the grid-capped aggregated frame, read three times
-    # (bounds, distinct keys, the left join); persisting it bounds the
-    # raw-stream scans to exactly one.
-    obs = track(
-        events.groupBy("key", "bucket_s")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(_e4("v")).alias("val_e4"),
-        )
-        .persist()
-    )
-    bounds = obs.agg(
-        F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx")
-    )
-    grid = (
-        obs.select("key")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "key",
-            F.explode(
-                F.sequence("mn", "mx", F.lit(int(step_s)).cast("long"))
-            ).alias("bucket_s"),
-        )
-    )
-    full = grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
+    full = _grid_obs(df, key_col, ts_col, value_col, step_s)
     w = (
         Window.partitionBy("key")
         .orderBy("bucket_s")
@@ -143,40 +150,17 @@ def resample_interp(
     second window FRAME over the same (key, bucket) sort — no extra
     exchange, one more in-partition pass.
 
-    ``interp_avg`` is the bucket's own mean on observed rows, the
+    ``interp_avg`` is the bucket's own mean on value-bearing rows, the
     linear blend prev + (next − prev) · frac on interior gaps, and
-    NULL outside the key's [first, last] observation span (linear
+    NULL outside the key's [first, last] value-bearing span (linear
     interpolation has no defensible extrapolation; use the ffill
-    variant when you need edge carry). The blend is evaluated on
-    exact e4 integers with an identical expression on both engines,
-    so the doubles agree bit-for-bit."""
-    events = df.select(
-        F.col(key_col).alias("key"),
-        (F.floor(F.unix_timestamp(ts_col) / step_s) * step_s)
-        .cast("long")
-        .alias("bucket_s"),
-        F.col(value_col).alias("v"),
-    )
-    from ..caching import track
-
-    obs = track(
-        events.groupBy("key", "bucket_s")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(_e4("v")).alias("val_e4"))
-        .persist()
-    )
-    bounds = obs.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
-    grid = (
-        obs.select("key")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "key",
-            F.explode(
-                F.sequence("mn", "mx", F.lit(int(step_s)).cast("long"))
-            ).alias("bucket_s"),
-        )
-    )
-    full = grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
+    variant when you need edge carry). Interpolation anchors are
+    buckets whose MEAN is non-null — a bucket observed with only NULL
+    values is blended across like a gap, so the value and the distance
+    in the blend always come from the same pair of anchor buckets.
+    The blend is evaluated on exact e4 integers with an identical
+    expression on both engines, so the doubles agree bit-for-bit."""
+    full = _grid_obs(df, key_col, ts_col, value_col, step_s)
     back = (
         Window.partitionBy("key")
         .orderBy("bucket_s")
@@ -195,13 +179,16 @@ def resample_interp(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     avg_e4 = F.floor(F.col("val_e4") / F.col("cnt") + F.lit(0.5))
-    obs_bucket = F.when(F.col("cnt").isNotNull(), F.col("bucket_s"))
+    # anchor = value-bearing bucket (avg non-null), NOT merely
+    # observed: a bucket whose every value is NULL must not donate its
+    # DISTANCE while a different bucket donates the VALUE
+    anchor_bucket = F.when(avg_e4.isNotNull(), F.col("bucket_s"))
     prev_v = F.last(avg_e4, ignorenulls=True).over(back)
     next_v = F.last(avg_e4, ignorenulls=True).over(fwd)
-    prev_b = F.max(obs_bucket).over(back)
-    next_b = F.min(obs_bucket).over(fwd)
+    prev_b = F.max(anchor_bucket).over(back)
+    next_b = F.min(anchor_bucket).over(fwd)
     frac = (F.col("bucket_s") - prev_b) / (next_b - prev_b)
-    interp_e4 = F.when(F.col("cnt").isNotNull(), avg_e4).otherwise(
+    interp_e4 = F.when(avg_e4.isNotNull(), avg_e4).otherwise(
         F.floor(prev_v + (next_v - prev_v) * frac + F.lit(0.5))
     )
     return full.select(

@@ -901,8 +901,8 @@ nb AS (
   SELECT *,
          last_value(avg_e4 IGNORE NULLS) OVER wback AS prev_v,
          first_value(avg_e4 IGNORE NULLS) OVER wfwd AS next_v,
-         max(CASE WHEN cnt IS NOT NULL THEN bucket_s END) OVER wback AS prev_b,
-         min(CASE WHEN cnt IS NOT NULL THEN bucket_s END) OVER wfwd AS next_b
+         max(CASE WHEN avg_e4 IS NOT NULL THEN bucket_s END) OVER wback AS prev_b,
+         min(CASE WHEN avg_e4 IS NOT NULL THEN bucket_s END) OVER wfwd AS next_b
   FROM full_grid
   WINDOW wback AS (PARTITION BY key ORDER BY bucket_s
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -911,7 +911,7 @@ nb AS (
 )
 SELECT key AS event_type, bucket_s,
        CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt,
-       CASE WHEN cnt IS NOT NULL THEN avg_e4
+       CASE WHEN avg_e4 IS NOT NULL THEN avg_e4
             ELSE floor(prev_v + (next_v - prev_v)
                        * ((bucket_s - prev_b) / (next_b - prev_b)) + 0.5)
        END / 10000.0 AS interp_avg

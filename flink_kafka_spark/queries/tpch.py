@@ -1129,15 +1129,20 @@ def fk_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as child of two parents, orders/customer as both child and
     # parent) are persisted as the narrow projection of exactly the
     # key columns the edges touch, so the largest fact table is read
-    # from parquet once however many edges probe it
-    cols: dict[str, set[str]] = {}
+    # from parquet once however many edges probe it; single-edge
+    # tables stay plain scans — a persist with no reuse is pure
+    # block-store overhead
+    uses: dict[str, set[str]] = {}
     for _edge, child, ckey, parent, pkey in FK_EDGES:
-        cols.setdefault(child, set()).add(ckey)
-        cols.setdefault(parent, set()).add(pkey)
-    frames = {
-        t: track(load(spark, sf_dir, t).select(*sorted(ks)).persist())
-        for t, ks in cols.items()
-    }
+        uses.setdefault(child, set()).add(ckey)
+        uses.setdefault(parent, set()).add(pkey)
+    frames = {}
+    for t, ks in uses.items():
+        proj = load(spark, sf_dir, t).select(*sorted(ks))
+        n_uses = sum(
+            (t == c) + (t == p) for _e, c, _ck, p, _pk in FK_EDGES
+        )
+        frames[t] = track(proj.persist()) if n_uses > 1 else proj
     out = None
     for edge, child, ckey, parent, pkey in FK_EDGES:
         ca = (

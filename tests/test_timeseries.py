@@ -280,15 +280,21 @@ def test_dedup_late_packing_bound_holds():
     import duckdb
 
     con = duckdb.connect()
+    checked = 0
     for sf in ("0.001", "0.01", "0.1"):
         d = f"/root/testdata/sf{sf}/events.parquet"
         if not os.path.exists(d):
             continue
-        lo, hi, tmax = con.execute(
-            f"SELECT min(event_id), max(event_id), max(epoch(ts)) FROM '{d}'"
+        checked += 1
+        lo, hi, tmin, tmax = con.execute(
+            f"SELECT min(event_id), max(event_id),"
+            f" min(epoch(ts)), max(epoch(ts)) FROM '{d}'"
         ).fetchone()
         assert lo >= 0 and hi < 1_000_000_000, (sf, lo, hi)
-        assert tmax < 9_200_000_000, (sf, tmax)
+        # negative packed values would also diverge across engines:
+        # Spark `div` truncates toward zero, DuckDB `//` floors
+        assert 0 <= tmin and tmax < 9_200_000_000, (sf, tmin, tmax)
+    assert checked, "no testdata fixture found — the guard checked nothing"
 
 
 def test_incremental_agg_handles_group_moves_adds_and_deletes(spark):
@@ -365,3 +371,30 @@ def test_resample_interp_crafted(spark):
     assert got[("b", base + 60)] == (1, 4.0)
     assert got[("b", base + 120)] == (0, None)  # after last obs
     assert got[("b", base + 180)] == (0, None)
+
+
+def test_resample_interp_null_value_bucket_is_not_an_anchor(spark):
+    """A bucket observed with only NULL values must be blended across
+    like a gap — value and distance must come from the SAME pair of
+    value-bearing anchors (buckets 0 and 4 here), not mix bucket 2's
+    distance with bucket 0's value."""
+    from flink_kafka_spark.operators.timeseries import resample_interp
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    rows = [
+        ("a", base + 1, 10.0),
+        ("a", base + 2 * 60, None),     # observed, all values NULL
+        ("a", base + 4 * 60, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, sec long, v double").select(
+        "key", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    got = {
+        r["bucket_s"]: (r["cnt"], r["interp_avg"])
+        for r in resample_interp(df, "key", "ts", "v", 60).collect()
+    }
+    assert got[base] == (1, 10.0)
+    assert got[base + 60] == (0, 12.5)       # quarter of the 0->4 line
+    assert got[base + 120] == (1, 15.0)      # cnt=1 but NULL avg -> midpoint
+    assert got[base + 180] == (0, 17.5)
+    assert got[base + 240] == (1, 20.0)
