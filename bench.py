@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "session_windows_native",
     "agg_incremental_update",
     "events_gapfill_interp",
+    "events_key_skew",
 ]
 
 

@@ -327,3 +327,42 @@ def salted_count(
         F.count(F.lit(1)).alias("_partial")
     )
     return phase1.groupBy(*keys).agg(F.sum("_partial").alias("cnt"))
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """One-row skew diagnostic for a grouping key — the measurement
+    that decides whether a job needs :func:`salted_count`, AQE skew
+    splitting, or nothing (the reference salts blindly; SURVEY §4
+    argues measure-first). Reports key cardinality, total rows, the
+    heaviest key's share, exact p50/p99 of the per-key counts, and
+    skew_ratio = max/mean (1.0 = perfectly flat).
+
+    Scale: one map-side-combined (keys) count — the same shuffle the
+    real aggregation would pay — then every statistic is computed on
+    the |keys|-sized counts frame: the exact percentiles sort counts,
+    not rows, and the argmax key travels as a packed (cnt, key-hash)
+    max, so nothing beyond the counts frame ever moves. Run it on a
+    sample in production if even the counts frame is too hot.
+
+    Deterministic: the reported top key is the max-count key, ties
+    broken by the key string itself — the argmax travels inside the
+    plain max() of a (zero-padded count || key) string, so the
+    combiner stays an ordinary max and no argmax/tie ambiguity can
+    diverge across engines."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    packed = F.concat(F.lpad(F.col("cnt").cast("string"), 12, "0"), key_str)
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.expr("CAST(percentile(cnt, 0.5) AS DOUBLE)").alias("p50_cnt"),
+        F.expr("CAST(percentile(cnt, 0.99) AS DOUBLE)").alias("p99_cnt"),
+        F.expr(
+            "floor(CAST(max(cnt) AS DOUBLE) / (CAST(sum(cnt) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000"
+        ).alias("skew_ratio"),
+        F.substring(F.max(packed), 13, 1_000_000).alias("top_key"),
+    )

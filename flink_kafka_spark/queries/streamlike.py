@@ -420,6 +420,43 @@ EVENTS_DEDUP_LATE_ORACLE = (
 )
 
 
+# --- grouping-key skew diagnostic ---
+#
+# The measurement that decides whether a job needs salting, AQE skew
+# splitting, or nothing (the reference salts blindly — SURVEY §4
+# argues measure-first): per-key count distribution stats plus the
+# deterministic argmax key, all computed on the |keys|-sized counts
+# frame after the one shuffle the real aggregation would pay anyway.
+
+def events_key_skew(spark, sf_dir):
+    from ..operators.windows import key_skew_report
+
+    return key_skew_report(
+        load(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
+
+
+EVENTS_KEY_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT concat_ws(chr(31), CAST(user_id AS VARCHAR),
+                   CAST(event_type AS VARCHAR)) AS key_str,
+         count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       CAST(quantile_cont(cnt, 0.5) AS DOUBLE) AS p50_cnt,
+       CAST(quantile_cont(cnt, 0.99) AS DOUBLE) AS p99_cnt,
+       floor(CAST(max(cnt) AS DOUBLE)
+             / (CAST(sum(cnt) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+         AS skew_ratio,
+       substr(max(lpad(CAST(cnt AS VARCHAR), 12, '0') || key_str), 13)
+         AS top_key
+FROM counts
+"""
+
+
 QUERIES = [
     Query("hot_items_topn", hot_items_topn, HOT_ITEMS_ORACLE, "W1 A1 G1 G2 R1 R4"),
     Query("hot_items_report", hot_items_report, HOT_ITEMS_REPORT_ORACLE, "P6 sink formatting"),
@@ -438,4 +475,6 @@ QUERIES = [
     Query("high_value_purchases", high_value_purchases, HIGH_VALUE_ORACLE, "P1 P2 P5 F1-F5"),
     Query("events_dedup_late", events_dedup_late, EVENTS_DEDUP_LATE_ORACLE,
           "ext: dropDuplicatesWithinWatermark batch twin (first-arrival dedup)"),
+    Query("events_key_skew", events_key_skew, EVENTS_KEY_SKEW_ORACLE,
+          "ext: grouping-key skew diagnostic (measure-first salting)"),
 ]

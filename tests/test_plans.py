@@ -68,6 +68,8 @@ PLAN_BOUNDS = {
     "orders_moving_revenue": (2, 0),
     # packed-min first-arrival dedup: one groupBy, map-side combined
     "events_dedup_late": (1, 0),
+    # key-count shuffle + 1-row stats agg over the counts frame
+    "events_key_skew": (2, 0),
     # vocab count + pair count; top-k is TakeOrderedAndProject
     "bpe_merge_candidates": (2, 0),
     "quantity_percentiles": (1, 0),

@@ -398,3 +398,22 @@ def test_resample_interp_null_value_bucket_is_not_an_anchor(spark):
     assert got[base + 120] == (1, 15.0)      # cnt=1 but NULL avg -> midpoint
     assert got[base + 180] == (0, 17.5)
     assert got[base + 240] == (1, 20.0)
+
+
+def test_key_skew_report_planted_hot_key_and_tie(spark):
+    """Planted 3x hot key must dominate max_cnt/skew_ratio and win
+    top_key; an exact count TIE must break by key string (the packed
+    lexicographic max), not partition order."""
+    from flink_kafka_spark.operators.windows import key_skew_report
+
+    rows = [("u9", "x")] * 6 + [("u2", "y")] * 2 + [("u1", "y")] * 2
+    df = spark.createDataFrame(rows, "k string, t string")
+    r = key_skew_report(df, ["k", "t"]).collect()[0]
+    assert (r["n_keys"], r["total_rows"], r["max_cnt"]) == (3, 10, 6)
+    assert r["top_key"] == "u9\x1fx"
+    # mean = 10/3, skew = 6 / (10/3) = 1.8
+    assert r["skew_ratio"] == 1.8
+    # remove the hot key: u2 and u1 tie at 2 -> larger string u2 wins
+    r2 = key_skew_report(df.filter("k <> 'u9'"), ["k", "t"]).collect()[0]
+    assert r2["max_cnt"] == 2 and r2["top_key"] == "u2\x1fy"
+    assert r2["skew_ratio"] == 1.0

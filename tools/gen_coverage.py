@@ -129,7 +129,10 @@ EXTENSIONS = [
                    " / first-arrival dedup (dropDuplicatesWithinWatermark"
                    " batch twin, packed-min groupBy)"
                    " / BPE merge-candidate induction (vocab-bounded"
-                   " pair explode)"),
+                   " pair explode)"
+                   " / grouping-key skew diagnostic (measure-first"
+                   " salting: count-distribution stats + deterministic"
+                   " argmax key on the counts frame)"),
 ]
 
 
