@@ -205,6 +205,34 @@ def main() -> None:
         )
         timings["blacklist_stream"] = round(time.perf_counter() - t0, 2)
 
+        # exact streaming dedup (dropDuplicatesWithinWatermark): every
+        # key delivered twice 1 s apart -> n/2 survivors; state = the
+        # per-key-hash dedup store the watermark evicts
+        from flink_kafka_spark.streaming.jobs import dedup_stream
+
+        dedup_src = os.path.join(tmp, "dedup")
+        spark.range(n).select(
+            F.concat_ws(
+                ",",
+                F.pmod("id", F.lit(n // 2)).cast("string"),
+                F.lit("ip"),
+                F.lit("fail"),
+                (
+                    F.lit(BASE_TS)
+                    + (F.pmod("id", F.lit(n // 2)) / 200).cast("long")
+                    + F.when(F.col("id") >= n // 2, 1).otherwise(0)
+                ).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(dedup_src)
+        stream = csv_replay_source(spark, dedup_src, LOGIN_EVENT)
+        t0 = time.perf_counter()
+        state["dedup_stream"] = run_stream(
+            dedup_stream(stream, ["user_id"], delay="10 seconds"),
+            os.path.join(tmp, "ck_dedup"),
+            listener,
+        )
+        timings["dedup_stream"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps({"stream_bench": timings, "state": state, "n": n}))
 
 
