@@ -64,6 +64,10 @@ def _grid_obs(
         events.groupBy("key", "bucket_s")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
+            # non-null value count: the mean's denominator (conventional
+            # AVG semantics — a NULL-valued event counts toward cnt but
+            # not toward the bucket mean)
+            F.count("v").alias("vcnt"),
             F.sum(_e4("v")).alias("val_e4"),
         )
         .persist()
@@ -96,9 +100,11 @@ def resample_ffill(
     bucket range (shared range: a key silent at the edges still gets
     rows, which is the monitoring semantics — silence IS the signal):
 
-    - ``cnt``          events observed in the bucket (0 when empty);
-    - ``bucket_avg``   mean value of the bucket's own events, half-up
-                       4 dp, NULL when the bucket is empty;
+    - ``cnt``          events observed in the bucket (0 when empty;
+                       NULL-valued events count here);
+    - ``bucket_avg``   mean over the bucket's NON-NULL values
+                       (conventional AVG semantics), half-up 4 dp,
+                       NULL when the bucket is empty or all-NULL;
     - ``filled_avg``   forward-filled ``bucket_avg`` (last observed
                        bucket's mean carried across gaps; NULL until
                        the key's first observation);
@@ -112,10 +118,12 @@ def resample_ffill(
         .orderBy("bucket_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # integer-exact until this projection: avg_e4 = floor(sum_e4/cnt
+    # integer-exact until this projection: avg_e4 = floor(sum_e4/vcnt
     # + 0.5); both operands are exact BIGINTs well under 2^53, so the
-    # double division is the same on any engine.
-    avg_e4 = F.floor(F.col("val_e4") / F.col("cnt") + F.lit(0.5))
+    # double division is the same on any engine. vcnt=0 (all-NULL
+    # bucket) never divides: val_e4 is NULL there, and NULL propagates
+    # through the division before either engine looks at the divisor.
+    avg_e4 = F.floor(F.col("val_e4") / F.col("vcnt") + F.lit(0.5))
     return full.select(
         F.col("key").alias(key_col),
         "bucket_s",
@@ -150,7 +158,8 @@ def resample_interp(
     second window FRAME over the same (key, bucket) sort — no extra
     exchange, one more in-partition pass.
 
-    ``interp_avg`` is the bucket's own mean on value-bearing rows, the
+    ``interp_avg`` is the bucket's own non-null-value mean on
+    value-bearing rows, the
     linear blend prev + (next − prev) · frac on interior gaps, and
     NULL outside the key's [first, last] value-bearing span (linear
     interpolation has no defensible extrapolation; use the ffill
@@ -178,7 +187,7 @@ def resample_interp(
         .orderBy(F.desc("bucket_s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    avg_e4 = F.floor(F.col("val_e4") / F.col("cnt") + F.lit(0.5))
+    avg_e4 = F.floor(F.col("val_e4") / F.col("vcnt") + F.lit(0.5))
     # anchor = value-bearing bucket (avg non-null), NOT merely
     # observed: a bucket whose every value is NULL must not donate its
     # DISTANCE while a different bucket donates the VALUE

@@ -146,9 +146,15 @@ def incremental_agg_maintenance(
         n.alias("n_rows"), *[F.sum(c).cast("long").alias(c) for c in sum_cols]
     )
     # old contribution of every id the changelog touches (upsert of an
-    # existing id supersedes it; delete removes it) — negated
+    # existing id supersedes it; delete removes it) — negated.
+    # distinct() so a changelog carrying more than one op for the same
+    # id (e.g. a delete immediately followed by an upsert) still
+    # subtracts that id's old row exactly once; changes_from_diff
+    # emits one op per id, but this operator is public and must not
+    # assume that contract.
     minus = (
         changes.select(id_col)
+        .distinct()
         .join(old_facts, id_col)
         .groupBy(*gcols)
         .agg(

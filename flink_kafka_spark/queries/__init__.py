@@ -60,46 +60,52 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-9 ROTATION (full rationale in ROTATION_LEDGER.md §Round 9):
-# OUT, all green r7+r8: the 25 twice-green non-check rows (analytics
-# r7 wave, tpch q8/q13/rollup, the dedup/text/sampling r7 blocks,
-# fuzzy_part_matches, bm25_search). IN: the 10-row never-hashed queue
-# (doc_bigram_logprob ... orders_status_unpivot), the overdue
-# relational rows tpch_q14-q17/q19/q21/q22, family anchors
-# dedup_exact / order_line_reconciliation / inverted_index /
-# mixture_resample, and this round's new registrations
-# (immediate-hash rule).
+# ROUND-10 ROTATION (full rationale in ROTATION_LEDGER.md §Round 10):
+# OUT, all green r8+r9: the 12 r8-first-hashed rows (order_timeout,
+# purchase_attribution, rfm_segments, basket_lift, changelog_roundtrip,
+# scd2_history, tpch q2/q9/q11/q20, training_mix_snapshot,
+# media_features) PLUS the flagship hot_items_topn — the r10 IN list
+# needs 13 slots (the written schedule's 11 + the two never-hashed
+# rows the r9 verdict flagged), and the flagship's semantics stay
+# driver-verified twice over: the row-identical hot_items_sql enters
+# this window (SQL-path parity pytest pins equality) and the driver's
+# entry() smoke check still executes hot_items_topn every round.
+# IN: the six r9 sweep-green registrations, the four §2 rows bumped
+# from r9, media_frame_sample (promised since r5), and the two
+# never-driver-hashed analytics rows retention_cohorts /
+# source_divergence.
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
-    "hot_items_topn",
-    "uv_approx_check",
-    "order_timeout",
+    "hot_items_sql",
+    "unique_visitors",
+    "click_blacklist",
+    "login_fail_detect",
+    "session_windows_native",
     "order_line_reconciliation",
+    "uv_approx_check",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # analytics (first-hashed r8, stay until twice-green)
-    "purchase_attribution",
-    "rfm_segments",
-    "basket_lift",
-    "changelog_roundtrip",
-    "scd2_history",
-    # analytics (never-hashed queue + new registrations)
+    # analytics (first-hashed r9, stay until twice-green)
     "k_anonymity_audit",
     "orders_status_pivot",
     "orders_status_unpivot",
     "events_gapfill",
     "orders_moving_revenue",
     "events_dedup_late",
-    # relational block (q2/q9/q11/q20 first-hashed r8; q14-q22 overdue)
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
+    # analytics (r9 registrations past capacity + never-hashed r7 rows)
+    "orders_cube",
+    "fk_coverage_audit",
+    "agg_incremental_update",
+    "events_gapfill_interp",
+    "events_key_skew",
+    "retention_cohorts",
+    "source_divergence",
+    # relational block (first-hashed r9, stay until twice-green)
     "tpch_q14",
     "tpch_q15",
     "tpch_q16",
     "tpch_q17",
     "tpch_q19",
-    "tpch_q20",
     "tpch_q21",
     "tpch_q22",
     # deduplication family
@@ -113,7 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    # text analysis family (never-hashed queue + new registration)
+    # text analysis family (first-hashed r9, stay until twice-green)
     "doc_bigram_logprob",
     "vocab_oov_rate",
     "doc_embedding_hash",
@@ -123,14 +129,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "markup_strip",
     "bpe_merge_candidates",
     "heavy_hitters_check",
-    # compose flagship (training-mix manifest — four stages' hash pin)
-    "training_mix_snapshot",
     # retrieval family
     "inverted_index",
     # sampling / release family
     "mixture_resample",
     # multimodal family
-    "media_features",
+    "media_frame_sample",
     "media_features_check",
 )
 

@@ -787,6 +787,7 @@ WITH obs AS (
   SELECT event_type AS key,
          CAST(floor(epoch(ts) / {GAPFILL_STEP_S}) AS BIGINT) * {GAPFILL_STEP_S} AS bucket_s,
          count(*) AS cnt,
+         count(value) AS vcnt,
          sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS val_e4
   FROM events GROUP BY 1, 2
 ),
@@ -798,7 +799,7 @@ grid AS (
 ),
 full_grid AS (
   SELECT g.key, g.bucket_s, o.cnt,
-         floor(o.val_e4 / o.cnt + 0.5) AS avg_e4
+         floor(o.val_e4 / o.vcnt + 0.5) AS avg_e4
   FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.bucket_s = g.bucket_s
 )
 SELECT key AS event_type, bucket_s,
@@ -883,6 +884,7 @@ WITH obs AS (
   SELECT event_type AS key,
          CAST(floor(epoch(ts) / {GAPFILL_STEP_S}) AS BIGINT) * {GAPFILL_STEP_S} AS bucket_s,
          count(*) AS cnt,
+         count(value) AS vcnt,
          sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS val_e4
   FROM events GROUP BY 1, 2
 ),
@@ -894,7 +896,7 @@ grid AS (
 ),
 full_grid AS (
   SELECT g.key, g.bucket_s, o.cnt,
-         floor(o.val_e4 / o.cnt + 0.5) AS avg_e4
+         floor(o.val_e4 / o.vcnt + 0.5) AS avg_e4
   FROM grid g LEFT JOIN obs o ON o.key = g.key AND o.bucket_s = g.bucket_s
 ),
 nb AS (

@@ -176,12 +176,19 @@ def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The lag and the cumsum share ONE total order (full-precision ts +
+# event_id tiebreak): ordering the cumsum by truncated ts_s alone
+# would let two same-second events at a session boundary reorder
+# between the two windows and mis-assign the unflagged peer to the
+# previous session. Gap arithmetic still uses truncated seconds
+# (Spark truncates before windowing), and ts-order is a refinement
+# of ts_s-order, so the session grouping itself is unchanged.
 SESSION_NATIVE_ORACLE = f"""
 WITH seq AS (
-  SELECT user_id,
+  SELECT user_id, ts, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
          lag(CAST(floor(epoch(ts)) AS BIGINT))
-           OVER (PARTITION BY user_id ORDER BY ts ASC) AS prev_ts_s
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts_s
   FROM events
 ),
 marked AS (
@@ -191,7 +198,7 @@ marked AS (
 ),
 sessions AS (
   SELECT user_id, ts_s,
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM marked
 )

@@ -417,3 +417,52 @@ def test_key_skew_report_planted_hot_key_and_tie(spark):
     r2 = key_skew_report(df.filter("k <> 'u9'"), ["k", "t"]).collect()[0]
     assert r2["max_cnt"] == 2 and r2["top_key"] == "u2\x1fy"
     assert r2["skew_ratio"] == 1.0
+
+
+def test_resample_mixed_null_bucket_uses_nonnull_denominator(spark):
+    """A bucket mixing NULL and non-null values must average over the
+    non-null values only (conventional AVG): [2.0, NULL] -> cnt=2 but
+    bucket_avg=2.0, not a deflated 1.0 (r9 advisory)."""
+    from flink_kafka_spark.operators.timeseries import resample_ffill
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    rows = [
+        ("a", base + 1, 2.0),
+        ("a", base + 2, None),          # same bucket, NULL value
+        ("a", base + 2 * 60, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, sec long, v double").select(
+        "key", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    got = {
+        r["bucket_s"]: (r["cnt"], r["bucket_avg"], r["filled_avg"])
+        for r in resample_ffill(df, "key", "ts", "v", 60).collect()
+    }
+    assert got[base] == (2, 2.0, 2.0)
+    assert got[base + 60] == (0, None, 2.0)
+    assert got[base + 120] == (1, 5.0, 5.0)
+
+
+def test_incremental_agg_multi_op_changelog_subtracts_once(spark):
+    """A changelog carrying BOTH a delete and an upsert for the same id
+    (not producible by changes_from_diff, but legal for the public
+    operator) must subtract that id's old contribution exactly once —
+    the r9 advisory's double-subtract case."""
+    from flink_kafka_spark.operators.versioning import incremental_agg_maintenance
+
+    facts = spark.createDataFrame(
+        [(1, "s1", 10), (2, "s1", 7)], "doc_id long, source string, chars long"
+    )
+    changes = spark.createDataFrame(
+        [(1, "delete", None, None), (1, "upsert", "s2", 4)],
+        "doc_id long, op string, source string, chars long",
+    )
+    got = {
+        r["source"]: (r["n_rows"], r["chars"])
+        for r in incremental_agg_maintenance(
+            facts, changes, "doc_id", ("source",), ("chars",)
+        ).collect()
+    }
+    # id 1 leaves s1 once (delete+upsert collapse to one subtraction)
+    # and lands in s2 with the upsert payload; id 2 is untouched.
+    assert got == {"s1": (1, 7), "s2": (1, 4)}
