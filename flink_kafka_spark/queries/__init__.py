@@ -42,11 +42,19 @@ class Query:
 # past the window keep full pytest + rehearsal coverage at every scale
 # factor; they are rotation candidates, not unverified code.
 #
-# ROTATION POLICY (round-4 verdict #6): each round, rotate rows that
-# were driver-green in BOTH of the two preceding rounds out of the
-# window, replacing them with registered queries currently outside it,
-# so every registered query earns a driver row at least once per ~3
-# rounds. Constraints that bound each rotation:
+# ROTATION POLICY (round-4 verdict #6, cadence amended r10): each
+# round, rotate rows that were driver-green in BOTH of the two
+# preceding rounds out of the window, replacing them with registered
+# queries currently outside it. Cadence (machine-checked by
+# tests/test_oracle.py::test_no_full_oracle_row_skips_driver_hashing_
+# beyond_cadence): a NEVER-hashed full-oracle registration must enter
+# the window its own round (or be capacity-deferred at most 3); an
+# active row may sit out at most 6 consecutive rounds — the original
+# "~3 rounds" promise is infeasible at 137 full-oracle rows (max
+# 3-round coverage through a 50-slot window at twice-green turnover
+# is 100 rows); row-linked twins may retire from the window with a
+# named co-covering row (RETIRED_TWINS), still oracle-verified by
+# every pytest/rehearsal sweep. Constraints that bound each rotation:
 # - every ``*_check`` property oracle stays in (they are the only
 #   driver verification the hash-dependent approx paths have);
 # - each family keeps >=1 full-oracle row (test_driver_window_covers_

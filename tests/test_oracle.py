@@ -103,3 +103,98 @@ def test_no_registered_query_emits_nested_columns(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         assert not nested, f"{name} emits nested columns {nested}"
+
+
+# Full-oracle registrations that exceeded the current round's window
+# capacity (the documented r7/r9 precedent). Every entry carries the
+# round it was registered; the cadence test fails the entry itself if
+# it is still outside the window 3 recorded rounds later — a deferral
+# can be late, never forgotten.
+CAPACITY_DEFERRED: dict[str, int] = {}
+
+# Twin rows retired from re-hash cadence (r10 policy codification):
+# each is row-linked to a named in-cadence row by a standing pytest or
+# is a pure projection/composition of in-cadence rows, and every one
+# still runs the full DuckDB-oracle compare in each session's
+# tools/rehearsal.py sweep — retirement skips the driver WINDOW, not
+# verification.
+RETIRED_TWINS: dict[str, str] = {
+    "hot_items_report": "formatting of hot_items_topn (golden-report pytest)",
+    "global_stats_fine": "salted row-identity twin of global_stats",
+    "order_ship_interval_join_binned": "row-identical hypothesis twin of order_ship_interval_join",
+    "ann_cosine_topk_int8": "int8 twin of ann_cosine_topk (quantization bound pytest)",
+    "high_value_purchases": "P1/P2 parse path (apache.log reference-parity pytest)",
+    "dedup_prune_stats": "1-row stats projection of the dedup_exact pipeline",
+    "dedup_clusters": "composed inside dedup_canonicalize (same pairs->CC pipeline)",
+    "text_stats": "narrow projection of the text-scan family (lang_id/text_quality)",
+    "corpus_prep": "composition of pii_scan+repetition_stats+text_quality filters",
+}
+
+# Pre-r10 cadence debt: rows whose absence already exceeded the bound
+# when the cadence test was introduced, each with the round it MUST
+# re-enter the window by. An overdue entry fails the test — debt can
+# be late, never forgotten.
+CADENCE_DEBT: dict[str, int] = {
+    "quantity_percentiles": 11,     # last hashed r2
+    "customer_running_totals": 11,  # last hashed r2
+}
+
+# Re-hash cadence bound. The policy header's original "~3 rounds" is
+# infeasible at the current registry size: 137 full-oracle rows cannot
+# cycle through a 50-slot window in 3 rounds when only twice-green
+# rows may leave (max 3-round coverage = 50 + 2*25 = 100 rows). Six
+# rounds cover 50 + 5*25 = 175 > 137 with slack for checks/anchors.
+CADENCE_MAX_ABSENT = 6
+
+
+def test_no_full_oracle_row_skips_driver_hashing_beyond_cadence():
+    """r9 verdict item 2: the written r10 rotation schedule silently
+    dropped two never-hashed rows (retention_cohorts,
+    source_divergence) — a queue slotting bug ledger prose could not
+    catch. Reconstruct each query's hash history from the in-repo
+    CORRECTNESS_r*.json files, treat the CURRENT DRIVER_WINDOW as the
+    in-flight round's appearance, and fail if (a) a full-oracle
+    registration has never been hashed and is not in the current
+    window (strict — the bug class above; CAPACITY_DEFERRED grants at
+    most 3 rounds), or (b) an active row has been absent more than
+    CADENCE_MAX_ABSENT consecutive rounds (RETIRED_TWINS exempt,
+    CADENCE_DEBT entries run on their written deadline instead)."""
+    import json
+    import pathlib
+    import re
+
+    from flink_kafka_spark.queries import DRIVER_WINDOW
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    rounds: dict[int, set[str]] = {}
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if m:
+            rounds[int(m.group(1))] = set(json.loads(p.read_text()))
+    assert rounds, "no CORRECTNESS_r*.json found — cadence unverifiable"
+    current = max(rounds) + 1
+
+    late = []
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue  # rows-only registrations are rehearsal/pytest turf
+        if name in DRIVER_WINDOW:
+            continue  # appears in the in-flight round
+        hashed = [r for r, names in rounds.items() if name in names]
+        if not hashed:
+            deferred = CAPACITY_DEFERRED.get(name)
+            if deferred is None:
+                late.append(f"{name}: never driver-hashed and not in the current window")
+            elif current - deferred > 3:
+                late.append(f"{name}: capacity-deferred since r{deferred}, still unhashed")
+            continue
+        if name in RETIRED_TWINS:
+            continue
+        if name in CADENCE_DEBT:
+            if current > CADENCE_DEBT[name]:
+                late.append(f"{name}: cadence debt due r{CADENCE_DEBT[name]} is overdue")
+            continue
+        absences = current - max(hashed)
+        if absences > CADENCE_MAX_ABSENT:
+            late.append(f"{name}: absent {absences} consecutive rounds")
+    assert not late, "rotation cadence violated:\n" + "\n".join(sorted(late))
