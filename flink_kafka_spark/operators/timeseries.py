@@ -113,6 +113,14 @@ def resample_ffill(
                        first observation).
     """
     full = _grid_obs(df, key_col, ts_col, value_col, step_s)
+    return _ffill_project(full, key_col, step_s)
+
+
+def _ffill_project(full: DataFrame, key_col: str, step_s: int) -> DataFrame:
+    """The ffill projection over an already-densified (key, bucket_s,
+    cnt, vcnt, val_e4) frame — shared by the batch :func:`resample_ffill`
+    and the streaming foreachBatch emitter
+    (streaming.jobs.emit_gapfill), so the two faces cannot drift."""
     w = (
         Window.partitionBy("key")
         .orderBy("bucket_s")
@@ -142,6 +150,32 @@ def resample_ffill(
         .cast("long")
         .alias("gap_buckets"),
     )
+
+
+def densify_buckets(obs: DataFrame, key_col: str, step_s: int) -> DataFrame:
+    """Densify an ALREADY-aggregated (key_col, bucket_s, cnt, vcnt,
+    val_e4) bucket frame onto the step grid and forward-fill — the
+    grid/ffill half of :func:`resample_ffill` without the raw-event
+    aggregate, for callers that receive bucket partials (the streaming
+    emitter's closed windows, a stored rollup). Bucket-frame-sized:
+    |keys| x |range| rows, independent of the raw corpus."""
+    obs = obs.select(
+        F.col(key_col).alias("key"), "bucket_s", "cnt", "vcnt", "val_e4"
+    )
+    bounds = obs.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
+    grid = (
+        obs.select("key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("mn", "mx", F.lit(int(step_s)).cast("long"))
+            ).alias("bucket_s"),
+        )
+    )
+    full = grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
+    return _ffill_project(full, key_col, step_s)
 
 
 def resample_interp(

@@ -151,7 +151,10 @@ def incremental_agg_maintenance(
     # id (e.g. a delete immediately followed by an upsert) still
     # subtracts that id's old row exactly once; changes_from_diff
     # emits one op per id, but this operator is public and must not
-    # assume that contract.
+    # assume that contract. The distinct's shuffle is edit-volume-
+    # sized (changed ids only) — cheaper than the left-semi
+    # alternative, whose static plan sort-merges the corpus-sized
+    # old_facts on both sides.
     minus = (
         changes.select(id_col)
         .distinct()

@@ -163,6 +163,60 @@ def incremental_dedup_stream(
     return docs_stream.writeStream.foreachBatch(_process)
 
 
+def bucket_partials_stream(
+    events: DataFrame,
+    key: str,
+    value_col: str,
+    step_s: int = 300,
+    delay: str = "1 second",
+) -> DataFrame:
+    """Streaming half of the resample family: per-(key, tumbling
+    ``step_s`` bucket) count / non-null count / e4-fixed-point sum,
+    emitted on window close (append mode). Feed the closed buckets to
+    :func:`emit_gapfill` in a foreachBatch sink — the same split the
+    batch twin uses internally (operators.timeseries._grid_obs →
+    densify), so the streaming face shares the batch operators'
+    arithmetic exactly. One keyed shuffle; state = open buckets only,
+    evicted by the watermark."""
+    from ..operators.timeseries import _e4
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(
+            F.window("ts", f"{step_s} seconds").alias("_w"),
+            F.col(key).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(value_col).alias("vcnt"),
+            F.sum(_e4(value_col)).alias("val_e4"),
+        )
+        .select(
+            "key",
+            F.col("_w.start").cast("long").alias("bucket_s"),
+            "cnt",
+            "vcnt",
+            "val_e4",
+        )
+    )
+
+
+def emit_gapfill(closed_buckets: DataFrame, key: str, step_s: int = 300) -> DataFrame:
+    """foreachBatch finisher for :func:`bucket_partials_stream`:
+    densify one micro-batch's CLOSED buckets onto the step grid over
+    the batch's own bucket range (per-key zero-fill, forward-fill, gap
+    distance) via the batch operator's densify half — batch twin:
+    operators.timeseries.resample_ffill. Per-batch semantics: the
+    forward-fill restarts at each micro-batch's first bucket; carrying
+    state across batches is the stored rollup's job (append the
+    emitted grids and re-densify over the seam when stitching)."""
+    from ..operators.timeseries import densify_buckets
+
+    return densify_buckets(
+        closed_buckets.withColumnRenamed("key", key), key, step_s
+    )
+
+
 def session_stats_stream(
     events: DataFrame,
     key: str = "user_id",

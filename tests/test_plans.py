@@ -57,7 +57,10 @@ PLAN_BOUNDS = {
     # SMJ-bound like media_features_check (both sides corpus-sized);
     # the edit-sized probe joins AQE-broadcast at runtime. The static
     # count includes the persisted changelog's lineage shown inline.
-    "agg_incremental_update": (7, 6),
+    # (+2 exchanges r10: the advisory fix distincts the edit-sized
+    # changed-id set before the minus join — multi-op-per-id
+    # changelogs must subtract once)
+    "agg_incremental_update": (9, 6),
     "customer_running_totals": (1, 0),  # per-key window, one shuffle
     # grid resample: obs agg (persisted, single scan) + distinct keys
     # + per-key ffill window; bounds ride a 1-row broadcast
@@ -356,17 +359,61 @@ def test_plan_shapes(spark, sf_dir):
     assert not problems, "; ".join(problems)
 
 
-def test_no_cartesian_outside_exact_ann(spark, sf_dir):
-    """The only nested-loop/cartesian plan allowed in the registry is
-    the labeled exact-ANN baseline (and the 1-row stats broadcasts,
-    which explain() shows as BroadcastNestedLoopJoin over a single
-    aggregate row)."""
+# Per-query BroadcastNestedLoopJoin ceilings (r9 verdict item 3: the
+# old 4-query sample let a broadcast-HASH join degrade to a
+# nested-loop join in the other 144 queries without failing pytest —
+# BNLJ adds neither an exchange nor an SMJ, so PLAN_BOUNDS can't see
+# it). Every entry is one of exactly two legitimate classes:
+#   (s) 1-row scalar broadcast — crossJoin(broadcast(<1-row agg>)):
+#       corpus totals, grid bounds, quantile rows, normalizers. The
+#       build side is a single row at ANY scale factor.
+#   (c) check-scale exact baseline — the *_check property oracles and
+#       the labeled brute-force ANN/MMR rows recompute an exact
+#       all-pairs answer over a broadcast-sized query/sample set;
+#       never in bench, meta-guarded to check scale.
+# Queries not listed must have ZERO BNLJ and ZERO CartesianProduct —
+# a new nested-loop join anywhere else is a degraded broadcast-hash
+# join until proven otherwise.
+BNLJ_BOUNDS = {
+    # (s) scalar-broadcast class
+    "basket_lift": 2, "bm25_search": 2, "doc_bigram_logprob": 2,
+    "doc_logprob": 2, "events_gapfill": 2, "events_gapfill_interp": 2,
+    "heavy_hitters": 2, "mixture_resample": 2, "multi_query_search": 3,
+    "rfm_segments": 2, "source_divergence": 2, "tfidf_top_terms": 2,
+    "tpch_q11": 2, "tpch_q22": 2, "training_mix_snapshot": 2,
+    "word_pmi": 2, "value_drift_psi": 4,
+    # (c) exact-baseline / property-check class
+    "ann_cosine_topk": 2, "ann_cosine_topk_int8": 2,
+    "ann_cosine_topk_pq": 2, "mmr_rerank": 4,
+    "ann_lsh_check": 10, "ann_ivf_check": 10, "ann_pq_check": 14,
+    "mmr_rerank_check": 8, "semantic_dedup_check": 6,
+    "dedup_minhash_lsh_check": 4, "dedup_simhash_check": 4,
+    "dedup_incremental_check": 8, "heavy_hitters_check": 10,
+}
+
+
+def test_no_cartesian_or_unpinned_nested_loop_join(spark, sf_dir):
+    """Explain-only sweep of EVERY registered query: no
+    CartesianProduct anywhere, and BroadcastNestedLoopJoin only in the
+    allowlisted scalar-broadcast / check-baseline plans, within each
+    plan's pinned ceiling."""
     import contextlib
     import io
+    import re
 
-    qs = all_queries()
-    for name in ("tpch_q5", "hot_items_topn", "dedup_minhash_lsh", "inverted_index"):
+    problems = []
+    for name, q in all_queries().items():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            qs[name].fn(spark, sf_dir).explain("formatted")
-        assert "CartesianProduct" not in buf.getvalue(), name
+            q.fn(spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        cart = len(re.findall(r"CartesianProduct", plan))
+        bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+        if cart:
+            problems.append(f"{name}: {cart} CartesianProduct")
+        if bnlj > BNLJ_BOUNDS.get(name, 0):
+            problems.append(
+                f"{name}: {bnlj} BroadcastNestedLoopJoin > "
+                f"{BNLJ_BOUNDS.get(name, 0)} allowed"
+            )
+    assert not problems, "; ".join(problems)

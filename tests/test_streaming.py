@@ -1109,3 +1109,175 @@ def test_heavy_hitters_stream(spark, tmp_path):
     assert seen[1][0].n_seen == n
     # the late-arriving mega key must have displaced earlier tail mass
     assert "late_mega" in final and "mega_a" in final
+
+
+# --- resample family: streaming bucket partials + foreachBatch gapfill ---
+
+
+def test_gapfill_stream_matches_batch(spark, tmp_path):
+    """bucket_partials_stream -> emit_gapfill on the closed buckets of
+    one availableNow run must reproduce the batch resample_ffill over
+    the same (fully-closed) events — the streaming face shares the
+    batch operator's densify/ffill arithmetic by construction, and
+    this pins it end-to-end through a real micro-batch."""
+    from flink_kafka_spark.operators.timeseries import resample_ffill
+    from flink_kafka_spark.streaming.jobs import bucket_partials_stream, emit_gapfill
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    lines = []
+    # item 100: buckets 0,1 then a 3-bucket gap, then bucket 5
+    for off in (5, 20, 70, 5 * 60 + 3):
+        lines.append(f"1,100,1,pv,{base + off}")
+    # item 200: single observation in bucket 2
+    lines.append(f"2,200,1,pv,{base + 2 * 60 + 9}")
+    # far-future sentinel on a fresh key closes every bucket above;
+    # its own bucket stays open and is never emitted
+    lines.append(f"9,999,1,pv,{base + 86400}")
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+
+    stream = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    # user_behavior has no value column; resample the item_id as the
+    # value so NULL/e4 paths run on real numbers
+    partials = bucket_partials_stream(stream, "item_id", "item_id", step_s=60)
+
+    emitted = []
+
+    def _sink(batch_df, epoch_id):
+        emitted.extend(
+            tuple(r) for r in emit_gapfill(batch_df, "item_id", step_s=60).collect()
+        )
+
+    q = (
+        partials.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_src = parse_csv_lines(
+        spark.read.text(str(tmp_path / "in")), USER_BEHAVIOR
+    ).filter(F.col("user_id") != 9)
+    want = sorted(
+        tuple(r)
+        for r in resample_ffill(batch_src, "item_id", "ts", "item_id", 60).collect()
+    )
+    assert sorted(emitted) == want
+    # the gap really densified: item 200 has zero-filled rows over the
+    # shared grid range with the carried mean
+    got = {(r[0], r[1]): r[2:] for r in emitted}
+    assert got[(200, base)][0] == 0 and got[(200, base)][1] is None
+    assert got[(200, base + 3 * 60)] == (0, None, 200.0, 1)
+
+
+def test_session_stream_matches_batch_session_window(spark, tmp_path):
+    """Twin parity for the native session_window operator: the
+    streaming session_stats_stream and a batch session_window
+    aggregation over the SAME replayed events must agree on every
+    closed session (r9 verdict item 4 — session_windows_native claims
+    a streaming-capable plan; this executes that claim)."""
+    from flink_kafka_spark.streaming.jobs import session_stats_stream
+
+    t = 1_700_000_000
+    lines = []
+    # 6 users x interleaved bursts: within-gap chains, exact-gap
+    # boundaries (merge), gap+1 breaks
+    gap = 600
+    for u in range(1, 7):
+        start = t + u * 37
+        for burst in range(3):
+            b0 = start + burst * (gap * 2 + u)  # separated by > gap
+            for j in range(u % 3 + 1):
+                lines.append(f"{u},{100 + j},1,pv,{b0 + j * (gap // 2)}")
+    lines.append(f"9,999,1,pv,{t + 864000}")  # sentinel closes all
+    _write_lines(str(tmp_path / "in" / "part0.csv"), lines)
+
+    stream = csv_replay_source(spark, str(tmp_path / "in"), USER_BEHAVIOR)
+    _run_stream(
+        session_stats_stream(stream, gap="10 minutes", delay="0 seconds"),
+        "sess_twin_out",
+    )
+    got = sorted(
+        (r.user_id, r.session_start_s, r.session_end_s, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_twin_out").collect()
+        if r.user_id != 9
+    )
+
+    batch_src = parse_csv_lines(
+        spark.read.text(str(tmp_path / "in")), USER_BEHAVIOR
+    ).filter(F.col("user_id") != 9)
+    want = sorted(
+        map(
+            tuple,
+            batch_src.groupBy("user_id", F.session_window("ts", "10 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").cast("long").alias("session_start_s"),
+                F.col("session_window.end").cast("long").alias("session_end_s"),
+                "n_events",
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) >= 12
+
+
+# --- transformWithStateInPandas spike (Spark 4.x typed state + timers) ---
+
+
+def test_order_timeout_tws_matches_applyinpandas(spark, tmp_path):
+    """The transformWithStateInPandas twin must produce exactly the
+    rows the production applyInPandasWithState operator does on a
+    multi-batch replay covering all four outcomes plus out-of-order
+    pay-before-create (r9 verdict item 7 — decision note on the
+    operator's docstring). transformWithState's state protocol
+    imports google.protobuf at query start; this runtime doesn't ship
+    it, so the test skips here and executes on runtimes that do."""
+    pytest.importorskip("google.protobuf")
+    from flink_kafka_spark.streaming.stateful import order_timeout_stream_tws
+
+    t = 1_700_000_000
+    _write_lines(
+        str(tmp_path / "in" / "b1.csv"),
+        [
+            f"1,create,,{t}",
+            f"1,pay,tx1,{t + 100}",        # payed
+            f"2,create,,{t}",              # -> order timeout
+            f"4,pay,tx4,{t + 10}",         # -> payed but not found created log
+            f"5,pay,tx5,{t + 1000}",       # pay first ...
+            f"5,create,,{t + 20}",         # ... create arrives later, within 900? 1000-20=980 > 900
+        ],
+        mtime=1_000_000,
+    )
+    _write_lines(
+        str(tmp_path / "in" / "b2.csv"), [f"3,create,,{t + 10000}"], mtime=2_000_000
+    )
+
+    def run(op, name, provider=None):
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        if provider:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            stream = csv_replay_source(
+                spark, str(tmp_path / "in"), ORDER_EVENT, max_files_per_trigger=1
+            ).withWatermark("ts", "0 seconds")
+            _run_stream_until(spark, op(stream, timeout_s=900), name, 4)
+        finally:
+            if provider and old:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+            elif provider:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        return sorted(
+            map(tuple, spark.sql(f"SELECT * FROM {name}").collect())
+        )
+
+    want = run(order_timeout_stream, "tws_base_out")
+    got = run(
+        order_timeout_stream_tws,
+        "tws_new_out",
+        provider="org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    assert got == want
+    assert (5, t + 20, t + 1000, "payed but already timeout") in got
+    assert len(got) >= 4

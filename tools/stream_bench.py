@@ -233,6 +233,36 @@ def main() -> None:
         )
         timings["dedup_stream"] = round(time.perf_counter() - t0, 2)
 
+        # native session windows (session_window merge state): 2000
+        # users, 5-event sessions at 60 s spacing separated by 1 h
+        # gaps; watermark closes sessions as the replay advances, so
+        # peak state = concurrently-open sessions, not total sessions
+        from flink_kafka_spark.streaming.jobs import session_stats_stream
+
+        sess_src = os.path.join(tmp, "sessions")
+        seq = (F.col("id") / 2000).cast("long")
+        spark.range(n).select(
+            F.concat_ws(
+                ",",
+                F.pmod("id", F.lit(2000)).cast("string"),
+                F.lit("ip"),
+                F.lit("fail"),
+                (
+                    F.lit(BASE_TS)
+                    + (seq / 5).cast("long") * 3600
+                    + F.pmod(seq, F.lit(5)) * 60
+                ).cast("string"),
+            ).alias("value")
+        ).coalesce(4).write.mode("overwrite").text(sess_src)
+        stream = csv_replay_source(spark, sess_src, LOGIN_EVENT)
+        t0 = time.perf_counter()
+        state["session_stats_stream"] = run_stream(
+            session_stats_stream(stream, gap="10 minutes", delay="1 second"),
+            os.path.join(tmp, "ck_sess"),
+            listener,
+        )
+        timings["session_stats_stream"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps({"stream_bench": timings, "state": state, "n": n}))
 
 
