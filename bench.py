@@ -163,6 +163,11 @@ BENCH_QUERIES = [
     "agg_incremental_update",
     "events_gapfill_interp",
     "events_key_skew",
+    # round-10 additions: histogram-quantile curriculum buckets and
+    # the iterative BPE merge trainer (driver-loop; plan built by
+    # running the rounds). No baseline entries yet — guardrail skips.
+    "quality_curriculum",
+    "bpe_train_merges",
 ]
 
 
@@ -270,6 +275,9 @@ def main() -> None:
         "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    vs = _vs_baseline(timings, calibration, sf)
+    if vs:
+        out["vs_baseline"] = vs
     if leaked:
         out["leaked_persists"] = leaked
         print(f"PERSISTENT RDDs leaked after: {leaked}", file=sys.stderr)
@@ -288,19 +296,62 @@ REGRESSION_FACTOR = 1.5
 MIN_BASELINE_S = 0.5
 
 
-def _regressions(timings: dict[str, float], calibration: float, sf: str) -> dict[str, str]:
+def _load_baseline(sf: str) -> tuple[dict[str, float], float | None]:
+    """(queries, calibration_sec) from BENCH_BASELINE.json for this sf,
+    or ({}, None) when absent/mismatched."""
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     if not os.path.isfile(base_path):
-        return {}
+        return {}, None
     try:
         with open(base_path) as f:
             doc = json.load(f)
         parsed = doc.get("parsed", doc)
         if str(parsed.get("sf")) != sf:
-            return {}
-        baseline = parsed.get("queries", {})
-        base_cal = parsed.get("calibration_sec")
+            return {}, None
+        return parsed.get("queries", {}), parsed.get("calibration_sec")
     except (json.JSONDecodeError, AttributeError):
+        return {}, None
+
+
+def _vs_baseline(timings: dict[str, float], calibration: float, sf: str) -> dict:
+    """Per-query raw and calibration-normalized ratios vs the frozen
+    baseline, emitted IN the bench JSON (r9 verdict item 8) so drift
+    is auto-annotated instead of re-derived by hand each round. raw =
+    t/b; norm = (t/cal)/(b/base_cal) — the box-independent accounting
+    the regression gate uses. Informational only: the gate's verdict
+    stays in 'regressions'."""
+    import math
+
+    baseline, base_cal = _load_baseline(sf)
+    if not baseline:
+        return {}
+    per_query = {}
+    log_norm_sum = 0.0
+    for name, t in timings.items():
+        b = baseline.get(name)
+        if not b:
+            continue
+        raw = t / b
+        norm = (t / calibration) / (b / base_cal) if base_cal and calibration else raw
+        per_query[name] = {"raw": round(raw, 3), "norm": round(norm, 3)}
+        log_norm_sum += math.log(norm)
+    if not per_query:
+        return {}
+    worst = max(per_query, key=lambda n: per_query[n]["norm"])
+    common_total = sum(timings[n] for n in per_query)
+    base_total = sum(baseline[n] for n in per_query)
+    return {
+        "common_queries": len(per_query),
+        "raw_total_ratio": round(common_total / base_total, 3),
+        "norm_geomean": round(math.exp(log_norm_sum / len(per_query)), 3),
+        "worst": {"name": worst, **per_query[worst]},
+        "per_query": per_query,
+    }
+
+
+def _regressions(timings: dict[str, float], calibration: float, sf: str) -> dict[str, str]:
+    baseline, base_cal = _load_baseline(sf)
+    if not baseline:
         return {}
     out = {}
     for name, t in timings.items():

@@ -948,3 +948,87 @@ def strip_markup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         clean.alias("clean_text"),
         (F.length(text_col) - F.length(clean)).cast("int").alias("removed_chars"),
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Iterative BPE merge training (the loop behind
+    :func:`queries.textops.bpe_merge_candidates`'s single round):
+    start from character-level symbol sequences over the WEIGHTED
+    vocabulary, then ``n_merges`` times pick the corpus-most-frequent
+    adjacent symbol pair (ties broken by pair string) and merge it
+    greedily left-to-right in every word. Returns the learned merge
+    table — (round, left, right, freq) — the artifact a tokenizer
+    trainer ships.
+
+    Scale shape (the CC discipline applied to an iterative text
+    algorithm): the corpus collapses to the distinct-word frame ONCE
+    (one shuffle with map-side combine; a word seen a billion times
+    carries its count, not its copies); every round after that runs on
+    the vocabulary frame only — pair counts are one small shuffle,
+    the argmax is a 1-row driver collect (like CC's convergence
+    probe), and the merge rewrite is a pure executor-side fold
+    (aggregate() over each word's symbol array, no shuffle). Per-round
+    frames are persisted and released on the next round's
+    materialization via caching.track, so the block store holds at
+    most two vocabulary frames.
+    """
+    from ..caching import track
+
+    sep = "\x1f"
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    seqs = track(
+        vocab.select(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+                "syms"
+            ),
+            "wf",
+        ).persist()
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = seqs.where(F.size("syms") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    f" i -> concat(syms[i - 1], '{sep}', syms[i]))"
+                )
+            ).alias("pair"),
+            "wf",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wf").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(sep)
+        merges.append((rnd, left, right, int(top[0]["freq"])))
+        a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+        merged = F.aggregate(
+            "syms",
+            F.expr("cast(array() as array<string>)"),
+            # greedy left-to-right non-overlap: a freshly merged tail
+            # element equals left+right, never bare `left` (right is
+            # non-empty), so it cannot chain into a second merge.
+            # try_element_at: plain element_at THROWS on the empty
+            # accumulator under Spark 4's ANSI default
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == a) & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        seqs = track(seqs.select(merged.alias("syms"), "wf").persist())
+    return spark.createDataFrame(
+        merges or [], "round long, left string, right string, freq long"
+    )

@@ -2000,3 +2000,127 @@ QUERIES.append(
         "ext: incremental view maintenance — maintain(agg(old), changelog) == agg(new)",
     )
 )
+
+
+# --- curriculum buckets: exact quality quartiles WITHOUT a global sort ---
+#
+# The curriculum-sampling artifact (easy->hard training schedules needs
+# the corpus cut into quality quantile buckets). NTILE over the corpus
+# is the textbook spelling and a single-partition global sort at scale;
+# this computes the SAME exact cut through the score HISTOGRAM: quality
+# rounds to 4 dp, so the per-score frame is <= 10001 rows no matter the
+# corpus — one corpus shuffle builds it, the cumulative/bucket pass
+# runs on the tiny frame, and no row ever joins back. Ties share a
+# bucket (all docs of one score land where the score's first doc
+# falls) — the deterministic, partition-independent tie policy.
+
+N_CURRICULUM = 4
+
+
+def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_expr
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_expr().alias("q"),
+        F.size(F.split(F.lower("text"), r"\s+")).alias("toks"),
+    )
+    hist = scored.groupBy("q").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("toks").cast("long").alias("toks"),
+    )
+    w_ord = Window.orderBy("q")
+    cum_before = F.coalesce(
+        F.sum("cnt").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    total = F.sum("cnt").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ).cast("long")
+    bucketed = hist.select(
+        "q", "cnt", "toks",
+        (F.expr(f"{N_CURRICULUM} * 1") * cum_before)
+        .cast("long")
+        .alias("scaled"),
+        total.alias("total"),
+    ).select(
+        "q", "cnt", "toks",
+        (F.expr("scaled div total") + 1).cast("long").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+    )
+
+
+QUALITY_CURRICULUM_ORACLE = f"""
+WITH t AS (
+  SELECT regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+scored AS (
+  SELECT round(0.5 * least(len(ws) / 200.0, 1.0)
+               + 0.5 * (len(list_distinct(ws)) / len(ws)), 4) AS q,
+         len(ws) AS toks
+  FROM t
+),
+hist AS (
+  SELECT q, count(*) AS cnt, CAST(sum(toks) AS BIGINT) AS toks
+  FROM scored GROUP BY q
+),
+cum AS (
+  SELECT q, cnt, toks,
+         CAST(COALESCE(sum(cnt) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS total
+  FROM hist
+)
+SELECT CAST(({N_CURRICULUM} * cum_before) // total + 1 AS BIGINT) AS bucket,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       min(q) AS min_quality,
+       max(q) AS max_quality
+FROM cum GROUP BY 1
+"""
+
+QUERIES.append(
+    Query(
+        "quality_curriculum",
+        quality_curriculum,
+        QUALITY_CURRICULUM_ORACLE,
+        "ext: curriculum quantile buckets via score histogram (no global sort)",
+    )
+)
+
+
+# --- iterative BPE merge training (driver-loop iterative algorithm) ---
+#
+# Registered rows-only (the merge sequence is the fixpoint of an
+# iterative argmax — no single SQL expresses N rounds); verification
+# is the crafted pytest against a pure-Python BPE reference
+# (tests/test_textops_props.py) plus the single-round
+# bpe_merge_candidates full oracle covering the pair-count machinery.
+
+BPE_TRAIN_ROUNDS = 6
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_learn_merges
+
+    return bpe_learn_merges(
+        load(spark, sf_dir, "documents"), n_merges=BPE_TRAIN_ROUNDS
+    )
+
+
+QUERIES.append(
+    Query(
+        "bpe_train_merges",
+        bpe_train_merges,
+        None,
+        "ext: iterative BPE merge training (vocab-frame rounds, 1-row argmax)",
+    )
+)

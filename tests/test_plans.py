@@ -75,6 +75,13 @@ PLAN_BOUNDS = {
     "events_key_skew": (2, 0),
     # vocab count + pair count; top-k is TakeOrderedAndProject
     "bpe_merge_candidates": (2, 0),
+    # iterative trainer: the returned merge table is a LocalRelation —
+    # the per-round work (vocab-frame pair count + 1-row argmax) runs
+    # while the plan is BUILT, like dedup_canonicalize's CC loop
+    "bpe_train_merges": (0, 0),
+    # corpus histogram shuffle + single-partition window over the
+    # <=10001-row score frame (the no-global-sort quantile design)
+    "quality_curriculum": (2, 0),
     "quantity_percentiles": (1, 0),
     "quantity_percentiles_approx": (1, 0),
     # windowed streaming analogs: one shuffle on (window, key) + topn

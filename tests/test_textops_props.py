@@ -629,3 +629,76 @@ def test_classifier_score_hypothesis_vs_naive(spark, docs):
         assert got[i].n_tokens == len(toks)
         assert got[i].clf_logit == round(logit, 6)
         assert got[i].clf_score == round(1.0 / (1.0 + math.exp(-4.0 * logit)), 4)
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Pure-Python BPE trainer: the spec bpe_learn_merges must match —
+    greedy left-to-right merges, argmax by (freq desc, pair asc)."""
+    from collections import Counter
+
+    seqs = [(list(w), f) for w, f in word_freqs]
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, f in seqs:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1])
+        )
+        merges.append((rnd, a, b, freq))
+        nxt = []
+        for syms, f in seqs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, f))
+        seqs = nxt
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference_crafted(spark):
+    """Crafted corpus exercising the tricky cases: overlapping pairs
+    ('aaaa' merges greedily left-to-right), merges that create the
+    NEXT round's winning pair (ab+c), and frequency ties broken by
+    pair string."""
+    from flink_kafka_spark.operators.text import bpe_learn_merges
+
+    words = ["abcabc"] * 5 + ["aaaa"] * 3 + ["xy"] * 4 + ["xz"] * 4 + ["abq"] * 2
+    docs = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=6).collect()]
+    from collections import Counter
+
+    want = _ref_bpe(sorted(Counter(words).items()), 6)
+    assert got == want
+    # round 1 must be the ab merge (freq 12 = 5*2 + 2), and some later
+    # round must consume a MERGED symbol — proof the loop re-counts
+    # pairs over rewritten sequences rather than the original chars
+    assert got[0][1:] == ("a", "b", 12)
+    assert any(len(left) > 1 or len(right) > 1 for _, left, right, _ in got)
+
+
+def test_bpe_learn_merges_matches_reference_fixture(spark, sf_dir):
+    """Same equivalence over the real sf fixture's vocabulary (lower +
+    whitespace split, mirroring the operator's corpus collapse)."""
+    from collections import Counter
+
+    from flink_kafka_spark.operators.text import bpe_learn_merges
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    got = [tuple(r) for r in bpe_learn_merges(docs, n_merges=5).collect()]
+    freqs = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].lower().split():
+            if w:
+                freqs[w] += 1
+    want = _ref_bpe(sorted(freqs.items()), 5)
+    assert got == want
