@@ -168,6 +168,11 @@ BENCH_QUERIES = [
     # running the rounds). No baseline entries yet — guardrail skips.
     "quality_curriculum",
     "bpe_train_merges",
+    # round-10 sketch family: CM sketch estimates and KMV set algebra
+    # (each carries its exact check-scale baseline in-plan). No
+    # baseline entries yet — guardrail skips.
+    "cms_topk_estimates",
+    "kmv_set_cardinality",
 ]
 
 

@@ -88,3 +88,160 @@ def misra_gries(df: DataFrame, col: str, k: int = 16) -> DataFrame:
         .select("item", (F.col("est") - F.col("_t")).alias("est"))
         .filter(F.col("est") > 0)
     )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) -----------------
+
+CMS_SPACE = 4294967296  # 2^32: the md5-prefix hash space
+
+
+def _cms_pairs_expr(item_sql: str, width: int, depth: int) -> str:
+    """SQL for the ``depth`` (row, bucket) pairs of one item, using the
+    cross-engine md5-prefix hash (conv(substr(md5(item ':' row))))
+    so a DuckDB oracle can replicate the sketch bit-for-bit."""
+    return (
+        f"transform(sequence(0, {depth - 1}), i -> named_struct("
+        f"'r', cast(i as int), "
+        f"'b', cast(cast(conv(substr(md5(concat({item_sql}, ':', "
+        f"cast(i as string))), 1, 8), 16, 10) as bigint) % {width} as int)))"
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, width: int = 512, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch of ``df[col]`` as a (r, b, c) frame: ``depth``
+    hash rows of ``width`` counters; ``c`` is how many input rows
+    hashed into (r, b). The frame IS the sketch — at most
+    ``depth x width`` rows no matter the input cardinality, and
+    mergeable by unioning frames and re-summing c (counter addition is
+    the CM merge; exact, not approximate — the only approximation is
+    the collision overcount itself).
+
+    Plan: one projection fans each row into its ``depth`` (r, b) pairs
+    JVM-side, then ONE shuffle with map-side combine onto the
+    <= depth x width key space. Like the Misra-Gries partials, the
+    shuffled state is bounded by the sketch size, never by the number
+    of distinct items — the property that makes sketch > exact-groupBy
+    at heavy-tail 100 TB key spaces.
+    """
+    pairs = df.select(
+        F.explode(
+            F.expr(_cms_pairs_expr(f"cast({col} as string)", width, depth))
+        ).alias("rb")
+    )
+    return pairs.groupBy(
+        F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, width: int = 512, depth: int = 4
+) -> DataFrame:
+    """Point-frequency estimates for ``items[col]`` against a
+    ``count_min_sketch`` frame built with the same (width, depth):
+    min over the item's ``depth`` counters, the classical CM estimate.
+    Guarantees: est >= true always (counters only ever overcount);
+    est <= true + eps*N with prob 1 - delta for eps = e/width,
+    delta = e^-depth.
+
+    The sketch frame (<= depth x width rows) broadcasts onto the query
+    items, so estimating costs one broadcast-hash join + a groupBy on
+    the item frame — no corpus re-scan. Extra columns of ``items``
+    ride through unchanged."""
+    carry = [c for c in items.columns if c != col]
+    expanded = items.select(
+        F.col(col),
+        *carry,
+        F.explode(
+            F.expr(_cms_pairs_expr(f"cast({col} as string)", width, depth))
+        ).alias("rb"),
+    )
+    joined = expanded.join(
+        F.broadcast(sketch),
+        (F.col("rb.r") == F.col("r")) & (F.col("rb.b") == F.col("b")),
+        "left",
+    )
+    return joined.groupBy(F.col(col), *[F.col(c) for c in carry]).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_c")
+    )
+
+
+# --- KMV distinct-value sketch with set algebra -----------------------
+
+
+def kmv_hash_sql(val_sql: str) -> str:
+    """The md5-prefix hash that defines the KMV order — identical in
+    Spark and DuckDB ('0x' || substr(md5(x),1,8))::BIGINT), uniform on
+    [0, 2^32)."""
+    return (
+        f"cast(conv(substr(md5({val_sql}), 1, 8), 16, 10) as bigint)"
+    )
+
+
+def kmv_minima(
+    df: DataFrame, set_col: str, val_sql: str, k: int = 128
+) -> DataFrame:
+    """Per-set K-Minimum-Values sketch (Bar-Yossef et al. 2002 /
+    Beyer et al. "On Synopses for Distinct-Value Estimation", SIGMOD
+    2007): the k smallest DISTINCT hash values of ``val_sql`` within
+    each ``set_col`` group, as a flat (set, h, rn) frame. Distinct
+    cardinality estimate: (k-1) * 2^32 div h_k (integer arithmetic —
+    cross-engine exact); sets with fewer than k distinct values keep
+    everything and their sketch is exact. Sketches of different sets
+    compose: the k smallest of a union of sketches is the sketch of
+    the union, and membership of a union-sketch value v in set A is
+    decidable from A's sketch alone (v <= union h_k <= A's h_k).
+
+    Scale shape: the k-min per set is NOT a per-set sort of all
+    values. A first pass sizes each set with approx_count_distinct
+    (HLL, one map-side-combined shuffle), a broadcast threshold
+    4k/n_est * 2^32 then prefilters the scan — the k smallest hashes
+    of n uniform values all sit below ~k/n * 2^32, so the 4x margin
+    keeps them with probability 1 - e^-Theta(k) — and only the
+    O(k) survivors per set reach the window sort. The threshold only
+    ever discards values ABOVE the k-th minimum, so the result is
+    identical to the unfiltered computation (what lets a DuckDB
+    oracle skip the prefilter and still match bit-for-bit)."""
+    hashed = df.select(
+        F.col(set_col).alias("s"), F.expr(kmv_hash_sql(val_sql)).alias("h")
+    )
+    thresholds = (
+        df.groupBy(F.col(set_col).alias("s"))
+        .agg(F.approx_count_distinct(F.expr(val_sql)).alias("n_est"))
+        .select(
+            "s",
+            F.when(F.col("n_est") <= 4 * k, F.lit(CMS_SPACE))
+            .otherwise((F.lit(4 * k) * F.lit(CMS_SPACE)) / F.col("n_est"))
+            .cast("long")
+            .alias("thr"),
+        )
+    )
+    survivors = (
+        hashed.join(F.broadcast(thresholds), "s")
+        .where(F.col("h") < F.col("thr"))
+        .select("s", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    return (
+        survivors.select("s", "h", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(minima: DataFrame, k: int = 128) -> DataFrame:
+    """(set, est) from a ``kmv_minima`` frame: exact count when the
+    set kept fewer than k values, else (k-1) * 2^32 div h_k. Integer
+    division keeps the estimate bit-identical across engines."""
+    return minima.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_max")
+    ).select(
+        "s",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(f"cast({k - 1} as bigint) * cast({CMS_SPACE} as bigint) div h_max")
+        )
+        .cast("long")
+        .alias("est"),
+    )

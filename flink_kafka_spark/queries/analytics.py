@@ -924,3 +924,210 @@ QUERIES.append(
     Query("events_gapfill_interp", events_gapfill_interp, EVENTS_GAPFILL_INTERP_ORACLE,
           "ext: grid resample + linear interpolation (ffill twin)")
 )
+
+
+# --- KMV distinct sketch with set algebra over event-type cohorts ---
+#
+# Distinct user-days per event type, estimated with a K-Minimum-Values
+# sketch (operators/sketches.py:kmv_minima), plus UNION and
+# INTERSECTION cardinality estimates for every type pair — the set
+# algebra HLL can't do (HLL unions but can't intersect without
+# inclusion-exclusion error blowup; KMV decides membership of a
+# union-sketch value in either constituent from the constituent's own
+# sketch). The md5-prefix hash order and the integer-division
+# estimator make every estimate bit-identical in DuckDB, so this is a
+# FULL value oracle over sketch output. Exact columns are the labeled
+# check-scale baseline (the distinct/self-join the sketch replaces at
+# 100 TB).
+
+KMV_K = 128
+KMV_SPACE = 4294967296  # 2^32, the md5-prefix hash space
+KMV_USER_DAY = (
+    "concat(cast(user_id as string), ':', "
+    "cast(unix_seconds(ts) div 86400 as string))"
+)
+
+
+def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+    from ..operators.sketches import kmv_estimate, kmv_minima
+
+    ev = track(
+        load(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("t"), F.expr(KMV_USER_DAY).alias("ud"))
+        .distinct()
+        .persist()
+    )
+    kept = track(kmv_minima(ev, "t", "ud", KMV_K).persist())
+    est_set = kmv_estimate(kept, KMV_K).select(F.col("s").alias("t"), "est")
+    exact_set = ev.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+
+    types = exact_set.select("t")
+    pairs = (
+        types.select(F.col("t").alias("t1"))
+        .join(types.select(F.col("t").alias("t2")), F.col("t1") < F.col("t2"))
+    )
+
+    # union sketch per pair: k smallest of the two kept sets' union
+    k1 = kept.select(F.col("s").alias("t1"), F.col("h"))
+    k2 = kept.select(F.col("s").alias("t2"), F.col("h"))
+    u_all = (
+        pairs.join(F.broadcast(k1), "t1")
+        .select("t1", "t2", "h")
+        .unionByName(pairs.join(F.broadcast(k2), "t2").select("t1", "t2", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("t1", "t2").orderBy("h")
+    u = u_all.select(
+        "t1", "t2", "h", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= KMV_K)
+
+    # membership of each union-sketch value in either constituent is
+    # decidable from the constituent's kept set alone (v <= union h_k
+    # <= each set's h_k)
+    in_a = kept.select(F.col("s").alias("t1"), F.col("h"), F.lit(1).alias("ia"))
+    in_b = kept.select(F.col("s").alias("t2"), F.col("h"), F.lit(1).alias("ib"))
+    u_flag = (
+        u.join(F.broadcast(in_a), ["t1", "h"], "left")
+        .join(F.broadcast(in_b), ["t2", "h"], "left")
+    )
+    pair_est = u_flag.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("h_max"),
+        F.sum(
+            F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1).otherwise(0)
+        ).alias("c_both"),
+    ).select(
+        "t1",
+        "t2",
+        F.when(F.col("n_u") < KMV_K, F.col("n_u"))
+        .otherwise(
+            F.expr(
+                f"cast({KMV_K - 1} as bigint) * cast({KMV_SPACE} as bigint)"
+                " div h_max"
+            )
+        )
+        .cast("long")
+        .alias("est_union"),
+        "n_u",
+        "c_both",
+    )
+
+    exact_inter = (
+        ev.select(F.col("t").alias("t1"), "ud")
+        .join(ev.select(F.col("t").alias("t2"), "ud"), "ud")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("xi"))
+    )
+
+    ea = exact_set.select(F.col("t").alias("t1"), F.col("exact").alias("exact_a"))
+    eb = exact_set.select(F.col("t").alias("t2"), F.col("exact").alias("exact_b"))
+    sa = est_set.select(F.col("t").alias("t1"), F.col("est").alias("est_a"))
+    sb = est_set.select(F.col("t").alias("t2"), F.col("est").alias("est_b"))
+    return (
+        pairs.join(F.broadcast(ea), "t1")
+        .join(F.broadcast(eb), "t2")
+        .join(F.broadcast(sa), "t1")
+        .join(F.broadcast(sb), "t2")
+        .join(F.broadcast(pair_est), ["t1", "t2"])
+        .join(F.broadcast(exact_inter), ["t1", "t2"], "left")
+        .select(
+            "t1",
+            "t2",
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("xi"), F.lit(0)).cast("long").alias("exact_inter"),
+            (F.col("exact_a") + F.col("exact_b") - F.coalesce(F.col("xi"), F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+            "est_a",
+            "est_b",
+            F.expr("cast(c_both * est_union div n_u as bigint)").alias("est_inter"),
+            "est_union",
+        )
+    )
+
+
+KMV_SET_CARDINALITY_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type AS t,
+         CAST(user_id AS VARCHAR) || ':' ||
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS VARCHAR) AS ud
+  FROM events
+),
+hashed AS (
+  SELECT DISTINCT t, ('0x' || substr(md5(ud), 1, 8))::BIGINT AS h FROM ev
+),
+kept AS (
+  SELECT t, h FROM (
+    SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS rn FROM hashed
+  ) WHERE rn <= {KMV_K}
+),
+per_set AS (SELECT t, count(*) AS n_kept, max(h) AS h_max FROM kept GROUP BY 1),
+est_set AS (
+  SELECT t, CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                 ELSE ({KMV_K - 1} * {KMV_SPACE}) // h_max END AS BIGINT) AS est
+  FROM per_set
+),
+exact_set AS (SELECT t, CAST(count(*) AS BIGINT) AS exact FROM ev GROUP BY 1),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2 FROM exact_set a, exact_set b WHERE a.t < b.t
+),
+u_all AS (
+  SELECT DISTINCT t1, t2, h FROM (
+    SELECT p.t1, p.t2, k.h FROM pairs p JOIN kept k ON k.t = p.t1
+    UNION ALL
+    SELECT p.t1, p.t2, k.h FROM pairs p JOIN kept k ON k.t = p.t2
+  )
+),
+u AS (
+  SELECT t1, t2, h FROM (
+    SELECT t1, t2, h, ROW_NUMBER() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn
+    FROM u_all
+  ) WHERE rn <= {KMV_K}
+),
+pair_est AS (
+  SELECT u.t1, u.t2, count(*) AS n_u, max(u.h) AS h_max,
+         sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                  THEN 1 ELSE 0 END) AS c_both
+  FROM u
+  LEFT JOIN kept ia ON ia.t = u.t1 AND ia.h = u.h
+  LEFT JOIN kept ib ON ib.t = u.t2 AND ib.h = u.h
+  GROUP BY 1, 2
+),
+pair_u AS (
+  SELECT t1, t2, n_u, c_both,
+         CAST(CASE WHEN n_u < {KMV_K} THEN n_u
+              ELSE ({KMV_K - 1} * {KMV_SPACE}) // h_max END AS BIGINT) AS est_union
+  FROM pair_est
+),
+exact_inter AS (
+  SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS xi
+  FROM ev a JOIN ev b ON a.ud = b.ud AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2,
+       ea.exact AS exact_a, eb.exact AS exact_b,
+       CAST(COALESCE(xi.xi, 0) AS BIGINT) AS exact_inter,
+       CAST(ea.exact + eb.exact - COALESCE(xi.xi, 0) AS BIGINT) AS exact_union,
+       sa.est AS est_a, sb.est AS est_b,
+       CAST(pu.c_both * pu.est_union // pu.n_u AS BIGINT) AS est_inter,
+       pu.est_union AS est_union
+FROM pairs p
+JOIN exact_set ea ON ea.t = p.t1
+JOIN exact_set eb ON eb.t = p.t2
+JOIN est_set sa ON sa.t = p.t1
+JOIN est_set sb ON sb.t = p.t2
+JOIN pair_u pu ON pu.t1 = p.t1 AND pu.t2 = p.t2
+LEFT JOIN exact_inter xi ON xi.t1 = p.t1 AND xi.t2 = p.t2
+"""
+
+QUERIES.append(
+    Query(
+        "kmv_set_cardinality",
+        kmv_set_cardinality,
+        KMV_SET_CARDINALITY_ORACLE,
+        "ext: KMV distinct sketch with union/intersection estimates",
+    )
+)

@@ -2124,3 +2124,86 @@ QUERIES.append(
         "ext: iterative BPE merge training (vocab-frame rounds, 1-row argmax)",
     )
 )
+
+
+# --- Count-Min sketch: token-frequency estimates, exactly replicated ---
+#
+# Unlike heavy_hitters (whose raw Misra-Gries rows are partitioning-
+# dependent and therefore rows-only), the CM sketch is a pure function
+# of the multiset and the hash family — and the hash family here is
+# the cross-engine md5-prefix, so DuckDB rebuilds the identical
+# d x w counter table and the identical estimates: a FULL value oracle
+# over real sketch output, not just a property bound. The exact top-20
+# (the corpus groupBy) is the labeled check-scale baseline; the sketch
+# itself is the 100 TB path (see operators/sketches.py).
+
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+CMS_TOPK = 20
+
+
+def cms_topk_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+    from ..operators.sketches import cms_estimate, count_min_sketch
+
+    toks = track(
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .persist()
+    )
+    sketch = count_min_sketch(toks, "tok", CMS_WIDTH, CMS_DEPTH)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_c"))
+        .orderBy(F.desc("true_c"), F.asc("tok"))
+        .limit(CMS_TOPK)
+    )
+    est = cms_estimate(sketch, top, "tok", CMS_WIDTH, CMS_DEPTH)
+    return est.select(
+        "tok",
+        "true_c",
+        "est_c",
+        (F.col("est_c") - F.col("true_c")).cast("long").alias("overcount"),
+    )
+
+
+CMS_TOPK_ESTIMATES_ORACLE = f"""
+WITH toks AS (
+  SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS true_c FROM toks GROUP BY 1
+  ORDER BY true_c DESC, tok ASC LIMIT {CMS_TOPK}
+),
+sketch AS (
+  SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT t.i AS r,
+           ('0x' || substr(md5(tok || ':' || t.i), 1, 8))::BIGINT % {CMS_WIDTH} AS b
+    FROM toks CROSS JOIN range(0, {CMS_DEPTH}) t(i)
+  ) GROUP BY 1, 2
+),
+probes AS (
+  SELECT top.tok, top.true_c, t.i,
+         ('0x' || substr(md5(top.tok || ':' || t.i), 1, 8))::BIGINT % {CMS_WIDTH} AS b
+  FROM top CROSS JOIN range(0, {CMS_DEPTH}) t(i)
+),
+est AS (
+  SELECT p.tok, p.true_c,
+         CAST(min(COALESCE(s.c, 0)) AS BIGINT) AS est_c
+  FROM probes p
+  LEFT JOIN sketch s ON s.r = p.i AND s.b = p.b
+  GROUP BY 1, 2
+)
+SELECT tok, true_c, est_c, est_c - true_c AS overcount FROM est
+"""
+
+QUERIES.append(
+    Query(
+        "cms_topk_estimates",
+        cms_topk_estimates,
+        CMS_TOPK_ESTIMATES_ORACLE,
+        "ext: Count-Min sketch, bit-identical cross-engine estimates",
+    )
+)

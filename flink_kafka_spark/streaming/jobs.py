@@ -477,3 +477,75 @@ def heavy_hitters_stream(
             sink(out, epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)
+
+
+def cms_stream(
+    events_stream: DataFrame,
+    sink,
+    col: str = "event_type",
+    watch: list[str] | None = None,
+    width: int = 512,
+    depth: int = 4,
+):
+    """Continuous Count-Min frequency monitor: each micro-batch is
+    sketched DISTRIBUTED (operators.sketches.count_min_sketch — one
+    map-side-combined shuffle onto the ≤ depth×width key space), then
+    merged into the running counter table driver-side. Unlike the
+    Misra-Gries merge, the CM merge is EXACT counter addition — the
+    streamed sketch after N batches is bit-identical to sketching the
+    concatenated input, so batch/stream parity is an equality, not a
+    bound (pinned by tests/test_streaming.py). The running state is
+    ≤ depth×width longs — bytes, not data.
+
+    ``sink(df, epoch_id)`` receives, after every batch, the estimate
+    for each ``watch`` item (plus the running total) as
+    ``(item, est_c, n_seen)`` — the live "how often has X occurred"
+    surface the reference's per-window exact counts can't give over
+    unbounded key spaces.
+
+    Restart contract: same as heavy_hitters_stream — the counter table
+    lives in this process, not the checkpoint; seed it from the last
+    emitted sketch for a restart-durable monitor (sound because the
+    merge is plain addition)."""
+    import hashlib
+
+    from ..caching import release_scope
+    from ..operators.sketches import count_min_sketch
+
+    watch = list(watch or [])
+    counters: dict[tuple[int, int], int] = {}
+    state = {"n": 0}
+
+    def _buckets(item: str) -> list[tuple[int, int]]:
+        # the same md5-prefix hash count_min_sketch computes JVM-side
+        return [
+            (i, int(hashlib.md5(f"{item}:{i}".encode()).hexdigest()[:8], 16) % width)
+            for i in range(depth)
+        ]
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            spark = batch_df.sparkSession
+            sel = batch_df.select(col).filter(F.col(col).isNotNull()).persist()
+            try:
+                for r in count_min_sketch(sel, col, width, depth).collect():
+                    key = (r["r"], r["b"])
+                    counters[key] = counters.get(key, 0) + int(r["c"])
+                state["n"] += sel.count()
+            finally:
+                sel.unpersist()
+            out = spark.createDataFrame(
+                [
+                    (
+                        w,
+                        min(counters.get(rb, 0) for rb in _buckets(w)),
+                        state["n"],
+                    )
+                    for w in watch
+                ]
+                or [(None, None, state["n"])],
+                "item string, est_c long, n_seen long",
+            )
+            sink(out, epoch_id)
+
+    return events_stream.writeStream.foreachBatch(_process)

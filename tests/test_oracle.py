@@ -114,6 +114,8 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # registered r10 after the 50-slot window was already curated
     # (13 IN rows incl. the never-hashed backlog); r11 priority 1.
     "quality_curriculum": 10,
+    "cms_topk_estimates": 10,
+    "kmv_set_cardinality": 10,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -82,6 +82,13 @@ PLAN_BOUNDS = {
     # corpus histogram shuffle + single-partition window over the
     # <=10001-row score frame (the no-global-sort quantile design)
     "quality_curriculum": (2, 0),
+    # token fan-out -> one <=d*w-key shuffle; top-20 exact baseline +
+    # broadcast sketch probe
+    "cms_topk_estimates": (3, 0),
+    # corpus shuffles: ev distinct + exact self-join baseline; the
+    # other exchanges are on <= k x |types| sketch frames, every join
+    # a broadcast
+    "kmv_set_cardinality": (15, 0),
     "quantity_percentiles": (1, 0),
     "quantity_percentiles_approx": (1, 0),
     # windowed streaming analogs: one shuffle on (window, key) + topn
@@ -396,6 +403,11 @@ BNLJ_BOUNDS = {
     "mmr_rerank_check": 8, "semantic_dedup_check": 6,
     "dedup_minhash_lsh_check": 4, "dedup_simhash_check": 4,
     "dedup_incremental_check": 8, "heavy_hitters_check": 10,
+    # (s)-adjacent: non-equi t1 < t2 pair enumeration over the distinct
+    # event-type frame (a handful of rows at any scale — event types
+    # are a semantic dimension, not data-sized) + the pair joins that
+    # carry it; every build side is k x |types| at most
+    "kmv_set_cardinality": 6,
 }
 
 

@@ -1281,3 +1281,60 @@ def test_order_timeout_tws_matches_applyinpandas(spark, tmp_path):
     assert got == want
     assert (5, t + 20, t + 1000, "payed but already timeout") in got
     assert len(got) >= 4
+
+
+def test_cms_stream_exactly_equals_batch_sketch(spark, tmp_path):
+    """Continuous CM sketch across micro-batches: the merge is counter
+    ADDITION, so the streamed estimates after two batches must EQUAL
+    (not just bound) the batch count_min_sketch estimates over the
+    concatenated input — including for a watched item that never
+    occurs (pure collision floor)."""
+    import json
+
+    from flink_kafka_spark.operators.sketches import cms_estimate, count_min_sketch
+    from flink_kafka_spark.streaming.jobs import cms_stream
+
+    width, depth = 64, 3  # narrow -> collisions are real, equality still exact
+    b = tmp_path / "in"
+    b.mkdir()
+    batches = []
+    for fi in range(2):
+        rows = ["mega"] * (300 + 100 * fi) + [f"tail_{fi}_{i % 40}" for i in range(200)]
+        batches.append(rows)
+        (b / f"f{fi}.json").write_text(
+            "\n".join(json.dumps({"key": r}) for r in rows) + "\n"
+        )
+    watch = ["mega", "tail_0_3", "tail_1_7", "never_seen"]
+
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(b))
+    )
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.collect()
+
+    q = (
+        cms_stream(stream, sink, col="key", watch=watch, width=width, depth=depth)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(seen) == 2
+    final = {r.item: r.est_c for r in seen[1]}
+    all_rows = [r for rows in batches for r in rows]
+    whole = spark.createDataFrame([(r,) for r in all_rows], "key string")
+    items = spark.createDataFrame([(w,) for w in watch], "key string")
+    batch_est = {
+        r["key"]: r["est_c"]
+        for r in cms_estimate(
+            count_min_sketch(whole, "key", width, depth), items, "key", width, depth
+        ).collect()
+    }
+    assert final == batch_est
+    assert seen[1][0].n_seen == len(all_rows)
+    assert final["mega"] >= 700  # never undercounts

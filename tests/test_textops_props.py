@@ -702,3 +702,126 @@ def test_bpe_learn_merges_matches_reference_fixture(spark, sf_dir):
                 freqs[w] += 1
     want = _ref_bpe(sorted(freqs.items()), 5)
     assert got == want
+
+
+# --- Count-Min sketch properties ---
+
+
+def _py_cms(tokens, width, depth):
+    """Pure-Python CM sketch with the repo's md5-prefix hash — the
+    spec count_min_sketch must match counter-for-counter."""
+    import hashlib
+    from collections import Counter
+
+    sk = Counter()
+    for tok in tokens:
+        for i in range(depth):
+            h = int(hashlib.md5(f"{tok}:{i}".encode()).hexdigest()[:8], 16)
+            sk[(i, h % width)] += 1
+    return sk
+
+
+def test_count_min_sketch_matches_reference_and_estimates(spark):
+    from flink_kafka_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    words = (["apple"] * 40 + ["banana"] * 25 + ["cherry"] * 9
+             + [f"rare{i}" for i in range(60)])
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    w, d = 32, 3  # tiny width -> real collisions exercised
+    got = {(r["r"], r["b"]): r["c"] for r in count_min_sketch(df, "tok", w, d).collect()}
+    assert got == dict(_py_cms(words, w, d))
+
+    # estimates: min over rows, >= true always, == python reference
+    from collections import Counter
+    true = Counter(words)
+    items = spark.createDataFrame([(t,) for t in true], "tok string")
+    est = {r["tok"]: r["est_c"] for r in cms_estimate(
+        count_min_sketch(df, "tok", w, d), items, "tok", w, d).collect()}
+    ref = _py_cms(words, w, d)
+    import hashlib
+    for tok, tc in true.items():
+        py_est = min(
+            ref[(i, int(hashlib.md5(f"{tok}:{i}".encode()).hexdigest()[:8], 16) % w)]
+            for i in range(d)
+        )
+        assert est[tok] == py_est
+        assert est[tok] >= tc  # CM one-sided error: never undercounts
+
+    # absent item: every counter it probes may still collide, but the
+    # estimate is the python reference's (possibly 0)
+    ghost = spark.createDataFrame([("zz-absent",)], "tok string")
+    g = cms_estimate(count_min_sketch(df, "tok", w, d), ghost, "tok", w, d).collect()
+    py_g = min(
+        ref.get((i, int(hashlib.md5(f"zz-absent:{i}".encode()).hexdigest()[:8], 16) % w), 0)
+        for i in range(d)
+    )
+    assert g[0]["est_c"] == py_g
+
+
+def test_count_min_sketch_is_mergeable(spark):
+    """CM merge is counter addition — EXACT, independent of the split:
+    sketch(A ++ B) == sketch(A) + sketch(B), key by key. This is what
+    makes per-partition partials safe at any merge tree."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.sketches import count_min_sketch
+
+    words_a = ["x"] * 7 + ["y"] * 3 + ["z"]
+    words_b = ["y"] * 5 + ["w"] * 2
+    w, d = 16, 2
+    dfa = spark.createDataFrame([(t,) for t in words_a], "tok string")
+    dfb = spark.createDataFrame([(t,) for t in words_b], "tok string")
+    whole = count_min_sketch(dfa.unionAll(dfb), "tok", w, d)
+    merged = (
+        count_min_sketch(dfa, "tok", w, d)
+        .unionByName(count_min_sketch(dfb, "tok", w, d))
+        .groupBy("r", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    as_map = lambda df: {(r["r"], r["b"]): r["c"] for r in df.collect()}
+    assert as_map(whole) == as_map(merged)
+
+
+# --- KMV sketch properties ---
+
+
+def _py_kmv_hash(v):
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def test_kmv_minima_matches_brute_force_and_is_partition_independent(spark):
+    """The threshold prefilter must be invisible: kmv_minima == the
+    k smallest distinct hashes per set computed brute-force, and the
+    result must not depend on how the input was partitioned."""
+    from flink_kafka_spark.operators.sketches import kmv_minima
+
+    rows = [("a", f"v{i}") for i in range(500)] + [("b", f"v{i}") for i in range(40)]
+    rows += rows[:100]  # duplicates must not matter (DISTINCT hash set)
+    df = spark.createDataFrame(rows, "s string, v string")
+    k = 32
+    for parts in (1, 7):
+        got = {
+            (r["s"], r["rn"]): r["h"]
+            for r in kmv_minima(df.repartition(parts), "s", "v", k).collect()
+        }
+        want = {}
+        for s, n in (("a", 500), ("b", 40)):
+            hs = sorted({_py_kmv_hash(f"v{i}") for i in range(n)})[:k]
+            for rn, h in enumerate(hs, 1):
+                want[(s, rn)] = h
+        assert got == want
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_error_above(spark):
+    from flink_kafka_spark.operators.sketches import kmv_estimate, kmv_minima
+
+    k = 64
+    rows = [("small", f"s{i}") for i in range(k - 10)]
+    rows += [("big", f"b{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "s string, v string")
+    est = {r["s"]: r["est"] for r in kmv_estimate(kmv_minima(df, "s", "v", k), k).collect()}
+    assert est["small"] == k - 10  # < k distinct -> the sketch IS the set
+    # standard error is ~1/sqrt(k-2) ~ 13%; assert a generous 4-sigma band
+    assert abs(est["big"] - 5000) / 5000 < 0.5

@@ -456,6 +456,57 @@ def main() -> None:
         assert sketch[m] <= exact_mega[m]
         assert (exact_mega[m] - sketch[m]) * 17 <= n_events, (m, sketch[m], exact_mega[m])
 
+    # Count-Min sketch over the same ~1M-distinct token stream: the
+    # whole shuffle is the <= d*w counter frame (32k keys at 4x8192)
+    # regardless of the 1M-key space. Asserts the one-sided guarantee
+    # (never undercounts) and a 4N/w overcount ceiling on the planted
+    # mega-keys — each of the 4 rows exceeds 4x its mean collision
+    # mass with prob ~1/4, all four simultaneously ~(1/4)^4.
+    from flink_kafka_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    cms_w, cms_d = 8192, 4
+    t0 = time.perf_counter()
+    cms = count_min_sketch(toks, "tok", cms_w, cms_d)
+    mega_df = spark.createDataFrame([(m,) for m in mega], "tok string")
+    ests = {
+        r["tok"]: r["est_c"]
+        for r in cms_estimate(cms, mega_df, "tok", cms_w, cms_d).collect()
+    }
+    timings[f"count_min_{n_events}"] = round(time.perf_counter() - t0, 2)
+    for m in mega:
+        assert ests[m] >= exact_mega[m], (m, ests[m], exact_mega[m])
+        assert ests[m] - exact_mega[m] <= 4 * n_events // cms_w, (
+            m, ests[m], exact_mega[m])
+
+    # KMV distinct sketch at ~1M true distinct: the threshold prefilter
+    # must leave only O(k) survivors per set for the window sort (the
+    # scale path), the estimate must land within 5.6 sigma (~50%) of
+    # the exact countDistinct, and a below-k set stays EXACT.
+    from flink_kafka_spark.operators.sketches import kmv_estimate, kmv_minima
+
+    kmv_k = 128
+    sets = spark.range(n_events).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)) < 1, F.lit("small"))
+        .otherwise(F.lit("big"))
+        .alias("s"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)) < 1,
+               F.pmod(F.xxhash64("id", F.lit(8)), F.lit(50)))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(9)), F.lit(1_000_000)))
+        .cast("string")
+        .alias("v"),
+    )
+    t0 = time.perf_counter()
+    kept = kmv_minima(sets, "s", "v", kmv_k)
+    kmv_est = {r["s"]: r["est"] for r in kmv_estimate(kept, kmv_k).collect()}
+    timings[f"kmv_{n_events}"] = round(time.perf_counter() - t0, 2)
+    exact_kmv = {
+        r["s"]: r["c"]
+        for r in sets.groupBy("s").agg(F.countDistinct("v").alias("c")).collect()
+    }
+    assert kmv_est["small"] == exact_kmv["small"], (kmv_est, exact_kmv)
+    rel = abs(kmv_est["big"] - exact_kmv["big"]) / exact_kmv["big"]
+    assert rel < 0.5, (kmv_est["big"], exact_kmv["big"], rel)
+
     # MMR over a 200-query batch against a 100k x 64 corpus (fresh
     # pseudo-random directions): the greedy is per-query-parallel, so
     # wall time should track the brute-force candidate stage, not
