@@ -173,6 +173,12 @@ BENCH_QUERIES = [
     # baseline entries yet — guardrail skips.
     "cms_topk_estimates",
     "kmv_set_cardinality",
+    # round-10 iterative graph op (12 fixed-point rounds over the
+    # source-overlap graph; CC-style checkpoint loop). No baseline.
+    "source_pagerank",
+    # round-10 tokenizer round-trip (learn merges, then tokenize the
+    # corpus with one composed JVM fold). No baseline.
+    "bpe_tokenize_stats",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Iterative graph algorithms beyond connected components (which lives
+with its dedup consumers in operators/dedup.py).
+
+PageRank here is the corpus-curation use: rank crawl sources/domains by
+overlap centrality so corpus-merge decisions (which near-duplicate
+crawl to keep, which source to down-weight) have a principled score —
+the same role harmonic-centrality/PageRank plays in public web-corpus
+quality pipelines.
+
+Determinism contract: the iteration is FIXED-POINT INTEGER arithmetic
+(rank mass in `unit` = 1e9 units, floor division everywhere), so the
+result is bit-identical across engines, partitionings and runs — a
+DuckDB oracle replays the exact same iterations with `//` where Spark
+uses `div` (both truncate; all operands here are non-negative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    iterations: int = 12,
+    damping_pct: int = 85,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Weighted PageRank over ``edges (src, dst, w BIGINT)`` and
+    ``nodes (id_col)``: ``iterations`` fixed rounds of
+
+        r'(v) = teleport + (damping_pct * sum_{u->v} (r(u)*w(u,v) div
+                wsum(u))) div 100,
+        teleport = ((100-damping_pct) * (unit div N)) div 100
+
+    starting from r0 = unit div N. Dangling nodes (no out-edges)
+    contribute nothing and settle at the teleport floor; their leaked
+    mass is NOT redistributed (deterministic, documented — rank order
+    is unaffected for the connected bulk).
+
+    Scale shape: the weighted-out-degree join is precomputed ONCE into
+    a persisted (src, dst, w, wsum) frame; each round then costs one
+    rank-frame join onto it plus one edges-sized groupBy(dst) shuffle —
+    the inherent PageRank cost. The rank frame is node-sized (sources/
+    domains — group-level metadata, orders of magnitude below the
+    corpus), so it broadcasts; for a billion-node graph drop the
+    broadcast hints and pre-partition edges and ranks by src instead.
+    N is a single-int driver scalar (same justification as the CC
+    convergence probe). Each round's ranks are EAGER-localCheckpointed
+    (the CC loop's lifecycle, operators/dedup.py:_cc_labels): without
+    the lineage cut, round i's logical plan contains all i-1
+    predecessors and Catalyst re-analyzes the whole tree per round —
+    measured 49 s for 12 rounds at sf0.1 vs ~5 s with the cut. The
+    previous round's checkpoint blocks are dropped as soon as the new
+    round is materialized (the loop holds two node-sized rank frames
+    at most); the final round's blocks back the returned frame, so
+    they are registered with caching.track_rdds and released at the
+    next query boundary."""
+    from ..caching import persistent_rdd_ids, track, track_rdds, unpersist_rdds
+
+    sc = edges.sparkSession.sparkContext
+
+    def _chk(df: DataFrame) -> "tuple[DataFrame, frozenset[int]]":
+        before = persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        return out, frozenset(persistent_rdd_ids(sc) - before)
+
+    node_frame = track(nodes.select(F.col(id_col).alias("node")).persist())
+    n = node_frame.count()
+    base = unit // n
+    teleport = (100 - damping_pct) * base // 100
+
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e = track(
+        edges.join(F.broadcast(wsum), "src")
+        .select("src", "dst", "w", "wsum")
+        .persist()
+    )
+    ranks = node_frame.withColumn("r", F.lit(base).cast("long"))
+    live: frozenset[int] = frozenset()
+    for _ in range(iterations):
+        contrib = e.join(
+            F.broadcast(ranks), e["src"] == ranks["node"]
+        ).select("dst", F.expr("(r * w) div wsum").alias("c"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks, new_ids = _chk(
+            node_frame.join(
+                F.broadcast(summed), F.col("node") == F.col("dst"), "left"
+            ).select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, cast(0 as bigint))) div 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+        unpersist_rdds(sc, live)  # new round materialized; drop the old
+        live = new_ids
+    track_rdds(live)
+    return ranks.select("node", F.col("r").alias("rank_e9"))

@@ -852,3 +852,108 @@ QUERIES = [
         "ext: incremental dedup property oracle",
     ),
 ]
+
+
+# --- source PageRank: overlap-centrality ranking of crawl sources ---
+#
+# The corpus-merge companion to source_overlap: rank sources by
+# weighted PageRank over the shared-shingle graph (edge weight =
+# n_shared_shingles, both directions), so "which of these overlapping
+# crawls is central / redundant" has a principled score. The
+# fixed-point INTEGER iteration (operators/graph.py) makes an
+# iterative algorithm fully value-oracled: DuckDB replays the exact
+# rounds as unrolled CTEs with `//` where Spark uses `div`.
+
+PR_ITERATIONS = 12
+PR_DAMPING_PCT = 85
+PR_UNIT = 1_000_000_000
+
+
+def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    ov = source_overlap_matrix(docs)
+    e_fwd = ov.select(
+        F.col("source_a").alias("src"),
+        F.col("source_b").alias("dst"),
+        F.col("n_shared_shingles").alias("w"),
+    )
+    e_rev = ov.select(
+        F.col("source_b").alias("src"),
+        F.col("source_a").alias("dst"),
+        F.col("n_shared_shingles").alias("w"),
+    )
+    nodes = docs.select("source").distinct()
+    return pagerank(
+        e_fwd.unionByName(e_rev), nodes, "source",
+        PR_ITERATIONS, PR_DAMPING_PCT, PR_UNIT,
+    ).select(F.col("node").alias("source"), "rank_e9")
+
+
+def _pagerank_oracle(iterations: int, damping: int, unit: int) -> str:
+    """Unrolled-CTE DuckDB replay of the integer PageRank rounds (a
+    recursive CTE with aggregation in the recursive term is not
+    portable; twelve chained CTEs are)."""
+    head = f"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+gsh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM toks
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT source_a AS src, source_b AS dst, w FROM pairs
+  UNION ALL
+  SELECT source_b AS src, source_a AS dst, w FROM pairs
+),
+ew AS (
+  SELECT e.src, e.dst, e.w, s.wsum
+  FROM edges e JOIN (SELECT src, sum(w) AS wsum FROM edges GROUP BY 1) s
+  USING (src)
+),
+nodes AS (SELECT DISTINCT source AS node FROM documents),
+meta AS (
+  SELECT CAST({unit} // count(*) AS BIGINT) AS base,
+         CAST((({100 - damping}) * ({unit} // count(*))) // 100 AS BIGINT) AS tp
+  FROM nodes
+),
+r0 AS (SELECT node, (SELECT base FROM meta) AS r FROM nodes)"""
+    rounds = "".join(
+        f""",
+r{i} AS (
+  SELECT n.node,
+         CAST((SELECT tp FROM meta)
+              + (({damping} * COALESCE(c.s, 0)) // 100) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, sum((p.r * e.w) // e.wsum) AS s
+    FROM ew e JOIN r{i - 1} p ON p.node = e.src
+    GROUP BY 1
+  ) c USING (node)
+)"""
+        for i in range(1, iterations + 1)
+    )
+    return (
+        head + rounds
+        + f"\nSELECT node AS source, r AS rank_e9 FROM r{iterations}"
+    )
+
+
+QUERIES.append(
+    Query(
+        "source_pagerank",
+        source_pagerank,
+        _pagerank_oracle(PR_ITERATIONS, PR_DAMPING_PCT, PR_UNIT),
+        "ext: weighted PageRank over the source-overlap graph (integer fixed-point)",
+    )
+)

@@ -2207,3 +2207,31 @@ QUERIES.append(
         "ext: Count-Min sketch, bit-identical cross-engine estimates",
     )
 )
+
+
+# --- tokenizer round-trip: learn merges, apply them, account tokens ---
+#
+# Rows-only like the trainer (the merge table is the fixpoint of an
+# iterative argmax); verification is the crafted round-trip pytest
+# (apply(learn(corpus)) must equal the pure-Python tokenizer on every
+# word) plus the invariant tests below the operator.
+
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_apply_merges, bpe_learn_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, n_merges=BPE_TRAIN_ROUNDS).collect()
+    ]
+    return bpe_apply_merges(docs, merges)
+
+
+QUERIES.append(
+    Query(
+        "bpe_tokenize_stats",
+        bpe_tokenize_stats,
+        None,
+        "ext: apply learned BPE merges — per-doc token accounting",
+    )
+)

@@ -116,6 +116,7 @@ CAPACITY_DEFERRED: dict[str, int] = {
     "quality_curriculum": 10,
     "cms_topk_estimates": 10,
     "kmv_set_cardinality": 10,
+    "source_pagerank": 10,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -79,6 +79,9 @@ PLAN_BOUNDS = {
     # the per-round work (vocab-frame pair count + 1-row argmax) runs
     # while the plan is BUILT, like dedup_canonicalize's CC loop
     "bpe_train_merges": (0, 0),
+    # apply half: trainer runs while the plan is built (merge table is
+    # a driver constant), then one composed-fold scan + per-doc groupBy
+    "bpe_tokenize_stats": (1, 0),
     # corpus histogram shuffle + single-partition window over the
     # <=10001-row score frame (the no-global-sort quantile design)
     "quality_curriculum": (2, 0),
@@ -89,6 +92,11 @@ PLAN_BOUNDS = {
     # other exchanges are on <= k x |types| sketch frames, every join
     # a broadcast
     "kmv_set_cardinality": (15, 0),
+    # iterative driver loop (CC-style eager checkpoints): the returned
+    # frame is the final round's checkpoint scan; the per-round work
+    # (overlap-matrix edges once, then node-sized rank joins) runs
+    # while the plan is BUILT
+    "source_pagerank": (0, 0),
     "quantity_percentiles": (1, 0),
     "quantity_percentiles_approx": (1, 0),
     # windowed streaming analogs: one shuffle on (window, key) + topn

@@ -1098,3 +1098,64 @@ def test_basket_lift_matches_naive(spark, tmp_path):
             lift = math.floor(n_both * n_orders / (item[a] * item[b]) * 10000 + 0.5) / 10000
             want[(a, b)] = (n_both, lift)
     assert {k: (v.n_both, v.lift) for k, v in got.items()} == want and want
+
+
+# --- integer fixed-point PageRank ---
+
+
+def _py_pagerank(edges, nodes, iterations=12, damping=85, unit=10**9):
+    """Pure-Python replay of the integer iteration (the spec both the
+    Spark operator and the DuckDB oracle must match exactly)."""
+    n = len(nodes)
+    base = unit // n
+    teleport = (100 - damping) * base // 100
+    wsum = {}
+    for s, _, w in edges:
+        wsum[s] = wsum.get(s, 0) + w
+    r = {v: base for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            s[v] += r[u] * w // wsum[u]
+        r = {v: teleport + damping * s[v] // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference_exactly(spark):
+    """Weighted graph with asymmetric weights, a dangling node (no
+    out-edges) and a hub: the Spark ranks must equal the pure-Python
+    integer replay EXACTLY (no tolerance — that is the determinism
+    contract that makes the DuckDB oracle possible)."""
+    from flink_kafka_spark.operators.graph import pagerank
+
+    nodes = ["hub", "a", "b", "c", "dangling"]
+    # hub <-> a/b/c with varied weights; everyone also feeds dangling
+    edges = []
+    for v, w in (("a", 5), ("b", 3), ("c", 1)):
+        edges += [("hub", v, w), (v, "hub", w)]
+    edges += [(v, "dangling", 2) for v in ("a", "b", "c")]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank_e9"] for r in pagerank(edf, ndf, "id").collect()}
+    want = _py_pagerank(edges, nodes)
+    assert got == want
+    # structural sanity: the hub out-ranks the leaves; the dangling
+    # node holds rank it received (its mass leaks, documented)
+    assert got["hub"] > max(got["a"], got["b"], got["c"])
+
+
+def test_pagerank_star_center_dominates_and_mass_is_bounded(spark):
+    from flink_kafka_spark.operators.graph import pagerank
+
+    n_leaves = 20
+    nodes = ["center"] + [f"leaf{i}" for i in range(n_leaves)]
+    edges = [(f"leaf{i}", "center", 1) for i in range(n_leaves)]
+    edges += [("center", f"leaf{i}", 1) for i in range(n_leaves)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank_e9"] for r in pagerank(edf, ndf, "id").collect()}
+    assert got == _py_pagerank(edges, nodes)
+    leaf_ranks = [got[f"leaf{i}"] for i in range(n_leaves)]
+    assert got["center"] > 5 * max(leaf_ranks)  # hub concentration
+    assert len(set(leaf_ranks)) == 1  # symmetry -> identical leaf ranks
+    assert sum(got.values()) <= 10**9  # floor-division only loses mass

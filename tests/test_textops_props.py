@@ -825,3 +825,44 @@ def test_kmv_estimate_exact_below_k_and_bounded_error_above(spark):
     assert est["small"] == k - 10  # < k distinct -> the sketch IS the set
     # standard error is ~1/sqrt(k-2) ~ 13%; assert a generous 4-sigma band
     assert abs(est["big"] - 5000) / 5000 < 0.5
+
+
+def test_bpe_apply_round_trips_the_learned_merges(spark):
+    """apply(learn(corpus)) must tokenize every word exactly like the
+    pure-Python trainer's final state: total BPE tokens per doc equal
+    the python segmentation lengths, chars are conserved, and merges
+    strictly compress (n_bpe_tokens <= n_chars, >= n_words)."""
+    from collections import Counter
+
+    from flink_kafka_spark.operators.text import bpe_apply_merges, bpe_learn_merges
+
+    words = ["abcabc"] * 5 + ["aaaa"] * 3 + ["xy xz abq"] * 2 + ["abc aaaa xy"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"]) for r in bpe_learn_merges(docs, n_merges=6).collect()
+    ]
+
+    def py_apply(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r for r in bpe_apply_merges(docs, merges).collect()}
+    for i, text in enumerate(words):
+        ws = [w for w in text.lower().split() if w]
+        want_toks = sum(len(py_apply(w)) for w in ws)
+        assert got[i]["n_words"] == len(ws)
+        assert got[i]["n_chars"] == sum(len(w) for w in ws)
+        assert got[i]["n_bpe_tokens"] == want_toks
+        assert got[i]["n_words"] <= got[i]["n_bpe_tokens"] <= got[i]["n_chars"]
+    # the merges actually compress this corpus (not a no-op table)
+    assert any(got[i]["n_bpe_tokens"] < got[i]["n_chars"] for i in range(len(words)))
