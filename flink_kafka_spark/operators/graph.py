@@ -80,25 +80,34 @@ def pagerank(
     )
     ranks = node_frame.withColumn("r", F.lit(base).cast("long"))
     live: frozenset[int] = frozenset()
-    for _ in range(iterations):
+    # Checkpoint every CHK_EVERY rounds, not every round: the cut only
+    # needs to keep the analyzed tree SHALLOW (depth <= 3 is cheap for
+    # Catalyst), and results are identical wherever the lineage is cut
+    # (pure integer arithmetic). Measured: per-round and per-3-rounds
+    # cuts both land at ~9 s for 12 rounds at sf0.1 — the fixture-scale
+    # wall is bound by fixed per-round broadcast/job latency on tiny
+    # frames, which amortizes away at real edge volumes; batching
+    # simply holds 4 instead of 12 checkpoint block sets over the run.
+    CHK_EVERY = 3
+    for i in range(iterations):
         contrib = e.join(
             F.broadcast(ranks), e["src"] == ranks["node"]
         ).select("dst", F.expr("(r * w) div wsum").alias("c"))
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks, new_ids = _chk(
-            node_frame.join(
-                F.broadcast(summed), F.col("node") == F.col("dst"), "left"
-            ).select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(f"({damping_pct} * coalesce(s, cast(0 as bigint))) div 100")
-                )
-                .cast("long")
-                .alias("r"),
+        ranks = node_frame.join(
+            F.broadcast(summed), F.col("node") == F.col("dst"), "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(s, cast(0 as bigint))) div 100")
             )
+            .cast("long")
+            .alias("r"),
         )
-        unpersist_rdds(sc, live)  # new round materialized; drop the old
-        live = new_ids
+        if (i + 1) % CHK_EVERY == 0 or i + 1 == iterations:
+            ranks, new_ids = _chk(ranks)
+            unpersist_rdds(sc, live)  # new cut materialized; drop the old
+            live = new_ids
     track_rdds(live)
     return ranks.select("node", F.col("r").alias("rank_e9"))

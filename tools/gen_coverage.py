@@ -93,9 +93,23 @@ EXTENSIONS = [
              " / unigram + interpolated-bigram LM perplexity proxies"
              " / hashed-linear classifier gate / vocab OOV audit"
              " / per-source scorecard + KL"
-             " / quality-cutoff pass-rate sweep / co-occurrence PMI"),
+             " / quality-cutoff pass-rate sweep / co-occurrence PMI"
+             " / iterative BPE merge training + apply (tokenizer"
+             " round-trip, pure-Python-reference-pinned)"
+             " / curriculum quantile buckets (histogram cut, no"
+             " global sort)"),
     ("sketches", "Misra-Gries heavy hitters (mergeable k-counter partials,"
-                 " n/(k+1) bound driver-hashed by heavy_hitters_check)"),
+                 " n/(k+1) bound driver-hashed by heavy_hitters_check)"
+                 " / Count-Min (d x w counter frame, exact counter-addition"
+                 " merge, bit-identical DuckDB oracle + continuous"
+                 " streaming twin)"
+                 " / KMV distinct with union/intersection set algebra"
+                 " (threshold-prefiltered k-minima, integer estimator,"
+                 " bit-identical oracle)"),
+    ("graph", "connected components (hash-to-min + pointer jumping,"
+              " O(log diameter)) / weighted PageRank in fixed-point"
+              " integer arithmetic (source overlap centrality,"
+              " unrolled-CTE DuckDB oracle matches bit-for-bit)"),
     ("sampling", "train/val/test split / sequence packing / mixture resample"
                  " / stratified cap / shard export / corpus shuffle"
                  " / A-Res weighted sampling (Efraimidis-Spirakis)"
