@@ -63,8 +63,16 @@ def pagerank(
     sc = edges.sparkSession.sparkContext
 
     def _chk(df: DataFrame) -> "tuple[DataFrame, frozenset[int]]":
+        # LAZY checkpoint: the RDD registers synchronously at the call
+        # (the _cc_labels contract), so the id delta contains ONLY the
+        # checkpoint RDD. An eager=True checkpoint runs a job inside
+        # the delta window, and the first such job also materializes
+        # the persisted edge frame — whose cache RDD id would then be
+        # swept into `live` and destroyed at the next cut, silently
+        # recomputing edges+wsum every round thereafter (r10
+        # second-review finding). The caller materializes explicitly.
         before = persistent_rdd_ids(sc)
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=False)
         return out, frozenset(persistent_rdd_ids(sc) - before)
 
     node_frame = track(nodes.select(F.col(id_col).alias("node")).persist())
@@ -107,7 +115,9 @@ def pagerank(
         )
         if (i + 1) % CHK_EVERY == 0 or i + 1 == iterations:
             ranks, new_ids = _chk(ranks)
-            unpersist_rdds(sc, live)  # new cut materialized; drop the old
+            ranks.count()  # materialize the new cut (a localCheckpoint
+            # cannot be recomputed once its predecessor's blocks drop)
+            unpersist_rdds(sc, live)
             live = new_ids
     track_rdds(live)
     return ranks.select("node", F.col("r").alias("rank_e9"))

@@ -230,18 +230,26 @@ def kmv_minima(
     )
 
 
-def kmv_estimate(minima: DataFrame, k: int = 128) -> DataFrame:
-    """(set, est) from a ``kmv_minima`` frame: exact count when the
-    set kept fewer than k values, else (k-1) * 2^32 div h_k. Integer
-    division keeps the estimate bit-identical across engines."""
-    return minima.groupBy("s").agg(
-        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_max")
-    ).select(
-        "s",
-        F.when(F.col("n_kept") < k, F.col("n_kept"))
+def kmv_est_expr(n_col: str, hmax_col: str, k: int):
+    """THE KMV cardinality estimator as a Column — exact count when
+    fewer than k distinct hashes were kept (the sketch IS the set),
+    else (k-1) * 2^32 div h_k. Integer division keeps it bit-identical
+    across engines. Single source of truth for every grouping the
+    estimator is applied to (per-set, per-pair-union, ...)."""
+    return (
+        F.when(F.col(n_col) < k, F.col(n_col))
         .otherwise(
-            F.expr(f"cast({k - 1} as bigint) * cast({CMS_SPACE} as bigint) div h_max")
+            F.expr(
+                f"cast({k - 1} as bigint) * cast({CMS_SPACE} as bigint)"
+                f" div {hmax_col}"
+            )
         )
         .cast("long")
-        .alias("est"),
     )
+
+
+def kmv_estimate(minima: DataFrame, k: int = 128) -> DataFrame:
+    """(set, est) from a ``kmv_minima`` frame via :func:`kmv_est_expr`."""
+    return minima.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_max")
+    ).select("s", kmv_est_expr("n_kept", "h_max", k).alias("est"))

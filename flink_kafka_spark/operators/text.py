@@ -970,11 +970,23 @@ def bpe_learn_merges(
     the argmax is a 1-row driver collect (like CC's convergence
     probe), and the merge rewrite is a pure executor-side fold
     (aggregate() over each word's symbol array, no shuffle). Per-round
-    frames are persisted and released on the next round's
-    materialization via caching.track, so the block store holds at
-    most two vocabulary frames.
+    frames use the CC checkpoint lifecycle (lazy localCheckpoint, the
+    argmax collect as the materializing action): the lineage cut keeps
+    Catalyst from re-analyzing every prior round's nested-lambda fold,
+    and the round before last is unpersisted as soon as the current
+    round materializes — the block store holds at most two vocabulary
+    frames, and nothing survives past the return (the merge table is a
+    LocalRelation).
     """
-    from ..caching import track
+    from ..caching import persistent_rdd_ids, unpersist_rdds
+
+    spark = docs.sparkSession
+    sc = spark.sparkContext
+
+    def _chk(df: DataFrame) -> "tuple[DataFrame, frozenset[int]]":
+        before = persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=False)
+        return out, frozenset(persistent_rdd_ids(sc) - before)
 
     sep = "\x1f"
     vocab = (
@@ -983,52 +995,63 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
-    seqs = track(
+    seqs, cur_ids = _chk(
         vocab.select(
             F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
                 "syms"
             ),
             "wf",
-        ).persist()
+        )
     )
-    spark = docs.sparkSession
+    prev_ids: frozenset[int] = frozenset()
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, n_merges + 1):
-        pairs = seqs.where(F.size("syms") >= 2).select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(syms) - 1),"
-                    f" i -> concat(syms[i - 1], '{sep}', syms[i]))"
-                )
-            ).alias("pair"),
-            "wf",
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("wf").cast("long").alias("freq"))
-            .orderBy(F.desc("freq"), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        left, right = top[0]["pair"].split(sep)
-        merges.append((rnd, left, right, int(top[0]["freq"])))
-        a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
-        merged = F.aggregate(
-            "syms",
-            F.expr("cast(array() as array<string>)"),
-            # greedy left-to-right non-overlap: a freshly merged tail
-            # element equals left+right, never bare `left` (right is
-            # non-empty), so it cannot chain into a second merge.
-            # try_element_at: plain element_at THROWS on the empty
-            # accumulator under Spark 4's ANSI default
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == a) & (x == b),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        seqs = track(seqs.select(merged.alias("syms"), "wf").persist())
+    try:
+        for rnd in range(1, n_merges + 1):
+            pairs = seqs.where(F.size("syms") >= 2).select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        f" i -> concat(syms[i - 1], '{sep}', syms[i]))"
+                    )
+                ).alias("pair"),
+                "wf",
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("wf").cast("long").alias("freq"))
+                .orderBy(F.desc("freq"), "pair")
+                .limit(1)
+                .collect()
+            )
+            # the collect materialized the current round's checkpoint;
+            # the round before it is now droppable
+            unpersist_rdds(sc, prev_ids)
+            prev_ids = frozenset()
+            if not top:
+                break
+            left, right = top[0]["pair"].split(sep)
+            merges.append((rnd, left, right, int(top[0]["freq"])))
+            a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+            merged = F.aggregate(
+                "syms",
+                F.expr("cast(array() as array<string>)"),
+                # greedy left-to-right non-overlap: a freshly merged tail
+                # element equals left+right, never bare `left` (right is
+                # non-empty), so it cannot chain into a second merge.
+                # try_element_at: plain element_at THROWS on the empty
+                # accumulator under Spark 4's ANSI default
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == a) & (x == b),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            seqs, new_ids = _chk(seqs.select(merged.alias("syms"), "wf"))
+            prev_ids, cur_ids = cur_ids, new_ids
+    finally:
+        # the returned merge table is a LocalRelation — no symbol frame
+        # outlives the trainer (unpersisting a never-materialized lazy
+        # checkpoint is a no-op)
+        unpersist_rdds(sc, prev_ids | cur_ids)
     return spark.createDataFrame(
         merges or [], "round long, left string, right string, freq long"
     )

@@ -72,6 +72,15 @@ def _grid_obs(
         )
         .persist()
     )
+    return _densify(obs, step_s)
+
+
+def _densify(obs: DataFrame, step_s: int) -> DataFrame:
+    """Bounds + executor-side dense grid + broadcast left join over an
+    aggregated (key, bucket_s, ...) frame — the single copy of the
+    grid construction shared by :func:`_grid_obs` (batch resample) and
+    :func:`densify_buckets` (streaming emitter / stored rollups), so
+    the two faces cannot drift."""
     bounds = obs.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
     grid = (
         obs.select("key")
@@ -162,20 +171,7 @@ def densify_buckets(obs: DataFrame, key_col: str, step_s: int) -> DataFrame:
     obs = obs.select(
         F.col(key_col).alias("key"), "bucket_s", "cnt", "vcnt", "val_e4"
     )
-    bounds = obs.agg(F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx"))
-    grid = (
-        obs.select("key")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "key",
-            F.explode(
-                F.sequence("mn", "mx", F.lit(int(step_s)).cast("long"))
-            ).alias("bucket_s"),
-        )
-    )
-    full = grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
-    return _ffill_project(full, key_col, step_s)
+    return _ffill_project(_densify(obs, step_s), key_col, step_s)
 
 
 def resample_interp(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def snapshot_diff(
@@ -114,6 +115,7 @@ def incremental_agg_maintenance(
     id_col: str,
     group_cols: tuple[str, ...],
     sum_cols: tuple[str, ...],
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Incremental view maintenance for an additive aggregate: update
     ``old_facts``' per-group (count, sums) under an upsert/delete
@@ -165,8 +167,33 @@ def incremental_agg_maintenance(
             *[(-F.sum(c)).cast("long").alias(c) for c in sum_cols],
         )
     )
+    # plus side mirrors the minus side's multi-op tolerance: each id
+    # contributes AT MOST ONE final state to the new aggregate, so the
+    # changelog is first resolved to one winning op per id. With
+    # ``seq_col`` (an ordered log) the winner is the latest op —
+    # delete-after-upsert removes the id, upsert-after-delete lands
+    # the upsert payload. Without it, ties are arbitrated
+    # deterministically (upserts beat deletes — the shape
+    # changes_from_diff can emit is thereby unchanged — and
+    # contradictory double-upserts collapse to the payload-max, a
+    # documented malformed-input safety rather than a semantics: a
+    # well-formed set changelog has one op per id). Previously every
+    # upsert row was summed, so two upserts for one id double-added
+    # and upsert-then-delete resurrected the id.
+    order = (
+        [F.col(seq_col).desc()]
+        if seq_col
+        else [F.col("op").desc()]
+        + [F.col(c).desc_nulls_last() for c in (*gcols, *sum_cols)]
+    )
+    w = Window.partitionBy(id_col).orderBy(*order)
+    final_ops = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     plus = (
-        changes.filter(F.col("op") == "upsert")
+        final_ops.filter(F.col("op") == "upsert")
         .groupBy(*gcols)
         .agg(n.alias("n_rows"), *[F.sum(c).cast("long").alias(c) for c in sum_cols])
     )

@@ -940,8 +940,9 @@ QUERIES.append(
 # check-scale baseline (the distinct/self-join the sketch replaces at
 # 100 TB).
 
+from ..operators.sketches import CMS_SPACE as KMV_SPACE  # 2^32 hash space
+
 KMV_K = 128
-KMV_SPACE = 4294967296  # 2^32, the md5-prefix hash space
 KMV_USER_DAY = (
     "concat(cast(user_id as string), ':', "
     "cast(unix_seconds(ts) div 86400 as string))"
@@ -950,7 +951,7 @@ KMV_USER_DAY = (
 
 def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track
-    from ..operators.sketches import kmv_estimate, kmv_minima
+    from ..operators.sketches import kmv_est_expr, kmv_estimate, kmv_minima
 
     ev = track(
         load(spark, sf_dir, "events")
@@ -1000,15 +1001,10 @@ def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "t1",
         "t2",
-        F.when(F.col("n_u") < KMV_K, F.col("n_u"))
-        .otherwise(
-            F.expr(
-                f"cast({KMV_K - 1} as bigint) * cast({KMV_SPACE} as bigint)"
-                " div h_max"
-            )
-        )
-        .cast("long")
-        .alias("est_union"),
+        # the shared estimator (operators/sketches.kmv_est_expr) so the
+        # per-set and per-pair-union paths cannot drift; the DuckDB
+        # oracle keeps its own copy BY DESIGN (independent replication)
+        kmv_est_expr("n_u", "h_max", KMV_K).alias("est_union"),
         "n_u",
         "c_both",
     )

@@ -2039,9 +2039,7 @@ def quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     bucketed = hist.select(
         "q", "cnt", "toks",
-        (F.expr(f"{N_CURRICULUM} * 1") * cum_before)
-        .cast("long")
-        .alias("scaled"),
+        (F.lit(N_CURRICULUM) * cum_before).cast("long").alias("scaled"),
         total.alias("total"),
     ).select(
         "q", "cnt", "toks",

@@ -486,6 +486,8 @@ def cms_stream(
     watch: list[str] | None = None,
     width: int = 512,
     depth: int = 4,
+    seed: "tuple[dict[tuple[int, int], int], int] | None" = None,
+    counter_snapshot=None,
 ):
     """Continuous Count-Min frequency monitor: each micro-batch is
     sketched DISTRIBUTED (operators.sketches.count_min_sketch — one
@@ -503,18 +505,23 @@ def cms_stream(
     surface the reference's per-window exact counts can't give over
     unbounded key spaces.
 
-    Restart contract: same as heavy_hitters_stream — the counter table
-    lives in this process, not the checkpoint; seed it from the last
-    emitted sketch for a restart-durable monitor (sound because the
-    merge is plain addition)."""
+    Restart contract: the counter table lives in this process, not the
+    checkpoint — and unlike heavy_hitters_stream the per-watch-item
+    estimates the sink sees CANNOT reconstruct it, so durability has
+    its own hooks: ``counter_snapshot(counters, n_seen, epoch_id)``
+    receives the full (r, b) -> c table after every batch (persist it
+    wherever you like — it is <= depth x width longs), and ``seed``
+    replays the last snapshot into a restarted monitor. Seeding is
+    exact, not approximate, because the CM merge is plain counter
+    addition (pinned by the restart test in tests/test_streaming.py)."""
     import hashlib
 
     from ..caching import release_scope
     from ..operators.sketches import count_min_sketch
 
     watch = list(watch or [])
-    counters: dict[tuple[int, int], int] = {}
-    state = {"n": 0}
+    counters: dict[tuple[int, int], int] = dict(seed[0]) if seed else {}
+    state = {"n": seed[1] if seed else 0}
 
     def _buckets(item: str) -> list[tuple[int, int]]:
         # the same md5-prefix hash count_min_sketch computes JVM-side
@@ -547,5 +554,7 @@ def cms_stream(
                 "item string, est_c long, n_seen long",
             )
             sink(out, epoch_id)
+            if counter_snapshot is not None:
+                counter_snapshot(dict(counters), state["n"], epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)

@@ -1338,3 +1338,69 @@ def test_cms_stream_exactly_equals_batch_sketch(spark, tmp_path):
     assert final == batch_est
     assert seen[1][0].n_seen == len(all_rows)
     assert final["mega"] >= 700  # never undercounts
+
+
+def test_cms_stream_restart_seeded_from_snapshot_is_exact(spark, tmp_path):
+    """The restart contract: counter_snapshot hands out the full
+    counter table each epoch, and a NEW monitor seeded from the last
+    snapshot continues as if never restarted — final estimates equal
+    the batch sketch over everything both processes saw (exact,
+    because the CM merge is counter addition)."""
+    import json
+
+    from flink_kafka_spark.operators.sketches import cms_estimate, count_min_sketch
+    from flink_kafka_spark.streaming.jobs import cms_stream
+
+    width, depth = 64, 3
+    watch = ["mega", "tail_1", "never_seen"]
+    rows_a = ["mega"] * 100 + [f"tail_{i % 20}" for i in range(80)]
+    rows_b = ["mega"] * 50 + [f"tail_{i % 30}" for i in range(90)]
+
+    def replay(rows, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        (d / "f.json").write_text("\n".join(json.dumps({"key": r}) for r in rows) + "\n")
+        return spark.readStream.schema("key string").json(str(d))
+
+    snaps: list = []
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.collect()
+
+    q = (
+        cms_stream(
+            replay(rows_a, "a"), sink, col="key", watch=watch,
+            width=width, depth=depth,
+            counter_snapshot=lambda c, n, e: snaps.append((c, n)),
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_a"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert snaps and snaps[-1][1] == len(rows_a)
+
+    # "restart": a fresh monitor seeded from the last snapshot
+    q2 = (
+        cms_stream(
+            replay(rows_b, "b"), sink, col="key", watch=watch,
+            width=width, depth=depth, seed=snaps[-1],
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_b"))
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    final = {r.item: r.est_c for r in seen[max(seen)]}
+    whole = spark.createDataFrame([(r,) for r in rows_a + rows_b], "key string")
+    items = spark.createDataFrame([(w,) for w in watch], "key string")
+    batch_est = {
+        r["key"]: r["est_c"]
+        for r in cms_estimate(
+            count_min_sketch(whole, "key", width, depth), items, "key", width, depth
+        ).collect()
+    }
+    assert final == batch_est
+    assert seen[max(seen)][0].n_seen == len(rows_a) + len(rows_b)

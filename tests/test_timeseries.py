@@ -466,3 +466,56 @@ def test_incremental_agg_multi_op_changelog_subtracts_once(spark):
     # id 1 leaves s1 once (delete+upsert collapse to one subtraction)
     # and lands in s2 with the upsert payload; id 2 is untouched.
     assert got == {"s1": (1, 7), "s2": (1, 4)}
+
+
+def test_incremental_agg_multi_op_plus_side_applies_one_final_state(spark):
+    """r10 second-review finding: the plus side must mirror the minus
+    side's multi-op tolerance — each id contributes AT MOST ONE final
+    state. Two upserts for one id must not double-add, and with an
+    ordered log (seq_col) upsert-then-delete must REMOVE the id, not
+    resurrect it."""
+    from flink_kafka_spark.operators.versioning import incremental_agg_maintenance
+
+    facts = spark.createDataFrame(
+        [(1, "s1", 10), (2, "s1", 7)], "doc_id long, source string, chars long"
+    )
+
+    # contradictory double-upsert (no seq): exactly one payload lands
+    # (the deterministic payload-max arbitration), never both
+    dbl = spark.createDataFrame(
+        [(1, "upsert", "s2", 4), (1, "upsert", "s3", 5)],
+        "doc_id long, op string, source string, chars long",
+    )
+    got = {
+        r["source"]: (r["n_rows"], r["chars"])
+        for r in incremental_agg_maintenance(
+            facts, dbl, "doc_id", ("source",), ("chars",)
+        ).collect()
+    }
+    assert got == {"s1": (1, 7), "s3": (1, 5)}  # one landing spot, not two
+
+    # ordered log: upsert(seq 1) then delete(seq 2) -> id 1 is GONE
+    seqd = spark.createDataFrame(
+        [(1, "upsert", "s2", 4, 1), (1, "delete", None, None, 2)],
+        "doc_id long, op string, source string, chars long, seq long",
+    )
+    got = {
+        r["source"]: (r["n_rows"], r["chars"])
+        for r in incremental_agg_maintenance(
+            facts, seqd, "doc_id", ("source",), ("chars",), seq_col="seq"
+        ).collect()
+    }
+    assert got == {"s1": (1, 7)}
+
+    # ordered log, reversed: delete(seq 1) then upsert(seq 2) -> lands
+    seqd2 = spark.createDataFrame(
+        [(1, "delete", None, None, 1), (1, "upsert", "s2", 4, 2)],
+        "doc_id long, op string, source string, chars long, seq long",
+    )
+    got = {
+        r["source"]: (r["n_rows"], r["chars"])
+        for r in incremental_agg_maintenance(
+            facts, seqd2, "doc_id", ("source",), ("chars",), seq_col="seq"
+        ).collect()
+    }
+    assert got == {"s1": (1, 7), "s2": (1, 4)}
