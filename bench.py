@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     # round-10 tokenizer round-trip (learn merges, then tokenize the
     # corpus with one composed JVM fold). No baseline.
     "bpe_tokenize_stats",
+    # round-10 native Datasketches HLL sub-sketch rollup. No baseline.
+    "uv_hll_rollup",
 ]
 
 

@@ -253,3 +253,40 @@ def kmv_estimate(minima: DataFrame, k: int = 128) -> DataFrame:
     return minima.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_max")
     ).select("s", kmv_est_expr("n_kept", "h_max", k).alias("est"))
+
+
+# --- native Datasketches HLL rollup -----------------------------------
+
+
+def hll_rollup(
+    df: DataFrame,
+    set_col: str,
+    sub_col: str,
+    val_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Two-level distinct-count rollup on Spark's NATIVE Datasketches
+    HLL aggregates (the JVM sketch path KMV's set algebra complements):
+    per (set, sub) HLL sketches — the materializable fine-grained cube
+    cell — then a LOSSLESS ``hll_union_agg`` rollup to per-set
+    estimates. Union of same-lgConfigK HLL sketches merges registers
+    exactly, so rolling up pre-aggregated sub-sketches gives the SAME
+    estimate as sketching each set directly (pinned by pytest) — the
+    property that lets a 100 TB pipeline store per-(set, day) sketch
+    bytes once and answer any set-level distinct question without
+    touching raw data again.
+
+    Returns ``(set, n_subs, est_distinct)``. Plan: one shuffle to the
+    (set, sub) cells with partial HLL buffers map-side combined, one
+    tiny shuffle of sketch BYTES (|cells| rows) to the set level —
+    distinct cardinality never crosses the wire. Estimates are
+    deterministic for fixed data but Datasketches-internal, so
+    registry rows built on this are rows-only with pytest bounds
+    (DuckDB's approx_distinct is a different sketch)."""
+    cells = df.groupBy(
+        F.col(set_col).alias("s"), F.col(sub_col).alias("sub")
+    ).agg(F.hll_sketch_agg(F.col(val_col), F.lit(lgk)).alias("sk"))
+    return cells.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subs"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_distinct"),
+    )

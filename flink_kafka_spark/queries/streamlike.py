@@ -478,3 +478,33 @@ QUERIES = [
     Query("events_key_skew", events_key_skew, EVENTS_KEY_SKEW_ORACLE,
           "ext: grouping-key skew diagnostic (measure-first salting)"),
 ]
+
+
+# --- native Datasketches HLL: per-type distinct users via sub-sketch rollup ---
+#
+# Rows-only: hll_sketch_estimate is deterministic for fixed data but
+# Datasketches-internal (DuckDB's approx_distinct is a different
+# sketch); the bounds and the lossless-union property are pinned by
+# tests/test_properties.py.
+
+def uv_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_rollup
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_seconds("ts") / 604800).cast("long").alias("week"),
+        "user_id",
+    )
+    return hll_rollup(ev, "event_type", "week", "user_id").select(
+        F.col("s").alias("event_type"), "n_subs", "est_distinct"
+    )
+
+
+QUERIES.append(
+    Query(
+        "uv_hll_rollup",
+        uv_hll_rollup,
+        None,
+        "ext: native Datasketches HLL sub-sketch rollup (lossless union)",
+    )
+)

@@ -93,6 +93,8 @@ PLAN_BOUNDS = {
     # other exchanges are on <= k x |types| sketch frames, every join
     # a broadcast
     "kmv_set_cardinality": (15, 0),
+    # (set, sub) HLL cell shuffle + sketch-bytes rollup shuffle
+    "uv_hll_rollup": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned
     # frame is the final round's checkpoint scan; the per-round work
     # (overlap-matrix edges once, then node-sized rank joins) runs

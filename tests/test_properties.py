@@ -1159,3 +1159,32 @@ def test_pagerank_star_center_dominates_and_mass_is_bounded(spark):
     assert got["center"] > 5 * max(leaf_ranks)  # hub concentration
     assert len(set(leaf_ranks)) == 1  # symmetry -> identical leaf ranks
     assert sum(got.values()) <= 10**9  # floor-division only loses mass
+
+
+def test_hll_rollup_union_is_lossless_and_accurate(spark):
+    """Two-level HLL rollup: (a) unioning per-sub sketches gives the
+    SAME estimate as sketching the set directly (same-lgK HLL union
+    merges registers exactly) — the property that makes stored
+    per-(set, day) sketches answer set-level questions; (b) the
+    estimate lands within the sketch's error band of the exact
+    distinct; (c) a small set is near-exact."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.sketches import hll_rollup
+
+    rows = [("big", i % 7, f"u{i % 5000}") for i in range(20000)]
+    rows += [("small", 0, f"s{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "s string, sub int, v string")
+
+    got = {r["s"]: r for r in hll_rollup(df, "s", "sub", "v", lgk=12).collect()}
+    direct = {
+        r["s"]: r["est"]
+        for r in df.groupBy("s")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("est"))
+        .collect()
+    }
+    for s in ("big", "small"):
+        assert got[s]["est_distinct"] == direct[s]  # lossless union
+    assert got["big"]["n_subs"] == 7 and got["small"]["n_subs"] == 1
+    assert abs(got["big"]["est_distinct"] - 5000) / 5000 < 0.05  # ~2% typical at lgK 12
+    assert abs(got["small"]["est_distinct"] - 40) <= 1

@@ -105,7 +105,9 @@ EXTENSIONS = [
                  " streaming twin)"
                  " / KMV distinct with union/intersection set algebra"
                  " (threshold-prefiltered k-minima, integer estimator,"
-                 " bit-identical oracle)"),
+                 " bit-identical oracle)"
+                 " / native Datasketches HLL sub-sketch rollup"
+                 " (lossless same-lgK union, pytest-pinned)"),
     ("graph", "connected components (hash-to-min + pointer jumping,"
               " O(log diameter)) / weighted PageRank in fixed-point"
               " integer arithmetic (source overlap centrality,"
