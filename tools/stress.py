@@ -507,6 +507,48 @@ def main() -> None:
     rel = abs(kmv_est["big"] - exact_kmv["big"]) / exact_kmv["big"]
     assert rel < 0.5, (kmv_est["big"], exact_kmv["big"], rel)
 
+    # PageRank on a planted 100k-node hub graph: 1000 hubs, each the
+    # center of a 99-leaf star (leaves point only at their hub, hubs
+    # chain hub -> next hub so mass circulates among hubs and never
+    # returns to a leaf). Ground truth is a total order, not a timing:
+    # every leaf's rank is EXACTLY the teleport floor (no in-edges),
+    # every hub collects 99 leaf contributions and must out-rank every
+    # leaf; floor-division-only arithmetic can lose mass, never mint it.
+    from flink_kafka_spark.operators.graph import pagerank
+
+    n_nodes = 100_000
+    pr_unit = 1_000_000_000
+    teleport_floor = 15 * (pr_unit // n_nodes) // 100
+    hubs = spark.range(n_nodes).filter(F.pmod("id", F.lit(100)) == 0)
+    leaves = spark.range(n_nodes).filter(F.pmod("id", F.lit(100)) != 0)
+    hub_of = (F.col("id") - F.pmod("id", F.lit(100))).alias("hub")
+    pr_edges = (
+        leaves.select(F.col("id").alias("src"), hub_of.alias("dst"), F.lit(1).alias("w"))
+        .unionByName(
+            hubs.select(
+                F.col("id").alias("src"),
+                F.pmod(F.col("id") + 100, F.lit(n_nodes)).alias("dst"),
+                F.lit(1).alias("w"),
+            )
+        )
+    )
+    pr_nodes = spark.range(n_nodes).select(F.col("id"))
+    t0 = time.perf_counter()
+    pr = pagerank(pr_edges, pr_nodes, "id", iterations=12)
+    is_hub = F.pmod("node", F.lit(100)) == 0
+    stats = pr.select(
+        F.min(F.when(is_hub, F.col("rank_e9"))).alias("hub_min"),
+        F.max(F.when(~is_hub, F.col("rank_e9"))).alias("leaf_max"),
+        F.min(F.when(~is_hub, F.col("rank_e9"))).alias("leaf_min"),
+        F.sum("rank_e9").alias("mass"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    timings[f"pagerank_{n_nodes}"] = round(time.perf_counter() - t0, 2)
+    assert stats.n == n_nodes
+    assert stats.leaf_min == stats.leaf_max == teleport_floor, tuple(stats)
+    assert stats.hub_min > stats.leaf_max, (stats.hub_min, stats.leaf_max)
+    assert stats.mass <= pr_unit, stats.mass
+
     # MMR over a 200-query batch against a 100k x 64 corpus (fresh
     # pseudo-random directions): the greedy is per-query-parallel, so
     # wall time should track the brute-force candidate stage, not
