@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "bpe_tokenize_stats",
     # round-10 native Datasketches HLL sub-sketch rollup. No baseline.
     "uv_hll_rollup",
+    # round-10 per-group percentile winsorization. No baseline.
+    "events_value_winsorize",
 ]
 
 

@@ -1127,3 +1127,85 @@ QUERIES.append(
         "ext: KMV distinct sketch with union/intersection estimates",
     )
 )
+
+
+# --- winsorization: per-type percentile clipping of event values ---
+#
+# The value-cleaning gate a training pipeline runs before aggregating
+# arbitrary metrics: clip each event_type's values to its own
+# [p1, p99]. Cross-engine exact by the repo's money-math discipline:
+# values enter as e4 BIGINTs (floor-half-up), percentiles interpolate
+# over integer-valued doubles (identical pairs on both engines — the
+# quantity_percentiles precedent), bounds round back to e4 BIGINTs,
+# and every clip/sum is integer arithmetic until the terminal mean.
+
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").alias("v_e4"),
+        )
+    )
+    pct = ev.groupBy("event_type").agg(
+        F.expr("CAST(floor(percentile(v_e4, 0.01) + 0.5) AS BIGINT)").alias("lo_e4"),
+        F.expr("CAST(floor(percentile(v_e4, 0.99) + 0.5) AS BIGINT)").alias("hi_e4"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "lo_e4",
+        "hi_e4",
+        F.expr("least(greatest(v_e4, lo_e4), hi_e4)").alias("c_e4"),
+        (F.col("v_e4") < F.col("lo_e4")).cast("int").alias("is_lo"),
+        (F.col("v_e4") > F.col("hi_e4")).cast("int").alias("is_hi"),
+    )
+    return clipped.groupBy("event_type", "lo_e4", "hi_e4").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_lo").cast("long").alias("n_clip_low"),
+        F.sum("is_hi").cast("long").alias("n_clip_high"),
+        # integer e4 mean, floor-half-up, back to units in the terminal
+        # projection — single division on exact integers, no sum-order.
+        # CAST the divisor: a Spark `10000.0` literal is DECIMAL and
+        # drags the result into Decimal -> pandas object (r9 lesson)
+        F.expr(
+            "floor(CAST(sum(c_e4) AS DOUBLE) / count(*) + 0.5)"
+            " / CAST(10000 AS DOUBLE)"
+        ).alias("mean_clipped"),
+    )
+
+
+EVENTS_VALUE_WINSORIZE_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+  FROM events WHERE value IS NOT NULL
+),
+pct AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(v_e4, 0.01) + 0.5) AS BIGINT) AS lo_e4,
+         CAST(floor(quantile_cont(v_e4, 0.99) + 0.5) AS BIGINT) AS hi_e4
+  FROM ev GROUP BY 1
+),
+clipped AS (
+  SELECT ev.event_type, lo_e4, hi_e4,
+         least(greatest(v_e4, lo_e4), hi_e4) AS c_e4,
+         CASE WHEN v_e4 < lo_e4 THEN 1 ELSE 0 END AS is_lo,
+         CASE WHEN v_e4 > hi_e4 THEN 1 ELSE 0 END AS is_hi
+  FROM ev JOIN pct USING (event_type)
+)
+SELECT event_type, lo_e4, hi_e4,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(is_lo) AS BIGINT) AS n_clip_low,
+       CAST(sum(is_hi) AS BIGINT) AS n_clip_high,
+       floor(CAST(sum(c_e4) AS DOUBLE) / count(*) + 0.5) / 10000.0 AS mean_clipped
+FROM clipped GROUP BY 1, 2, 3
+"""
+
+QUERIES.append(
+    Query(
+        "events_value_winsorize",
+        events_value_winsorize,
+        EVENTS_VALUE_WINSORIZE_ORACLE,
+        "ext: per-group percentile winsorization (integer e4 clip)",
+    )
+)

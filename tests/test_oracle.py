@@ -117,6 +117,7 @@ CAPACITY_DEFERRED: dict[str, int] = {
     "cms_topk_estimates": 10,
     "kmv_set_cardinality": 10,
     "source_pagerank": 10,
+    "events_value_winsorize": 10,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

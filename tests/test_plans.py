@@ -95,6 +95,8 @@ PLAN_BOUNDS = {
     "kmv_set_cardinality": (15, 0),
     # (set, sub) HLL cell shuffle + sketch-bytes rollup shuffle
     "uv_hll_rollup": (2, 0),
+    # percentile agg + broadcast bounds join + final per-type agg
+    "events_value_winsorize": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned
     # frame is the final round's checkpoint scan; the per-round work
     # (overlap-matrix edges once, then node-sized rank joins) runs

@@ -127,6 +127,9 @@ EXTENSIONS = [
     ("linkage", "blocked fuzzy record linkage (Levenshtein verify,"
                 " length-band pruning, equal-name short-circuit,"
                 " multi-pass blocking union for recall)"),
+    ("cleaning", "per-group percentile winsorization (integer e4 clip,"
+                 " cross-engine exact) — the value gate before metric"
+                 " aggregation"),
     ("batch-relational", "TPC-H-shape q1-q22 subset + rollup + CUBE"
                          " cross-marginals + pivot"
                          " (joins, subqueries, grouping sets)"
