@@ -988,7 +988,6 @@ def bpe_learn_merges(
         out = df.localCheckpoint(eager=False)
         return out, frozenset(persistent_rdd_ids(sc) - before)
 
-    sep = "\x1f"
     vocab = (
         docs.select(F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"))
         .where(F.col("w") != "")
@@ -1007,19 +1006,25 @@ def bpe_learn_merges(
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rnd in range(1, n_merges + 1):
+            # pairs as (left, right) STRUCTS, not a separator-joined
+            # string: merged symbols can contain ANY character, so no
+            # separator is collision-free (a symbol containing the
+            # separator would corrupt the split). Tie-break is the
+            # (left, right) tuple order, mirrored by the pytest
+            # reference.
             pairs = seqs.where(F.size("syms") >= 2).select(
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(syms) - 1),"
-                        f" i -> concat(syms[i - 1], '{sep}', syms[i]))"
+                        " i -> named_struct('l', syms[i - 1], 'r', syms[i]))"
                     )
-                ).alias("pair"),
+                ).alias("p"),
                 "wf",
             )
             top = (
-                pairs.groupBy("pair")
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                 .agg(F.sum("wf").cast("long").alias("freq"))
-                .orderBy(F.desc("freq"), "pair")
+                .orderBy(F.desc("freq"), "l", "r")
                 .limit(1)
                 .collect()
             )
@@ -1029,7 +1034,7 @@ def bpe_learn_merges(
             prev_ids = frozenset()
             if not top:
                 break
-            left, right = top[0]["pair"].split(sep)
+            left, right = top[0]["l"], top[0]["r"]
             merges.append((rnd, left, right, int(top[0]["freq"])))
             a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
             merged = F.aggregate(

@@ -180,12 +180,13 @@ def incremental_agg_maintenance(
     # well-formed set changelog has one op per id). Previously every
     # upsert row was summed, so two upserts for one id double-added
     # and upsert-then-delete resurrected the id.
-    order = (
-        [F.col(seq_col).desc()]
-        if seq_col
-        else [F.col("op").desc()]
-        + [F.col(c).desc_nulls_last() for c in (*gcols, *sum_cols)]
-    )
+    # the no-seq arbitration keys also serve as the tiebreak BELOW
+    # seq_col: two ops sharing one sequence number would otherwise
+    # pick a partition-order-dependent winner
+    arbitration = [F.col("op").desc()] + [
+        F.col(c).desc_nulls_last() for c in (*gcols, *sum_cols)
+    ]
+    order = ([F.col(seq_col).desc()] if seq_col else []) + arbitration
     w = Window.partitionBy(id_col).orderBy(*order)
     final_ops = (
         changes.withColumn("_rn", F.row_number().over(w))

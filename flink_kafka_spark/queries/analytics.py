@@ -1140,6 +1140,12 @@ QUERIES.append(
 # and every clip/sum is integer arithmetic until the terminal mean.
 
 def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ev feeds two consumers (the percentile agg and the clip join) and
+    # is DELIBERATELY not persisted: the frame is corpus-sized, and
+    # re-reading a 2-column pruned+pushed parquet scan is cheaper at
+    # scale than caching the whole projection (unlike
+    # kmv_set_cardinality's ev, which is distinct-reduced BEFORE its
+    # consumers and therefore small enough to pin).
     ev = (
         load(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())

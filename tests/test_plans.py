@@ -385,16 +385,10 @@ def plan_sweep(spark, sf_dir):
     bpe_train_merges, bpe_tokenize_stats, source_pagerank, the CC
     family — means fully EXECUTING the iterative computation twice
     per pytest run for identical plan text)."""
-    import contextlib
-    import io
-
     sweep: dict[str, tuple[dict, str]] = {}
     for name, q in all_queries().items():
-        df = q.fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        sweep[name] = (audit(df), buf.getvalue())
+        a = audit(q.fn(spark, sf_dir))  # audit carries the plan text
+        sweep[name] = (a, a["plan"])
     return sweep
 
 

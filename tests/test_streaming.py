@@ -1363,15 +1363,18 @@ def test_cms_stream_restart_seeded_from_snapshot_is_exact(spark, tmp_path):
         return spark.readStream.schema("key string").json(str(d))
 
     snaps: list = []
-    seen: dict[int, list] = {}
-
-    def sink(df, epoch_id):
-        seen[epoch_id] = df.collect()
+    # separate sink stores per run: the seeded query restarts epoch
+    # numbering at 0, so a shared epoch-keyed dict would overwrite the
+    # first run's rows and make max(epoch) pick the wrong run if the
+    # two replays ever split into different batch counts
+    seen_a: dict[int, list] = {}
+    seen_b: dict[int, list] = {}
 
     q = (
         cms_stream(
-            replay(rows_a, "a"), sink, col="key", watch=watch,
-            width=width, depth=depth,
+            replay(rows_a, "a"),
+            lambda df, e: seen_a.__setitem__(e, df.collect()),
+            col="key", watch=watch, width=width, depth=depth,
             counter_snapshot=lambda c, n, e: snaps.append((c, n)),
         )
         .trigger(availableNow=True)
@@ -1380,12 +1383,15 @@ def test_cms_stream_restart_seeded_from_snapshot_is_exact(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert snaps and snaps[-1][1] == len(rows_a)
+    assert seen_a[max(seen_a)][0].n_seen == len(rows_a)
 
     # "restart": a fresh monitor seeded from the last snapshot
     q2 = (
         cms_stream(
-            replay(rows_b, "b"), sink, col="key", watch=watch,
-            width=width, depth=depth, seed=snaps[-1],
+            replay(rows_b, "b"),
+            lambda df, e: seen_b.__setitem__(e, df.collect()),
+            col="key", watch=watch, width=width, depth=depth,
+            seed=snaps[-1],
         )
         .trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ck_b"))
@@ -1393,7 +1399,7 @@ def test_cms_stream_restart_seeded_from_snapshot_is_exact(spark, tmp_path):
     )
     q2.awaitTermination(120)
 
-    final = {r.item: r.est_c for r in seen[max(seen)]}
+    final = {r.item: r.est_c for r in seen_b[max(seen_b)]}
     whole = spark.createDataFrame([(r,) for r in rows_a + rows_b], "key string")
     items = spark.createDataFrame([(w,) for w in watch], "key string")
     batch_est = {
@@ -1403,4 +1409,4 @@ def test_cms_stream_restart_seeded_from_snapshot_is_exact(spark, tmp_path):
         ).collect()
     }
     assert final == batch_est
-    assert seen[max(seen)][0].n_seen == len(rows_a) + len(rows_b)
+    assert seen_b[max(seen_b)][0].n_seen == len(rows_a) + len(rows_b)

@@ -633,7 +633,8 @@ def test_classifier_score_hypothesis_vs_naive(spark, docs):
 
 def _ref_bpe(word_freqs, n_merges):
     """Pure-Python BPE trainer: the spec bpe_learn_merges must match —
-    greedy left-to-right merges, argmax by (freq desc, pair asc)."""
+    greedy left-to-right merges, argmax by (freq desc, (left, right)
+    tuple asc — the struct-pair tie-break the operator uses)."""
     from collections import Counter
 
     seqs = [(list(w), f) for w, f in word_freqs]
@@ -645,9 +646,7 @@ def _ref_bpe(word_freqs, n_merges):
                 counts[(syms[i], syms[i + 1])] += f
         if not counts:
             break
-        (a, b), freq = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1])
-        )
+        (a, b), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((rnd, a, b, freq))
         nxt = []
         for syms, f in seqs:
