@@ -558,3 +558,60 @@ def cms_stream(
                 counter_snapshot(dict(counters), state["n"], epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)
+
+
+def reservoir_stream(
+    events_stream: DataFrame,
+    sink,
+    id_col: str,
+    weight_sql: str,
+    stratum_col: str,
+    m: int,
+    seed: int = 1,
+):
+    """Continuous weighted reservoir (A-Res) over a stream: each
+    micro-batch is sampled DISTRIBUTED (operators.sampling.
+    weighted_sample — per-stratum top-m by the deterministic
+    Efraimidis-Spirakis key), then merged into the running reservoir
+    driver-side. The merge is exact, not approximate:
+    top-m(top-m(A) ∪ B) = top-m(A ∪ B) for any priority order, and the
+    A-Res key is a pure function of (seed, id), so the streamed
+    reservoir after N batches is IDENTICAL to batch-sampling the
+    concatenated input (pinned by tests/test_streaming.py) — the
+    streaming sampler a training pipeline can trust to be replayable.
+    Running state is <= m rows per stratum — the sample manifest
+    itself.
+
+    ``sink(df, epoch_id)`` receives the current manifest
+    ``(stratum, id, wkey, rank)`` after every batch. Restart contract:
+    the manifest IS the state — seed a restarted monitor by unioning
+    the last emitted manifest's rows into the first batch (the merge
+    rule above makes that exact)."""
+    from ..caching import release_scope
+    from ..operators.sampling import weighted_sample
+
+    state: dict[str, list] = {}  # stratum -> [(wkey, id)] sorted desc
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            spark = batch_df.sparkSession
+            batch_top = weighted_sample(
+                batch_df, id_col, weight_sql, stratum_col, m, seed
+            ).select(stratum_col, id_col, "wkey")
+            for r in batch_top.collect():
+                state.setdefault(r[stratum_col], []).append((r["wkey"], r[id_col]))
+            rows = []
+            for stratum, kept in state.items():
+                kept.sort(key=lambda t: (-t[0], t[1]))
+                del kept[m:]
+                rows += [
+                    (stratum, vid, wkey, rank)
+                    for rank, (wkey, vid) in enumerate(kept, 1)
+                ]
+            out = spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                f"{stratum_col} string, {id_col} long, wkey double, rank int",
+            )
+            sink(out, epoch_id)
+
+    return events_stream.writeStream.foreachBatch(_process)

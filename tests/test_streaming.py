@@ -1410,3 +1410,62 @@ def test_cms_stream_restart_seeded_from_snapshot_is_exact(spark, tmp_path):
     }
     assert final == batch_est
     assert seen_b[max(seen_b)][0].n_seen == len(rows_a) + len(rows_b)
+
+
+def test_reservoir_stream_exactly_equals_batch_sample(spark, tmp_path):
+    """Continuous A-Res reservoir: top-m(top-m(A) ∪ B) = top-m(A ∪ B)
+    and the priority key is a pure function of (seed, id), so the
+    streamed manifest after two batches must EQUAL the batch
+    weighted_sample over the concatenated rows — ids, keys and ranks."""
+    import json
+
+    from flink_kafka_spark.operators.sampling import weighted_sample
+    from flink_kafka_spark.streaming.jobs import reservoir_stream
+
+    m = 5
+    batches = [
+        [(i, "a" if i % 3 else "b", 1 + (i % 7)) for i in range(60)],
+        [(i, "a" if i % 3 else "b", 1 + (i % 7)) for i in range(60, 130)],
+    ]
+    b = tmp_path / "in"
+    b.mkdir()
+    for fi, rows in enumerate(batches):
+        (b / f"f{fi}.json").write_text(
+            "\n".join(
+                json.dumps({"rid": r[0], "stratum": r[1], "w": r[2]}) for r in rows
+            )
+            + "\n"
+        )
+    stream = (
+        spark.readStream.schema("rid long, stratum string, w int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(b))
+    )
+    seen: dict[int, list] = {}
+    q = (
+        reservoir_stream(
+            stream,
+            lambda df, e: seen.__setitem__(e, df.collect()),
+            id_col="rid", weight_sql="w", stratum_col="stratum", m=m,
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = sorted(
+        (r["stratum"], r["rid"], r["wkey"], r["rank"]) for r in seen[max(seen)]
+    )
+    whole = spark.createDataFrame(
+        [r for rows in batches for r in rows], "rid long, stratum string, w int"
+    )
+    want = sorted(
+        (r["stratum"], r["rid"], r["wkey"], r["rank"])
+        for r in weighted_sample(whole, "rid", "w", "stratum", m).collect()
+    )
+    assert final == want and len(final) == 2 * m
+    # both strata present in both batches -> batch 1's manifest differs
+    assert sorted(
+        (r["stratum"], r["rid"]) for r in seen[0]
+    ) != sorted((r["stratum"], r["rid"]) for r in seen[max(seen)])

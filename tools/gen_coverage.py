@@ -115,6 +115,8 @@ EXTENSIONS = [
     ("sampling", "train/val/test split / sequence packing / mixture resample"
                  " / stratified cap / shard export / corpus shuffle"
                  " / A-Res weighted sampling (Efraimidis-Spirakis)"
+                 " + continuous streaming reservoir (streamed manifest =="
+                 " batch sample exactly, pytest-pinned)"
                  " / k-anonymity release gate"
                  " / full assembly compose (training_mix_snapshot)"),
     ("versioning", "JSONL release I/O + corrupt-line quarantine + compaction"
