@@ -1,0 +1,75 @@
+"""The driver records only a 2,000-byte stdout TAIL of bench.py and
+parses the last line as JSON. Round 10 lost its bench record because
+the single output line grew past that tail (per-query maps at 75
+queries). bench.py now prints the detail record first and a compact
+summary LAST; these tests pin the compact line's size so BENCH_QUERIES
+growth can never silently re-break the driver's parse."""
+
+import json
+
+import bench
+
+DRIVER_TAIL_BYTES = 2000
+# headroom: the driver tail must hold the line even if every numeric
+# field lands at max width and a few regressions fire
+SIZE_BUDGET = 1800
+
+
+def _worst_case_detail() -> dict:
+    # every query at a max-width timing; totals and ratios at max width
+    queries = {name: 99999.999 for name in bench.BENCH_QUERIES}
+    return {
+        "metric": "headline queries wall time",
+        "value": 9999999.999,
+        "unit": "sec",
+        "queries": queries,
+        "calibration_sec": 99999.999,
+        "sf": 0.123,
+        "vs_baseline": {
+            "common_queries": len(queries),
+            "raw_total_ratio": 99999.999,
+            "norm_geomean": 99999.999,
+            "worst": {"name": max(queries, key=len), "raw": 99999.999, "norm": 99999.999},
+            "per_query": {n: {"raw": 99999.999, "norm": 99999.999} for n in queries},
+        },
+        "leaked_persists": sorted(queries, key=len)[-3:],
+        "regressions": {
+            n: f"{99999.99:.2f} vs baseline {99999.99:.2f} cal-units "
+            f"({99999.99:.2f}x; raw {99999.999:.3f}s vs {99999.999:.3f}s)"
+            for n in sorted(queries, key=len, reverse=True)[:8]
+        },
+    }
+
+
+def test_compact_line_fits_driver_tail():
+    line = json.dumps(bench._compact_line(_worst_case_detail()))
+    assert len(line.encode()) < SIZE_BUDGET, (
+        f"compact bench line is {len(line)} bytes; the driver keeps a "
+        f"{DRIVER_TAIL_BYTES}-byte tail — trim fields or tighten truncation"
+    )
+
+
+def test_compact_line_keeps_summary_fields():
+    out = bench._compact_line(_worst_case_detail())
+    for key in ("metric", "value", "unit", "calibration_sec", "sf", "n_queries"):
+        assert key in out
+    assert "queries" not in out
+    assert out["n_queries"] == len(bench.BENCH_QUERIES)
+    vs = out["vs_baseline"]
+    assert "per_query" not in vs
+    for key in ("common_queries", "raw_total_ratio", "norm_geomean", "worst"):
+        assert key in vs
+    # regressions truncated to a bounded count, remainder counted
+    assert len(out["regressions"]) <= 5
+    assert out["regressions_truncated"] == 3
+
+
+def test_vs_baseline_survives_zero_timing(monkeypatch):
+    """ADVICE r10: a 0.0-rounded median must not abort the bench via
+    math.log(0)."""
+    monkeypatch.setattr(bench, "_load_baseline", lambda sf: ({"q": 1.0, "z": 0.0}, 0.5))
+    vs = bench._vs_baseline({"q": 0.0, "z": 0.0}, calibration=0.5, sf="0.1")
+    # "z" has a zero BASELINE — no signal, skipped by the existing guard;
+    # "q"'s zero TIMING is clamped instead of feeding math.log(0)
+    assert vs["common_queries"] == 1
+    assert all(v["raw"] > 0 and v["norm"] > 0 for v in vs["per_query"].values())
