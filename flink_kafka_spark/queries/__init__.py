@@ -68,20 +68,17 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-10 ROTATION (full rationale in ROTATION_LEDGER.md §Round 10):
-# OUT, all green r8+r9: the 12 r8-first-hashed rows (order_timeout,
-# purchase_attribution, rfm_segments, basket_lift, changelog_roundtrip,
-# scd2_history, tpch q2/q9/q11/q20, training_mix_snapshot,
-# media_features) PLUS the flagship hot_items_topn — the r10 IN list
-# needs 13 slots (the written schedule's 11 + the two never-hashed
-# rows the r9 verdict flagged), and the flagship's semantics stay
-# driver-verified twice over: the row-identical hot_items_sql enters
-# this window (SQL-path parity pytest pins equality) and the driver's
-# entry() smoke check still executes hot_items_topn every round.
-# IN: the six r9 sweep-green registrations, the four §2 rows bumped
-# from r9, media_frame_sample (promised since r5), and the two
-# never-driver-hashed analytics rows retention_cohorts /
-# source_divergence.
+# ROUND-11 ROTATION (full rationale in ROTATION_LEDGER.md §Round 11):
+# OUT, all green r9+r10: the 25-row twice-green pool minus
+# inverted_index (sole-retrieval family anchor stays). IN, per the
+# written r11 schedule: the two CADENCE_DEBT rows (quantity_percentiles,
+# customer_running_totals — due this round), the five r10
+# CAPACITY_DEFERRED registrations, the five rows at 5 absences
+# (page_views, orders_daily_by_priority, event_asof_order,
+# export_shards, sequence_packing), and 12 of the 13 r8-stale rows —
+# hot_items_topn defers to r12 (absence 3 of 6; entry() smoke-executes
+# it every round and the SQL-parity pytest pins it to the staying
+# hot_items_sql).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
     "hot_items_sql",
@@ -89,18 +86,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "click_blacklist",
     "login_fail_detect",
     "session_windows_native",
-    "order_line_reconciliation",
     "uv_approx_check",
+    "page_views",
+    "orders_daily_by_priority",
+    "order_timeout",
+    "purchase_attribution",
+    # joins family
+    "event_asof_order",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # analytics (first-hashed r9, stay until twice-green)
-    "k_anonymity_audit",
-    "orders_status_pivot",
-    "orders_status_unpivot",
-    "events_gapfill",
-    "orders_moving_revenue",
-    "events_dedup_late",
-    # analytics (r9 registrations past capacity + never-hashed r7 rows)
+    # analytics: cadence-debt rows due r11 (last hashed r2)
+    "quantity_percentiles",
+    "customer_running_totals",
+    # analytics (first-hashed r10, stay until twice-green)
     "orders_cube",
     "fk_coverage_audit",
     "agg_incremental_update",
@@ -108,16 +106,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_key_skew",
     "retention_cohorts",
     "source_divergence",
-    # relational block (first-hashed r9, stay until twice-green)
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    # deduplication family
-    "dedup_exact",
+    # analytics (r10 capacity-deferred registrations, priority 1)
+    "events_value_winsorize",
+    # analytics (r8-stale, due by r14)
+    "rfm_segments",
+    "basket_lift",
+    "changelog_roundtrip",
+    "scd2_history",
+    "training_mix_snapshot",
+    # relational block (r8-stale, due by r14)
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    # deduplication / graph family (incl. capacity-deferred pagerank)
+    "source_pagerank",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_incremental_check",
@@ -127,23 +130,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    # text analysis family (first-hashed r9, stay until twice-green)
-    "doc_bigram_logprob",
-    "vocab_oov_rate",
-    "doc_embedding_hash",
-    "doc_semantic_pairs",
-    "filter_audit",
-    "encoding_audit",
-    "markup_strip",
-    "bpe_merge_candidates",
+    # text / sketch family (r10 capacity-deferred registrations)
+    "quality_curriculum",
+    "cms_topk_estimates",
+    "kmv_set_cardinality",
     "heavy_hitters_check",
-    # retrieval family
+    # retrieval family (sole full-oracle anchor, stays)
     "inverted_index",
-    # sampling / release family
-    "mixture_resample",
+    # sampling / release family (rows at 5 absences, due r12)
+    "export_shards",
+    "sequence_packing",
     # multimodal family
     "media_frame_sample",
     "media_features_check",
+    "media_features",
 )
 
 

@@ -111,13 +111,9 @@ def test_no_registered_query_emits_nested_columns(spark, sf_dir):
 # it is still outside the window 3 recorded rounds later — a deferral
 # can be late, never forgotten.
 CAPACITY_DEFERRED: dict[str, int] = {
-    # registered r10 after the 50-slot window was already curated
-    # (13 IN rows incl. the never-hashed backlog); r11 priority 1.
-    "quality_curriculum": 10,
-    "cms_topk_estimates": 10,
-    "kmv_set_cardinality": 10,
-    "source_pagerank": 10,
-    "events_value_winsorize": 10,
+    # (r10's five deferred registrations — quality_curriculum,
+    # cms_topk_estimates, kmv_set_cardinality, source_pagerank,
+    # events_value_winsorize — entered the r11 window on schedule.)
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):
@@ -143,8 +139,8 @@ RETIRED_TWINS: dict[str, str] = {
 # re-enter the window by. An overdue entry fails the test — debt can
 # be late, never forgotten.
 CADENCE_DEBT: dict[str, int] = {
-    "quantity_percentiles": 11,     # last hashed r2
-    "customer_running_totals": 11,  # last hashed r2
+    # (quantity_percentiles and customer_running_totals, last hashed
+    # r2, re-entered the window in r11 on their written deadline.)
 }
 
 # Re-hash cadence bound. The policy header's original "~3 rounds" is
