@@ -1079,14 +1079,17 @@ def bpe_apply_merges(
     Scale shape: the merge table is a driver-side constant (tens to
     ~100k entries; here the handful the trainer emits), folded into
     ONE composed JVM expression — ``n_merges`` chained aggregate()
-    folds over each word's symbol array. The corpus tokenizes in a
-    single narrow scan with NO shuffle and no Python; the only
-    aggregation is the per-doc count. Like the trainer, the fold runs
-    on each word where it stands — a word seen a billion times costs a
-    billion folds but zero shuffled bytes; pre-collapsing through a
-    distinct-word frame is the trainer's trick and available to
-    callers that need it (tokenize the vocab, join counts back)."""
-    syms = F.expr(f"transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    folds over each word's symbol array. The fold runs on the
+    DISTINCT-word frame (the trainer's own collapse, r10 verdict
+    item 3): a word seen a billion times is folded once and its token
+    count joins back to the occurrence stream, so fold work scales
+    with |vocab|, not corpus size. The join ships only (word, n_toks)
+    pairs — AQE turns it into a broadcast probe whenever the vocab
+    fits an executor, leaving the occurrence stream unshuffled; at
+    vocabularies past broadcast size it degrades to a narrow
+    two-column shuffle, never a body shuffle. Python never touches a
+    row either way."""
+    syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     for left, right in merges:
         a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
         syms = F.aggregate(
@@ -1103,7 +1106,14 @@ def bpe_apply_merges(
         F.col(id_col),
         F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"),
     ).where(F.col("w") != "")
-    per_word = words.select(id_col, F.size(syms).alias("n_toks"), F.length("w").alias("n_chars"))
+    vocab_toks = (
+        words.select("w")
+        .distinct()
+        .select("w", F.size(syms).cast("long").alias("n_toks"))
+    )
+    per_word = words.join(vocab_toks, "w").select(
+        id_col, "n_toks", F.length("w").alias("n_chars")
+    )
     return per_word.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("n_chars").cast("long").alias("n_chars"),

@@ -81,8 +81,10 @@ PLAN_BOUNDS = {
     # while the plan is BUILT, like dedup_canonicalize's CC loop
     "bpe_train_merges": (0, 0),
     # apply half: trainer runs while the plan is built (merge table is
-    # a driver constant), then one composed-fold scan + per-doc groupBy
-    "bpe_tokenize_stats": (1, 0),
+    # a driver constant); the fold runs on the distinct-vocab frame
+    # (one w-shuffle), broadcast-joins n_toks back to the unshuffled
+    # occurrence stream, then the per-doc groupBy
+    "bpe_tokenize_stats": (2, 0),
     # corpus histogram shuffle + single-partition window over the
     # <=10001-row score frame (the no-global-sort quantile design)
     "quality_curriculum": (2, 0),
