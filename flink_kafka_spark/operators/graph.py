@@ -48,11 +48,14 @@ def pagerank(
     corpus), so it broadcasts; for a billion-node graph drop the
     broadcast hints and pre-partition edges and ranks by src instead.
     N is a single-int driver scalar (same justification as the CC
-    convergence probe). Each round's ranks are EAGER-localCheckpointed
-    (the CC loop's lifecycle, operators/dedup.py:_cc_labels): without
-    the lineage cut, round i's logical plan contains all i-1
-    predecessors and Catalyst re-analyzes the whole tree per round —
-    measured 49 s for 12 rounds at sf0.1 vs ~5 s with the cut. The
+    convergence probe). Rank frames are LAZY-localCheckpointed with an
+    explicit count() as the materializing action (the CC loop's
+    lifecycle, operators/dedup.py:_cc_labels — eager=True would run a
+    job inside the RDD-id delta window and sweep the edge cache id,
+    see _chk), and the cut runs in batches of CHK_EVERY=3 rounds, not
+    every round: without any cut, round i's logical plan contains all
+    i-1 predecessors and Catalyst re-analyzes the whole tree per
+    round — measured 49 s for 12 rounds at sf0.1 vs ~5 s batched. The
     previous round's checkpoint blocks are dropped as soon as the new
     round is materialized (the loop holds two node-sized rank frames
     at most); the final round's blocks back the returned frame, so

@@ -180,7 +180,7 @@ def kmv_hash_sql(val_sql: str) -> str:
 
 
 def kmv_minima(
-    df: DataFrame, set_col: str, val_sql: str, k: int = 128
+    df: DataFrame, set_col: str, val_sql: str, k: int = 128, margin: float = 4
 ) -> DataFrame:
     """Per-set K-Minimum-Values sketch (Bar-Yossef et al. 2002 /
     Beyer et al. "On Synopses for Distinct-Value Estimation", SIGMOD
@@ -199,10 +199,21 @@ def kmv_minima(
     4k/n_est * 2^32 then prefilters the scan — the k smallest hashes
     of n uniform values all sit below ~k/n * 2^32, so the 4x margin
     keeps them with probability 1 - e^-Theta(k) — and only the
-    O(k) survivors per set reach the window sort. The threshold only
-    ever discards values ABOVE the k-th minimum, so the result is
-    identical to the unfiltered computation (what lets a DuckDB
-    oracle skip the prefilter and still match bit-for-bit)."""
+    O(k) survivors per set reach the window sort. With the margin
+    held, the threshold only discards values ABOVE the k-th minimum
+    and the result equals the unfiltered computation (what lets a
+    DuckDB oracle skip the prefilter and still match bit-for-bit) —
+    but that equality is PROBABILISTIC, not guaranteed: if the HLL
+    size estimate ran high enough that the threshold cut below the
+    true k-th minimum, a set would surface fewer than k survivors and
+    ``kmv_est_expr``'s n_kept<k branch would report the truncated
+    count as an exact cardinality. An in-plan invariant makes that
+    miss fail loudly instead: every PREFILTERED set (thr < 2^32) must
+    keep >= k survivors, checked by a raise_error predicate that
+    shares the window's exchange (a WHERE can't be column-pruned
+    away, and the partition-count window reuses the rn sort's
+    partitioning — zero extra shuffle, zero rows touched when the
+    invariant holds)."""
     hashed = df.select(
         F.col(set_col).alias("s"), F.expr(kmv_hash_sql(val_sql)).alias("h")
     )
@@ -211,8 +222,8 @@ def kmv_minima(
         .agg(F.approx_count_distinct(F.expr(val_sql)).alias("n_est"))
         .select(
             "s",
-            F.when(F.col("n_est") <= 4 * k, F.lit(CMS_SPACE))
-            .otherwise((F.lit(4 * k) * F.lit(CMS_SPACE)) / F.col("n_est"))
+            F.when(F.col("n_est") <= margin * k, F.lit(CMS_SPACE))
+            .otherwise((F.lit(margin * k) * F.lit(CMS_SPACE)) / F.col("n_est"))
             .cast("long")
             .alias("thr"),
         )
@@ -220,13 +231,30 @@ def kmv_minima(
     survivors = (
         hashed.join(F.broadcast(thresholds), "s")
         .where(F.col("h") < F.col("thr"))
-        .select("s", "h")
+        .select("s", "h", "thr")
         .distinct()
     )
     w = Window.partitionBy("s").orderBy("h")
+    # detection limit: a set whose EVERY hash was cut (zero survivors)
+    # has no row to evaluate the predicate on — but losing all k
+    # minima needs a threshold miss e^k times rarer than losing one,
+    # so the loud path covers the failure mode that matters
+    n_surv = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    prefilter_held = F.when(
+        (F.col("thr") == CMS_SPACE) | (n_surv >= k), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_minima prefilter dropped below k survivors for set "),
+                F.col("s").cast("string"),
+                F.lit(" — HLL size estimate missed the 4x margin"),
+            )
+        ).cast("boolean")
+    )
     return (
-        survivors.select("s", "h", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= k)
+        survivors.select("s", "h", F.row_number().over(w).alias("rn"), prefilter_held.alias("_ok"))
+        .where(F.col("_ok") & (F.col("rn") <= k))
+        .select("s", "h", "rn")
     )
 
 

@@ -414,6 +414,7 @@ def heavy_hitters_stream(
     sink,
     col: str = "event_type",
     k: int = 16,
+    seed: "tuple[dict[str, int], int] | None" = None,
 ):
     """Continuous Misra-Gries heavy hitters over a stream: each
     micro-batch is sketched DISTRIBUTED (operators.sketches.misra_gries
@@ -434,17 +435,24 @@ def heavy_hitters_stream(
     Restart contract: the running sketch lives in THIS process (a
     foreachBatch closure), not in the checkpoint — after a restart the
     stream resumes from the checkpoint offsets but the sketch restarts
-    empty, i.e. it summarizes the events seen since the current
-    process started. For a restart-durable sketch, persist the emitted
-    (item, est, n_seen) frame per epoch and seed ``state`` from the
-    last one on startup; the merge that makes that sound is the same
-    PODS'12 property used here."""
+    empty unless seeded. The emitted ``(item, est, n_seen)`` frame IS
+    the whole state: persist the last epoch's frame wherever you like
+    and replay it into a restarted monitor via ``seed`` (a
+    ``({item: est}, n_seen)`` pair). A seeded monitor evolves
+    IDENTICALLY to one that never restarted — both hold a k-summary
+    and fold each batch's sketch in with the same PODS'12 merge — so
+    restart parity is an equality (pinned by
+    tests/test_streaming.py::test_heavy_hitters_stream_restart...),
+    while accuracy vs TRUE counts keeps the usual n/(k+1) bound."""
     import pandas as pd
 
     from ..caching import release_scope
     from ..operators.sketches import _compress, misra_gries
 
-    state = {"counts": pd.Series(dtype="int64"), "n": 0}
+    state = {
+        "counts": pd.Series(dict(seed[0]), dtype="int64") if seed else pd.Series(dtype="int64"),
+        "n": seed[1] if seed else 0,
+    }
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         with release_scope():
@@ -567,7 +575,8 @@ def reservoir_stream(
     weight_sql: str,
     stratum_col: str,
     m: int,
-    seed: int = 1,
+    ares_seed: int = 1,
+    seed: "list[tuple[str, int, float]] | None" = None,
 ):
     """Continuous weighted reservoir (A-Res) over a stream: each
     micro-batch is sampled DISTRIBUTED (operators.sampling.
@@ -575,7 +584,7 @@ def reservoir_stream(
     Efraimidis-Spirakis key), then merged into the running reservoir
     driver-side. The merge is exact, not approximate:
     top-m(top-m(A) ∪ B) = top-m(A ∪ B) for any priority order, and the
-    A-Res key is a pure function of (seed, id), so the streamed
+    A-Res key is a pure function of (ares_seed, id), so the streamed
     reservoir after N batches is IDENTICAL to batch-sampling the
     concatenated input (pinned by tests/test_streaming.py) — the
     streaming sampler a training pipeline can trust to be replayable.
@@ -584,19 +593,26 @@ def reservoir_stream(
 
     ``sink(df, epoch_id)`` receives the current manifest
     ``(stratum, id, wkey, rank)`` after every batch. Restart contract:
-    the manifest IS the state — seed a restarted monitor by unioning
-    the last emitted manifest's rows into the first batch (the merge
-    rule above makes that exact)."""
+    the manifest IS the state — pass the last emitted manifest's
+    ``(stratum, id, wkey)`` rows to a restarted monitor via ``seed``
+    and it continues exactly where the old one stopped (the manifest
+    carries the already-computed priority keys, so nothing needs the
+    original weight column back; the top-m merge rule above makes the
+    continuation identical to an uninterrupted run — pinned by
+    tests/test_streaming.py)."""
     from ..caching import release_scope
     from ..operators.sampling import weighted_sample
 
     state: dict[str, list] = {}  # stratum -> [(wkey, id)] sorted desc
+    if seed:
+        for stratum, vid, wkey in seed:
+            state.setdefault(stratum, []).append((wkey, vid))
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         with release_scope():
             spark = batch_df.sparkSession
             batch_top = weighted_sample(
-                batch_df, id_col, weight_sql, stratum_col, m, seed
+                batch_df, id_col, weight_sql, stratum_col, m, ares_seed
             ).select(stratum_col, id_col, "wkey")
             for r in batch_top.collect():
                 state.setdefault(r[stratum_col], []).append((r["wkey"], r[id_col]))

@@ -1469,3 +1469,111 @@ def test_reservoir_stream_exactly_equals_batch_sample(spark, tmp_path):
     assert sorted(
         (r["stratum"], r["rid"]) for r in seen[0]
     ) != sorted((r["stratum"], r["rid"]) for r in seen[max(seen)])
+
+
+def test_heavy_hitters_stream_restart_seeded_from_emitted_frame(spark, tmp_path):
+    """r10 verdict item 6: the MG monitor's emitted (item, est, n_seen)
+    frame IS re-seedable state. A new monitor seeded from the last
+    emitted frame must end bit-identical to one uninterrupted monitor
+    that saw both streams — both hold a k-summary and fold batches in
+    with the same PODS'12 merge, so parity is an equality."""
+    import json
+
+    from flink_kafka_spark.streaming.jobs import heavy_hitters_stream
+
+    k = 8
+    rows_a = ["mega"] * 60 + [f"t{i % 25}" for i in range(70)]
+    rows_b = ["mega"] * 30 + [f"t{i % 12}" for i in range(50)]
+
+    def replay(chunks, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        for fi, rows in enumerate(chunks):
+            (d / f"f{fi}.json").write_text(
+                "\n".join(json.dumps({"key": r}) for r in rows) + "\n"
+            )
+        return (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+
+    def run(stream, ckpt, seed=None):
+        seen: dict[int, list] = {}
+        q = (
+            heavy_hitters_stream(
+                stream,
+                lambda df, e: seen.__setitem__(e, df.collect()),
+                col="key", k=k, seed=seed,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen[max(seen)]
+
+    # run A, snapshot its last emitted frame, then run B seeded from it
+    last_a = run(replay([rows_a], "a"), "ck_a")
+    snapshot = ({r.item: r.est for r in last_a}, last_a[0].n_seen)
+    seeded_final = run(replay([rows_b], "b"), "ck_b", seed=snapshot)
+
+    # control: ONE uninterrupted monitor fed the same two batches
+    control_final = run(replay([rows_a, rows_b], "ab"), "ck_ab")
+
+    as_map = lambda rows: {r.item: r.est for r in rows}
+    assert as_map(seeded_final) == as_map(control_final)
+    assert seeded_final[0].n_seen == control_final[0].n_seen == len(rows_a) + len(rows_b)
+
+
+def test_reservoir_stream_restart_seeded_from_manifest_is_exact(spark, tmp_path):
+    """ADVICE r10: the reservoir restart contract is now executable —
+    the emitted manifest carries wkey, so seeding a new monitor from
+    the last manifest's (stratum, id, wkey) rows continues exactly:
+    the seeded run's final manifest equals batch-sampling ALL rows."""
+    import json
+
+    from flink_kafka_spark.operators.sampling import weighted_sample
+    from flink_kafka_spark.streaming.jobs import reservoir_stream
+
+    m = 4
+    rows_a = [(i, "a" if i % 3 else "b", 1 + (i % 5)) for i in range(50)]
+    rows_b = [(i, "a" if i % 3 else "b", 1 + (i % 5)) for i in range(50, 120)]
+
+    def replay(rows, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        (d / "f.json").write_text(
+            "\n".join(
+                json.dumps({"rid": r[0], "stratum": r[1], "w": r[2]}) for r in rows
+            )
+            + "\n"
+        )
+        return spark.readStream.schema("rid long, stratum string, w int").json(str(d))
+
+    def run(rows, subdir, seed=None):
+        seen: dict[int, list] = {}
+        q = (
+            reservoir_stream(
+                replay(rows, subdir),
+                lambda df, e: seen.__setitem__(e, df.collect()),
+                id_col="rid", weight_sql="w", stratum_col="stratum", m=m, seed=seed,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{subdir}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen[max(seen)]
+
+    last_a = run(rows_a, "a")
+    manifest = [(r["stratum"], r["rid"], r["wkey"]) for r in last_a]
+    final = run(rows_b, "b", seed=manifest)
+
+    whole = spark.createDataFrame(rows_a + rows_b, "rid long, stratum string, w int")
+    want = sorted(
+        (r["stratum"], r["rid"], r["wkey"], r["rank"])
+        for r in weighted_sample(whole, "rid", "w", "stratum", m).collect()
+    )
+    got = sorted((r["stratum"], r["rid"], r["wkey"], r["rank"]) for r in final)
+    assert got == want

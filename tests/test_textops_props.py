@@ -826,6 +826,27 @@ def test_kmv_estimate_exact_below_k_and_bounded_error_above(spark):
     assert abs(est["big"] - 5000) / 5000 < 0.5
 
 
+def test_kmv_prefilter_miss_fails_loudly_not_silently(spark):
+    """ADVICE r10: a threshold miss (fewer than k survivors for a
+    prefiltered set) must raise, never flow into kmv_est_expr's
+    n_kept<k 'exact' branch. margin=0.5 sets the threshold at the
+    expected k/2-th minimum, so on this fixed fixture roughly half
+    the true minima deterministically fall above it."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from flink_kafka_spark.operators.sketches import kmv_minima
+
+    df = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(5000)], "s string, v string"
+    )
+    k = 64
+    # sanity: the default margin holds on the same fixture
+    assert kmv_minima(df, "s", "v", k).count() == k
+    with pytest.raises(SparkRuntimeException, match="dropped below k survivors"):
+        kmv_minima(df, "s", "v", k, margin=0.5).count()
+
+
 def test_bpe_apply_round_trips_the_learned_merges(spark):
     """apply(learn(corpus)) must tokenize every word exactly like the
     pure-Python trainer's final state: total BPE tokens per doc equal
