@@ -985,6 +985,12 @@ CURVE_QUERIES = (
     "fuzzy_part_matches",
     "training_mix_snapshot",
     "events_gapfill",
+    # r10 verdict item 4: the three biggest new walls — iterative
+    # (trainer argmax / fixed-point rounds) and threshold-prefiltered
+    # operators whose linearity was argued from plans, now measured
+    "bpe_tokenize_stats",
+    "source_pagerank",
+    "kmv_set_cardinality",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
