@@ -631,3 +631,73 @@ def reservoir_stream(
             sink(out, epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)
+
+
+def kmv_stream(
+    events_stream: DataFrame,
+    sink,
+    set_col: str,
+    val_sql: str,
+    k: int = 128,
+    seed: "list[tuple[str, int]] | None" = None,
+):
+    """Continuous per-set distinct-cardinality monitor on the KMV
+    sketch — the fourth member of the sketch-monitor family
+    (Misra-Gries counts, Count-Min frequencies, A-Res samples, KMV
+    cardinalities). Each micro-batch's per-set k-minima are computed
+    DISTRIBUTED (operators.sketches.kmv_minima — HLL-threshold
+    prefilter, O(k) survivors per set), then merged into the running
+    sketch driver-side. The merge is EXACT, same shape as the
+    reservoir's: the k smallest distinct hashes of
+    kmin(A) ∪ kmin(B) are the k smallest distinct hashes of A ∪ B
+    (any true union minimum is a minimum of its own side), and the
+    md5 hash is a pure function of the value — so the streamed sketch
+    after N batches is IDENTICAL to batch-sketching the concatenated
+    input, and the emitted estimate bit-matches batch
+    ``kmv_estimate`` (pinned by tests/test_streaming.py). Running
+    state is <= k hashes per set — bytes, not data.
+
+    ``sink(df, epoch_id)`` receives the full manifest
+    ``(s, h, rn, est)`` after every batch: the per-set minima (ranked
+    by hash ascending) plus the set's current cardinality estimate,
+    computed with the same integer arithmetic as ``kmv_est_expr`` —
+    exact count below k kept hashes, else (k-1) * 2^32 div h_k.
+    Restart contract: the manifest IS the state — pass the last
+    emitted ``(s, h)`` rows back via ``seed`` (hashes carry over; no
+    raw values needed)."""
+    from ..caching import release_scope
+    from ..operators.sketches import CMS_SPACE, kmv_minima
+
+    state: dict[str, list[int]] = {}  # set -> sorted unique hashes, <= k
+    if seed:
+        for s, h in seed:
+            state.setdefault(s, []).append(h)
+        for s in state:
+            state[s] = sorted(set(state[s]))[:k]
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            spark = batch_df.sparkSession
+            batch_min = kmv_minima(batch_df, set_col, val_sql, k)
+            for r in batch_min.collect():
+                state.setdefault(r["s"], []).append(r["h"])
+            rows = []
+            for s, hs in state.items():
+                merged = sorted(set(hs))[:k]
+                state[s] = merged
+                n_kept = len(merged)
+                est = (
+                    n_kept
+                    if n_kept < k
+                    else (k - 1) * CMS_SPACE // merged[-1]
+                )
+                rows += [
+                    (s, h, rn, est) for rn, h in enumerate(merged, 1)
+                ]
+            out = spark.createDataFrame(
+                rows or [(None, None, None, None)],
+                "s string, h long, rn int, est long",
+            )
+            sink(out, epoch_id)
+
+    return events_stream.writeStream.foreachBatch(_process)

@@ -1577,3 +1577,73 @@ def test_reservoir_stream_restart_seeded_from_manifest_is_exact(spark, tmp_path)
     )
     got = sorted((r["stratum"], r["rid"], r["wkey"], r["rank"]) for r in final)
     assert got == want
+
+
+def test_kmv_stream_bit_matches_batch_and_restarts_exactly(spark, tmp_path):
+    """The KMV monitor's merge (k smallest distinct hashes of the
+    per-batch k-minima) must make the streamed sketch IDENTICAL to
+    batch-sketching all rows — manifest hashes, ranks AND the integer
+    estimate — and the emitted (s, h) manifest must seed a restarted
+    monitor to the same end state."""
+    import json
+
+    from flink_kafka_spark.operators.sketches import kmv_estimate, kmv_minima
+    from flink_kafka_spark.streaming.jobs import kmv_stream
+
+    k = 16
+    # two sets: "big" crosses k distinct values (estimator path),
+    # "small" stays below (exact path); batches overlap in values so
+    # the distinct-merge rule is actually exercised
+    rows_a = [("big", f"v{i}") for i in range(200)] + [("small", f"s{i}") for i in range(6)]
+    rows_b = [("big", f"v{i}") for i in range(150, 400)] + [("small", f"s{i}") for i in range(4, 9)]
+
+    def replay(chunks, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        for fi, rows in enumerate(chunks):
+            (d / f"f{fi}.json").write_text(
+                "\n".join(json.dumps({"s": s, "v": v}) for s, v in rows) + "\n"
+            )
+        return (
+            spark.readStream.schema("s string, v string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+
+    def run(stream, ckpt, seed=None):
+        seen: dict[int, list] = {}
+        q = (
+            kmv_stream(
+                stream,
+                lambda df, e: seen.__setitem__(e, df.collect()),
+                set_col="s", val_sql="v", k=k, seed=seed,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen[max(seen)]
+
+    # uninterrupted two-batch run == batch sketch of everything
+    final = run(replay([rows_a, rows_b], "ab"), "ck_ab")
+    whole = spark.createDataFrame(rows_a + rows_b, "s string, v string")
+    want_manifest = sorted(
+        (r["s"], r["h"], r["rn"]) for r in kmv_minima(whole, "s", "v", k).collect()
+    )
+    got_manifest = sorted((r["s"], r["h"], r["rn"]) for r in final)
+    assert got_manifest == want_manifest
+    want_est = {r["s"]: r["est"] for r in kmv_estimate(kmv_minima(whole, "s", "v", k), k).collect()}
+    got_est = {r["s"]: r["est"] for r in final}
+    assert got_est == want_est
+    assert got_est["small"] == 9  # exact branch: below k distinct
+
+    # restart: seed a fresh monitor from run A's manifest, feed B only
+    last_a = run(replay([rows_a], "a"), "ck_a")
+    seeded_final = run(
+        replay([rows_b], "b"), "ck_b",
+        seed=[(r["s"], r["h"]) for r in last_a],
+    )
+    assert sorted((r["s"], r["h"], r["rn"], r["est"]) for r in seeded_final) == sorted(
+        (r["s"], r["h"], r["rn"], r["est"]) for r in final
+    )
