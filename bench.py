@@ -309,9 +309,15 @@ def main() -> None:
     # 75-query map alone is >2 KB, so a single fat line loses the parse
     # (BENCH_r10.json came back `parsed: null`).
     print(json.dumps(detail))
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # stdout is the contract, the file a convenience: a failed write
+    # (read-only checkout, disk-full) must not abort before the
+    # driver-parseable LAST line is printed
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     print(json.dumps(_compact_line(detail)))
     if regressions and "--check" in sys.argv:
         sys.exit(1)
@@ -335,6 +341,12 @@ def _compact_line(detail: dict) -> dict:
         # truncated gate verdict stays parseable; full text in detail
         out["regressions"] = dict(sorted(regs.items())[:5])
         out["regressions_truncated"] = len(regs) - 5
+    leaked = out.get("leaked_persists")
+    if leaked and len(leaked) > 5:
+        # a mass persist leak must not push the line past the tail
+        # exactly when its diagnostics are needed
+        out["leaked_persists"] = sorted(leaked)[:5]
+        out["leaked_truncated"] = len(leaked) - 5
     return out
 
 

@@ -247,7 +247,7 @@ def kmv_minima(
             F.concat(
                 F.lit("kmv_minima prefilter dropped below k survivors for set "),
                 F.col("s").cast("string"),
-                F.lit(" — HLL size estimate missed the 4x margin"),
+                F.lit(f" — HLL size estimate missed the {margin}x margin"),
             )
         ).cast("boolean")
     )

@@ -449,8 +449,12 @@ def heavy_hitters_stream(
     from ..caching import release_scope
     from ..operators.sketches import _compress, misra_gries
 
+    # drop the empty-state placeholder entry (item=None) a no-data
+    # epoch emits — seeding from such a frame must not crash or
+    # inject a phantom counter
+    seeded = {i: int(c) for i, c in (seed[0] if seed else {}).items() if i is not None}
     state = {
-        "counts": pd.Series(dict(seed[0]), dtype="int64") if seed else pd.Series(dtype="int64"),
+        "counts": pd.Series(seeded, dtype="int64"),
         "n": seed[1] if seed else 0,
     }
 
@@ -603,9 +607,20 @@ def reservoir_stream(
     from ..caching import release_scope
     from ..operators.sampling import weighted_sample
 
+    if isinstance(seed, int):
+        # the pre-r11 signature had `seed: int = 1` as the A-Res hash
+        # seed in this position; fail loudly instead of silently
+        # replaying an int as a restart manifest
+        raise TypeError(
+            "reservoir_stream(seed=...) now takes the restart manifest "
+            "(list of (stratum, id, wkey) rows); pass the A-Res hash "
+            "seed as ares_seed=..."
+        )
     state: dict[str, list] = {}  # stratum -> [(wkey, id)] sorted desc
     if seed:
         for stratum, vid, wkey in seed:
+            if vid is None or wkey is None:
+                continue  # empty-state placeholder row, not a sample
             state.setdefault(stratum, []).append((wkey, vid))
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -671,6 +686,8 @@ def kmv_stream(
     state: dict[str, list[int]] = {}  # set -> sorted unique hashes, <= k
     if seed:
         for s, h in seed:
+            if h is None:
+                continue  # empty-state placeholder row, not a minimum
             state.setdefault(s, []).append(h)
         for s in state:
             state[s] = sorted(set(state[s]))[:k]

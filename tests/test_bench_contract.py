@@ -32,7 +32,7 @@ def _worst_case_detail() -> dict:
             "worst": {"name": max(queries, key=len), "raw": 99999.999, "norm": 99999.999},
             "per_query": {n: {"raw": 99999.999, "norm": 99999.999} for n in queries},
         },
-        "leaked_persists": sorted(queries, key=len)[-3:],
+        "leaked_persists": sorted(queries),  # every query leaked
         "regressions": {
             n: f"{99999.99:.2f} vs baseline {99999.99:.2f} cal-units "
             f"({99999.99:.2f}x; raw {99999.999:.3f}s vs {99999.999:.3f}s)"
@@ -59,9 +59,12 @@ def test_compact_line_keeps_summary_fields():
     assert "per_query" not in vs
     for key in ("common_queries", "raw_total_ratio", "norm_geomean", "worst"):
         assert key in vs
-    # regressions truncated to a bounded count, remainder counted
+    # regressions and leak lists truncated to a bounded count,
+    # remainder counted (a mass leak must not re-break the parse)
     assert len(out["regressions"]) <= 5
     assert out["regressions_truncated"] == 3
+    assert len(out["leaked_persists"]) <= 5
+    assert out["leaked_truncated"] == len(bench.BENCH_QUERIES) - 5
 
 
 def test_vs_baseline_survives_zero_timing(monkeypatch):

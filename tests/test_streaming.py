@@ -1647,3 +1647,18 @@ def test_kmv_stream_bit_matches_batch_and_restarts_exactly(spark, tmp_path):
     assert sorted((r["s"], r["h"], r["rn"], r["est"]) for r in seeded_final) == sorted(
         (r["s"], r["h"], r["rn"], r["est"]) for r in final
     )
+
+
+def test_reservoir_stream_rejects_legacy_int_seed():
+    """The pre-r11 signature had `seed: int` as the A-Res hash seed;
+    that meaning moved to `ares_seed`. An int in `seed` must fail
+    loudly, not silently sample with a different key."""
+    import pytest
+
+    from flink_kafka_spark.streaming.jobs import reservoir_stream
+
+    with pytest.raises(TypeError, match="ares_seed"):
+        reservoir_stream(
+            None, lambda df, e: None,
+            id_col="rid", weight_sql="w", stratum_col="stratum", m=4, seed=0,
+        )
