@@ -633,7 +633,12 @@ def reservoir_stream(
                 state.setdefault(r[stratum_col], []).append((r["wkey"], r[id_col]))
             rows = []
             for stratum, kept in state.items():
-                kept.sort(key=lambda t: (-t[0], t[1]))
+                # dedupe (wkey, id) pairs before truncating: foreachBatch
+                # is at-least-once across restarts, and a replayed batch
+                # re-appends bit-identical pairs (wkey is a pure function
+                # of ares_seed and id) — without the set() a duplicate
+                # would occupy two ranks and evict a distinct sample
+                kept[:] = sorted(set(kept), key=lambda t: (-t[0], t[1]))
                 del kept[m:]
                 rows += [
                     (stratum, vid, wkey, rank)

@@ -1662,3 +1662,54 @@ def test_reservoir_stream_rejects_legacy_int_seed():
             None, lambda df, e: None,
             id_col="rid", weight_sql="w", stratum_col="stratum", m=4, seed=0,
         )
+
+
+def test_reservoir_stream_replay_after_seed_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once across restarts: a monitor seeded
+    from the manifest that included batch N must absorb a REPLAY of
+    batch N without duplicating ids across ranks — the A-Res key is a
+    pure function of (ares_seed, id), so the replayed pairs are
+    bit-identical and the merge dedups them."""
+    import json
+
+    from flink_kafka_spark.operators.sampling import weighted_sample
+    from flink_kafka_spark.streaming.jobs import reservoir_stream
+
+    m = 4
+    rows = [(i, "a" if i % 3 else "b", 1 + (i % 5)) for i in range(60)]
+
+    def run(subdir, seed=None):
+        d = tmp_path / subdir
+        d.mkdir()
+        (d / "f.json").write_text(
+            "\n".join(
+                json.dumps({"rid": r[0], "stratum": r[1], "w": r[2]}) for r in rows
+            )
+            + "\n"
+        )
+        stream = spark.readStream.schema("rid long, stratum string, w int").json(str(d))
+        seen: dict[int, list] = {}
+        q = (
+            reservoir_stream(
+                stream,
+                lambda df, e: seen.__setitem__(e, df.collect()),
+                id_col="rid", weight_sql="w", stratum_col="stratum", m=m, seed=seed,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{subdir}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen[max(seen)]
+
+    first = run("orig")
+    manifest = [(r["stratum"], r["rid"], r["wkey"]) for r in first]
+    # replay the SAME rows into a monitor seeded with their manifest
+    replayed = run("replay", seed=manifest)
+    got = sorted((r["stratum"], r["rid"], r["wkey"], r["rank"]) for r in replayed)
+    whole = spark.createDataFrame(rows, "rid long, stratum string, w int")
+    want = sorted(
+        (r["stratum"], r["rid"], r["wkey"], r["rank"])
+        for r in weighted_sample(whole, "rid", "w", "stratum", m).collect()
+    )
+    assert got == want  # no id occupies two ranks, nothing evicted
