@@ -247,13 +247,17 @@ def source_overlap_matrix(
     the first shuffle is a map-side-combined ``collect_set(group)``
     per shingle hash — the per-shingle state is bounded by the SOURCE
     count (tens-to-thousands), never the doc count, so there is no
-    corpus self-join anywhere. Pairs explode from each shingle's
-    source set (≤ |sources|² rows per shingle, output bounded by
-    |sources|² total) into one count shuffle; per-source vocabulary
-    sizes fall out of the same per-shingle frame and broadcast back
-    onto the pair rows. The corpus is scanned once per branch (pairs +
-    sizes) — two narrow hash-projection passes, no persisted
-    corpus-sized state."""
+    corpus self-join anywhere. Pair counts AND per-source vocabulary
+    sizes come out of ONE explode + aggregation over the per-shingle
+    frame: each shingle emits its unordered source pairs (a, b) plus
+    one (g, NULL) marker per member source, so a single count shuffle
+    yields pair rows where b is set and size rows where it is NULL.
+    The corpus is therefore scanned and shingle-shuffled exactly ONCE
+    (previously once per branch — measured 2x the whole operator's
+    cost at sf0.1); the only persisted frame is the aggregated result,
+    bounded by |sources|² + |sources| rows, never corpus-sized."""
+    from ..caching import track
+
     expr = f"array_distinct({_shingle_expr(n)})"
     per_sh = (
         normalized_tokens(df, text_col)
@@ -262,22 +266,29 @@ def source_overlap_matrix(
         .groupBy("sh")
         .agg(F.sort_array(F.collect_set("grp")).alias("grps"))
     )
-    # unordered pairs from each shingle's sorted source set: the slice
-    # starts after g's own position so a < b by construction
-    pair_expr = (
-        "flatten(transform(grps, (g, i) ->"
-        " transform(slice(grps, i + 2, size(grps)),"
-        " h -> struct(g AS a, h AS b))))"
+    # unordered pairs from each shingle's sorted source set (the slice
+    # starts after g's own position so a < b by construction), plus a
+    # (g, NULL) membership marker per source for the size counts
+    combined_expr = (
+        "concat("
+        " flatten(transform(grps, (g, i) ->"
+        "  transform(slice(grps, i + 2, size(grps)),"
+        "  h -> struct(g AS a, h AS b)))),"
+        " transform(grps, g -> struct(g AS a, cast(null AS string) AS b)))"
     )
-    pairs = (
-        per_sh.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    combined = track(
+        per_sh.select(F.explode(F.expr(combined_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
-    sizes = (
-        per_sh.select(F.explode("grps").alias("grp"))
-        .groupBy("grp")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    pairs = combined.where(F.col("b").isNotNull()).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("c").alias("n_shared_shingles"),
+    )
+    sizes = combined.where(F.col("b").isNull()).select(
+        F.col("a").alias("grp"), F.col("c").alias("n_shingles")
     )
     # floor-based round-half-up: shared/(|A|+|B|-shared) is a rational
     # that can land exactly on a decimal half-point, where Spark's and
