@@ -68,24 +68,31 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-11 ROTATION (full rationale in ROTATION_LEDGER.md §Round 11):
-# OUT, all green r9+r10: the 25-row twice-green pool minus
-# inverted_index (sole-retrieval family anchor stays). IN, per the
-# written r11 schedule: the two CADENCE_DEBT rows (quantity_percentiles,
-# customer_running_totals — due this round), the five r10
-# CAPACITY_DEFERRED registrations, the five rows at 5 absences
-# (page_views, orders_daily_by_priority, event_asof_order,
-# export_shards, sequence_packing), and 12 of the 13 r8-stale rows —
-# hot_items_topn defers to r12 (absence 3 of 6; entry() smoke-executes
-# it every round and the SQL-parity pytest pins it to the staying
-# hot_items_sql).
+# ROUND-12 ROTATION (full rationale in ROTATION_LEDGER.md §Round 12):
+# OUT, all green r10+r11: the full 14-row twice-green non-check pool
+# (hot_items_sql, unique_visitors, click_blacklist, login_fail_detect,
+# session_windows_native, orders_cube, fk_coverage_audit,
+# agg_incremental_update, events_gapfill_interp, events_key_skew,
+# retention_cohorts, source_divergence, inverted_index,
+# media_frame_sample). inverted_index may leave only because
+# multi_query_search + tfidf_top_terms enter as the retrieval anchors;
+# hot_items_sql may leave only because hot_items_topn re-enters as the
+# §2-surface anchor (SQL-parity pytest pins the two to each other).
+# IN, per the written r12 schedule: hot_items_topn (flagship re-hash,
+# deferred from r11) plus 13 of the r7-stale long-tail — sessionize,
+# funnel_conversions, channel_stats, global_stats, hot_sources_topn,
+# uv_bloom, multi_query_search, tfidf_top_terms, tpch_q1, tpch_q3,
+# decontaminate, pii_scan, dataset_split. The remaining r7-stale rows
+# are scheduled r13 (ROTATION_LEDGER §r13 schedule).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface (streamlike / patterns / joins families)
-    "hot_items_sql",
-    "unique_visitors",
-    "click_blacklist",
-    "login_fail_detect",
-    "session_windows_native",
+    "hot_items_topn",
+    "sessionize",
+    "funnel_conversions",
+    "channel_stats",
+    "global_stats",
+    "hot_sources_topn",
+    "uv_bloom",
     "uv_approx_check",
     "page_views",
     "orders_daily_by_priority",
@@ -95,18 +102,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_asof_order",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # analytics: cadence-debt rows due r11 (last hashed r2)
+    # analytics (first-hashed r11, stay until twice-green)
     "quantity_percentiles",
     "customer_running_totals",
-    # analytics (first-hashed r10, stay until twice-green)
-    "orders_cube",
-    "fk_coverage_audit",
-    "agg_incremental_update",
-    "events_gapfill_interp",
-    "events_key_skew",
-    "retention_cohorts",
-    "source_divergence",
-    # analytics (r10 capacity-deferred registrations, priority 1)
     "events_value_winsorize",
     # analytics (r8-stale, due by r14)
     "rfm_segments",
@@ -114,12 +112,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "changelog_roundtrip",
     "scd2_history",
     "training_mix_snapshot",
-    # relational block (r8-stale, due by r14)
+    # relational block (r8-stale due by r14, plus r7-stale q1/q3 due r13)
+    "tpch_q1",
     "tpch_q2",
+    "tpch_q3",
     "tpch_q9",
     "tpch_q11",
     "tpch_q20",
-    # deduplication / graph family (incl. capacity-deferred pagerank)
+    # deduplication / graph family
     "source_pagerank",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
@@ -130,18 +130,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    # text / sketch family (r10 capacity-deferred registrations)
+    # text / sketch family (r7-stale text rows due r13 + staying checks)
+    "decontaminate",
+    "pii_scan",
     "quality_curriculum",
     "cms_topk_estimates",
     "kmv_set_cardinality",
     "heavy_hitters_check",
-    # retrieval family (sole full-oracle anchor, stays)
-    "inverted_index",
-    # sampling / release family (rows at 5 absences, due r12)
+    # retrieval family (r7-stale anchors replacing inverted_index)
+    "multi_query_search",
+    "tfidf_top_terms",
+    # sampling / release family
+    "dataset_split",
     "export_shards",
     "sequence_packing",
     # multimodal family
-    "media_frame_sample",
     "media_features_check",
     "media_features",
 )
