@@ -338,8 +338,10 @@ def _compact_line(detail: dict) -> dict:
         out["vs_baseline"] = {k: v for k, v in vs.items() if k != "per_query"}
     regs = out.get("regressions")
     if regs and len(regs) > 5:
-        # truncated gate verdict stays parseable; full text in detail
-        out["regressions"] = dict(sorted(regs.items())[:5])
+        # truncated gate verdict stays parseable; full text in detail.
+        # _regressions emits worst-magnitude-first insertion order, so
+        # keeping the first 5 keeps the worst offenders.
+        out["regressions"] = dict(list(regs.items())[:5])
         out["regressions_truncated"] = len(regs) - 5
     leaked = out.get("leaked_persists")
     if leaked and len(leaked) > 5:
@@ -444,12 +446,18 @@ def _regressions(timings: dict[str, float], calibration: float, sf: str) -> dict
             raw_ok = t > REGRESSION_FACTOR * b or not comparable_box
             if ratio_now > REGRESSION_FACTOR * ratio_base and raw_ok:
                 out[name] = (
+                    ratio_now / ratio_base,
                     f"{ratio_now:.2f} vs baseline {ratio_base:.2f} cal-units "
-                    f"({ratio_now / ratio_base:.2f}x; raw {t:.3f}s vs {b:.3f}s)"
+                    f"({ratio_now / ratio_base:.2f}x; raw {t:.3f}s vs {b:.3f}s)",
                 )
         elif t > REGRESSION_FACTOR * b:
-            out[name] = f"{t:.3f}s vs baseline {b:.3f}s ({t / b:.2f}x)"
-    return out
+            out[name] = (t / b, f"{t:.3f}s vs baseline {b:.3f}s ({t / b:.2f}x)")
+    # worst first (name tiebreak for determinism): _compact_line keeps
+    # the FIRST five, so truncation can never drop the worst offender
+    return {
+        name: msg
+        for name, (mag, msg) in sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    }
 
 
 if __name__ == "__main__":

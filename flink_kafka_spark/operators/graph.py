@@ -27,6 +27,7 @@ def pagerank(
     iterations: int = 12,
     damping_pct: int = 85,
     unit: int = 1_000_000_000,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over ``edges (src, dst, w BIGINT)`` and
     ``nodes (id_col)``: ``iterations`` fixed rounds of
@@ -40,13 +41,28 @@ def pagerank(
     mass is NOT redistributed (deterministic, documented — rank order
     is unaffected for the connected bulk).
 
+    PRECONDITION: every edge endpoint (src AND dst) must appear in
+    ``nodes``. A dst outside ``nodes`` emits a phantom rank row for it
+    (the per-round groupBy folds zero rows for ``nodes`` only, it does
+    not filter contributions), and a src outside ``nodes`` silently
+    contributes nothing after round 0 — while N/teleport are computed
+    from ``nodes`` alone either way. All in-repo callers derive nodes
+    and edges from the same frame; external callers must too.
+
     Scale shape: the weighted-out-degree join is precomputed ONCE into
     a persisted (src, dst, w, wsum) frame; each round then costs one
     rank-frame join onto it plus one edges-sized groupBy(dst) shuffle —
-    the inherent PageRank cost. The rank frame is node-sized (sources/
-    domains — group-level metadata, orders of magnitude below the
-    corpus), so it broadcasts; for a billion-node graph drop the
-    broadcast hints and pre-partition edges and ranks by src instead.
+    the inherent PageRank cost. ``broadcast_ranks`` controls the
+    rank-side join strategy and defaults to FALSE: with no hint the
+    planner (and AQE at runtime) picks the join, which localizes tiny
+    rank frames anyway and — the scale contract — never plans a
+    driver-side broadcast build of a billion-node rank frame. The
+    hinted path additionally costs one broadcast-collect JOB per round
+    (the hint forces a collect even when the frame is already cached),
+    measured 6.6 s vs 3.8 s for the 12-round loop at sf0.1 — so the
+    hint is off even for the bounded source-level query, and
+    ``broadcast_ranks=True`` exists only for callers who have measured
+    a plan where the static SMJ shuffle on the edge side dominates.
     N is a single-int driver scalar (same justification as the CC
     convergence probe). Rank frames are LAZY-localCheckpointed with an
     explicit count() as the materializing action (the CC loop's
@@ -55,7 +71,7 @@ def pagerank(
     see _chk), and the cut runs in batches of CHK_EVERY=3 rounds, not
     every round: without any cut, round i's logical plan contains all
     i-1 predecessors and Catalyst re-analyzes the whole tree per
-    round — measured 49 s for 12 rounds at sf0.1 vs ~5 s batched. The
+    round — measured 49 s for 12 rounds at sf0.1 vs ~4 s batched. The
     previous round's checkpoint blocks are dropped as soon as the new
     round is materialized (the loop holds two node-sized rank frames
     at most); the final round's blocks back the returned frame, so
@@ -94,25 +110,24 @@ def pagerank(
     # Checkpoint every CHK_EVERY rounds, not every round: the cut only
     # needs to keep the analyzed tree SHALLOW (depth <= 3 is cheap for
     # Catalyst), and results are identical wherever the lineage is cut
-    # (pure integer arithmetic). Measured: per-round and per-3-rounds
-    # cuts both land at ~9 s for 12 rounds at sf0.1 — the fixture-scale
-    # wall is bound by fixed per-round broadcast/job latency on tiny
-    # frames, which amortizes away at real edge volumes; batching
-    # simply holds 4 instead of 12 checkpoint block sets over the run.
+    # (pure integer arithmetic). With the rank broadcast hint off, the
+    # loop's only job barriers are the CHK_EVERY materializations (4
+    # for 12 rounds); measured cadence sweep at sf0.1 (3 trials, min):
+    # chk2 4.0 s, chk3 3.7 s, chk4 3.7 s, chk6 4.3 s — flat around 3,
+    # so CHK_EVERY=3 stands. (The hinted loop pays a broadcast-collect
+    # job per round on top: 6.6 s at the same cadence.)
     CHK_EVERY = 3
     # zero-contribution rows folded into the per-round groupBy replace
     # the old `node_frame LEFT JOIN broadcast(summed)`: same integer
     # result (a dangling node's sum is the +0 row instead of a
     # coalesced NULL) with one less broadcast exchange per round and
     # no node-sized broadcast at all — the summed frame never crosses
-    # the driver even for a billion-node graph. Fixture-scale wall is
-    # unchanged (~9 s warm at sf0.1; the loop is bound by its 12
-    # sequential job barriers, not by any single exchange — measured
-    # before/after), so this is a scale-shape win, not a bench win.
+    # the driver even for a billion-node graph.
     zeros = node_frame.select("node", F.lit(0).cast("long").alias("c"))
     for i in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = e.join(
-            F.broadcast(ranks), e["src"] == ranks["node"]
+            rank_side, e["src"] == ranks["node"]
         ).select(F.col("dst").alias("node"), F.expr("(r * w) div wsum").alias("c"))
         ranks = (
             contrib.unionByName(zeros)

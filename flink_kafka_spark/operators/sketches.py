@@ -213,7 +213,18 @@ def kmv_minima(
     shares the window's exchange (a WHERE can't be column-pruned
     away, and the partition-count window reuses the rn sort's
     partitioning — zero extra shuffle, zero rows touched when the
-    invariant holds)."""
+    invariant holds).
+
+    Operating ceiling: hashes live in 32-bit space (CMS_SPACE = 2^32),
+    so once a set's true cardinality approaches margin * 2^32 / k * k
+    ≈ margin * 2^32 the threshold falls below k representable hash
+    slots and fewer than k distinct hashes CAN survive — the invariant
+    then raises deterministically (and, inside ``kmv_stream``, kills
+    the streaming query). That raise means "cardinality out of the
+    32-bit sketch's range", not a transient HLL miss: at ~4 G distinct
+    values per set, hash collisions already bias the estimate, so the
+    right response is a wider hash space (or per-set sharding), not a
+    retry."""
     hashed = df.select(
         F.col(set_col).alias("s"), F.expr(kmv_hash_sql(val_sql)).alias("h")
     )

@@ -603,7 +603,15 @@ def reservoir_stream(
     carries the already-computed priority keys, so nothing needs the
     original weight column back; the top-m merge rule above makes the
     continuation identical to an uninterrupted run — pinned by
-    tests/test_streaming.py)."""
+    tests/test_streaming.py).
+
+    REQUIRES ids unique per stratum: the merge dedupes bit-identical
+    (wkey, id) pairs to absorb at-least-once batch replays, so a
+    GENUINE duplicate id (same id ⇒ same wkey, a pure function of
+    ares_seed and id) collapses to one rank here, while batch
+    ``weighted_sample`` over the concatenated input ranks both rows
+    via row_number — the batch-parity guarantee above holds only for
+    per-stratum-unique ids."""
     from ..caching import release_scope
     from ..operators.sampling import weighted_sample
 

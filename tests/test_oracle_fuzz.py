@@ -1,0 +1,139 @@
+"""Seeded convention-fuzz sweep: Spark vs DuckDB over generated
+filter × group-key × window-width × aggregate combinations on the
+``events`` table (r11 verdict item 6).
+
+The hand-written oracle queries each pin ONE use of the cross-engine
+conventions (epoch-second BIGINTs, floor-half-up rounding, the
+md5-prefix token hash, squared-mix parity, `` div `` ↔ `` // `` —
+memory: oracle-determinism-rules). This sweep renders the SAME
+generated query text into both dialects and compares at driver
+strictness, so a convention that drifts in an expression shape no
+hand-written query exercises (hash-bucket group keys under filters,
+windows composed with modular keys, rounding on filtered sums...)
+fails here first. Deterministic: seeded PRNG, no time/random at
+module import beyond the fixed seed.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from flink_kafka_spark.tables import register_views
+from tests.oracle_util import compare_spark_duckdb
+
+SF_DIR = "/root/testdata/sf0.001"
+N_QUERIES = 20
+SEED = 0xF12D
+
+
+# --- dialect rendering -------------------------------------------------
+# Templates hold placeholder tokens; each dialect substitutes its own
+# spelling. Every substitution pair is one convention from
+# oracle-determinism-rules; the generated SQL is otherwise identical.
+
+_DIALECT = {
+    "spark": {
+        "{EPOCH}": "unix_seconds(ts)",
+        "{IDIV}": " div ",
+        # md5-prefix token hash (non-negative, < 2^32)
+        "{H8_OPEN}": "cast(conv(substr(md5(",
+        "{H8_CLOSE}": "),1,8),16,10) as bigint)",
+        "{STR}": "STRING",
+    },
+    "duckdb": {
+        "{EPOCH}": "CAST(floor(epoch(ts)) AS BIGINT)",
+        "{IDIV}": " // ",
+        "{H8_OPEN}": "(('0x' || substr(md5(",
+        "{H8_CLOSE}": "),1,8))::BIGINT)",
+        "{STR}": "VARCHAR",
+    },
+}
+
+
+def _render(template: str, dialect: str) -> str:
+    out = template
+    for token, spelling in _DIALECT[dialect].items():
+        out = out.replace(token, spelling)
+    return out
+
+
+# --- seeded query generator --------------------------------------------
+
+
+def _gen_spec(rng: random.Random) -> str:
+    """One generated query as a dialect-token template."""
+    filters = rng.choice(
+        [
+            [],
+            [f"value > {rng.randint(0, 1800) / 10}"],
+            ["event_type IN ('" + "', '".join(rng.sample(["pv", "click", "purchase", "signup", "error"], rng.randint(1, 4))) + "')"],
+            [f"user_id % {rng.randint(2, 9)} = {rng.randint(0, 1)}"],
+            [
+                f"value > {rng.randint(0, 900) / 10}",
+                f"user_id % {rng.randint(2, 5)} = 0",
+            ],
+        ]
+    )
+    w = rng.choice([60, 300, 900, 3600, 7200])
+    group_pool = [
+        "event_type",
+        f"user_id % {rng.randint(2, 7)}",
+        # md5-prefix hash bucket of a composite token
+        "{H8_OPEN}concat(event_type, '|', CAST(user_id AS {STR})){H8_CLOSE}"
+        f" % {rng.choice([8, 16])}",
+        # squared-mix parity (quadratic residues, integer-exact)
+        f"((user_id * user_id) % {rng.choice([10007, 4099])}) % 2",
+        # tumbling window start as epoch-second BIGINT
+        "({EPOCH}{IDIV}" + str(w) + ") * " + str(w),
+    ]
+    groups = rng.sample(group_pool, rng.randint(1, 2))
+    agg_pool = [
+        # outer BIGINT cast: DuckDB sum(BIGINT) widens to HUGEINT,
+        # which pandas renders float64 and the driver hash rejects
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS sum_value_e4",
+        "count(DISTINCT user_id) AS n_users",
+        "min(value) AS min_value",
+        "max(value) AS max_value",
+    ]
+    aggs = rng.sample(agg_pool, rng.randint(1, 3))
+    derived = []
+    if any("sum_value_e4" in a for a in aggs):
+        # terminal float division of identical integers — deterministic
+        derived.append("CAST(sum_value_e4 AS DOUBLE) / 10000 AS sum_value")
+        if rng.random() < 0.5:
+            # floor-half-up average from the integer sum (never a
+            # float aggregate: summation order must not matter)
+            derived.append(
+                "CAST(floor(CAST(sum_value_e4 AS DOUBLE) / n_rows / 100 + 0.5)"
+                " AS BIGINT) AS avg_value_e2"
+            )
+    group_select = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
+    group_by = ", ".join(str(i + 1) for i in range(len(groups)))
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+    inner_aggs = ", ".join(["count(*) AS n_rows"] + aggs)
+    outer_cols = ", ".join(
+        [f"g{i}" for i in range(len(groups))]
+        + ["n_rows"]
+        + [a.rsplit(" AS ", 1)[1] for a in aggs]
+        + derived
+    )
+    return (
+        f"WITH g AS (SELECT {group_select}, {inner_aggs} "
+        f"FROM events{where} GROUP BY {group_by}) "
+        f"SELECT {outer_cols} FROM g"
+    )
+
+
+_RNG = random.Random(SEED)
+SPECS = [_gen_spec(_RNG) for _ in range(N_QUERIES)]
+
+
+@pytest.mark.parametrize("idx", range(N_QUERIES))
+def test_generated_query_matches_duckdb(spark, idx):
+    template = SPECS[idx]
+    register_views(spark, SF_DIR, ("events",))
+    spark_df = spark.sql(_render(template, "spark"))
+    compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)

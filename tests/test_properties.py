@@ -1161,6 +1161,67 @@ def test_pagerank_star_center_dominates_and_mass_is_bounded(spark):
     assert sum(got.values()) <= 10**9  # floor-division only loses mass
 
 
+def test_pagerank_broadcast_ranks_off_plans_no_rank_broadcast(spark, monkeypatch):
+    """The billion-node scale contract, executable: with the broadcast
+    threshold disabled (simulating a rank frame too big to broadcast),
+    the default broadcast_ranks=False path must plan the per-round
+    rank join as a shuffle join — NO planner-forced broadcast build of
+    the rank frame — while broadcast_ranks=True forces one per round.
+    Both paths must stay bit-identical to the pure-Python integer
+    replay. Round plans are captured at the operator's own checkpoint
+    boundary (the returned frame is a checkpoint scan, so its plan no
+    longer shows the join)."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the dispatch
+    # base in PySpark 4 and instance lookup resolves on the subclass
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from flink_kafka_spark.operators.graph import pagerank
+
+    captured: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def capturing(self, eager=True):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", capturing)
+
+    nodes = ["hub", "a", "b", "c", "dangling"]
+    edges = []
+    for v, w in (("a", 5), ("b", 3), ("c", 1)):
+        edges += [("hub", v, w), (v, "hub", w)]
+    edges += [(v, "dangling", 2) for v in ("a", "b", "c")]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    want = _py_pagerank(edges, nodes)
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got_off = {r["node"]: r["rank_e9"] for r in pagerank(edf, ndf, "id").collect()}
+        plans_off, captured[:] = list(captured), []
+        got_on = {
+            r["node"]: r["rank_e9"]
+            for r in pagerank(edf, ndf, "id", broadcast_ranks=True).collect()
+        }
+        plans_on, captured[:] = list(captured), []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+    assert got_off == want and got_on == want  # bit-identical paths
+    assert plans_off and plans_on
+    # Off path: every round joins ranks by shuffle; the only broadcast
+    # allowed in the tree is the hinted wsum precompute inside the
+    # persisted edge frame's (unmaterialized) cache plan.
+    for p in plans_off:
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    # On path: the hint forces a rank-side broadcast build the off
+    # path does not have (strictly more BroadcastExchanges per plan).
+    n_b_off = max(p.count("BroadcastExchange") for p in plans_off)
+    n_b_on = max(p.count("BroadcastExchange") for p in plans_on)
+    assert n_b_on > n_b_off
+
+
 def test_hll_rollup_union_is_lossless_and_accurate(spark):
     """Two-level HLL rollup: (a) unioning per-sub sketches gives the
     SAME estimate as sketching the set directly (same-lgK HLL union
