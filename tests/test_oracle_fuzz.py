@@ -21,9 +21,9 @@ import random
 import pytest
 
 from flink_kafka_spark.tables import register_views
+from tests.conftest import SF_DIR
 from tests.oracle_util import compare_spark_duckdb
 
-SF_DIR = "/root/testdata/sf0.001"
 N_QUERIES = 20
 SEED = 0xF12D
 

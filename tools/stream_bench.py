@@ -282,7 +282,12 @@ def main() -> None:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                # a wedged query would otherwise record 600 s as a real
+                # datapoint AND keep running under the next monitor's
+                # measurement — kill it and fail the tool loudly
+                q.stop()
+                raise RuntimeError(f"monitor query on {ckpt} still running after 600 s")
             assert not peak.get("err"), peak["err"]
 
         def manifest_sink(peak: dict):
