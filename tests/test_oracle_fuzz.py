@@ -1,6 +1,8 @@
 """Seeded convention-fuzz sweep: Spark vs DuckDB over generated
 filter × group-key × window-width × aggregate combinations on the
-``events`` table (r11 verdict item 6).
+``events`` table (r11 verdict item 6), plus a join-shaped sweep over
+orders⋈lineitem / customer⋈orders that drives the same conventions
+through shuffle joins with keys drawn from both sides.
 
 The hand-written oracle queries each pin ONE use of the cross-engine
 conventions (epoch-second BIGINTs, floor-half-up rounding, the
@@ -17,6 +19,7 @@ module import beyond the fixed seed.
 from __future__ import annotations
 
 import random
+import re
 
 import pytest
 
@@ -56,6 +59,13 @@ def _render(template: str, dialect: str) -> str:
     out = template
     for token, spelling in _DIALECT[dialect].items():
         out = out.replace(token, spelling)
+    # {EPOCH:col} — epoch-second BIGINT of an arbitrary timestamp col
+    epoch = (
+        "unix_seconds(\\1)"
+        if dialect == "spark"
+        else "CAST(floor(epoch(\\1)) AS BIGINT)"
+    )
+    out = re.sub(r"\{EPOCH:([\w.]+)\}", epoch, out)
     return out
 
 
@@ -127,13 +137,95 @@ def _gen_spec(rng: random.Random) -> str:
     )
 
 
+def _gen_join_spec(rng: random.Random) -> str:
+    """One generated JOIN query (orders⋈lineitem or customer⋈orders):
+    the same conventions exercised across a shuffle join — group keys,
+    hash buckets and windows built from columns of BOTH sides."""
+    if rng.random() < 0.5:
+        join = "orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        filter_pool = [
+            [],
+            [f"l.l_quantity > {rng.randint(5, 40)}"],
+            ["o.o_orderstatus IN ('" + "', '".join(rng.sample(["F", "O", "P"], rng.randint(1, 2))) + "')"],
+            [f"l.l_discount > {rng.randint(0, 8) / 100}"],
+        ]
+        group_pool = [
+            "o.o_orderpriority",
+            "l.l_returnflag",
+            "{H8_OPEN}concat(o.o_orderstatus, '|', l.l_linestatus){H8_CLOSE}"
+            f" % {rng.choice([4, 8])}",
+            f"((o.o_custkey * o.o_custkey) % {rng.choice([10007, 4099])}) % 2",
+            "({EPOCH:o.o_orderdate}{IDIV}" + "{W}) * {W}",
+        ]
+        agg_pool = [
+            "CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT) AS sum_price_e2",
+            "count(DISTINCT o.o_custkey) AS n_cust",
+            "min(l.l_quantity) AS min_qty",
+            "max(l.l_quantity) AS max_qty",
+        ]
+    else:
+        join = "customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+        filter_pool = [
+            [],
+            [f"o.o_totalprice > {rng.randint(100, 2000)}"],
+            ["c.c_mktsegment IN ('" + "', '".join(rng.sample(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"], rng.randint(1, 3))) + "')"],
+            [f"c.c_nationkey % {rng.randint(2, 5)} = 0"],
+        ]
+        group_pool = [
+            "c.c_mktsegment",
+            "o.o_orderpriority",
+            "{H8_OPEN}concat(c.c_mktsegment, '|', CAST(c.c_nationkey AS {STR}))"
+            "{H8_CLOSE}" + f" % {rng.choice([8, 16])}",
+            f"((o.o_orderkey * o.o_orderkey) % {rng.choice([10007, 4099])}) % 2",
+            "({EPOCH:o.o_orderdate}{IDIV}" + "{W}) * {W}",
+        ]
+        agg_pool = [
+            "CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT) AS sum_total_e2",
+            "count(DISTINCT c.c_custkey) AS n_cust",
+            "min(c.c_acctbal) AS min_bal",
+            "max(o.o_totalprice) AS max_total",
+        ]
+    # day-to-month scale windows: o_orderdate spans years, not hours
+    w = str(rng.choice([86400, 7 * 86400, 30 * 86400]))
+    filters = rng.choice(filter_pool)
+    groups = [g.replace("{W}", w) for g in rng.sample(group_pool, rng.randint(1, 2))]
+    aggs = rng.sample(agg_pool, rng.randint(1, 3))
+    group_select = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
+    group_by = ", ".join(str(i + 1) for i in range(len(groups)))
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+    inner_aggs = ", ".join(["count(*) AS n_rows"] + aggs)
+    outer_cols = ", ".join(
+        [f"g{i}" for i in range(len(groups))]
+        + ["n_rows"]
+        + [a.rsplit(" AS ", 1)[1] for a in aggs]
+    )
+    return (
+        f"WITH g AS (SELECT {group_select}, {inner_aggs} "
+        f"FROM {join}{where} GROUP BY {group_by}) "
+        f"SELECT {outer_cols} FROM g"
+    )
+
+
 _RNG = random.Random(SEED)
 SPECS = [_gen_spec(_RNG) for _ in range(N_QUERIES)]
+N_JOIN_QUERIES = 10
+_JRNG = random.Random(SEED + 1)
+JOIN_SPECS = [_gen_join_spec(_JRNG) for _ in range(N_JOIN_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(N_QUERIES))
 def test_generated_query_matches_duckdb(spark, idx):
     template = SPECS[idx]
     register_views(spark, SF_DIR, ("events",))
+    spark_df = spark.sql(_render(template, "spark"))
+    compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)
+
+
+@pytest.mark.parametrize("idx", range(N_JOIN_QUERIES))
+def test_generated_join_query_matches_duckdb(spark, idx):
+    template = JOIN_SPECS[idx]
+    register_views(spark, SF_DIR, ("orders", "lineitem", "customer"))
     spark_df = spark.sql(_render(template, "spark"))
     compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)
