@@ -294,6 +294,114 @@ def kmv_estimate(minima: DataFrame, k: int = 128) -> DataFrame:
     ).select("s", kmv_est_expr("n_kept", "h_max", k).alias("est"))
 
 
+def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
+    """Intersection / union cardinality for every unordered pair of
+    sets in a ``kmv_minima`` frame — the KMV set algebra the sketch
+    exists for (Beyer et al., SIGMOD 2007 §5: the k smallest of a
+    union of sketches is a sketch of the union, and membership below
+    both sketches' thresholds is decidable from the sketches alone).
+    Answers "how many ids/tokens/urls do sources A and B share"
+    without ever rescanning data: the inputs are k-row sketches.
+
+    Per pair, with θ = the smallest k-th minimum among the INEXACT
+    sides (a set that kept < k hashes IS its set — no threshold):
+
+    - ``S`` = distinct sketch hashes ≤ θ (every A∪B value hashing ≤ θ
+      is in its side's sketch, so S is a uniform hash-sample of A∪B);
+    - ``est_union``: exact ``|S|`` when both sides are exact, else
+      ``(|S|-1) * 2^32 div θ`` (θ ∈ S, the KMV estimator with k→|S|);
+    - ``est_intersection``: exact when both sides are exact, else
+      ``n_both * est_union div |S|`` where n_both counts S-hashes
+      present in BOTH sketches (the Jaccard sample restricted to the
+      decidable region).
+
+    All arithmetic is fixed-point integer on the portable md5-prefix
+    hash, so results are bit-identical across engines, partitionings
+    and runs. Scale shape: one tiny per-set stats frame (|sets| rows,
+    broadcast), two sketch-sized joins and one groupBy over
+    O(k × pairs) rows — never touches the original data. State is
+    bounded by |sets|² pairs like the overlap matrix; the operator is
+    for set-level (source/domain/day) sketches, not per-document ones.
+
+    Returns ``(set_a, set_b, est_a, est_b, est_union,
+    est_intersection)`` with set_a < set_b."""
+    stats = minima.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_max")
+    )
+    a = stats.select(
+        F.col("s").alias("set_a"),
+        F.col("n_kept").alias("n_a"),
+        F.col("h_max").alias("hmax_a"),
+    )
+    b = stats.select(
+        F.col("s").alias("set_b"),
+        F.col("n_kept").alias("n_b"),
+        F.col("h_max").alias("hmax_b"),
+    )
+    exact_a, exact_b = F.col("n_a") < k, F.col("n_b") < k
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("set_a") < F.col("set_b"))
+        .select(
+            "set_a",
+            "set_b",
+            "n_a",
+            "n_b",
+            "hmax_a",
+            "hmax_b",
+            (exact_a & exact_b).alias("both_exact"),
+            # θ over the inexact sides only; CMS_SPACE (> any hash)
+            # when a side is exact so least() ignores it, and when
+            # both are exact every hash passes the θ filter
+            F.least(
+                F.when(exact_a, F.lit(CMS_SPACE)).otherwise(F.col("hmax_a")),
+                F.when(exact_b, F.lit(CMS_SPACE)).otherwise(F.col("hmax_b")),
+            ).alias("theta"),
+        )
+    )
+    pairs_b = F.broadcast(pairs.select("set_a", "set_b", "theta"))
+    ma = pairs_b.join(
+        minima.select(F.col("s").alias("set_a"), "h"), "set_a"
+    ).select("set_a", "set_b", "h", "theta")
+    mb = pairs_b.join(
+        minima.select(F.col("s").alias("set_b"), "h"), "set_b"
+    ).select("set_a", "set_b", "h", "theta")
+    sample = (
+        ma.withColumn("in_a", F.lit(1))
+        .join(
+            mb.withColumn("in_b", F.lit(1)),
+            ["set_a", "set_b", "h", "theta"],
+            "full_outer",
+        )
+        .where(F.col("h") <= F.col("theta"))
+        .groupBy("set_a", "set_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.sum(
+                (F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0)))
+            ).alias("n_both"),
+        )
+    )
+    est_union = F.when(F.col("both_exact"), F.col("n_s")).otherwise(
+        F.expr(f"cast(n_s - 1 as bigint) * cast({CMS_SPACE} as bigint) div theta")
+    )
+    return (
+        pairs.join(sample, ["set_a", "set_b"])
+        .withColumn("est_union", est_union.cast("long"))
+        .select(
+            "set_a",
+            "set_b",
+            kmv_est_expr("n_a", "hmax_a", k).alias("est_a"),
+            kmv_est_expr("n_b", "hmax_b", k).alias("est_b"),
+            "est_union",
+            F.when(F.col("both_exact"), F.col("n_both"))
+            .otherwise(F.expr("n_both * est_union div n_s"))
+            .cast("long")
+            .alias("est_intersection"),
+        )
+    )
+
+
 # --- native Datasketches HLL rollup -----------------------------------
 
 

@@ -847,6 +847,69 @@ def test_kmv_prefilter_miss_fails_loudly_not_silently(spark):
         kmv_minima(df, "s", "v", k, margin=0.5).count()
 
 
+def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
+    """KMV set algebra: est_a/est_b/est_union/est_intersection must
+    bit-match a pure-Python replay of the same integer estimator over
+    the same md5-prefix hashes (the determinism contract), the
+    both-exact pair must come out EXACT, and the sketch-path estimates
+    must land within the KMV error band of the true values."""
+    from flink_kafka_spark.operators.sketches import (
+        CMS_SPACE,
+        kmv_minima,
+        kmv_pair_intersections,
+    )
+
+    k = 64
+    # big/big2 overlap on 2000 of 5000 values; tiny/tiny2 are exact
+    # (< k distinct) and overlap on 10 of ~40; big/tiny mixed case
+    sets = {
+        "big": [f"v{i}" for i in range(5000)],
+        "big2": [f"v{i}" for i in range(3000, 8000)],
+        "tiny": [f"v{i}" for i in range(40)],
+        "tiny2": [f"v{i}" for i in range(30, 70)],
+    }
+    rows = [(s, v) for s, vs in sets.items() for v in vs]
+    df = spark.createDataFrame(rows, "s string, v string")
+    got = {
+        (r["set_a"], r["set_b"]): (
+            r["est_a"], r["est_b"], r["est_union"], r["est_intersection"]
+        )
+        for r in kmv_pair_intersections(kmv_minima(df, "s", "v", k), k).collect()
+    }
+
+    def replay(va, vb):
+        ha = sorted({_py_kmv_hash(v) for v in va})[:k]
+        hb = sorted({_py_kmv_hash(v) for v in vb})[:k]
+
+        def est(hs, n_distinct):
+            return n_distinct if len(hs) < k else (k - 1) * CMS_SPACE // hs[-1]
+
+        ea, eb = est(ha, len(set(va))), est(hb, len(set(vb)))
+        if len(ha) < k and len(hb) < k:
+            inter = len(set(ha) & set(hb))
+            return ea, eb, len(set(ha) | set(hb)), inter
+        theta = min(
+            [m[-1] for m, n in ((ha, len(va)), (hb, len(vb))) if len(m) == k]
+        )
+        s_ = {h for h in set(ha) | set(hb) if h <= theta}
+        n_both = len({h for h in set(ha) & set(hb) if h <= theta})
+        e_union = (len(s_) - 1) * CMS_SPACE // theta
+        return ea, eb, e_union, n_both * e_union // len(s_)
+
+    names = sorted(sets)
+    want = {
+        (a, b): replay(sets[a], sets[b])
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    }
+    assert got == want  # bit-identical to the integer replay
+    # exact pair is exact
+    assert got[("tiny", "tiny2")] == (40, 40, 70, 10)
+    # sketch-path accuracy: generous 4-sigma (~1/sqrt(k-2)) bands
+    ea, eb, eu, ei = got[("big", "big2")]
+    assert abs(eu - 8000) / 8000 < 0.5 and abs(ei - 2000) / 2000 < 0.75
+
+
 def test_bpe_apply_round_trips_the_learned_merges(spark):
     """apply(learn(corpus)) must tokenize every word exactly like the
     pure-Python trainer's final state: total BPE tokens per doc equal
