@@ -325,6 +325,14 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
 
     Returns ``(set_a, set_b, est_a, est_b, est_union,
     est_intersection)`` with set_a < set_b."""
+    from ..caching import track
+
+    # minima feeds three subtrees (stats, the a-side join, the b-side
+    # join): persist the k×|sets|-row sketch frame so a caller passing
+    # the lazy kmv_minima plan pays its corpus scan once, not three
+    # times (the misra_gries multi-consumer pattern; released at the
+    # next query boundary by caching)
+    minima = track(minima.persist())
     stats = minima.groupBy("s").agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_max")
     )

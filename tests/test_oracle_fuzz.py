@@ -72,6 +72,27 @@ def _render(template: str, dialect: str) -> str:
 # --- seeded query generator --------------------------------------------
 
 
+def _assemble(from_clause, filters, groups, aggs, derived=()):
+    """Shared query assembly for every sweep: inner grouped aggregate
+    (count(*) AS n_rows always first), positional GROUP BY, outer
+    projection of group aliases + agg aliases + derived columns."""
+    group_select = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
+    group_by = ", ".join(str(i + 1) for i in range(len(groups)))
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+    inner_aggs = ", ".join(["count(*) AS n_rows"] + list(aggs))
+    outer_cols = ", ".join(
+        [f"g{i}" for i in range(len(groups))]
+        + ["n_rows"]
+        + [a.rsplit(" AS ", 1)[1] for a in aggs]
+        + list(derived)
+    )
+    return (
+        f"WITH g AS (SELECT {group_select}, {inner_aggs} "
+        f"FROM {from_clause}{where} GROUP BY {group_by}) "
+        f"SELECT {outer_cols} FROM g"
+    )
+
+
 def _gen_spec(rng: random.Random) -> str:
     """One generated query as a dialect-token template."""
     filters = rng.choice(
@@ -120,21 +141,7 @@ def _gen_spec(rng: random.Random) -> str:
                 "CAST(floor(CAST(sum_value_e4 AS DOUBLE) / n_rows / 100 + 0.5)"
                 " AS BIGINT) AS avg_value_e2"
             )
-    group_select = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
-    group_by = ", ".join(str(i + 1) for i in range(len(groups)))
-    where = (" WHERE " + " AND ".join(filters)) if filters else ""
-    inner_aggs = ", ".join(["count(*) AS n_rows"] + aggs)
-    outer_cols = ", ".join(
-        [f"g{i}" for i in range(len(groups))]
-        + ["n_rows"]
-        + [a.rsplit(" AS ", 1)[1] for a in aggs]
-        + derived
-    )
-    return (
-        f"WITH g AS (SELECT {group_select}, {inner_aggs} "
-        f"FROM events{where} GROUP BY {group_by}) "
-        f"SELECT {outer_cols} FROM g"
-    )
+    return _assemble("events", filters, groups, aggs, derived)
 
 
 def _gen_join_spec(rng: random.Random) -> str:
@@ -192,20 +199,7 @@ def _gen_join_spec(rng: random.Random) -> str:
     filters = rng.choice(filter_pool)
     groups = [g.replace("{W}", w) for g in rng.sample(group_pool, rng.randint(1, 2))]
     aggs = rng.sample(agg_pool, rng.randint(1, 3))
-    group_select = ", ".join(f"{g} AS g{i}" for i, g in enumerate(groups))
-    group_by = ", ".join(str(i + 1) for i in range(len(groups)))
-    where = (" WHERE " + " AND ".join(filters)) if filters else ""
-    inner_aggs = ", ".join(["count(*) AS n_rows"] + aggs)
-    outer_cols = ", ".join(
-        [f"g{i}" for i in range(len(groups))]
-        + ["n_rows"]
-        + [a.rsplit(" AS ", 1)[1] for a in aggs]
-    )
-    return (
-        f"WITH g AS (SELECT {group_select}, {inner_aggs} "
-        f"FROM {join}{where} GROUP BY {group_by}) "
-        f"SELECT {outer_cols} FROM g"
-    )
+    return _assemble(join, filters, groups, aggs)
 
 
 _RNG = random.Random(SEED)

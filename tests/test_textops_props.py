@@ -888,9 +888,7 @@ def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
         if len(ha) < k and len(hb) < k:
             inter = len(set(ha) & set(hb))
             return ea, eb, len(set(ha) | set(hb)), inter
-        theta = min(
-            [m[-1] for m, n in ((ha, len(va)), (hb, len(vb))) if len(m) == k]
-        )
+        theta = min(m[-1] for m in (ha, hb) if len(m) == k)
         s_ = {h for h in set(ha) | set(hb) if h <= theta}
         n_both = len({h for h in set(ha) & set(hb) if h <= theta})
         e_union = (len(s_) - 1) * CMS_SPACE // theta

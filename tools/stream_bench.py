@@ -85,7 +85,12 @@ def run_stream(df, ckpt: str, listener: PeakStateListener) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # same hazard as run_monitor's: a wedged query would record
+        # 600 s as a real datapoint and keep running under every
+        # later stream's measurement — kill it and fail loudly
+        q.stop()
+        raise RuntimeError(f"stream query on {ckpt} still running after 600 s")
     # listener events are delivered on a separate thread; wait for the
     # terminated event so every progress update has been folded in
     deadline = time.time() + 30
