@@ -2,7 +2,9 @@
 filter × group-key × window-width × aggregate combinations on the
 ``events`` table (r11 verdict item 6), plus a join-shaped sweep over
 orders⋈lineitem / customer⋈orders that drives the same conventions
-through shuffle joins with keys drawn from both sides.
+through shuffle joins with keys drawn from both sides, plus a
+window-function sweep (row_number/rank/lag/running frames) that pins
+the total-order-tiebreak and integer-frame-sum conventions.
 
 The hand-written oracle queries each pin ONE use of the cross-engine
 conventions (epoch-second BIGINTs, floor-half-up rounding, the
@@ -202,11 +204,57 @@ def _gen_join_spec(rng: random.Random) -> str:
     return _assemble(join, filters, groups, aggs)
 
 
+def _gen_window_spec(rng: random.Random) -> str:
+    """One generated WINDOW-FUNCTION query over events: top-n per key
+    and running/lag frames under the total-order tiebreak convention
+    (every ORDER BY ends in the unique event_id, so rank and frame
+    contents are engine-independent), with integer-unit running sums
+    (BIGINT end-to-end — float frame sums would depend on within-frame
+    order)."""
+    pk = rng.choice(["event_type", f"user_id % {rng.randint(2, 6)}"])
+    order = rng.choice(
+        ["{EPOCH:ts}", "v_e2 DESC", "{EPOCH:ts} DESC, v_e2"]
+    ) + ", event_id"
+    filters = rng.choice(
+        [
+            "",
+            f" WHERE value > {rng.randint(0, 120)}",
+            f" WHERE user_id % {rng.randint(2, 4)} = 0",
+        ]
+    )
+    n = rng.randint(2, 5)
+    extra = rng.choice(
+        [
+            # running integer sum over the explicit total order
+            f"CAST(sum(v_e2) OVER (PARTITION BY {pk} ORDER BY {order} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS run_v_e2",
+            # event-time gap to the previous row in the same order
+            f"{{EPOCH:ts}} - lag({{EPOCH:ts}}, 1, {{EPOCH:ts}}) OVER "
+            f"(PARTITION BY {pk} ORDER BY {order}) AS gap_s",
+            # dense rank under the same total order
+            f"CAST(rank() OVER (PARTITION BY {pk} ORDER BY {order}) AS BIGINT)"
+            " AS rnk",
+        ]
+    )
+    return (
+        "WITH b AS (SELECT event_id, user_id, event_type, value, ts, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2 "
+        f"FROM events{filters}) "
+        f"SELECT event_id, g0, rn, x FROM (SELECT event_id, {pk} AS g0, "
+        f"row_number() OVER (PARTITION BY {pk} ORDER BY {order}) AS rn, "
+        f"{extra.rsplit(' AS ', 1)[0]} AS x FROM b) t WHERE rn <= {n}"
+    )
+
+
 _RNG = random.Random(SEED)
 SPECS = [_gen_spec(_RNG) for _ in range(N_QUERIES)]
 N_JOIN_QUERIES = 10
 _JRNG = random.Random(SEED + 1)
 JOIN_SPECS = [_gen_join_spec(_JRNG) for _ in range(N_JOIN_QUERIES)]
+N_WINDOW_QUERIES = 8
+_WRNG = random.Random(SEED + 2)
+WINDOW_SPECS = [_gen_window_spec(_WRNG) for _ in range(N_WINDOW_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(N_QUERIES))
@@ -221,5 +269,13 @@ def test_generated_query_matches_duckdb(spark, idx):
 def test_generated_join_query_matches_duckdb(spark, idx):
     template = JOIN_SPECS[idx]
     register_views(spark, SF_DIR, ("orders", "lineitem", "customer"))
+    spark_df = spark.sql(_render(template, "spark"))
+    compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)
+
+
+@pytest.mark.parametrize("idx", range(N_WINDOW_QUERIES))
+def test_generated_window_query_matches_duckdb(spark, idx):
+    template = WINDOW_SPECS[idx]
+    register_views(spark, SF_DIR, ("events",))
     spark_df = spark.sql(_render(template, "spark"))
     compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)
