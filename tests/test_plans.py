@@ -207,12 +207,13 @@ PLAN_BOUNDS = {
     "training_mix_snapshot": (7, 0),
     "encoding_audit": (0, 0),  # pure regexp projection
     "markup_strip": (0, 0),  # chained-regexp projection
-    # composed: tfidf(4) + index(2) + score groupBy + topk window;
-    # queries must stay broadcast (smj would mean the build side grew)
-    # 8 since r8: +1 for the persisted query frame's materialization
-    # barrier feeding the new term pre-filter — explain substitutes
-    # the cached relation, so the tf-idf subtree is counted once
-    "multi_query_search": (8, 0),
+    # composed: query construction (r12 pushdown: 5-doc tf groupBy +
+    # cand-terms distinct + candidate-pruned df distinct+groupBy +
+    # per-doc rank window = 5, all but the df explode bounded by the
+    # query docs) + index(2) + score groupBy + topk window + the
+    # persisted query frame's barrier; queries/dfreq must stay
+    # broadcast (smj would mean a build side grew corpus-sized)
+    "multi_query_search": (10, 0),
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
