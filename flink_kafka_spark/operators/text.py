@@ -439,7 +439,11 @@ def inverted_index(
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    doc_filter: "Column | None" = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf with a
     RATIONAL idf (N/df instead of log(N/df)): the ranking is the same
@@ -454,17 +458,52 @@ def tfidf_top_terms(
     term instead of two join shuffles), a scalar doc count broadcast,
     and a per-doc top-k window. Three shuffles total, each on a
     natural key; no data passes through Python.
-    """
+
+    ``doc_filter`` restricts the RANKED docs while keeping N and df
+    corpus-global — the query-construction pushdown (r12): the tf
+    side reads only the filtered docs (the predicate reaches the
+    scan), and df is counted from an array_distinct explode of the
+    corpus broadcast-semi-pruned to the filtered docs' candidate
+    terms (per-term df is self-contained, so the output rows are
+    byte-identical to ranking everything then filtering — the
+    inverted_index ``terms`` discipline). Use it when the filter
+    keeps a bounded doc batch whose vocabulary broadcasts."""
     from pyspark.sql.window import Window
 
     ws = F.split(F.lower(F.col(text_col)), r"\s+")
-    ex = df.select(F.col(id_col), F.size(ws).alias("n_tokens"), F.explode(ws).alias("term"))
-    tc = ex.groupBy(id_col, "n_tokens", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    if doc_filter is None:
+        ex = df.select(
+            F.col(id_col), F.size(ws).alias("n_tokens"), F.explode(ws).alias("term")
+        )
+        tc = ex.groupBy(id_col, "n_tokens", "term").agg(F.count(F.lit(1)).alias("cnt"))
+        scored = tc.withColumn(
+            "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+    else:
+        tc = (
+            df.filter(doc_filter)
+            .select(
+                F.col(id_col), F.size(ws).alias("n_tokens"), F.explode(ws).alias("term")
+            )
+            .groupBy(id_col, "n_tokens", "term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cand_terms = tc.select("term").distinct()
+        # corpus df for candidate terms only: postings are unique per
+        # (doc, term) by construction (array_distinct), so the count
+        # needs no distinct shuffle; the semi filter prunes the
+        # explode output before its one shuffle
+        dfreq = (
+            df.select(F.explode(F.array_distinct(ws)).alias("term"))
+            .join(F.broadcast(cand_terms), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("dfreq"))
+        )
+        # dfreq is bounded by the filtered docs' vocabulary — broadcast
+        scored = tc.join(F.broadcast(dfreq), "term")
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tc.withColumn("dfreq", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("_score", (F.col("cnt") * F.col("n_docs")) / (F.col("n_tokens") * F.col("dfreq")))
+    scored = scored.crossJoin(F.broadcast(n_docs)).withColumn(
+        "_score", (F.col("cnt") * F.col("n_docs")) / (F.col("n_tokens") * F.col("dfreq"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_score").desc(), F.col("term").asc())
     return (

@@ -939,55 +939,22 @@ def multi_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Query construction gets the same pushdown (r12): ranking tf·idf
     for the 5 query docs only needs (a) their own term counts — the
     doc filter reaches the parquet scan — and (b) the GLOBAL df of
-    the terms those docs contain, computed by broadcast-semi-filtering
-    the corpus explode to candidate terms before the distinct+count
-    shuffle. Identical scores and tiebreaks to ranking the whole
-    corpus then filtering (per-term df is self-contained; the 12-round
-    oracle replays the unfiltered form), but the two corpus-sized
-    window shuffles become candidate-pruned ones — measured 4.4 s →
-    the corpus pass drops to the one explode df needs."""
-    from pyspark.sql.window import Window
-
+    the terms those docs contain. Both live in the operator's
+    ``doc_filter`` pushdown (operators/text.py tfidf_top_terms —
+    ONE copy of the score formula and tiebreak); identical output to
+    ranking the whole corpus then filtering (per-term df is
+    self-contained; the oracle replays the unfiltered form), measured
+    4.4 s → ~1.7 s at sf0.1."""
     from ..caching import track
-    from ..operators.text import inverted_index
+    from ..operators.text import inverted_index, tfidf_top_terms
 
     docs = load(spark, sf_dir, "documents")
-    ws = F.split(F.lower(F.col("text")), r"\s+")
-    # tf side: the 5 query docs only (filter pushed to the scan)
-    tc_q = (
-        docs.filter(F.col("doc_id") < SEARCH_N_QUERIES)
-        .select("doc_id", F.size(ws).alias("n_tokens"), F.explode(ws).alias("term"))
-        .groupBy("doc_id", "n_tokens", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    cand_terms = tc_q.select("term").distinct()
-    # df side: global distinct-doc count, corpus explode pruned to the
-    # candidate terms BEFORE the shuffle (df per term is self-contained)
-    dfreq = (
-        docs.select("doc_id", F.explode(ws).alias("term"))
-        .join(F.broadcast(cand_terms), "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("dfreq"))
-    )
-    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    # same float score and (score desc, term asc) tiebreak as
-    # operators.text.tfidf_top_terms over the full corpus
-    scored_q = (
-        # dfreq is bounded by the 5 query docs' vocabulary — broadcast
-        tc_q.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "_score",
-            (F.col("cnt") * F.col("n_docs")) / (F.col("n_tokens") * F.col("dfreq")),
-        )
-    )
-    wq = Window.partitionBy("doc_id").orderBy(F.col("_score").desc(), F.col("term").asc())
     # consumed twice (term pre-filter + scoring join) — persist the
     # ~15-row frame so the ranking isn't recomputed per consumer
     queries = track(
-        scored_q.withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= TFIDF_K)
+        tfidf_top_terms(
+            docs, k=TFIDF_K, doc_filter=F.col("doc_id") < SEARCH_N_QUERIES
+        )
         .select(F.col("doc_id").alias("query_id"), "term")
         .persist()
     )

@@ -223,18 +223,20 @@ def _gen_window_spec(rng: random.Random) -> str:
         ]
     )
     n = rng.randint(2, 5)
+    # order WITHOUT the unique tiebreak: rank() must agree on ties
+    # (tied rows share a rank whatever within-tie order each engine
+    # visits), which a total order would reduce to row_number
+    tie_order = order.rsplit(", event_id", 1)[0]
     extra = rng.choice(
         [
             # running integer sum over the explicit total order
             f"CAST(sum(v_e2) OVER (PARTITION BY {pk} ORDER BY {order} "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
-            " AS run_v_e2",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
             # event-time gap to the previous row in the same order
             f"{{EPOCH:ts}} - lag({{EPOCH:ts}}, 1, {{EPOCH:ts}}) OVER "
-            f"(PARTITION BY {pk} ORDER BY {order}) AS gap_s",
-            # dense rank under the same total order
-            f"CAST(rank() OVER (PARTITION BY {pk} ORDER BY {order}) AS BIGINT)"
-            " AS rnk",
+            f"(PARTITION BY {pk} ORDER BY {order})",
+            # rank WITH ties under the tiebreak-free order
+            f"CAST(rank() OVER (PARTITION BY {pk} ORDER BY {tie_order}) AS BIGINT)",
         ]
     )
     return (
@@ -243,7 +245,7 @@ def _gen_window_spec(rng: random.Random) -> str:
         f"FROM events{filters}) "
         f"SELECT event_id, g0, rn, x FROM (SELECT event_id, {pk} AS g0, "
         f"row_number() OVER (PARTITION BY {pk} ORDER BY {order}) AS rn, "
-        f"{extra.rsplit(' AS ', 1)[0]} AS x FROM b) t WHERE rn <= {n}"
+        f"{extra} AS x FROM b) t WHERE rn <= {n}"
     )
 
 

@@ -207,13 +207,14 @@ PLAN_BOUNDS = {
     "training_mix_snapshot": (7, 0),
     "encoding_audit": (0, 0),  # pure regexp projection
     "markup_strip": (0, 0),  # chained-regexp projection
-    # composed: query construction (r12 pushdown: 5-doc tf groupBy +
-    # cand-terms distinct + candidate-pruned df distinct+groupBy +
-    # per-doc rank window = 5, all but the df explode bounded by the
-    # query docs) + index(2) + score groupBy + topk window + the
-    # persisted query frame's barrier; queries/dfreq must stay
-    # broadcast (smj would mean a build side grew corpus-sized)
-    "multi_query_search": (10, 0),
+    # composed: query construction (r12 doc_filter pushdown inside
+    # tfidf_top_terms: 5-doc tf groupBy + cand-terms distinct +
+    # candidate-pruned array_distinct df groupBy + per-doc rank
+    # window = 4, all but the df explode bounded by the query docs)
+    # + index(2) + score groupBy + topk window + the persisted query
+    # frame's barrier; queries/dfreq must stay broadcast (smj would
+    # mean a build side grew corpus-sized)
+    "multi_query_search": (9, 0),
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
