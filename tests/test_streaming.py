@@ -1648,6 +1648,23 @@ def test_kmv_stream_bit_matches_batch_and_restarts_exactly(spark, tmp_path):
         (r["s"], r["h"], r["rn"], r["est"]) for r in final
     )
 
+    # composition: the live manifest IS a kmv_minima frame, so the
+    # pair set-algebra runs on it directly — intersections between
+    # monitored sets from sketch state alone, bit-equal to batch
+    from flink_kafka_spark.operators.sketches import kmv_pair_intersections
+
+    streamed = spark.createDataFrame(
+        [(r["s"], r["h"], r["rn"]) for r in final], "s string, h long, rn int"
+    )
+    got_pairs = sorted(
+        tuple(r) for r in kmv_pair_intersections(streamed, k).collect()
+    )
+    want_pairs = sorted(
+        tuple(r)
+        for r in kmv_pair_intersections(kmv_minima(whole, "s", "v", k), k).collect()
+    )
+    assert got_pairs == want_pairs and got_pairs
+
 
 def test_reservoir_stream_rejects_legacy_int_seed():
     """The pre-r11 signature had `seed: int` as the A-Res hash seed;
