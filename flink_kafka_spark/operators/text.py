@@ -467,7 +467,13 @@ def tfidf_top_terms(
     terms (per-term df is self-contained, so the output rows are
     byte-identical to ranking everything then filtering — the
     inverted_index ``terms`` discipline). Use it when the filter
-    keeps a bounded doc batch whose vocabulary broadcasts."""
+    keeps a bounded doc batch whose vocabulary broadcasts.
+
+    PRECONDITION (both branches' df and inverted_index's dfreq window
+    share it): ``id_col`` is unique — df counts one posting row per
+    (doc, term), so a duplicated id would double-count its terms' df
+    in the filtered branch while the unfiltered branch's tc groupBy
+    collapses it. ``id_col`` is the table key everywhere in-repo."""
     from pyspark.sql.window import Window
 
     ws = F.split(F.lower(F.col(text_col)), r"\s+")

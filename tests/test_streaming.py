@@ -1628,12 +1628,13 @@ def test_kmv_stream_bit_matches_batch_and_restarts_exactly(spark, tmp_path):
     # uninterrupted two-batch run == batch sketch of everything
     final = run(replay([rows_a, rows_b], "ab"), "ck_ab")
     whole = spark.createDataFrame(rows_a + rows_b, "s string, v string")
+    batch_minima = kmv_minima(whole, "s", "v", k)
     want_manifest = sorted(
-        (r["s"], r["h"], r["rn"]) for r in kmv_minima(whole, "s", "v", k).collect()
+        (r["s"], r["h"], r["rn"]) for r in batch_minima.collect()
     )
     got_manifest = sorted((r["s"], r["h"], r["rn"]) for r in final)
     assert got_manifest == want_manifest
-    want_est = {r["s"]: r["est"] for r in kmv_estimate(kmv_minima(whole, "s", "v", k), k).collect()}
+    want_est = {r["s"]: r["est"] for r in kmv_estimate(batch_minima, k).collect()}
     got_est = {r["s"]: r["est"] for r in final}
     assert got_est == want_est
     assert got_est["small"] == 9  # exact branch: below k distinct
@@ -1660,8 +1661,7 @@ def test_kmv_stream_bit_matches_batch_and_restarts_exactly(spark, tmp_path):
         tuple(r) for r in kmv_pair_intersections(streamed, k).collect()
     )
     want_pairs = sorted(
-        tuple(r)
-        for r in kmv_pair_intersections(kmv_minima(whole, "s", "v", k), k).collect()
+        tuple(r) for r in kmv_pair_intersections(batch_minima, k).collect()
     )
     assert got_pairs == want_pairs and got_pairs
 
