@@ -507,6 +507,41 @@ def main() -> None:
     rel = abs(kmv_est["big"] - exact_kmv["big"]) / exact_kmv["big"]
     assert rel < 0.5, (kmv_est["big"], exact_kmv["big"], rel)
 
+    # KMV pair set-algebra on a planted overlap: a = [0, 600k),
+    # b = [400k, 1M) -> |a∩b| = 200k, |a∪b| = 1M (Jaccard 0.2), plus
+    # two below-k sets overlapping on 15 values (exact path). The
+    # pair computation consumes ONLY the k-row sketches — its wall
+    # time must not grow with the sets' cardinality (recorded, and
+    # the operator's only non-sketch input is the minima frame by
+    # construction).
+    from flink_kafka_spark.operators.sketches import kmv_pair_intersections
+
+    ab = spark.range(1_000_000).select(
+        F.when(F.col("id") < 600_000, F.lit("a")).otherwise(F.lit("b")).alias("s"),
+        F.col("id").cast("string").alias("v"),
+    ).unionByName(
+        spark.range(400_000, 600_000).select(
+            F.lit("b").alias("s"), F.col("id").cast("string").alias("v")
+        )
+    ).unionByName(
+        spark.range(40).select(F.lit("c").alias("s"), F.col("id").cast("string").alias("v"))
+    ).unionByName(
+        spark.range(25, 65).select(F.lit("d").alias("s"), F.col("id").cast("string").alias("v"))
+    )
+    pair_minima = kmv_minima(ab, "s", "v", kmv_k)
+    t0 = time.perf_counter()
+    got_pairs = {
+        (r["set_a"], r["set_b"]): r for r in kmv_pair_intersections(pair_minima, kmv_k).collect()
+    }
+    timings["kmv_pair_intersections_1M"] = round(time.perf_counter() - t0, 2)
+    exact_small = got_pairs[("c", "d")]
+    assert (exact_small["est_union"], exact_small["est_intersection"]) == (65, 15), (
+        tuple(exact_small)
+    )
+    big = got_pairs[("a", "b")]
+    assert abs(big["est_union"] - 1_000_000) / 1_000_000 < 0.5, tuple(big)
+    assert abs(big["est_intersection"] - 200_000) / 200_000 < 0.6, tuple(big)
+
     # PageRank on a planted 100k-node hub graph: 1000 hubs, each the
     # center of a 99-leaf star (leaves point only at their hub, hubs
     # chain hub -> next hub so mass circulates among hubs and never
