@@ -445,3 +445,58 @@ def hll_rollup(
         F.count(F.lit(1)).cast("long").alias("n_subs"),
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est_distinct"),
     )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    set_col: str,
+    sub_col: str,
+    val_col: str,
+    quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Two-level QUANTILE rollup on Spark's native Datasketches KLL
+    aggregates — the hll_rollup twin for order statistics: per
+    (set, sub) KLL sketches (the materializable cube cell), then a
+    ``kll_merge_agg_double`` rollup to per-set quantiles. The KLL
+    merge preserves the sketch's ε ≈ 1.7/√k normalized-RANK error
+    (Karnin-Lang-Liberty, FOCS 2016) regardless of the merge tree, so
+    a 100 TB pipeline stores per-(set, day) sketch bytes once and
+    answers any set-level quantile question without re-reading data —
+    what exact ``percentile`` cannot do without a full re-sort and
+    ``percentile_approx`` cannot do from pre-aggregated state.
+
+    Exactness contract: a set whose TOTAL value count stays ≤ k keeps
+    every value through both levels, so its quantiles are exact order
+    statistics (pinned by pytest); larger sets carry the rank-error
+    bound (also pinned, with a planted distribution). NULL values are
+    ignored by the aggregate, matching percentile_approx.
+
+    Returns ``(set, n_subs, n_vals, q_<pct> ...)`` with one double
+    column per requested quantile. Plan: one shuffle to the
+    (set, sub) cells with partial KLL buffers map-side combined, one
+    tiny shuffle of sketch BYTES (|cells| rows) to the set level —
+    the value stream never crosses the wire twice. Estimates are
+    deterministic for fixed data but Datasketches-internal, so
+    registry rows built on this are rows-only with pytest bounds."""
+    cells = df.groupBy(
+        F.col(set_col).alias("s"), F.col(sub_col).alias("sub")
+    ).agg(
+        F.expr(f"kll_sketch_agg_double({val_col}, {k})").alias("sk"),
+    )
+    merged = cells.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subs"),
+        F.expr("kll_merge_agg_double(sk)").alias("msk"),
+    )
+    qcols = [
+        F.expr(f"kll_sketch_get_quantile_double(msk, cast({q} as double))").alias(
+            f"q_{str(q).replace('0.', '').ljust(2, '0')}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(
+        "s",
+        "n_subs",
+        F.expr("kll_sketch_get_n_double(msk)").cast("long").alias("n_vals"),
+        *qcols,
+    )

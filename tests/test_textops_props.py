@@ -908,6 +908,53 @@ def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
     assert abs(eu - 8000) / 8000 < 0.5 and abs(ei - 2000) / 2000 < 0.75
 
 
+def test_kll_quantile_rollup_exact_below_k_and_rank_bounded_above(spark):
+    """KLL quantile rollup: (a) a set whose total count stays below
+    the sketch's k keeps every value through both levels — quantiles
+    are EXACT order statistics (rank = ceil(q·n)) no matter how the
+    rows were split into subs; (b) a large set's quantiles respect the
+    sketch's normalized-rank error (±3% band vs ε≈1.65% at k=200);
+    (c) n_vals and n_subs are exact counts."""
+    from flink_kafka_spark.operators.sketches import kll_quantile_rollup
+
+    qs = (0.5, 0.95, 0.99)
+    small_vals = [float(v) for v in range(1, 41)]
+    n_big = 60_000
+    rows = [("small", i % 3, v) for i, v in enumerate(small_vals)]
+    rows += [("small2", i % 5, v) for i, v in enumerate(small_vals)]  # same data, other split
+    rows += [("big", i % 7, float(i % 10007)) for i in range(n_big)]
+    df = spark.createDataFrame(rows, "s string, sub int, v double")
+    got = {
+        r["s"]: r for r in kll_quantile_rollup(df, "s", "sub", "v", qs).collect()
+    }
+
+    def exact_q(vals, q):
+        import math
+
+        return sorted(vals)[math.ceil(q * len(vals)) - 1]
+
+    for s, n_subs in (("small", 3), ("small2", 5)):
+        r = got[s]
+        assert (r["n_subs"], r["n_vals"]) == (n_subs, 40)
+        for q in qs:
+            key = f"q_{str(q).replace('0.', '').ljust(2, '0')}"
+            assert r[key] == exact_q(small_vals, q), (s, q, r[key])
+    # split-independence on the exact path: identical quantiles
+    assert all(
+        got["small"][f"q_{c}"] == got["small2"][f"q_{c}"] for c in ("50", "95", "99")
+    )
+
+    big_vals = sorted(float(i % 10007) for i in range(n_big))
+    r = got["big"]
+    assert r["n_vals"] == n_big
+    import bisect
+
+    for q in qs:
+        key = f"q_{str(q).replace('0.', '').ljust(2, '0')}"
+        rank = bisect.bisect_right(big_vals, r[key]) / n_big
+        assert abs(rank - q) < 0.03, (q, r[key], rank)
+
+
 def test_bpe_apply_round_trips_the_learned_merges(spark):
     """apply(learn(corpus)) must tokenize every word exactly like the
     pure-Python trainer's final state: total BPE tokens per doc equal
