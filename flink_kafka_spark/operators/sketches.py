@@ -470,33 +470,40 @@ def kll_quantile_rollup(
     every value through both levels, so its quantiles are exact order
     statistics (pinned by pytest); larger sets carry the rank-error
     bound (also pinned, with a planted distribution). NULL values are
-    ignored by the aggregate, matching percentile_approx.
+    filtered BEFORE sketching (an all-NULL cell would otherwise
+    produce an empty sketch whose quantile extraction aborts the
+    job), so a set with no non-NULL values yields no output row —
+    the rollup analog of percentile_approx's NULL result.
 
     Returns ``(set, n_subs, n_vals, q_<pct> ...)`` with one double
-    column per requested quantile. Plan: one shuffle to the
-    (set, sub) cells with partial KLL buffers map-side combined, one
-    tiny shuffle of sketch BYTES (|cells| rows) to the set level —
-    the value stream never crosses the wire twice. Estimates are
-    deterministic for fixed data but Datasketches-internal, so
-    registry rows built on this are rows-only with pytest bounds."""
-    cells = df.groupBy(
-        F.col(set_col).alias("s"), F.col(sub_col).alias("sub")
-    ).agg(
-        F.expr(f"kll_sketch_agg_double({val_col}, {k})").alias("sk"),
+    column per requested quantile, named by percent with ``.`` → ``_``
+    (0.5 → q_50, 0.999 → q_99_9). Plan: one shuffle to the (set, sub)
+    cells with partial KLL buffers map-side combined, one tiny shuffle
+    of sketch BYTES (|cells| rows) to the set level — the value stream
+    never crosses the wire twice. Estimates are deterministic for
+    fixed data but Datasketches-internal, so registry rows built on
+    this are rows-only with pytest bounds."""
+    if not quantiles or any(not (0 < q <= 1) for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    names = [f"q_{f'{q * 100:g}'.replace('.', '_')}" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile columns from {quantiles}: {names}")
+    cells = (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(set_col).alias("s"), F.col(sub_col).alias("sub"))
+        .agg(F.kll_sketch_agg_double(F.col(val_col), F.lit(k)).alias("sk"))
     )
     merged = cells.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("n_subs"),
-        F.expr("kll_merge_agg_double(sk)").alias("msk"),
+        F.kll_merge_agg_double(F.col("sk")).alias("msk"),
     )
     qcols = [
-        F.expr(f"kll_sketch_get_quantile_double(msk, cast({q} as double))").alias(
-            f"q_{str(q).replace('0.', '').ljust(2, '0')}"
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(float(q))).alias(name)
+        for q, name in zip(quantiles, names)
     ]
     return merged.select(
         "s",
         "n_subs",
-        F.expr("kll_sketch_get_n_double(msk)").cast("long").alias("n_vals"),
+        F.kll_sketch_get_n_double(F.col("msk")).cast("long").alias("n_vals"),
         *qcols,
     )

@@ -955,6 +955,28 @@ def test_kll_quantile_rollup_exact_below_k_and_rank_bounded_above(spark):
         assert abs(rank - q) < 0.03, (q, r[key], rank)
 
 
+def test_kll_quantile_rollup_edge_cases(spark):
+    """Review pins: an all-NULL set yields no row (never an empty-
+    sketch crash), column names survive spaces and sub-percent
+    quantiles (0.999 -> q_99_9), and out-of-range quantiles raise."""
+    import pytest
+
+    from flink_kafka_spark.operators.sketches import kll_quantile_rollup
+
+    rows = [("a", 0, 1.0), ("a", 0, 2.0), ("nullset", 0, None), ("nullset", 1, None)]
+    df = spark.createDataFrame(rows, "s string, sub int, `my val` double")
+    out = kll_quantile_rollup(df, "s", "sub", "my val", (0.5, 0.999, 1.0))
+    assert [f.name for f in out.schema.fields] == [
+        "s", "n_subs", "n_vals", "q_50", "q_99_9", "q_100",
+    ]
+    got = out.collect()
+    assert [tuple(r) for r in got] == [("a", 1, 2, 1.0, 2.0, 2.0)]
+    with pytest.raises(ValueError, match="quantiles"):
+        kll_quantile_rollup(df, "s", "sub", "my val", (0.0,))
+    with pytest.raises(ValueError, match="duplicate"):
+        kll_quantile_rollup(df, "s", "sub", "my val", (0.5, 0.50))
+
+
 def test_bpe_apply_round_trips_the_learned_merges(spark):
     """apply(learn(corpus)) must tokenize every word exactly like the
     pure-Python trainer's final state: total BPE tokens per doc equal
