@@ -4,7 +4,9 @@ filter × group-key × window-width × aggregate combinations on the
 orders⋈lineitem / customer⋈orders that drives the same conventions
 through shuffle joins with keys drawn from both sides, plus a
 window-function sweep (row_number/rank/lag/running frames) that pins
-the total-order-tiebreak and integer-frame-sum conventions.
+the total-order-tiebreak and integer-frame-sum conventions, plus a
+grouping-sets sweep (CUBE/ROLLUP/GROUPING SETS) that pins the
+grouping_id ↔ GROUPING bit-order and NULL-cell conventions.
 
 The hand-written oracle queries each pin ONE use of the cross-engine
 conventions (epoch-second BIGINTs, floor-half-up rounding, the
@@ -249,6 +251,44 @@ def _gen_window_spec(rng: random.Random) -> str:
     )
 
 
+def _gen_cube_spec(rng: random.Random) -> str:
+    """One generated multi-dimensional aggregate over events: CUBE /
+    ROLLUP / explicit GROUPING SETS with the composite grouping marker
+    ({GID:...} renders Spark's zero-arg grouping_id() vs DuckDB's
+    explicit GROUPING(cols...) — same bit order by the grouping-column
+    order convention orders_cube pins) and NULL group-key cells
+    compared across engines."""
+    g1 = rng.choice(["event_type", f"user_id % {rng.randint(2, 5)}"])
+    w = rng.choice([3600, 86400])
+    g2 = rng.choice(
+        [f"user_id % {rng.randint(6, 9)}", "({EPOCH}{IDIV}" + str(w) + ") * " + str(w)]
+    )
+    shape = rng.choice(
+        [
+            f"CUBE({g1}, {g2})",
+            f"ROLLUP({g1}, {g2})",
+            f"GROUPING SETS (({g1}, {g2}), ({g1}), ())",
+        ]
+    )
+    filters = rng.choice(["", f" WHERE value > {rng.randint(0, 100)}"])
+    return (
+        f"SELECT {g1} AS g0, {g2} AS g1, "
+        f"{{GID:{g1}|{g2}}} AS gid, count(*) AS n_rows, "
+        "CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS sum_value_e4 "
+        f"FROM events{filters} GROUP BY {shape}"
+    )
+
+
+def _render_gid(template: str, dialect: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        if dialect == "spark":
+            return "grouping_id()"
+        return "GROUPING(" + m.group(1).replace("|", ", ") + ")"
+
+    return re.sub(r"\{GID:([^{}]+)\}", repl, template)
+
+
 _RNG = random.Random(SEED)
 SPECS = [_gen_spec(_RNG) for _ in range(N_QUERIES)]
 N_JOIN_QUERIES = 10
@@ -257,6 +297,9 @@ JOIN_SPECS = [_gen_join_spec(_JRNG) for _ in range(N_JOIN_QUERIES)]
 N_WINDOW_QUERIES = 8
 _WRNG = random.Random(SEED + 2)
 WINDOW_SPECS = [_gen_window_spec(_WRNG) for _ in range(N_WINDOW_QUERIES)]
+N_CUBE_QUERIES = 6
+_CRNG = random.Random(SEED + 3)
+CUBE_SPECS = [_gen_cube_spec(_CRNG) for _ in range(N_CUBE_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(N_QUERIES))
@@ -281,3 +324,13 @@ def test_generated_window_query_matches_duckdb(spark, idx):
     register_views(spark, SF_DIR, ("events",))
     spark_df = spark.sql(_render(template, "spark"))
     compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)
+
+
+@pytest.mark.parametrize("idx", range(N_CUBE_QUERIES))
+def test_generated_grouping_sets_query_matches_duckdb(spark, idx):
+    template = CUBE_SPECS[idx]
+    register_views(spark, SF_DIR, ("events",))
+    spark_df = spark.sql(_render_gid(_render(template, "spark"), "spark"))
+    compare_spark_duckdb(
+        spark_df, _render_gid(_render(template, "duckdb"), "duckdb"), SF_DIR
+    )
