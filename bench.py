@@ -187,6 +187,12 @@ BENCH_QUERIES = [
     "uv_hll_rollup",
     # round-10 per-group percentile winsorization. No baseline.
     "events_value_winsorize",
+    # round-13 sketch registrations: KMV pair-intersection set algebra
+    # over source shingle vocabularies (full oracle) and the native
+    # KLL quantile rollup (rows-only, pytest value bounds). No
+    # baseline entries yet — guardrail skips.
+    "kmv_pair_intersections",
+    "kll_quantile_rollup",
 ]
 
 

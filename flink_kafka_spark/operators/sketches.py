@@ -315,6 +315,15 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
       present in BOTH sketches (the Jaccard sample restricted to the
       decidable region).
 
+    Exactness contract caveat: "exact" on the both-below-k path means
+    exact over DISTINCT 32-BIT HASHES, not distinct values — two
+    values colliding in the md5-prefix space silently undercount by
+    one (and a cross-set collision overcounts the intersection). The
+    estimator is hash-space-bound by design, the same operating
+    ceiling :func:`kmv_minima` documents: collision probability stays
+    ~n²/2³³ per set, negligible until set cardinality approaches the
+    32-bit space, where a wider hash — not this sketch — is the tool.
+
     All arithmetic is fixed-point integer on the portable md5-prefix
     hash, so results are bit-identical across engines, partitionings
     and runs. Scale shape: one tiny per-set stats frame (|sets| rows,
@@ -374,27 +383,35 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
     mb = pairs_b.join(
         minima.select(F.col("s").alias("set_b"), "h"), "set_b"
     ).select("set_a", "set_b", "h", "theta")
+    # membership sample as union + tag-max groupBy rather than a
+    # FULL OUTER join: a full outer can never broadcast, so Spark
+    # sort-merge-joins two pair x k frames (two sorts + two
+    # exchanges); the union form is ONE hash shuffle on the same keys
+    # with map-side partial max, no sorts, and lets the θ filter run
+    # BEFORE the shuffle. Semantics identical: per (pair, h), ia/ib
+    # record which sketches contain h — what the outer join's
+    # null-coalesced tags encoded.
     sample = (
-        ma.withColumn("in_a", F.lit(1))
-        .join(
-            mb.withColumn("in_b", F.lit(1)),
-            ["set_a", "set_b", "h", "theta"],
-            "full_outer",
+        ma.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+        .unionByName(
+            mb.withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1))
         )
         .where(F.col("h") <= F.col("theta"))
+        .groupBy("set_a", "set_b", "h")
+        .agg(F.max("in_a").alias("ia"), F.max("in_b").alias("ib"))
         .groupBy("set_a", "set_b")
         .agg(
             F.count(F.lit(1)).alias("n_s"),
-            F.sum(
-                (F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0)))
-            ).alias("n_both"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
         )
     )
     est_union = F.when(F.col("both_exact"), F.col("n_s")).otherwise(
         F.expr(f"cast(n_s - 1 as bigint) * cast({CMS_SPACE} as bigint) div theta")
     )
+    # sample is |pairs| rows — broadcast it onto the stats frame so
+    # the terminal join never sorts
     return (
-        pairs.join(sample, ["set_a", "set_b"])
+        pairs.join(F.broadcast(sample), ["set_a", "set_b"])
         .withColumn("est_union", est_union.cast("long"))
         .select(
             "set_a",

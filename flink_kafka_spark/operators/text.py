@@ -444,6 +444,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 3,
     doc_filter: "Column | None" = None,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf with a
     RATIONAL idf (N/df instead of log(N/df)): the ranking is the same
@@ -466,8 +467,20 @@ def tfidf_top_terms(
     corpus broadcast-semi-pruned to the filtered docs' candidate
     terms (per-term df is self-contained, so the output rows are
     byte-identical to ranking everything then filtering — the
-    inverted_index ``terms`` discipline). Use it when the filter
-    keeps a bounded doc batch whose vocabulary broadcasts.
+    inverted_index ``terms`` discipline).
+
+    SCALE CONTRACT of the filtered branch (the multi_query_search
+    bounded-batch discipline): ``broadcast_vocab=True`` (default)
+    broadcast-hints the candidate-term semi filter and the dfreq
+    probe, which is right ONLY while the filter keeps a bounded doc
+    batch whose distinct vocabulary fits an executor — a broad
+    filter makes both frames corpus-vocabulary-sized and the hints
+    would force a driver-side collect of the whole vocabulary. For
+    wide filters pass ``broadcast_vocab=False``: the semi-join
+    pruning is kept but the join strategy is left to the planner —
+    AQE still broadcasts at runtime when the measured build side is
+    small, and degrades to a shuffle join instead of an OOM when it
+    is not.
 
     PRECONDITION (both branches' df and inverted_index's dfreq window
     share it): ``id_col`` is unique — df counts one posting row per
@@ -495,18 +508,21 @@ def tfidf_top_terms(
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         cand_terms = tc.select("term").distinct()
+        if broadcast_vocab:
+            cand_terms = F.broadcast(cand_terms)
         # corpus df for candidate terms only: postings are unique per
         # (doc, term) by construction (array_distinct), so the count
         # needs no distinct shuffle; the semi filter prunes the
         # explode output before its one shuffle
         dfreq = (
             df.select(F.explode(F.array_distinct(ws)).alias("term"))
-            .join(F.broadcast(cand_terms), "term", "left_semi")
+            .join(cand_terms, "term", "left_semi")
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("dfreq"))
         )
-        # dfreq is bounded by the filtered docs' vocabulary — broadcast
-        scored = tc.join(F.broadcast(dfreq), "term")
+        # dfreq is bounded by the filtered docs' vocabulary (see the
+        # scale contract above)
+        scored = tc.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = scored.crossJoin(F.broadcast(n_docs)).withColumn(
         "_score", (F.col("cnt") * F.col("n_docs")) / (F.col("n_tokens") * F.col("dfreq"))

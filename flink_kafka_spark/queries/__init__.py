@@ -68,24 +68,22 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-12 ROTATION (full rationale in ROTATION_LEDGER.md §Round 12):
-# OUT, all green r10+r11: the full 14-row twice-green non-check pool
-# (hot_items_sql, unique_visitors, click_blacklist, login_fail_detect,
-# session_windows_native, orders_cube, fk_coverage_audit,
-# agg_incremental_update, events_gapfill_interp, events_key_skew,
-# retention_cohorts, source_divergence, inverted_index,
-# media_frame_sample). inverted_index may leave only because
-# multi_query_search + tfidf_top_terms enter as the retrieval anchors;
-# hot_items_sql may leave only because hot_items_topn re-enters as the
-# §2-surface anchor (SQL-parity pytest pins the two to each other).
-# IN, per the written r12 schedule: hot_items_topn (flagship re-hash,
-# deferred from r11) plus 13 of the r7-stale long-tail — sessionize,
-# funnel_conversions, channel_stats, global_stats, hot_sources_topn,
-# uv_bloom, multi_query_search, tfidf_top_terms, tpch_q1, tpch_q3,
-# decontaminate, pii_scan, dataset_split. The remaining r7-stale rows
-# are scheduled r13 (ROTATION_LEDGER §r13 schedule).
+# ROUND-13 ROTATION (full rationale in ROTATION_LEDGER.md §Round 13):
+# tools/cadence_audit.py (new this round) recomputes absence from
+# CORRECTNESS_r*.json last-hash rounds — the r12 ledger's "due r14"
+# prose was off by one (rows rotate OUT the round AFTER their last
+# hash). The audit shows 10 rows last-hashed r6 (OVERDUE) and 10 more
+# last-hashed r7 (due exactly r13), so this rotation drains BOTH
+# waves: OUT all 24 twice-green (r11+r12) rows, IN the 20 mandatory
+# rows + kmv_pair_intersections (new full-oracle registration,
+# immediate-hash rule) + 3 early drains from the r14-due r8 queue
+# (bm25_search, fuzzy_part_matches, dedup_canonicalize_skew) to
+# soften r14's 25-row bulge. kmv_set_cardinality may leave only
+# because kmv_pair_intersections enters (same kmv_minima/kmv_est_expr
+# machinery, full oracle); media_features leaves against
+# media_decode_meta + media_features_check staying.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2 reference surface (streamlike / patterns / joins families)
+    # §2 reference surface (carried r12 INs, once-green)
     "hot_items_topn",
     "sessionize",
     "funnel_conversions",
@@ -94,59 +92,59 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hot_sources_topn",
     "uv_bloom",
     "uv_approx_check",
-    "page_views",
-    "orders_daily_by_priority",
-    "order_timeout",
-    "purchase_attribution",
-    # joins family
-    "event_asof_order",
+    # joins family (r6-overdue IN)
+    "order_ship_interval_join",
     # analytics property oracle (approx percentile rank-error bound)
     "quantity_percentiles_approx_check",
-    # analytics (first-hashed r11, stay until twice-green)
-    "quantity_percentiles",
-    "customer_running_totals",
-    "events_value_winsorize",
-    # analytics (r8-stale, due by r14)
-    "rfm_segments",
-    "basket_lift",
-    "changelog_roundtrip",
-    "scd2_history",
-    "training_mix_snapshot",
-    # relational block (r8-stale due by r14, plus r7-stale q1/q3 due r13)
+    # relational block (carried q1/q3 + r6-overdue q5/q18 + r7-due q4..q12)
     "tpch_q1",
-    "tpch_q2",
     "tpch_q3",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q20",
-    # deduplication / graph family
-    "source_pagerank",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q18",
+    # deduplication / graph family (r6-overdue + r7-due + early drain)
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_canonicalize",
+    "dedup_canonicalize_skew",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_incremental_check",
-    # similarity / ANN family
+    # similarity / ANN family (r6-overdue rows + staying checks)
+    "ann_cosine_topk",
+    "embedding_quantize",
     "ann_lsh_check",
     "ann_ivf_check",
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    # text / sketch family (r7-stale text rows due r13 + staying checks)
+    # text family (carried + r6-overdue repetition_stats + r7-due rows)
     "decontaminate",
     "pii_scan",
-    "quality_curriculum",
-    "cms_topk_estimates",
-    "kmv_set_cardinality",
+    "repetition_stats",
+    "lang_id",
+    "pii_redact",
+    "doc_chunk",
     "heavy_hitters_check",
-    # retrieval family (r7-stale anchors replacing inverted_index)
+    # sketch family (new registration, immediate-hash rule)
+    "kmv_pair_intersections",
+    # joins long-tail early drain (r8, due r14)
+    "fuzzy_part_matches",
+    # retrieval family (carried anchors + early-drain bm25)
     "multi_query_search",
     "tfidf_top_terms",
-    # sampling / release family
+    "bm25_search",
+    # sampling / release family (carried + r6-overdue + r7-due)
     "dataset_split",
-    "export_shards",
-    "sequence_packing",
-    # multimodal family
+    "profile_documents",
+    "stratified_cap",
+    # multimodal family (r6-overdue IN + staying check)
     "media_features_check",
-    "media_features",
+    "media_decode_meta",
 )
 
 

@@ -1232,3 +1232,41 @@ QUERIES.append(
         "ext: per-group percentile winsorization (integer e4 clip)",
     )
 )
+
+
+# --- KLL quantile rollup: per-type quantiles from per-day sketch cells ---
+#
+# Per (event_type, day) native KLL sketches rolled up to per-type
+# p50/p95/p99 (operators/sketches.py:kll_quantile_rollup) — the
+# quantile twin of the HLL rollup: a 100 TB pipeline materializes the
+# per-day sketch bytes once and answers any set-level quantile
+# question without re-reading data. ROWS-ONLY registration (the r12
+# ledger's restraint note): the estimates are Datasketches-internal
+# (DuckDB has no KLL), so driver verification is row-count/schema
+# while the VALUE surface is pinned by pytest — exact order statistics
+# below k, split-invariance, and the Karnin-Lang-Liberty rank-error
+# band on a planted distribution (tests/test_textops_props.py), the
+# same class as uv_hll_rollup.
+
+def kll_quantile_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kll_quantile_rollup
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_seconds(ts) div 86400").alias("day"),
+        F.col("value").alias("v"),
+    )
+    out = kll_quantile_rollup(ev, "event_type", "day", "v", (0.5, 0.95, 0.99))
+    return out.select(
+        F.col("s").alias("event_type"), "n_subs", "n_vals", "q_50", "q_95", "q_99"
+    )
+
+
+QUERIES.append(
+    Query(
+        "kll_quantile_rollup",
+        kll_quantile_rollup_q,
+        None,
+        "ext: native KLL per-day sketch cells rolled up to per-type quantiles",
+    )
+)

@@ -2242,3 +2242,100 @@ QUERIES.append(
         "ext: apply learned BPE merges — per-doc token accounting",
     )
 )
+
+
+# --- KMV pair set algebra: shared shingle vocabulary across sources ---
+#
+# "How many word-3-gram shingles do sources A and B share" for every
+# source pair, answered ENTIRELY from per-source KMV sketches
+# (operators/sketches.py:kmv_pair_intersections — Beyer et al. SIGMOD
+# 2007 set algebra): the estimator consumes only the k-row sketch
+# frames, so at 100 TB the pair matrix costs O(k x pairs) regardless
+# of corpus size — the sketch-native twin of the exact
+# `source_overlap` matrix. The md5-prefix hash and fixed-point integer
+# estimator make every estimate bit-identical in DuckDB, so this is a
+# FULL value oracle over sketch output (the kmv_set_cardinality
+# precedent; both paths share kmv_est_expr in-engine while the oracle
+# keeps its own replay BY DESIGN). Shingle normalization is the dedup
+# family's: lowercase, whitespace split, word 3-grams.
+
+KMV_PAIR_K = 128
+
+
+def kmv_pair_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+    from ..operators.sketches import kmv_minima, kmv_pair_intersections
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    sh = shingles(docs, "source", n=3)
+    minima = kmv_minima(sh, "source", "shingle", KMV_PAIR_K)
+    return kmv_pair_intersections(minima, KMV_PAIR_K)
+
+
+_KMV_SPACE = 4294967296  # 2^32, operators/sketches.py:CMS_SPACE
+
+KMV_PAIR_INTERSECTIONS_ORACLE = f"""
+WITH toks AS (
+  SELECT source AS s, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT s,
+         unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS v
+  FROM toks
+),
+hashed AS (SELECT DISTINCT s, ('0x' || substr(md5(v), 1, 8))::BIGINT AS h FROM sh),
+kept AS (
+  SELECT s, h FROM (
+    SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed
+  ) WHERE rn <= {KMV_PAIR_K}
+),
+per_set AS (SELECT s, count(*) AS n_kept, max(h) AS h_max FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.s AS t1, b.s AS t2,
+         a.n_kept AS n_a, b.n_kept AS n_b,
+         a.h_max AS hmax_a, b.h_max AS hmax_b,
+         (a.n_kept < {KMV_PAIR_K} AND b.n_kept < {KMV_PAIR_K}) AS both_exact,
+         least(CASE WHEN a.n_kept < {KMV_PAIR_K} THEN {_KMV_SPACE} ELSE a.h_max END,
+               CASE WHEN b.n_kept < {KMV_PAIR_K} THEN {_KMV_SPACE} ELSE b.h_max END)
+           AS theta
+  FROM per_set a, per_set b WHERE a.s < b.s
+),
+memb AS (
+  SELECT p.t1, p.t2, p.theta, k.h, 1 AS ia, 0 AS ib
+  FROM pairs p JOIN kept k ON k.s = p.t1
+  UNION ALL
+  SELECT p.t1, p.t2, p.theta, k.h, 0 AS ia, 1 AS ib
+  FROM pairs p JOIN kept k ON k.s = p.t2
+),
+sample AS (
+  SELECT t1, t2, count(*) AS n_s, CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM (
+    SELECT t1, t2, h, max(ia) AS in_a, max(ib) AS in_b, max(theta) AS theta
+    FROM memb GROUP BY 1, 2, 3
+  ) WHERE h <= theta GROUP BY 1, 2
+),
+est AS (
+  SELECT p.*, s.n_s, s.n_both,
+         CAST(CASE WHEN p.both_exact THEN s.n_s
+              ELSE (s.n_s - 1) * {_KMV_SPACE} // p.theta END AS BIGINT) AS est_union
+  FROM pairs p JOIN sample s ON s.t1 = p.t1 AND s.t2 = p.t2
+)
+SELECT t1 AS set_a, t2 AS set_b,
+       CAST(CASE WHEN n_a < {KMV_PAIR_K} THEN n_a
+            ELSE {KMV_PAIR_K - 1} * {_KMV_SPACE} // hmax_a END AS BIGINT) AS est_a,
+       CAST(CASE WHEN n_b < {KMV_PAIR_K} THEN n_b
+            ELSE {KMV_PAIR_K - 1} * {_KMV_SPACE} // hmax_b END AS BIGINT) AS est_b,
+       est_union,
+       CAST(CASE WHEN both_exact THEN n_both
+            ELSE n_both * est_union // n_s END AS BIGINT) AS est_intersection
+FROM est
+"""
+
+QUERIES.append(
+    Query(
+        "kmv_pair_intersections",
+        kmv_pair_intersections_q,
+        KMV_PAIR_INTERSECTIONS_ORACLE,
+        "ext: KMV pair-intersection set algebra over source shingle vocabularies",
+    )
+)

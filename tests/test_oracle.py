@@ -73,7 +73,8 @@ def test_driver_window_covers_every_family():
                  "text_quality", "doc_fingerprint", "bpe_token_count",
                  "filter_threshold_sweep", "word_pmi", "heavy_hitters_check",
                  "doc_logprob", "doc_bigram_logprob", "clf_quality_score",
-                 "vocab_oov_rate", "source_scorecard"],
+                 "vocab_oov_rate", "source_scorecard",
+                 "kmv_pair_intersections"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",

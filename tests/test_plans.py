@@ -95,8 +95,17 @@ PLAN_BOUNDS = {
     # other exchanges are on <= k x |types| sketch frames, every join
     # a broadcast
     "kmv_set_cardinality": (15, 0),
+    # sketch-only pair algebra: corpus shuffle stops at the per-source
+    # kmv_minima window; everything after runs on k x |sets| sketch
+    # frames (tag-union membership shuffle + pair rollup) with every
+    # join a broadcast — zero SMJ by construction (the full-outer
+    # formulation could never broadcast; r13 rewrote it to union+max)
+    "kmv_pair_intersections": (11, 0),
     # (set, sub) HLL cell shuffle + sketch-bytes rollup shuffle
     "uv_hll_rollup": (2, 0),
+    # (set, sub) KLL cell shuffle + sketch-bytes merge shuffle — the
+    # hll_rollup twin; value stream crosses the wire once
+    "kll_quantile_rollup": (2, 0),
     # percentile agg + broadcast bounds join + final per-type agg
     "events_value_winsorize": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned
@@ -442,6 +451,12 @@ BNLJ_BOUNDS = {
     # are a semantic dimension, not data-sized) + the pair joins that
     # carry it; every build side is k x |types| at most
     "kmv_set_cardinality": 6,
+    # (s)-adjacent like kmv_set_cardinality: the non-equi set_a <
+    # set_b pair enumeration over the per-SOURCE stats frame (20 rows
+    # at any SF — sources are a semantic dimension) plus the joins
+    # carrying the pair frame; every build side is |sets| or
+    # k x |sets| rows
+    "kmv_pair_intersections": 6,
 }
 
 

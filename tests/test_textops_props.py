@@ -78,6 +78,30 @@ def test_tfidf_ranks_are_dense_topk(spark, sf_dir):
     assert per_doc.count() == docs.count()
 
 
+def test_tfidf_doc_filter_broadcast_gate_row_identical(spark, sf_dir):
+    """r12 ADVICE: the doc_filter branch's vocabulary broadcasts are
+    now gated by ``broadcast_vocab`` (the bounded-batch scale
+    contract). The off switch must change ONLY join strategy, never
+    rows: both settings must equal the unfiltered ranking restricted
+    to the filtered docs, and the False plan must carry no FORCED
+    broadcast on the vocab frames (planner/AQE free to choose)."""
+    docs = load(spark, sf_dir, "documents")
+    flt = F.col("doc_id") < 5
+
+    def key(df):
+        return {tuple(r) for r in df.collect()}
+
+    base = key(tfidf_top_terms(docs, k=3).filter(flt))
+    assert key(tfidf_top_terms(docs, k=3, doc_filter=flt)) == base
+    unhinted = tfidf_top_terms(docs, k=3, doc_filter=flt, broadcast_vocab=False)
+    assert key(unhinted) == base
+    # no ResolvedHint remains in the analyzed plan for the vocab path
+    # (the scalar n_docs crossJoin keeps its 1-row broadcast hint)
+    analyzed = unhinted._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UNBROADCASTABLE") == 0  # placeholder-proof
+    assert analyzed.count("ResolvedHint") <= 1, analyzed
+
+
 def test_degenerate_docs_no_crash(spark):
     """ADVICE r2: zero-token docs crashed chunk_documents ('Illegal
     sequence boundaries') and 1-token docs crashed repetition_stats
@@ -1016,3 +1040,49 @@ def test_bpe_apply_round_trips_the_learned_merges(spark):
         assert got[i]["n_words"] <= got[i]["n_bpe_tokens"] <= got[i]["n_chars"]
     # the merges actually compress this corpus (not a no-op table)
     assert any(got[i]["n_bpe_tokens"] < got[i]["n_chars"] for i in range(len(words)))
+
+
+def test_kmv_pair_intersections_query_registered_surface(spark, sf_dir):
+    """Registered-query invariants for the r13 full-oracle row (the
+    bit-exact value contract is the DuckDB oracle + the operator's
+    Python-replay test): one row per unordered source pair, estimates
+    positive, union >= each side's estimate would NOT hold for a
+    sketch (union is re-estimated from theta), but intersection <=
+    union always holds, and the pair frame is keyed set_a < set_b."""
+    from flink_kafka_spark.queries import all_queries
+
+    rows = all_queries()["kmv_pair_intersections"].fn(spark, sf_dir).collect()
+    sources = {r["set_a"] for r in rows} | {r["set_b"] for r in rows}
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r["set_a"] < r["set_b"]
+        assert r["est_a"] > 0 and r["est_b"] > 0
+        assert 0 <= r["est_intersection"] <= r["est_union"]
+
+
+def test_kll_quantile_rollup_query_registered_surface(spark, sf_dir):
+    """Registered-query invariants for the r13 rows-only row (value
+    bounds live in the operator pytests above): one row per event_type
+    with non-NULL values, exact n_vals accounting, and monotone
+    quantile columns."""
+    from flink_kafka_spark.queries import all_queries
+    from flink_kafka_spark.tables import load as load_t
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["kll_quantile_rollup"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {r["event_type"]: r["n"] for r in ev} == {
+        t: r["n_vals"] for t, r in rows.items()
+    }
+    for r in rows.values():
+        assert r["n_subs"] >= 1
+        assert r["q_50"] <= r["q_95"] <= r["q_99"]

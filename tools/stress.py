@@ -1026,6 +1026,11 @@ CURVE_QUERIES = (
     "bpe_tokenize_stats",
     "source_pagerank",
     "kmv_set_cardinality",
+    # r12 verdict item 6: the two r13 registrations — pair cost must
+    # stay sketch-sized (flat in corpus growth) and the KLL rollup is
+    # two map-side-combined sketch shuffles (linear scan term only)
+    "kmv_pair_intersections",
+    "kll_quantile_rollup",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
