@@ -327,8 +327,10 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
     All arithmetic is fixed-point integer on the portable md5-prefix
     hash, so results are bit-identical across engines, partitionings
     and runs. Scale shape: one tiny per-set stats frame (|sets| rows,
-    broadcast), two sketch-sized joins and one groupBy over
-    O(k × pairs) rows — never touches the original data. State is
+    broadcast), two broadcast joins fanning the pair list onto the
+    sketches, then a tag-union membership groupBy and a pair rollup
+    over O(k × pairs) rows — all broadcasts or hash shuffles, zero
+    sorts, never touching the original data. State is
     bounded by |sets|² pairs like the overlap matrix; the operator is
     for set-level (source/domain/day) sketches, not per-document ones.
 

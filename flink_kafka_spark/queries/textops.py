@@ -2272,7 +2272,7 @@ def kmv_pair_intersections_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pair_intersections(minima, KMV_PAIR_K)
 
 
-_KMV_SPACE = 4294967296  # 2^32, operators/sketches.py:CMS_SPACE
+from ..operators.sketches import CMS_SPACE as _KMV_SPACE  # 2^32 hash space
 
 KMV_PAIR_INTERSECTIONS_ORACLE = f"""
 WITH toks AS (
