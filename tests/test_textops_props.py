@@ -98,7 +98,6 @@ def test_tfidf_doc_filter_broadcast_gate_row_identical(spark, sf_dir):
     # no ResolvedHint remains in the analyzed plan for the vocab path
     # (the scalar n_docs crossJoin keeps its 1-row broadcast hint)
     analyzed = unhinted._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("UNBROADCASTABLE") == 0  # placeholder-proof
     assert analyzed.count("ResolvedHint") <= 1, analyzed
 
 
@@ -1052,8 +1051,14 @@ def test_kmv_pair_intersections_query_registered_surface(spark, sf_dir):
     from flink_kafka_spark.queries import all_queries
 
     rows = all_queries()["kmv_pair_intersections"].fn(spark, sf_dir).collect()
-    sources = {r["set_a"] for r in rows} | {r["set_b"] for r in rows}
-    n = len(sources)
+    # expected source set from the TABLE, not from the output (a bug
+    # dropping every pair of one source must not self-consistently
+    # pass): every source has >= 1 doc with >= 3 tokens at every SF
+    expected = {
+        r["source"] for r in load(spark, sf_dir, "documents").select("source").distinct().collect()
+    }
+    n = len(expected)
+    assert {r["set_a"] for r in rows} | {r["set_b"] for r in rows} == expected
     assert len(rows) == n * (n - 1) // 2
     for r in rows:
         assert r["set_a"] < r["set_b"]

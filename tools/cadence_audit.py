@@ -44,13 +44,19 @@ def hash_history(repo: pathlib.Path) -> dict[int, set[str]]:
     return rounds
 
 
-def audit_rows(repo: pathlib.Path) -> list[dict]:
+def audit_rows(
+    repo: pathlib.Path, rounds: "dict[int, set[str]] | None" = None
+) -> list[dict]:
     """One dict per registered full-oracle row, sorted most-urgent
     first. ``absent_next`` counts consecutive missed rounds as of the
     IN-FLIGHT round (max recorded + 1) assuming the row is NOT in its
     window — the exact quantity the meta-test bounds — and
     ``due_round`` is the last round whose window can still satisfy the
-    cadence (last_hash + CADENCE_MAX_ABSENT)."""
+    cadence (last_hash + CADENCE_MAX_ABSENT). Mirrors the meta-test's
+    verdicts exactly: a never-hashed full-oracle row outside the
+    window with no CAPACITY_DEFERRED entry is a VIOLATION the test
+    fails immediately, so the audit reports it OVERDUE (exit 1), not
+    as a benign due date."""
     from flink_kafka_spark.queries import DRIVER_WINDOW, all_queries
     from tests.test_oracle import (
         CADENCE_DEBT,
@@ -59,7 +65,8 @@ def audit_rows(repo: pathlib.Path) -> list[dict]:
         RETIRED_TWINS,
     )
 
-    rounds = hash_history(repo)
+    if rounds is None:
+        rounds = hash_history(repo)
     current = max(rounds) + 1
     rows = []
     for name, q in all_queries().items():
@@ -79,14 +86,20 @@ def audit_rows(repo: pathlib.Path) -> list[dict]:
         if name in RETIRED_TWINS:
             entry["status"] = "retired-twin"
         elif last is None:
-            deadline = (
-                CAPACITY_DEFERRED[name] + 3 if name in CAPACITY_DEFERRED else current
-            )
-            entry["due_round"] = deadline
-            entry["status"] = (
-                "in-window" if name in DRIVER_WINDOW
-                else ("OVERDUE" if current > deadline else "DUE (never hashed)")
-            )
+            if name in DRIVER_WINDOW:
+                entry["due_round"] = current
+                entry["status"] = "in-window"
+            elif name not in CAPACITY_DEFERRED:
+                # the meta-test fails this state immediately (the r9
+                # dropped-registration bug class) — no benign due date
+                entry["due_round"] = current
+                entry["status"] = "OVERDUE (never hashed, not deferred)"
+            else:
+                deadline = CAPACITY_DEFERRED[name] + 3
+                entry["due_round"] = deadline
+                entry["status"] = (
+                    "OVERDUE" if current > deadline else "DUE (deferred)"
+                )
         else:
             entry["due_round"] = last + CADENCE_MAX_ABSENT
             if name in CADENCE_DEBT:
@@ -120,7 +133,7 @@ def main() -> int:
     repo = pathlib.Path(__file__).resolve().parent.parent
     rounds = hash_history(repo)
     current = max(rounds) + 1
-    rows = audit_rows(repo)
+    rows = audit_rows(repo, rounds)
     print(f"# cadence audit — in-flight round r{current} "
           f"(recorded: r{min(rounds)}..r{max(rounds)})")
     shown = 0
@@ -135,7 +148,7 @@ def main() -> int:
         due = f"r{e['due_round']}" if e["due_round"] is not None else "-"
         absent = str(e["absent_next"]) if e["absent_next"] is not None else "-"
         print(f"{e['row']:40s} {last:>5s} {absent:>6s} {due:>5s}  {e['status']}")
-    overdue = [e for e in rows if e["status"] == "OVERDUE"]
+    overdue = [e for e in rows if e["status"].startswith("OVERDUE")]
     print(f"# {shown} rows shown; {len(overdue)} OVERDUE")
     return 1 if overdue else 0
 
