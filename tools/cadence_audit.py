@@ -83,9 +83,10 @@ def audit_rows(
         if q.oracle is None:
             rows.append(entry)
             continue
-        if name in RETIRED_TWINS:
-            entry["status"] = "retired-twin"
-        elif last is None:
+        # meta-test check order: the never-hashed verdict comes BEFORE
+        # the retired-twin exemption — a twin retired in the round it
+        # was registered (no hash anywhere) is still the r9 bug class
+        if last is None:
             if name in DRIVER_WINDOW:
                 entry["due_round"] = current
                 entry["status"] = "in-window"
@@ -100,6 +101,8 @@ def audit_rows(
                 entry["status"] = (
                     "OVERDUE" if current > deadline else "DUE (deferred)"
                 )
+        elif name in RETIRED_TWINS:
+            entry["status"] = "retired-twin"
         else:
             entry["due_round"] = last + CADENCE_MAX_ABSENT
             if name in CADENCE_DEBT:

@@ -1039,8 +1039,9 @@ ALPHA_MAX = 1.6
 
 
 def curve_main() -> None:
-    """Scaling-curve probe (r9 verdict item 6): run the five most
-    expensive registered queries at sf0.01, sf0.1 and a materialized
+    """Scaling-curve probe (r9 verdict item 6): run the curated
+    CURVE_QUERIES wall set (top walls + plan-argued operators) at
+    sf0.01, sf0.1 and a materialized
     ~sf0.3 (3 disjoint replica shards of sf0.1), and assert the
     sf0.1 -> sf0.3 wall-time exponent stays ~linear — the ground-truth
     check for hidden quadratics that plan audits cannot see.
