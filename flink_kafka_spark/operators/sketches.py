@@ -499,9 +499,14 @@ def kll_quantile_rollup(
     (0.5 → q_50, 0.999 → q_99_9). Plan: one shuffle to the (set, sub)
     cells with partial KLL buffers map-side combined, one tiny shuffle
     of sketch BYTES (|cells| rows) to the set level — the value stream
-    never crosses the wire twice. Estimates are deterministic for
-    fixed data but Datasketches-internal, so registry rows built on
-    this are rows-only with pytest bounds."""
+    never crosses the wire twice. Above k, estimates are NOT
+    deterministic across partitionings (measured: repartitioning the
+    same 60k rows moved q95 by ~0.1% — KLL compaction is
+    merge-order-sensitive, unlike hll_rollup's register-max union),
+    only RANK-ERROR-BOUNDED; below k they are exact order statistics
+    under any split. Hence the registry row built on this is
+    rows-only with pytest bounds — a value oracle would flap on
+    partition count alone."""
     if not quantiles or any(not (0 < q <= 1) for q in quantiles):
         raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
     names = [f"q_{f'{q * 100:g}'.replace('.', '_')}" for q in quantiles]

@@ -6,7 +6,12 @@ through shuffle joins with keys drawn from both sides, plus a
 window-function sweep (row_number/rank/lag/running frames) that pins
 the total-order-tiebreak and integer-frame-sum conventions, plus a
 grouping-sets sweep (CUBE/ROLLUP/GROUPING SETS) that pins the
-grouping_id ↔ GROUPING bit-order and NULL-cell conventions.
+grouping_id ↔ GROUPING bit-order and NULL-cell conventions, plus a
+KMV-sketch sweep (r13) that drives the md5-prefix hash, per-set
+k-minima window and integer-division estimator — the full sketch
+pipeline the registered KMV rows replicate — through generated
+set/value/k combinations, with a coverage assert that both the
+exact-below-k and estimator branches execute.
 
 The hand-written oracle queries each pin ONE use of the cross-engine
 conventions (epoch-second BIGINTs, floor-half-up rounding, the
@@ -289,6 +294,45 @@ def _render_gid(template: str, dialect: str) -> str:
     return re.sub(r"\{GID:([^{}]+)\}", repl, template)
 
 
+def _gen_kmv_spec(rng: random.Random) -> str:
+    """One generated KMV-sketch query: the full estimator pipeline —
+    md5-prefix hash, per-set k-minima ROW_NUMBER window, exact-below-k
+    / integer-division estimator branch — as ONE dialect-token
+    template (r13: the sketch oracles became a registered family, so
+    their conventions get the same fuzz the scalar ones have). k and
+    the set/value expressions vary so both the exact (< k) and
+    estimator (>= k) branches execute across the sweep."""
+    k = rng.choice([16, 64, 128])
+    set_pool = [
+        "event_type",
+        f"user_id % {rng.randint(2, 5)}",
+        "{H8_OPEN}event_type{H8_CLOSE}" + f" % {rng.choice([2, 4])}",
+    ]
+    val_pool = [
+        "CAST(user_id AS {STR})",
+        "concat(event_type, ':', CAST(user_id AS {STR}))",
+        "CAST(user_id AS {STR}) || ':' || CAST({EPOCH}{IDIV}86400 AS {STR})",
+    ]
+    s_expr = rng.choice(set_pool)
+    v_expr = rng.choice(val_pool)
+    where = rng.choice(["", f" WHERE value > {rng.randint(0, 120) / 10}"])
+    space = 4294967296  # 2^32 md5-prefix hash space
+    return (
+        f"WITH vals AS (SELECT DISTINCT {s_expr} AS s, {v_expr} AS v"
+        f" FROM events{where}), "
+        "hashed AS (SELECT DISTINCT s, {H8_OPEN}v{H8_CLOSE} AS h FROM vals), "
+        "kept AS (SELECT s, h FROM (SELECT s, h,"
+        " ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn FROM hashed) t"
+        f" WHERE rn <= {k}), "
+        "per_set AS (SELECT s, count(*) AS n_kept, max(h) AS h_max"
+        " FROM kept GROUP BY 1) "
+        f"SELECT s, CAST(n_kept AS BIGINT) AS n_kept,"
+        f" CAST(CASE WHEN n_kept < {k} THEN n_kept"
+        f" ELSE {(k - 1) * space}{{IDIV}}h_max END AS BIGINT) AS est"
+        " FROM per_set"
+    )
+
+
 _RNG = random.Random(SEED)
 SPECS = [_gen_spec(_RNG) for _ in range(N_QUERIES)]
 N_JOIN_QUERIES = 10
@@ -300,6 +344,9 @@ WINDOW_SPECS = [_gen_window_spec(_WRNG) for _ in range(N_WINDOW_QUERIES)]
 N_CUBE_QUERIES = 6
 _CRNG = random.Random(SEED + 3)
 CUBE_SPECS = [_gen_cube_spec(_CRNG) for _ in range(N_CUBE_QUERIES)]
+N_KMV_QUERIES = 8
+_KRNG = random.Random(SEED + 4)
+KMV_SPECS = [_gen_kmv_spec(_KRNG) for _ in range(N_KMV_QUERIES)]
 
 
 @pytest.mark.parametrize("idx", range(N_QUERIES))
@@ -334,3 +381,27 @@ def test_generated_grouping_sets_query_matches_duckdb(spark, idx):
     compare_spark_duckdb(
         spark_df, _render_gid(_render(template, "duckdb"), "duckdb"), SF_DIR
     )
+
+
+@pytest.mark.parametrize("idx", range(N_KMV_QUERIES))
+def test_generated_kmv_sketch_query_matches_duckdb(spark, idx):
+    template = KMV_SPECS[idx]
+    register_views(spark, SF_DIR, ("events",))
+    spark_df = spark.sql(_render(template, "spark"))
+    compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)
+
+
+def test_kmv_sweep_exercises_both_estimator_branches(spark):
+    """The sweep is only as good as its coverage: assert the seeded
+    specs collectively produce BOTH exact (n_kept < k) and estimated
+    (n_kept = k) rows, so a regression in either branch has a test to
+    fail."""
+    register_views(spark, SF_DIR, ("events",))
+    exact = estimated = 0
+    for template in KMV_SPECS:
+        for r in spark.sql(_render(template, "spark")).collect():
+            if r["est"] == r["n_kept"]:
+                exact += 1
+            else:
+                estimated += 1
+    assert exact > 0 and estimated > 0, (exact, estimated)
