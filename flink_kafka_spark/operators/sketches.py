@@ -466,6 +466,19 @@ def hll_rollup(
     )
 
 
+def kll_quantile_names(quantiles: "tuple[float, ...]") -> "list[str]":
+    """Validated output-column names for a quantile tuple, shared by
+    the batch rollup and the streaming monitor so the two surfaces
+    can never drift: percent with ``.`` → ``_`` (0.5 → q_50,
+    0.999 → q_99_9)."""
+    if not quantiles or any(not (0 < q <= 1) for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
+    names = [f"q_{f'{q * 100:g}'.replace('.', '_')}" for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile columns from {quantiles}: {names}")
+    return names
+
+
 def kll_quantile_rollup(
     df: DataFrame,
     set_col: str,
@@ -507,11 +520,7 @@ def kll_quantile_rollup(
     under any split. Hence the registry row built on this is
     rows-only with pytest bounds — a value oracle would flap on
     partition count alone."""
-    if not quantiles or any(not (0 < q <= 1) for q in quantiles):
-        raise ValueError(f"quantiles must be in (0, 1], got {quantiles}")
-    names = [f"q_{f'{q * 100:g}'.replace('.', '_')}" for q in quantiles]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate quantile columns from {quantiles}: {names}")
+    names = kll_quantile_names(quantiles)
     cells = (
         df.filter(F.col(val_col).isNotNull())
         .groupBy(F.col(set_col).alias("s"), F.col(sub_col).alias("sub"))

@@ -731,3 +731,114 @@ def kmv_stream(
             sink(out, epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)
+
+
+def kll_stream(
+    events_stream: DataFrame,
+    sink,
+    set_col: str,
+    val_col: str,
+    quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+    k: int = 200,
+    seed: "list[tuple[str, bytes]] | None" = None,
+    sketch_snapshot=None,
+):
+    """Continuous per-set QUANTILE monitor on the native Datasketches
+    KLL sketch — the fifth member of the sketch-monitor family
+    (Misra-Gries counts, Count-Min frequencies, A-Res samples, KMV
+    cardinalities, and now KLL quantiles: the live "what is p99
+    latency/length right now" surface). Each micro-batch is sketched
+    DISTRIBUTED (``kll_sketch_agg_double`` per set, partial buffers
+    map-side combined), then merged JVM-side into the running per-set
+    sketch BYTES the driver holds: the merge is one
+    ``kll_merge_agg_double`` over a tiny (set, bytes) frame of the
+    stored sketches plus the batch's, so the driver never touches
+    values — only opaque blobs, O(k·log n) doubles per set.
+
+    Parity contract (pinned in tests/test_streaming.py) — the honest
+    analog of the other monitors' bit-parity, i.e. exactly what the
+    sketch itself guarantees: a set whose TOTAL value count stays
+    <= k keeps every value through every merge, so streamed quantiles
+    are EXACT order statistics equal to the batch
+    ``kll_quantile_rollup`` under ANY batch split; larger sets carry
+    the Karnin-Lang-Liberty normalized-rank bound (ε ≈ 1.7/√k), NOT
+    bit-equality — KLL compaction is merge-order-sensitive (measured
+    in the batch operator's docstring: repartitioning alone moves
+    q95 ~0.1%), which is also why the registry row is rows-only.
+
+    Replay guard: the KLL merge is NOT idempotent (a re-merged batch
+    double-counts its values — unlike the KMV/A-Res merges, whose
+    keys are pure functions of the input and dedupe), and foreachBatch
+    retries a failed epoch with the SAME epoch_id — so the monitor
+    records the last epoch it merged and a redelivered epoch re-EMITS
+    current state without re-merging (pinned by the crash-replay
+    test). State is merged BEFORE the sink runs, so a sink failure
+    cannot lose a merge or double it.
+
+    Restart contract (the cms_stream shape — the emitted quantiles
+    cannot reconstruct the sketch): ``sketch_snapshot(state,
+    epoch_id)`` receives the full {set: bytes} map after every batch;
+    ``seed`` replays the last snapshot into a restarted monitor.
+    Quantile columns are named by the shared
+    ``operators.sketches.kll_quantile_names`` so the stream and batch
+    surfaces cannot drift.
+
+    ``sink(df, epoch_id)`` receives ``(s, n_vals, q_<pct>...)`` per
+    monitored set after every batch."""
+    from ..caching import release_scope
+    from ..operators.sketches import kll_quantile_names
+
+    names = kll_quantile_names(quantiles)
+    state: dict[str, bytes] = {
+        s: bytes(b) for s, b in (seed or []) if s is not None and b is not None
+    }
+    last = {"epoch": None}
+    empty_schema = "s string, n_vals long, " + ", ".join(
+        f"{nm} double" for nm in names
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            spark = batch_df.sparkSession
+            if epoch_id != last["epoch"]:
+                cells = (
+                    batch_df.filter(F.col(val_col).isNotNull())
+                    .groupBy(F.col(set_col).alias("s"))
+                    .agg(
+                        F.kll_sketch_agg_double(F.col(val_col), F.lit(k)).alias("sk")
+                    )
+                    .collect()
+                )
+                if cells:
+                    rows = [(r["s"], bytes(r["sk"])) for r in cells]
+                    rows += [(s, b) for s, b in state.items()]
+                    merged = (
+                        spark.createDataFrame(rows, "s string, sk binary")
+                        .groupBy("s")
+                        .agg(F.kll_merge_agg_double("sk").alias("msk"))
+                        .collect()
+                    )
+                    for r in merged:
+                        state[r["s"]] = bytes(r["msk"])
+                last["epoch"] = epoch_id
+            if state:
+                frame = spark.createDataFrame(
+                    sorted(state.items()), "s string, msk binary"
+                )
+                out = frame.select(
+                    "s",
+                    F.kll_sketch_get_n_double("msk").cast("long").alias("n_vals"),
+                    *[
+                        F.kll_sketch_get_quantile_double("msk", F.lit(float(q))).alias(nm)
+                        for q, nm in zip(quantiles, names)
+                    ],
+                )
+            else:
+                out = spark.createDataFrame(
+                    [(None, None) + (None,) * len(names)], empty_schema
+                )
+            sink(out, epoch_id)
+            if sketch_snapshot is not None:
+                sketch_snapshot(dict(state), epoch_id)
+
+    return events_stream.writeStream.foreachBatch(_process)

@@ -1730,3 +1730,137 @@ def test_reservoir_stream_replay_after_seed_is_idempotent(spark, tmp_path):
         for r in weighted_sample(whole, "rid", "w", "stratum", m).collect()
     )
     assert got == want  # no id occupies two ranks, nothing evicted
+
+
+def test_kll_stream_exact_below_k_bounded_above_and_restarts(spark, tmp_path):
+    """The KLL monitor's contract: streamed quantiles for a set whose
+    total count stays <= k are EXACT order statistics equal to the
+    batch rollup under any batch split; a big set's streamed quantiles
+    respect the sketch's normalized-rank bound; and the sketch-bytes
+    snapshot seeds a restarted monitor to the same guarantees."""
+    import bisect
+    import json
+    import math
+
+    from flink_kafka_spark.operators.sketches import kll_quantile_rollup
+    from flink_kafka_spark.streaming.jobs import kll_stream
+
+    qs = (0.5, 0.95, 0.99)
+    k = 200
+    small = [("small", float(v)) for v in range(1, 41)]
+    big = [("big", float((i * i) % 997)) for i in range(6000)]
+    rows_a = small[:25] + big[:2500]
+    rows_b = small[25:] + big[2500:]
+
+    def replay(chunks, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        for fi, rows in enumerate(chunks):
+            (d / f"f{fi}.json").write_text(
+                "\n".join(json.dumps({"s": s, "v": v}) for s, v in rows) + "\n"
+            )
+        return (
+            spark.readStream.schema("s string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+
+    def run(stream, ckpt, seed=None):
+        seen: dict[int, list] = {}
+        snaps: dict[int, dict] = {}
+        q = (
+            kll_stream(
+                stream,
+                lambda df, e: seen.__setitem__(e, df.collect()),
+                set_col="s", val_col="v", quantiles=qs, k=k, seed=seed,
+                sketch_snapshot=lambda st, e: snaps.__setitem__(e, st),
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen[max(seen)], snaps[max(snaps)]
+
+    def exact_q(vals, q):
+        return sorted(vals)[math.ceil(q * len(vals)) - 1]
+
+    def check(final):
+        got = {r["s"]: r for r in final}
+        # exact path: below-k set == exact order stats == batch rollup
+        assert got["small"]["n_vals"] == 40
+        whole = spark.createDataFrame(
+            [(s, 0, v) for s, v in small + big], "s string, sub int, v double"
+        )
+        batch = {
+            r["s"]: r for r in kll_quantile_rollup(whole, "s", "sub", "v", qs).collect()
+        }
+        for q in qs:
+            nm = f"q_{f'{q * 100:g}'.replace('.', '_')}"
+            assert got["small"][nm] == exact_q([v for _, v in small], q)
+            assert got["small"][nm] == batch["small"][nm]
+        # bounded path: big set within the normalized-rank band
+        big_sorted = sorted(v for _, v in big)
+        assert got["big"]["n_vals"] == len(big)
+        for q in qs:
+            nm = f"q_{f'{q * 100:g}'.replace('.', '_')}"
+            rank = bisect.bisect_right(big_sorted, got["big"][nm]) / len(big)
+            assert abs(rank - q) < 0.03, (q, got["big"][nm], rank)
+
+    final, _ = run(replay([rows_a, rows_b], "ab"), "ck_ab")
+    check(final)
+
+    # restart: snapshot after A seeds a fresh monitor fed only B
+    _, snap_a = run(replay([rows_a], "a"), "ck_a")
+    seeded_final, _ = run(
+        replay([rows_b], "b"), "ck_b", seed=list(snap_a.items())
+    )
+    check(seeded_final)
+
+
+def test_kll_stream_replay_after_sink_crash_merges_once(spark, tmp_path):
+    """foreachBatch retries a failed epoch with the SAME epoch_id; the
+    KLL merge is not idempotent, so the monitor's epoch guard must
+    absorb the redelivery: state is merged before the sink runs, and
+    the retried epoch re-emits without re-merging — n_vals after the
+    crash-restart equals the input count, not double it."""
+    import json
+
+    from flink_kafka_spark.streaming.jobs import kll_stream
+
+    rows = [("a", float(v)) for v in range(30)]
+    d = tmp_path / "crash"
+    d.mkdir()
+    (d / "f0.json").write_text(
+        "\n".join(json.dumps({"s": s, "v": v}) for s, v in rows) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("s string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    seen: dict[int, list] = {}
+    calls = {"n": 0}
+
+    def crashing_sink(df, epoch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("sink outage")
+        seen[epoch_id] = df.collect()
+
+    writer = kll_stream(
+        stream, crashing_sink, set_col="s", val_col="v", k=64
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ck_crash")
+    )
+    q = writer.start()
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the sink outage fails the first attempt
+    q2 = writer.start()  # same closure state, same checkpoint
+    q2.awaitTermination(120)
+    final = {r["s"]: r for r in seen[max(seen)]}
+    assert final["a"]["n_vals"] == 30  # merged once, not twice
+    # exact path (30 < k): rank ceil(0.5*30)-1 of values 0..29 -> 14.0
+    assert final["a"]["q_50"] == 14.0

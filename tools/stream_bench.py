@@ -277,6 +277,7 @@ def main() -> None:
         from flink_kafka_spark.streaming.jobs import (
             cms_stream,
             heavy_hitters_stream,
+            kll_stream,
             kmv_stream,
             reservoir_stream,
         )
@@ -338,6 +339,13 @@ def main() -> None:
             "kmv_stream": lambda s, peak: kmv_stream(
                 s, manifest_sink(peak), set_col="login_state",
                 val_sql="CAST(user_id AS STRING)", k=128,
+            ),
+            # quantiles of a numeric stream per set: user_id mod 997 as
+            # the value domain (the same ~uniform shape the batch
+            # rollup's rank-bound pytest plants)
+            "kll_stream": lambda s, peak: kll_stream(
+                s.withColumn("v", F.pmod("user_id", F.lit(997)).cast("double")),
+                manifest_sink(peak), set_col="login_state", val_col="v", k=200,
             ),
         }
         for name, build in monitors.items():
