@@ -1,0 +1,144 @@
+"""Declarative data-quality expectation suite — a one-pass audit in
+the style of the public Deequ/Great Expectations model: the caller
+declares WHAT must hold (completeness, key uniqueness, value ranges,
+accepted-value sets) and the operator compiles every declared metric
+into a SINGLE aggregation over the table, then pivots the 1-row
+metrics frame into one (check, metric, lo, hi, passed) row per
+expectation.
+
+The reference has no audit surface (its quality gates are per-query
+filters, e.g. UserBehavior 'pv' guards — HotItems.java:60); this is
+an extension for the training-data-pipeline direction: before a 100 TB
+corpus feeds a tokenizer run, the ingest contract (no NULL keys, no
+duplicate (orderkey, linenumber), quantities in the documented domain)
+must be CHECKED, not assumed.
+
+Scale design (100 TB):
+
+- ONE scan computes every metric — adding an expectation adds a column
+  to the same physical aggregate, not a pass over the data. All plain
+  metrics (counts, conditional counts, min/max) partial-aggregate
+  map-side, so the shuffle is one row per task.
+- `uniqueness` is the only expectation that genuinely needs a
+  distinct — Spark plans the mixed distinct/plain aggregate as a
+  two-phase expand over the key, the standard exact-distinct cost; at
+  100 TB swap `approx_uniqueness` in (HLL++, no expand) when an exact
+  key audit is not required.
+- The metric→row pivot runs on a 1-row frame — driver-trivial by
+  construction, never data-sized.
+
+Determinism contract (the repo-wide oracle convention): every metric
+is either an integer count, a min/max pick, or ONE bigint/bigint
+division performed once on the final values — no float accumulation —
+so Spark and DuckDB agree bit-for-bit before the terminal round(6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declared check: ``metric`` is an AGGREGATE expression over
+    the audited frame that must land in [lo, hi] (inclusive; None =
+    unbounded on that side). ``metric`` must evaluate to DOUBLE."""
+
+    name: str
+    metric: Column
+    lo: float | None = None
+    hi: float | None = None
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    # one bigint/bigint division, rounded once — engine-exact
+    return F.round(num.cast("double") / den.cast("double"), 6)
+
+
+def completeness(col: str) -> Expectation:
+    """Fraction of rows with ``col`` non-NULL (count(col)/count(*))."""
+    return Expectation(
+        f"completeness:{col}", _ratio(F.count(col), F.count(F.lit(1))), 1.0, 1.0
+    )
+
+
+def uniqueness(key: Column, label: str) -> Expectation:
+    """count(DISTINCT key)/count(*) — 1.0 iff ``key`` is a key.
+    The one expectation whose metric costs a distinct shuffle."""
+    return Expectation(
+        f"uniqueness:{label}", _ratio(F.count_distinct(key), F.count(F.lit(1))), 1.0, 1.0
+    )
+
+
+def approx_uniqueness(key: Column, label: str, rsd: float = 0.01) -> Expectation:
+    """HLL++ uniqueness ratio — the 100 TB substitute for
+    :func:`uniqueness`: no expand, partial-aggregates map-side. The
+    bound must leave the ±rsd estimator band (callers pass lo ≈
+    1 − 3·rsd); NOT oracle-hashable (estimate is engine-internal)."""
+    return Expectation(
+        f"approx_uniqueness:{label}",
+        _ratio(F.approx_count_distinct(key, rsd), F.count(F.lit(1))),
+        None,
+        None,
+    )
+
+
+def min_value(col: str, lo: float) -> Expectation:
+    return Expectation(f"min:{col}", F.round(F.min(col).cast("double"), 6), lo, None)
+
+
+def max_value(col: str, hi: float) -> Expectation:
+    return Expectation(f"max:{col}", F.round(F.max(col).cast("double"), 6), None, hi)
+
+
+def accepted_values(col: str, values: tuple[str, ...]) -> Expectation:
+    """Fraction of non-NULL values inside the accepted set (must be 1)."""
+    inset = F.count(F.when(F.col(col).isin(*values), F.lit(1)))
+    return Expectation(f"accepted:{col}", _ratio(inset, F.count(col)), 1.0, 1.0)
+
+
+def run_expectations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
+    """Evaluate every expectation in ONE aggregation pass.
+
+    Returns (check_name, metric, lo, hi, passed) — passed ∈ {0, 1},
+    bounds NULL where unbounded. Row order is declaration order only
+    after the caller sorts; the frame itself is 1-row-sourced so any
+    downstream orderBy is free.
+    """
+    if not checks:
+        raise ValueError("run_expectations: empty expectation list")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+    metrics = df.agg(*[c.metric.alias(f"_m{i}") for i, c in enumerate(checks)])
+
+    # ONE stack projection over the 1-row aggregate — a union of
+    # per-check selects would plan the (table-sized) aggregate once
+    # per branch; stack guarantees a single scan.
+    def _bound(v: float | None) -> str:
+        return "CAST(NULL AS DOUBLE)" if v is None else f"CAST({float(v)!r} AS DOUBLE)"
+
+    cells = ", ".join(
+        f"'{c.name}', CAST(_m{i} AS DOUBLE), {_bound(c.lo)}, {_bound(c.hi)}"
+        for i, c in enumerate(checks)
+    )
+    stacked = metrics.select(
+        F.expr(f"stack({len(checks)}, {cells}) AS (check_name, metric, lo, hi)")
+    )
+    return stacked.select(
+        "check_name",
+        "metric",
+        "lo",
+        "hi",
+        F.when(F.col("metric").isNull(), F.lit(0))
+        .otherwise(
+            (
+                (F.col("lo").isNull() | (F.col("metric") >= F.col("lo")))
+                & (F.col("hi").isNull() | (F.col("metric") <= F.col("hi")))
+            ).cast("int")
+        )
+        .alias("passed"),
+    )

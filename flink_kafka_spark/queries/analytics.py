@@ -1270,3 +1270,96 @@ QUERIES.append(
         "ext: native KLL per-day sketch cells rolled up to per-type quantiles",
     )
 )
+
+
+# --- one-pass data-quality expectation audit (extension) -------------
+#
+# Deequ-style declarative ingest contract over lineitem: every metric
+# compiles into ONE aggregation scan (the stack pivot runs on the
+# 1-row result), so adding a check never adds a pass over 100 TB. The
+# only shuffle beyond the global agg's 1-row-per-task combine is the
+# exact-distinct expand behind uniqueness (swap approx_uniqueness in
+# at scale when the key audit may be approximate). Reference parity:
+# none (the reference validates per-query with inline filters, e.g.
+# HotItems.java:60); this is the training-pipeline ingest gate.
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dq import (
+        accepted_values,
+        completeness,
+        max_value,
+        min_value,
+        run_expectations,
+        uniqueness,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    checks = [
+        completeness("l_shipdate"),
+        completeness("l_quantity"),
+        uniqueness(
+            F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+            "l_orderkey*8+l_linenumber",
+        ),
+        min_value("l_quantity", 1.0),
+        max_value("l_quantity", 50.0),
+        accepted_values("l_returnflag", ("A", "N", "R")),
+        accepted_values("l_linestatus", ("F", "O")),
+        min_value("l_extendedprice", 0.01),
+        min_value("l_discount", 0.0),
+        max_value("l_discount", 0.1),
+        max_value("l_tax", 0.08),
+    ]
+    return run_expectations(li, checks).orderBy("check_name")
+
+
+DQ_EXPECTATIONS_ORACLE = """
+WITH m AS (
+  SELECT
+    round(CAST(count(l_shipdate) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS m_comp_ship,
+    round(CAST(count(l_quantity) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS m_comp_qty,
+    round(CAST(count(DISTINCT l_orderkey * 8 + l_linenumber) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS m_uniq,
+    round(CAST(min(l_quantity) AS DOUBLE), 6) AS m_min_qty,
+    round(CAST(max(l_quantity) AS DOUBLE), 6) AS m_max_qty,
+    round(CAST(count(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 END) AS DOUBLE)
+          / CAST(count(l_returnflag) AS DOUBLE), 6) AS m_acc_rf,
+    round(CAST(count(CASE WHEN l_linestatus IN ('F','O') THEN 1 END) AS DOUBLE)
+          / CAST(count(l_linestatus) AS DOUBLE), 6) AS m_acc_ls,
+    round(CAST(min(l_extendedprice) AS DOUBLE), 6) AS m_min_price,
+    round(CAST(min(l_discount) AS DOUBLE), 6) AS m_min_disc,
+    round(CAST(max(l_discount) AS DOUBLE), 6) AS m_max_disc,
+    round(CAST(max(l_tax) AS DOUBLE), 6) AS m_max_tax
+  FROM lineitem
+), checks(check_name, metric, lo, hi) AS (
+  SELECT 'completeness:l_shipdate', m_comp_ship, 1.0, 1.0 FROM m
+  UNION ALL SELECT 'completeness:l_quantity', m_comp_qty, 1.0, 1.0 FROM m
+  UNION ALL SELECT 'uniqueness:l_orderkey*8+l_linenumber', m_uniq, 1.0, 1.0 FROM m
+  UNION ALL SELECT 'min:l_quantity', m_min_qty, 1.0, NULL FROM m
+  UNION ALL SELECT 'max:l_quantity', m_max_qty, NULL, 50.0 FROM m
+  UNION ALL SELECT 'accepted:l_returnflag', m_acc_rf, 1.0, 1.0 FROM m
+  UNION ALL SELECT 'accepted:l_linestatus', m_acc_ls, 1.0, 1.0 FROM m
+  UNION ALL SELECT 'min:l_extendedprice', m_min_price, 0.01, NULL FROM m
+  UNION ALL SELECT 'min:l_discount', m_min_disc, 0.0, NULL FROM m
+  UNION ALL SELECT 'max:l_discount', m_max_disc, NULL, 0.1 FROM m
+  UNION ALL SELECT 'max:l_tax', m_max_tax, NULL, 0.08 FROM m
+)
+SELECT check_name,
+       CAST(metric AS DOUBLE) AS metric,
+       CAST(lo AS DOUBLE) AS lo,
+       CAST(hi AS DOUBLE) AS hi,
+       CASE WHEN metric IS NULL THEN 0
+            ELSE CAST(((lo IS NULL OR metric >= lo)
+                       AND (hi IS NULL OR metric <= hi)) AS INT) END AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+QUERIES.append(
+    Query(
+        "dq_expectations",
+        dq_expectations,
+        DQ_EXPECTATIONS_ORACLE,
+        "ext: one-pass Deequ-style data-quality expectation audit",
+    )
+)

@@ -1,0 +1,112 @@
+"""Data-quality expectation suite (operators/dq.py): semantics of the
+bound/NULL logic on a crafted frame, the one-scan plan contract, and
+the failing-check path the synthetic lineitem genuinely exercises
+(duplicate (l_orderkey, l_linenumber) pairs → uniqueness 0.7665)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kafka_spark.operators.dq import (
+    Expectation,
+    accepted_values,
+    approx_uniqueness,
+    completeness,
+    max_value,
+    min_value,
+    run_expectations,
+    uniqueness,
+)
+
+
+def _crafted(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (2, None, "A"), (4, 40.0, "Z")],
+        "id int, v double, tag string",
+    )
+
+
+def test_expectation_semantics_bounds_and_nulls(spark):
+    df = _crafted(spark)
+    out = {
+        r["check_name"]: r
+        for r in run_expectations(
+            df,
+            [
+                completeness("v"),                      # 3/4 -> fail
+                completeness("id"),                     # 1.0 -> pass
+                uniqueness(F.col("id"), "id"),          # 3/4 -> fail
+                min_value("v", 5.0),                    # 10 >= 5 -> pass
+                max_value("v", 25.0),                   # 40 > 25 -> fail
+                accepted_values("tag", ("A", "B")),     # 3/4 -> fail
+                # NULL metric (min over no rows) -> passed must be 0
+                Expectation(
+                    "null_metric",
+                    F.min(F.when(F.lit(False), F.col("v"))).cast("double"),
+                    0.0,
+                    None,
+                ),
+                # unbounded both sides with non-null metric -> pass
+                Expectation("unbounded", F.count(F.lit(1)).cast("double")),
+            ],
+        ).collect()
+    }
+    assert out["completeness:v"]["metric"] == 0.75
+    assert out["completeness:v"]["passed"] == 0
+    assert out["completeness:id"]["passed"] == 1
+    assert out["uniqueness:id"]["metric"] == 0.75
+    assert out["uniqueness:id"]["passed"] == 0
+    assert out["min:v"]["passed"] == 1
+    assert out["min:v"]["lo"] == 5.0 and out["min:v"]["hi"] is None
+    assert out["max:v"]["metric"] == 40.0
+    assert out["max:v"]["passed"] == 0
+    # accepted_values denominates on non-NULL values: 3 of 4 in-set
+    assert out["accepted:tag"]["metric"] == 0.75
+    assert out["null_metric"]["metric"] is None
+    assert out["null_metric"]["passed"] == 0
+    assert out["unbounded"]["passed"] == 1
+
+
+def test_approx_uniqueness_tracks_exact_within_rsd(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4000).alias("k")  # 4000 distinct of 5000 rows
+    )
+    (row,) = run_expectations(df, [approx_uniqueness(F.col("k"), "k", 0.02)]).collect()
+    assert abs(row["metric"] - 0.8) <= 0.8 * 3 * 0.02
+    assert row["passed"] == 1  # unbounded -> informational metric
+
+
+def test_run_expectations_single_scan_plan(spark, sf_dir):
+    """Adding expectations must not add passes: the audit is ONE scan
+    (stack pivots the 1-row aggregate). The exact-distinct behind
+    uniqueness is the only multi-exchange cost."""
+    from flink_kafka_spark.queries.analytics import dq_expectations
+
+    plan = (
+        dq_expectations(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_duplicate_check_names_rejected(spark):
+    df = _crafted(spark)
+    with pytest.raises(ValueError, match="duplicate"):
+        run_expectations(df, [completeness("v"), completeness("v")])
+    with pytest.raises(ValueError, match="empty"):
+        run_expectations(df, [])
+
+
+def test_lineitem_audit_flags_the_planted_key_duplicates(spark, sf_dir):
+    """The synthetic lineitem genuinely violates (l_orderkey,
+    l_linenumber) uniqueness — the audit's failing-row path runs on
+    real data, not just the crafted frame above."""
+    from flink_kafka_spark.queries.analytics import dq_expectations
+
+    rows = {r["check_name"]: r for r in dq_expectations(spark, sf_dir).collect()}
+    assert rows["uniqueness:l_orderkey*8+l_linenumber"]["passed"] == 0
+    assert rows["uniqueness:l_orderkey*8+l_linenumber"]["metric"] < 1.0
+    for name, r in rows.items():
+        if not name.startswith("uniqueness"):
+            assert r["passed"] == 1, (name, r)

@@ -115,6 +115,10 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # (r10's five deferred registrations — quality_curriculum,
     # cms_topk_estimates, kmv_set_cardinality, source_pagerank,
     # events_value_winsorize — entered the r11 window on schedule.)
+    # r13: the mandatory 24-row drain (ROTATION_LEDGER §Round 13) fills
+    # every slot, so this round's new full-oracle registrations defer;
+    # they enter at r14 alongside the r8-stale wave.
+    "dq_expectations": 13,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):
