@@ -193,6 +193,13 @@ BENCH_QUERIES = [
     # baseline entries yet — guardrail skips.
     "kmv_pair_intersections",
     "kll_quantile_rollup",
+    # round-13 additions: the one-scan DQ expectation audit (stack
+    # pivot over a single aggregate — the cheapest multi-metric pass
+    # shape) and per-label centroid drift (posexplode + integer-exact
+    # (label, dim) sums, corpus centroid reused from the same frame).
+    # No baseline entries yet — guardrail skips.
+    "dq_expectations",
+    "embedding_drift",
 ]
 
 

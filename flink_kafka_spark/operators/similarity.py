@@ -707,3 +707,77 @@ def mmr_rerank(
             schema=f"query_id {qid_t}, neighbor_id {nid_t}, mmr_rank int, score double",
         )
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Per-group embedding-centroid drift vs the corpus centroid:
+    (group, n_vecs, cos_to_global, norm_ratio). The training-pipeline
+    question behind it: did a source/shard/day's embedding mass move
+    away from the corpus (cos_to_global falling) or collapse/expand
+    in magnitude (norm_ratio drifting off 1)?
+
+    Determinism contract (full value oracle): components quantize to
+    BIGINT via the repo's engine-agnostic round-half-up
+    ``floor(x·quant + 0.5)`` BEFORE any aggregation, so the per-(group,
+    dim) sums are exact integers — order-independent across engines and
+    partitionings, unlike float sums. Centroid means are then ONE
+    division each, and the cosine folds 64 doubles in fixed dim order
+    (the dedup_embedding_cosine convention) before the terminal
+    round(6). Cosine is scale-invariant, so quantized-centroid cosine
+    ≈ true cosine to ~1e-6 per component.
+
+    Scale shape (100 TB): posexplode is pure map-side bandwidth; the
+    only corpus-sized shuffle is the map-side-combined (group, dim)
+    sum — ≤ |groups|·dim rows out of every task. Everything after runs
+    on that tiny frame; the corpus centroid derives from the SAME
+    frame (a dim-row re-aggregation), never a second scan, and joins
+    back as a broadcast 1-row array.
+    """
+    ex = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f" * CAST({quant!r} AS DOUBLE) + 0.5) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    per = ex.groupBy("g", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    lab = per.groupBy("g").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE)"
+            " / c AS m))), e -> e.m)"
+        ).alias("m"),
+        F.max("c").alias("n_vecs"),
+    )
+    glob = (
+        per.groupBy("pos")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE)"
+                " / c AS m))), e -> e.m)"
+            ).alias("gm")
+        )
+    )
+    dot = "aggregate(zip_with(m, gm, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    nl = "aggregate(transform(m, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    ng = "aggregate(transform(gm, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    return (
+        lab.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("g").alias(group_col),
+            "n_vecs",
+            F.round(F.expr(f"({dot}) / (sqrt({nl}) * sqrt({ng}))"), 6).alias(
+                "cos_to_global"
+            ),
+            F.round(F.expr(f"sqrt({nl}) / sqrt({ng})"), 6).alias("norm_ratio"),
+        )
+    )

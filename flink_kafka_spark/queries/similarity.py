@@ -527,3 +527,62 @@ QUERIES.append(
     Query("mmr_rerank_check", mmr_rerank_check, MMR_CHECK_ORACLE,
           "ext: MMR greedy equivalence + invariants oracle")
 )
+
+
+# --- per-label embedding-centroid drift (extension) -------------------
+#
+# Full value oracle despite float inputs: components quantize to exact
+# BIGINTs (floor(x·1e6 + 0.5), the embedding_quantize convention)
+# before any sum, so both engines aggregate identical integers in any
+# order; the only float math is one division per centroid cell and a
+# fixed-order 64-term fold (the dedup_embedding_cosine precedent).
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import centroid_drift
+
+    return centroid_drift(load(spark, sf_dir, "embeddings")).orderBy("label")
+
+
+EMBEDDING_DRIFT_ORACLE = """
+WITH ex AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS q
+  FROM embeddings
+),
+per AS (
+  SELECT label, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS c
+  FROM ex GROUP BY label, pos
+),
+lab AS (
+  SELECT label, list(CAST(s AS DOUBLE) / c ORDER BY pos) AS m, max(c) AS n_vecs
+  FROM per GROUP BY label
+),
+gcent AS (
+  SELECT list(CAST(s AS DOUBLE) / c ORDER BY pos) AS gm
+  FROM (SELECT pos, CAST(sum(s) AS BIGINT) AS s, CAST(sum(c) AS BIGINT) AS c
+        FROM per GROUP BY pos)
+),
+scored AS (
+  SELECT label, n_vecs,
+         list_sum(list_transform(range(1, 65), i -> m[i] * gm[i])) AS dot,
+         list_sum(list_transform(range(1, 65), i -> m[i] * m[i])) AS nl,
+         list_sum(list_transform(range(1, 65), i -> gm[i] * gm[i])) AS ng
+  FROM lab, gcent
+)
+SELECT label, n_vecs,
+       round(dot / (sqrt(nl) * sqrt(ng)), 6) AS cos_to_global,
+       round(sqrt(nl) / sqrt(ng), 6) AS norm_ratio
+FROM scored
+ORDER BY label
+"""
+
+QUERIES.append(
+    Query(
+        "embedding_drift",
+        embedding_drift,
+        EMBEDDING_DRIFT_ORACLE,
+        "ext: per-label centroid drift vs the corpus centroid",
+    )
+)

@@ -119,6 +119,7 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # every slot, so this round's new full-oracle registrations defer;
     # they enter at r14 alongside the r8-stale wave.
     "dq_expectations": 13,
+    "embedding_drift": 13,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -106,6 +106,14 @@ PLAN_BOUNDS = {
     # (set, sub) KLL cell shuffle + sketch-bytes merge shuffle — the
     # hll_rollup twin; value stream crosses the wire once
     "kll_quantile_rollup": (2, 0),
+    # ONE scan computes every declared metric; the 2 exchanges are the
+    # exact-distinct two-phase behind the uniqueness check (the stack
+    # pivot runs on the 1-row aggregate, adding zero passes)
+    "dq_expectations": (2, 0),
+    # posexplode scan -> (label, dim) sum shuffle; the corpus centroid
+    # re-aggregates the SAME frame (AQE ReusedExchange at runtime —
+    # pinned by test_centroid_drift_scan_reuse) and broadcasts 1 row
+    "embedding_drift": (6, 0),
     # percentile agg + broadcast bounds join + final per-type agg
     "events_value_winsorize": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned
@@ -457,6 +465,10 @@ BNLJ_BOUNDS = {
     # carrying the pair frame; every build side is |sets| or
     # k x |sets| rows
     "kmv_pair_intersections": 6,
+    # (s) scalar-broadcast class: the corpus-centroid frame is ONE row
+    # (a 64-element array) broadcast onto the |labels|-row side — one
+    # join, counted twice by the formatted plan's tree+detail sections
+    "embedding_drift": 2,
 }
 
 

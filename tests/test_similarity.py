@@ -87,3 +87,43 @@ def test_semantic_dedup_planted_groups(spark):
     # group members landed in one cell each (k-means isolated them)
     for ids in ([0, 1, 2], [3, 4], [5, 6, 7]):
         assert len({out[i].cell for i in ids}) == 1
+
+
+def test_centroid_drift_planted_geometry(spark):
+    """Planted groups with known centroids: group 0's centroid IS the
+    e0 axis, group 1's is e1, global is their count-weighted mix —
+    cos_to_global and norm_ratio must match closed-form values."""
+    import math
+
+    from flink_kafka_spark.operators.similarity import centroid_drift
+
+    dim = 4
+    rows = []
+    # group 0: 3 copies of 2*e0; group 1: 1 copy of 2*e1
+    for i in range(3):
+        rows.append((0, [2.0, 0.0, 0.0, 0.0]))
+    rows.append((1, [0.0, 2.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r.label: r for r in centroid_drift(df).collect()}
+    # global centroid = (3*2e0 + 2e1)/4 = (1.5, 0.5, 0, 0)
+    g = [1.5, 0.5, 0.0, 0.0]
+    gn = math.sqrt(sum(x * x for x in g))
+    assert out[0].n_vecs == 3 and out[1].n_vecs == 1
+    assert abs(out[0].cos_to_global - round(1.5 / gn, 6)) < 2e-6
+    assert abs(out[1].cos_to_global - round(0.5 / gn, 6)) < 2e-6
+    assert abs(out[0].norm_ratio - round(2.0 / gn, 6)) < 2e-6
+    assert abs(out[1].norm_ratio - round(2.0 / gn, 6)) < 2e-6
+
+
+def test_centroid_drift_scan_reuse(spark, sf_dir):
+    """The corpus centroid derives from the SAME (group, dim) sum
+    frame as the per-group centroids: after AQE plans the query, the
+    shared aggregate exchange is reused — the table is not re-scanned
+    for the global side (the static plan prints two scan subtrees; the
+    runtime plan must show the reuse)."""
+    from flink_kafka_spark.queries.similarity import embedding_drift
+
+    df = embedding_drift(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan
