@@ -842,3 +842,166 @@ def kll_stream(
                 sketch_snapshot(dict(state), epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)
+
+
+def dq_monitor_stream(
+    events_stream: DataFrame,
+    sink,
+    spec: "tuple[tuple, ...]",
+    seed: "dict | None" = None,
+    state_snapshot=None,
+):
+    """Continuous data-quality expectation monitor — the streaming twin
+    of the batch ``operators.dq.run_expectations`` audit (and the sixth
+    monitor of the family): the live "is the feed still honoring its
+    ingest contract" surface. ``spec`` declares the mergeable subset of
+    the batch checks:
+
+    - ``("completeness", col)`` — running count(col)/count(*);
+    - ``("min", col, lo)`` / ``("max", col, hi)`` — running extrema;
+    - ``("accepted", col, values)`` — running in-set fraction of
+      non-NULL values.
+
+    ``uniqueness`` is deliberately NOT in the streaming spec: its
+    exact-distinct state is data-sized (the one batch check that
+    shuffles an expand); a streaming key audit belongs to the KMV/HLL
+    monitors, which hold sketch-sized state for the same question.
+
+    Parity contract (pinned in tests/test_streaming.py): every counter
+    is an exact integer sum or a running min/max — associative,
+    commutative, duplicate-batch-free via the epoch guard — so after
+    ANY batch split the emitted frame is ROW-IDENTICAL to the batch
+    audit over the concatenated input, including the terminal
+    rounding: the per-epoch frame applies the SAME Spark
+    ``round(num/den, 6)`` expression the batch operator uses, so no
+    Python-vs-JVM rounding seam exists.
+
+    Scale shape: each micro-batch runs ONE distributed aggregation
+    (every declared metric a column of the same physical agg — the
+    batch operator's one-scan discipline) and collects exactly one
+    row; driver state is one number per counter, bytes forever.
+
+    Replay guard (the kll_stream shape): counter addition is not
+    idempotent and foreachBatch redelivers a failed epoch with the
+    SAME epoch_id, so a redelivered epoch re-EMITS current state
+    without re-merging. State merges BEFORE the sink runs.
+
+    Restart contract: ``state_snapshot(state, epoch_id)`` receives the
+    full counter dict after every batch; passing it back as ``seed``
+    makes a restarted monitor evolve identically to one that never
+    stopped (counter merge is order-free).
+
+    ``sink(df, epoch_id)`` receives the full (check_name, metric, lo,
+    hi, passed) frame — constant |spec| rows — after every batch."""
+    from ..caching import release_scope
+
+    kinds = {"completeness", "min", "max", "accepted"}
+    names = []
+    for entry in spec:
+        kind, col = entry[0], entry[1]
+        if kind not in kinds:
+            raise ValueError(f"dq_monitor_stream: unknown check kind {kind!r}")
+        names.append(f"{kind}:{col}")
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+
+    state: dict = dict(seed) if seed else {}
+    last = {"epoch": None}
+
+    def _merge(row) -> None:
+        state["n"] = state.get("n", 0) + row["n"]
+        merged_nn = set()  # nn:<col> is SHARED by completeness+accepted
+        for entry in spec:
+            kind, col = entry[0], entry[1]
+            if kind in ("completeness", "accepted") and col not in merged_nn:
+                merged_nn.add(col)
+                k = f"nn:{col}"
+                state[k] = state.get(k, 0) + row[k.replace(":", "_")]
+            if kind == "accepted":
+                k = f"in:{col}"
+                state[k] = state.get(k, 0) + row[k.replace(":", "_")]
+            if kind in ("min", "max"):
+                k = f"{kind}:{col}"
+                v = row[k.replace(":", "_")]
+                if v is not None:
+                    cur = state.get(k)
+                    if cur is None:
+                        state[k] = float(v)
+                    else:
+                        state[k] = min(cur, float(v)) if kind == "min" else max(cur, float(v))
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            spark = batch_df.sparkSession
+            if epoch_id != last["epoch"]:
+                aggs = [F.count(F.lit(1)).alias("n")]
+                seen = set()
+                for entry in spec:
+                    kind, col = entry[0], entry[1]
+                    if kind in ("completeness", "accepted") and f"nn_{col}" not in seen:
+                        seen.add(f"nn_{col}")
+                        aggs.append(F.count(col).alias(f"nn_{col}"))
+                    if kind == "accepted":
+                        aggs.append(
+                            F.count(F.when(F.col(col).isin(*entry[2]), F.lit(1))).alias(
+                                f"in_{col}"
+                            )
+                        )
+                    if kind in ("min", "max"):
+                        fn = F.min if kind == "min" else F.max
+                        aggs.append(fn(col).cast("double").alias(f"{kind}_{col}"))
+                (row,) = batch_df.agg(*aggs).collect()
+                _merge(row)
+                last["epoch"] = epoch_id
+
+            # (check_name, kind, a, b, lo, hi): ratio checks carry
+            # (numerator, denominator), value checks (value, NULL) —
+            # the metric/passed expressions below are the BATCH
+            # operator's, evaluated by the same engine
+            rows = []
+            n = state.get("n", 0)
+            for entry in spec:
+                kind, col = entry[0], entry[1]
+                nm = f"{kind}:{col}"
+                if kind == "completeness":
+                    rows.append((nm, "ratio", float(state.get(f"nn:{col}", 0)), float(n), 1.0, 1.0))
+                elif kind == "accepted":
+                    rows.append(
+                        (nm, "ratio", float(state.get(f"in:{col}", 0)),
+                         float(state.get(f"nn:{col}", 0)), 1.0, 1.0)
+                    )
+                elif kind == "min":
+                    rows.append((nm, "value", state.get(nm), None, float(entry[2]), None))
+                else:
+                    rows.append((nm, "value", state.get(nm), None, None, float(entry[2])))
+            frame = spark.createDataFrame(
+                rows, "check_name string, kind string, a double, b double, lo double, hi double"
+            )
+            metric = F.when(
+                F.col("kind") == "ratio",
+                F.when(F.col("b") > 0, F.round(F.col("a") / F.col("b"), 6)),
+            ).otherwise(F.round(F.col("a"), 6))
+            out = frame.select(
+                "check_name",
+                metric.alias("metric"),
+                "lo",
+                "hi",
+            ).select(
+                "check_name",
+                "metric",
+                "lo",
+                "hi",
+                F.when(F.col("metric").isNull(), F.lit(0))
+                .otherwise(
+                    (
+                        (F.col("lo").isNull() | (F.col("metric") >= F.col("lo")))
+                        & (F.col("hi").isNull() | (F.col("metric") <= F.col("hi")))
+                    ).cast("int")
+                )
+                .alias("passed"),
+            )
+            sink(out, epoch_id)
+            if state_snapshot is not None:
+                state_snapshot(dict(state), epoch_id)
+
+    return events_stream.writeStream.foreachBatch(_process)
