@@ -11,7 +11,10 @@ KMV-sketch sweep (r13) that drives the md5-prefix hash, per-set
 k-minima window and integer-division estimator — the full sketch
 pipeline the registered KMV rows replicate — through generated
 set/value/k combinations, with a coverage assert that both the
-exact-below-k and estimator branches execute.
+exact-below-k and estimator branches execute, plus a DQ-audit sweep
+(r13) that compiles random expectation sets over four tables through
+run_expectations and a hand-assembled DuckDB twin, pinning the audit's
+single-round(6)-ratio, NULL-bound and accepted-set conventions.
 
 The hand-written oracle queries each pin ONE use of the cross-engine
 conventions (epoch-second BIGINTs, floor-half-up rounding, the
@@ -405,3 +408,172 @@ def test_kmv_sweep_exercises_both_estimator_branches(spark):
             else:
                 estimated += 1
     assert exact > 0 and estimated > 0, (exact, estimated)
+
+
+# --- DQ expectation sweep (r13) ----------------------------------------
+# The registered dq_expectations row pins ONE hand-picked check set over
+# lineitem; this sweep generates random expectation sets over four
+# tables and replays each through BOTH surfaces — the Python
+# run_expectations compiler (stack pivot, shared-nn aggregation,
+# bound/NULL logic) and a hand-assembled DuckDB twin — at driver
+# strictness, so a drift in the audit's conventions (single round(6) on
+# a bigint/bigint ratio, NULL-bound passed logic, accepted-set
+# denominating on non-NULLs) fails in shapes the one registered row
+# never exercises.
+
+_DQ_TABLES = {
+    "events": {
+        "num": ["value", "user_id"],
+        "cat": {"event_type": ["pv", "click", "buy", "cart", "fav", "zz"]},
+        "key": ["event_id", "user_id"],
+    },
+    "lineitem": {
+        "num": ["l_quantity", "l_discount", "l_extendedprice"],
+        "cat": {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]},
+        "key": ["l_orderkey", "l_partkey"],
+    },
+    "orders": {
+        "num": ["o_totalprice"],
+        "cat": {"o_orderstatus": ["F", "O", "P"]},
+        "key": ["o_orderkey", "o_custkey"],
+    },
+    "documents": {
+        "num": ["n_chars"],
+        "cat": {"lang": ["en", "de", "fr", "zz"], "source": ["web", "wiki", "s1"]},
+        "key": ["doc_id"],
+    },
+}
+
+
+def _gen_dq_spec(rng: random.Random):
+    """One generated audit: (table, checks) where each check is a plain
+    tuple the test compiles into both surfaces."""
+    table = rng.choice(sorted(_DQ_TABLES))
+    meta = _DQ_TABLES[table]
+    checks, names = [], set()
+    for _ in range(rng.randint(3, 6)):
+        kind = rng.choice(["completeness", "uniqueness", "min", "max", "accepted"])
+        if kind == "completeness":
+            col = rng.choice(meta["num"] + list(meta["cat"]))
+            check = ("completeness", col, None)
+        elif kind == "uniqueness":
+            check = ("uniqueness", rng.choice(meta["key"]), None)
+        elif kind in ("min", "max"):
+            col = rng.choice(meta["num"])
+            check = (kind, col, round(rng.uniform(-10.0, 1000.0), 2))
+        else:
+            col = rng.choice(sorted(meta["cat"]))
+            pool = meta["cat"][col]
+            vals = tuple(sorted(rng.sample(pool, rng.randint(1, len(pool)))))
+            check = ("accepted", col, vals)
+        name = f"{check[0]}:{check[1]}"
+        if name in names:
+            continue
+        names.add(name)
+        checks.append(check)
+    return table, checks
+
+
+def _dq_oracle(table: str, checks) -> str:
+    metric_sql, rows = [], []
+    for i, (kind, col, arg) in enumerate(checks):
+        if kind == "completeness":
+            m = (f"round(CAST(count({col}) AS DOUBLE)"
+                 f" / CAST(count(*) AS DOUBLE), 6)")
+            lo, hi = "1.0", "1.0"
+        elif kind == "uniqueness":
+            m = (f"round(CAST(count(DISTINCT {col}) AS DOUBLE)"
+                 f" / CAST(count(*) AS DOUBLE), 6)")
+            lo, hi = "1.0", "1.0"
+        elif kind == "min":
+            m = f"round(CAST(min({col}) AS DOUBLE), 6)"
+            lo, hi = repr(arg), "NULL"
+        elif kind == "max":
+            m = f"round(CAST(max({col}) AS DOUBLE), 6)"
+            lo, hi = "NULL", repr(arg)
+        else:
+            vals = ", ".join(f"'{v}'" for v in arg)
+            m = (f"round(CAST(count(CASE WHEN {col} IN ({vals}) THEN 1 END) AS DOUBLE)"
+                 f" / CAST(count({col}) AS DOUBLE), 6)")
+            lo, hi = "1.0", "1.0"
+        metric_sql.append(f"{m} AS m{i}")
+        rows.append(f"SELECT '{kind}:{col}', m{i}, {lo}, {hi} FROM m")
+    return (
+        f"WITH m AS (SELECT {', '.join(metric_sql)} FROM {table}), "
+        f"checks(check_name, metric, lo, hi) AS ({' UNION ALL '.join(rows)}) "
+        "SELECT check_name, CAST(metric AS DOUBLE) AS metric,"
+        " CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,"
+        " CASE WHEN metric IS NULL THEN 0"
+        " ELSE CAST(((lo IS NULL OR metric >= lo)"
+        " AND (hi IS NULL OR metric <= hi)) AS INT) END AS passed"
+        " FROM checks ORDER BY check_name"
+    )
+
+
+N_DQ_QUERIES = 6
+_DQRNG = random.Random(SEED + 5)
+DQ_SPECS = [_gen_dq_spec(_DQRNG) for _ in range(N_DQ_QUERIES)]
+
+
+@pytest.mark.parametrize("idx", range(N_DQ_QUERIES))
+def test_generated_dq_audit_matches_duckdb(spark, idx):
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.dq import (
+        Expectation,
+        accepted_values,
+        completeness,
+        max_value,
+        min_value,
+        run_expectations,
+        uniqueness,
+    )
+    from flink_kafka_spark.tables import load
+
+    table, checks = DQ_SPECS[idx]
+    exps = []
+    for kind, col, arg in checks:
+        if kind == "completeness":
+            exps.append(completeness(col))
+        elif kind == "uniqueness":
+            exps.append(uniqueness(F.col(col), col))
+        elif kind == "min":
+            exps.append(min_value(col, arg))
+        elif kind == "max":
+            exps.append(max_value(col, arg))
+        else:
+            exps.append(accepted_values(col, arg))
+    df = run_expectations(load(spark, SF_DIR, table), exps).orderBy("check_name")
+    compare_spark_duckdb(df, _dq_oracle(table, checks), SF_DIR)
+
+
+def test_dq_sweep_exercises_pass_and_fail(spark):
+    """Coverage assert: across the seeded audits both passed=1 and
+    passed=0 rows occur, so the bound logic's both branches have a
+    test to fail."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.dq import (
+        accepted_values,
+        completeness,
+        max_value,
+        min_value,
+        run_expectations,
+        uniqueness,
+    )
+    from flink_kafka_spark.tables import load
+
+    outcomes = set()
+    for table, checks in DQ_SPECS:
+        exps = []
+        for kind, col, arg in checks:
+            exps.append(
+                completeness(col) if kind == "completeness"
+                else uniqueness(F.col(col), col) if kind == "uniqueness"
+                else min_value(col, arg) if kind == "min"
+                else max_value(col, arg) if kind == "max"
+                else accepted_values(col, arg)
+            )
+        for r in run_expectations(load(spark, SF_DIR, table), exps).collect():
+            outcomes.add(r["passed"])
+    assert outcomes == {0, 1}, outcomes

@@ -277,6 +277,7 @@ def main() -> None:
         from flink_kafka_spark.streaming.jobs import (
             cms_stream,
             heavy_hitters_stream,
+            dq_monitor_stream,
             kll_stream,
             kmv_stream,
             reservoir_stream,
@@ -346,6 +347,18 @@ def main() -> None:
             "kll_stream": lambda s, peak: kll_stream(
                 s.withColumn("v", F.pmod("user_id", F.lit(997)).cast("double")),
                 manifest_sink(peak), set_col="login_state", val_col="v", k=200,
+            ),
+            # the ingest-contract monitor: one distributed agg per
+            # micro-batch, driver state = one number per counter
+            "dq_monitor_stream": lambda s, peak: dq_monitor_stream(
+                s, manifest_sink(peak),
+                spec=(
+                    ("completeness", "user_id"),
+                    ("completeness", "login_state"),
+                    ("min", "user_id", 0.0),
+                    ("max", "user_id", 1e12),
+                    ("accepted", "login_state", ("fail", "success")),
+                ),
             ),
         }
         for name, build in monitors.items():
