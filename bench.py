@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     # No baseline entries yet — guardrail skips.
     "dq_expectations",
     "embedding_drift",
+    # round-13: the l-diversity release gate — three windows on one
+    # quasi-key shuffle (the k_anonymity shape plus diversity). No
+    # baseline entry — guardrail skips.
+    "l_diversity_audit",
 ]
 
 

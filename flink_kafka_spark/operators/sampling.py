@@ -406,3 +406,51 @@ def k_anonymity(
         *quasi_cols,
         F.count(F.lit(1)).over(w).cast("long").alias("class_size"),
     ).withColumn("keep", (F.col("class_size") >= k).cast("int"))
+
+
+def l_diversity(
+    df: DataFrame,
+    id_col: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Distinct l-diversity gate — the release audit k-anonymity alone
+    cannot give (Machanavajjhala et al., ICDE 2006): a class can have
+    ≥ k members yet expose everyone when they all share ONE sensitive
+    value. Every row is tagged with its quasi-identifier class size
+    AND the number of distinct sensitive values in that class;
+    ``keep = 1`` iff the class carries ≥ l distinct sensitive values.
+    Run downstream of :func:`k_anonymity` (same quasi key, same
+    shuffle) for the joint k-anonymous + l-diverse release gate.
+
+    NULL sensitive values count as one distinct value (dense_rank
+    semantics, identical in both engines regardless of NULL sort
+    position) — a class of all-NULL sensitives is NOT diverse, which
+    is the conservative reading for a release gate.
+
+    Scale design (100 TB): distinct-per-class is computed WITHOUT a
+    count-distinct join-back — ``max(dense_rank)`` over two windows on
+    the SAME quasi-key partition, so the audit costs exactly one
+    shuffle like k_anonymity; skewed classes only deepen a sort that
+    is per-partition after the shuffle."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy(*quasi_cols)
+    wo = wq.orderBy(sensitive_col)
+    return (
+        df.select(
+            id_col,
+            *quasi_cols,
+            F.col(sensitive_col),
+            F.count(F.lit(1)).over(wq).cast("long").alias("class_size"),
+            F.dense_rank().over(wo).alias("_dr"),
+        )
+        .withColumn("l_count", F.max("_dr").over(wq).cast("long"))
+        .withColumn("keep", (F.col("l_count") >= l).cast("int"))
+        .drop("_dr")
+    )

@@ -1363,3 +1363,45 @@ QUERIES.append(
         "ext: one-pass Deequ-style data-quality expectation audit",
     )
 )
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity (l=3) over the same quasi-identifier pair
+    as k_anonymity_audit, with the account-balance band (1000-wide
+    floor buckets) as the sensitive attribute — the companion release
+    gate: a (nation, segment) class of ≥ 10 customers still leaks if
+    they all sit in one balance band."""
+    from ..operators.sampling import l_diversity
+
+    c = load(spark, sf_dir, "customer").withColumn(
+        "balance_band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+    return l_diversity(
+        c, "c_custkey", ["c_nationkey", "c_mktsegment"], "balance_band", l=3
+    )
+
+
+L_DIVERSITY_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band
+  FROM customer
+), ranked AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, balance_band,
+         CAST(count(*) OVER wq AS BIGINT) AS class_size,
+         dense_rank() OVER wo AS dr
+  FROM c
+  WINDOW wq AS (PARTITION BY c_nationkey, c_mktsegment),
+         wo AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY balance_band)
+)
+SELECT c_custkey, c_nationkey, c_mktsegment, balance_band, class_size,
+       CAST(max(dr) OVER wq AS BIGINT) AS l_count,
+       CASE WHEN max(dr) OVER wq >= 3 THEN 1 ELSE 0 END AS keep
+FROM ranked
+WINDOW wq AS (PARTITION BY c_nationkey, c_mktsegment)
+"""
+
+QUERIES.append(
+    Query("l_diversity_audit", l_diversity_audit, L_DIVERSITY_ORACLE,
+          "ext: distinct l-diversity release gate (k-anonymity companion)")
+)

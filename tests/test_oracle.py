@@ -120,6 +120,7 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # they enter at r14 alongside the r8-stale wave.
     "dq_expectations": 13,
     "embedding_drift": 13,
+    "l_diversity_audit": 13,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -114,6 +114,9 @@ PLAN_BOUNDS = {
     # re-aggregates the SAME frame (AQE ReusedExchange at runtime —
     # pinned by test_centroid_drift_scan_reuse) and broadcasts 1 row
     "embedding_drift": (6, 0),
+    # one quasi-key shuffle carries all three windows (class count,
+    # dense_rank, max-rank) — the k_anonymity shape plus diversity
+    "l_diversity_audit": (1, 0),
     # percentile agg + broadcast bounds join + final per-type agg
     "events_value_winsorize": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned

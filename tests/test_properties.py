@@ -1249,3 +1249,38 @@ def test_hll_rollup_union_is_lossless_and_accurate(spark):
     assert got["big"]["n_subs"] == 7 and got["small"]["n_subs"] == 1
     assert abs(got["big"]["est_distinct"] - 5000) / 5000 < 0.05  # ~2% typical at lgK 12
     assert abs(got["small"]["est_distinct"] - 40) <= 1
+
+
+def test_l_diversity_planted_classes(spark):
+    """Planted quasi classes: a big-but-homogeneous class (k-anonymous,
+    NOT l-diverse), a small diverse class, and an all-NULL-sensitive
+    class (counts as ONE distinct value — not diverse)."""
+    from flink_kafka_spark.operators.sampling import l_diversity
+
+    rows = (
+        # class A: 5 members, all sensitive=1 -> l_count 1, suppressed
+        [(i, "A", 1) for i in range(5)]
+        # class B: 3 members, sensitive 1/2/3 -> l_count 3, kept
+        + [(10 + i, "B", i + 1) for i in range(3)]
+        # class C: 4 members, all NULL sensitive -> l_count 1, suppressed
+        + [(20 + i, "C", None) for i in range(4)]
+        # class D: NULL + two distinct -> l_count 3, kept
+        + [(30, "D", None), (31, "D", 7), (32, "D", 8)]
+    )
+    df = spark.createDataFrame(rows, "id int, q string, s int")
+    out = {r["id"]: r for r in l_diversity(df, "id", ["q"], "s", l=3).collect()}
+    for i in range(5):
+        assert (out[i]["class_size"], out[i]["l_count"], out[i]["keep"]) == (5, 1, 0)
+    for i in (10, 11, 12):
+        assert (out[i]["class_size"], out[i]["l_count"], out[i]["keep"]) == (3, 3, 1)
+    for i in (20, 21, 22, 23):
+        assert (out[i]["l_count"], out[i]["keep"]) == (1, 0)
+    for i in (30, 31, 32):
+        assert (out[i]["l_count"], out[i]["keep"]) == (3, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="l must be"):
+        l_diversity(df, "id", ["q"], "s", l=0)
+    with _pytest.raises(ValueError, match="quasi_cols"):
+        l_diversity(df, "id", [], "s")
