@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     # quasi-key shuffle (the k_anonymity shape plus diversity). No
     # baseline entry — guardrail skips.
     "l_diversity_audit",
+    # round-13: the Morton z-order layout audit — pure-codegen key
+    # against broadcast bounds + one bucket agg. No baseline entry.
+    "zorder_layout",
 ]
 
 

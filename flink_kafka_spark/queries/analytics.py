@@ -1405,3 +1405,76 @@ QUERIES.append(
     Query("l_diversity_audit", l_diversity_audit, L_DIVERSITY_ORACLE,
           "ext: distinct l-diversity release gate (k-anonymity companion)")
 )
+
+
+# --- Z-order layout audit (extension) ---------------------------------
+#
+# The data-layout family: Morton-interleave (o_custkey, order epoch-day)
+# and report per-zkey-range-bucket bounds — the parquet footer min/max
+# a repartitionByRange(zkey) write would produce, i.e. what range
+# predicates on EITHER dimension could skip. All-BIGINT pipeline:
+# scaling is integer division against broadcast 1-row bounds,
+# interleave is shift/mask — no rounding convention anywhere.
+
+_Z_BITS = 16
+_Z_BUCKETS = 64
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_locality
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("unix_seconds(o_orderdate) div 86400").alias("order_day")
+    )
+    return zorder_locality(
+        o, ["o_custkey", "order_day"], bits=_Z_BITS, n_buckets=_Z_BUCKETS
+    ).orderBy("bucket")
+
+
+def _z_oracle() -> str:
+    top = (1 << _Z_BITS) - 1
+    scaled = {
+        c: (
+            f"CAST((CAST({c} AS BIGINT) - min_{c}) * {top}"
+            f" // greatest(max_{c} - min_{c}, 1) AS BIGINT)"
+        )
+        for c in ("o_custkey", "order_day")
+    }
+    terms = " + ".join(
+        f"((({scaled[c]} >> {b}) & 1) << {b * 2 + ci})"
+        for b in range(_Z_BITS)
+        for ci, c in enumerate(("o_custkey", "order_day"))
+    )
+    width = max((1 << (_Z_BITS * 2)) // _Z_BUCKETS, 1)
+    return f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS order_day
+  FROM orders
+), b AS (
+  SELECT min(o_custkey) AS min_o_custkey, max(o_custkey) AS max_o_custkey,
+         min(order_day) AS min_order_day, max(order_day) AS max_order_day
+  FROM o
+), keyed AS (
+  SELECT o_custkey, order_day, CAST({terms} AS BIGINT) AS zkey FROM o, b
+)
+SELECT CAST(zkey // {width} AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(min(o_custkey) AS BIGINT) AS min_o_custkey,
+       CAST(max(o_custkey) AS BIGINT) AS max_o_custkey,
+       CAST(min(order_day) AS BIGINT) AS min_order_day,
+       CAST(max(order_day) AS BIGINT) AS max_order_day
+FROM keyed GROUP BY 1 ORDER BY bucket
+"""
+
+
+ZORDER_LAYOUT_ORACLE = _z_oracle()
+
+QUERIES.append(
+    Query(
+        "zorder_layout",
+        zorder_layout,
+        ZORDER_LAYOUT_ORACLE,
+        "ext: Morton z-order layout audit (multi-dim data-skipping bounds)",
+    )
+)

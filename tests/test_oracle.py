@@ -121,6 +121,7 @@ CAPACITY_DEFERRED: dict[str, int] = {
     "dq_expectations": 13,
     "embedding_drift": 13,
     "l_diversity_audit": 13,
+    "zorder_layout": 13,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -117,6 +117,9 @@ PLAN_BOUNDS = {
     # one quasi-key shuffle carries all three windows (class count,
     # dense_rank, max-rank) — the k_anonymity shape plus diversity
     "l_diversity_audit": (1, 0),
+    # 1-row bounds agg (2 exch: partial->single) broadcast onto the
+    # scan + the bucket agg; zkey is a pure codegen expression
+    "zorder_layout": (3, 0),
     # percentile agg + broadcast bounds join + final per-type agg
     "events_value_winsorize": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned
@@ -472,6 +475,9 @@ BNLJ_BOUNDS = {
     # (a 64-element array) broadcast onto the |labels|-row side — one
     # join, counted twice by the formatted plan's tree+detail sections
     "embedding_drift": 2,
+    # (s) scalar-broadcast class: the 1-row global-bounds frame onto
+    # the orders scan (one join, tree+detail double count)
+    "zorder_layout": 2,
 }
 
 
