@@ -100,20 +100,31 @@ def accepted_values(col: str, values: tuple[str, ...]) -> Expectation:
     return Expectation(f"accepted:{col}", _ratio(inset, F.count(col)), 1.0, 1.0)
 
 
-def run_expectations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
+def run_expectations(
+    df: DataFrame,
+    checks: list[Expectation],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Evaluate every expectation in ONE aggregation pass.
 
     Returns (check_name, metric, lo, hi, passed) — passed ∈ {0, 1},
-    bounds NULL where unbounded. Row order is declaration order only
-    after the caller sorts; the frame itself is 1-row-sourced so any
-    downstream orderBy is free.
+    bounds NULL where unbounded. With ``group_cols`` the audit runs
+    PER GROUP (the Deequ grouped-metrics shape: "completeness per
+    source", "ranges per shard-day") and the group columns lead the
+    output — still one aggregation pass, now map-side-combined on the
+    group key, with the stack pivot applied to each group's row; at
+    100 TB the output is |groups|·|checks| rows, never data-sized.
+    Without groups the frame is 1-row-sourced, so any downstream
+    orderBy is free.
     """
     if not checks:
         raise ValueError("run_expectations: empty expectation list")
     names = [c.name for c in checks]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names: {names}")
-    metrics = df.agg(*[c.metric.alias(f"_m{i}") for i, c in enumerate(checks)])
+    aggs = [c.metric.alias(f"_m{i}") for i, c in enumerate(checks)]
+    group_cols = list(group_cols or [])
+    metrics = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
 
     # ONE stack projection over the 1-row aggregate — a union of
     # per-check selects would plan the (table-sized) aggregate once
@@ -126,9 +137,11 @@ def run_expectations(df: DataFrame, checks: list[Expectation]) -> DataFrame:
         for i, c in enumerate(checks)
     )
     stacked = metrics.select(
-        F.expr(f"stack({len(checks)}, {cells}) AS (check_name, metric, lo, hi)")
+        *group_cols,
+        F.expr(f"stack({len(checks)}, {cells}) AS (check_name, metric, lo, hi)"),
     )
     return stacked.select(
+        *group_cols,
         "check_name",
         "metric",
         "lo",

@@ -110,3 +110,32 @@ def test_lineitem_audit_flags_the_planted_key_duplicates(spark, sf_dir):
     for name, r in rows.items():
         if not name.startswith("uniqueness"):
             assert r["passed"] == 1, (name, r)
+
+
+def test_grouped_expectations_per_group_rows(spark):
+    """group_cols runs the SAME audit per group in one aggregation
+    pass: per-group metrics/passed match independently filtered
+    whole-frame audits, and the plan still scans once."""
+    df = _crafted(spark).withColumn("src", F.col("tag"))
+    checks = [completeness("v"), min_value("v", 0.0)]
+    out = run_expectations(df, checks, group_cols=["src"])
+    assert out.columns == ["src", "check_name", "metric", "lo", "hi", "passed"]
+    rows = {(r["src"], r["check_name"]): r for r in out.collect()}
+    # reference: per-group audits of the filtered frame
+    for src in ("A", "B", "Z"):
+        ref = {
+            r["check_name"]: r
+            for r in run_expectations(
+                df.filter(F.col("src") == src), checks
+            ).collect()
+        }
+        for name, rr in ref.items():
+            got = rows[(src, name)]
+            assert (got["metric"], got["passed"]) == (rr["metric"], rr["passed"]), (
+                src, name, got, rr,
+            )
+    # one source read per section: the AQE plan string prints the scan
+    # once in the Final and once in the Initial section — a per-group
+    # fanout would print once per group (3+ per section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 2, plan

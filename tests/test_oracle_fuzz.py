@@ -446,10 +446,13 @@ _DQ_TABLES = {
 
 
 def _gen_dq_spec(rng: random.Random):
-    """One generated audit: (table, checks) where each check is a plain
-    tuple the test compiles into both surfaces."""
+    """One generated audit: (table, group_col, checks) where each check
+    is a plain tuple the test compiles into both surfaces; half the
+    audits run GROUPED (the Deequ per-source shape) to drive the
+    group_cols path at driver strictness."""
     table = rng.choice(sorted(_DQ_TABLES))
     meta = _DQ_TABLES[table]
+    group_col = rng.choice([None, rng.choice(sorted(meta["cat"]))])
     checks, names = [], set()
     for _ in range(rng.randint(3, 6)):
         kind = rng.choice(["completeness", "uniqueness", "min", "max", "accepted"])
@@ -471,10 +474,12 @@ def _gen_dq_spec(rng: random.Random):
             continue
         names.add(name)
         checks.append(check)
-    return table, checks
+    return table, group_col, checks
 
 
-def _dq_oracle(table: str, checks) -> str:
+def _dq_oracle(table: str, group_col, checks) -> str:
+    g_sel = f"{group_col}, " if group_col else ""
+    g_by = f" GROUP BY {group_col}" if group_col else ""
     metric_sql, rows = [], []
     for i, (kind, col, arg) in enumerate(checks):
         if kind == "completeness":
@@ -497,16 +502,18 @@ def _dq_oracle(table: str, checks) -> str:
                  f" / CAST(count({col}) AS DOUBLE), 6)")
             lo, hi = "1.0", "1.0"
         metric_sql.append(f"{m} AS m{i}")
-        rows.append(f"SELECT '{kind}:{col}', m{i}, {lo}, {hi} FROM m")
+        rows.append(f"SELECT {g_sel}'{kind}:{col}', m{i}, {lo}, {hi} FROM m")
+    cols = (f"{group_col}, " if group_col else "") + "check_name, metric, lo, hi"
+    order = (f"{group_col}, " if group_col else "") + "check_name"
     return (
-        f"WITH m AS (SELECT {', '.join(metric_sql)} FROM {table}), "
-        f"checks(check_name, metric, lo, hi) AS ({' UNION ALL '.join(rows)}) "
-        "SELECT check_name, CAST(metric AS DOUBLE) AS metric,"
+        f"WITH m AS (SELECT {g_sel}{', '.join(metric_sql)} FROM {table}{g_by}), "
+        f"checks({cols}) AS ({' UNION ALL '.join(rows)}) "
+        f"SELECT {g_sel}check_name, CAST(metric AS DOUBLE) AS metric,"
         " CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,"
         " CASE WHEN metric IS NULL THEN 0"
         " ELSE CAST(((lo IS NULL OR metric >= lo)"
         " AND (hi IS NULL OR metric <= hi)) AS INT) END AS passed"
-        " FROM checks ORDER BY check_name"
+        f" FROM checks ORDER BY {order}"
     )
 
 
@@ -530,7 +537,7 @@ def test_generated_dq_audit_matches_duckdb(spark, idx):
     )
     from flink_kafka_spark.tables import load
 
-    table, checks = DQ_SPECS[idx]
+    table, group_col, checks = DQ_SPECS[idx]
     exps = []
     for kind, col, arg in checks:
         if kind == "completeness":
@@ -543,8 +550,11 @@ def test_generated_dq_audit_matches_duckdb(spark, idx):
             exps.append(max_value(col, arg))
         else:
             exps.append(accepted_values(col, arg))
-    df = run_expectations(load(spark, SF_DIR, table), exps).orderBy("check_name")
-    compare_spark_duckdb(df, _dq_oracle(table, checks), SF_DIR)
+    groups = [group_col] if group_col else []
+    df = run_expectations(
+        load(spark, SF_DIR, table), exps, group_cols=groups
+    ).orderBy(*groups, "check_name")
+    compare_spark_duckdb(df, _dq_oracle(table, group_col, checks), SF_DIR)
 
 
 def test_dq_sweep_exercises_pass_and_fail(spark):
@@ -564,7 +574,9 @@ def test_dq_sweep_exercises_pass_and_fail(spark):
     from flink_kafka_spark.tables import load
 
     outcomes = set()
-    for table, checks in DQ_SPECS:
+    grouped = sum(1 for _, g, _ in DQ_SPECS if g)
+    assert 0 < grouped < len(DQ_SPECS), "sweep must mix grouped+global audits"
+    for table, _, checks in DQ_SPECS:
         exps = []
         for kind, col, arg in checks:
             exps.append(

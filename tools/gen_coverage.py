@@ -112,12 +112,28 @@ EXTENSIONS = [
               " O(log diameter)) / weighted PageRank in fixed-point"
               " integer arithmetic (source overlap centrality,"
               " unrolled-CTE DuckDB oracle matches bit-for-bit)"),
+    ("data-quality", "declarative one-scan expectation audit"
+                     " (completeness / key uniqueness / value ranges /"
+                     " accepted-value sets; approx_uniqueness HLL swap-in"
+                     " for 100 TB key audits) + continuous streaming DQ"
+                     " monitor (exact mergeable counters, final frame"
+                     " row-identical to the batch audit, pytest-pinned)"),
+    ("privacy", "k-anonymity suppression gate / distinct l-diversity"
+                " companion (max-dense_rank on the same quasi-key"
+                " shuffle, no count-distinct join-back)"),
+    ("layout", "Morton z-order clustering: exact-BIGINT z-key (scale +"
+               " interleave against broadcast bounds, pure codegen) /"
+               " per-bucket locality audit (footer min/max bounds) /"
+               " range-partitioned z-ordered parquet writer"),
+    ("embedding-analytics", "per-label centroid drift vs the corpus"
+                            " centroid (integer-quantized sums, full"
+                            " value oracle on float inputs)"),
     ("sampling", "train/val/test split / sequence packing / mixture resample"
                  " / stratified cap / shard export / corpus shuffle"
                  " / A-Res weighted sampling (Efraimidis-Spirakis)"
                  " + continuous streaming reservoir (streamed manifest =="
                  " batch sample exactly, pytest-pinned)"
-                 " / k-anonymity release gate"
+                 " / k-anonymity + l-diversity gates (privacy family)"
                  " / full assembly compose (training_mix_snapshot)"),
     ("versioning", "JSONL release I/O + corrupt-line quarantine + compaction"
                    " / snapshot diff (added/removed/changed verdicts)"
