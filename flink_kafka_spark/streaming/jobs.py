@@ -850,6 +850,7 @@ def dq_monitor_stream(
     spec: "tuple[tuple, ...]",
     seed: "dict | None" = None,
     state_snapshot=None,
+    group_col: "str | None" = None,
 ):
     """Continuous data-quality expectation monitor — the streaming twin
     of the batch ``operators.dq.run_expectations`` audit (and the sixth
@@ -892,7 +893,18 @@ def dq_monitor_stream(
     stopped (counter merge is order-free).
 
     ``sink(df, epoch_id)`` receives the full (check_name, metric, lo,
-    hi, passed) frame — constant |spec| rows — after every batch."""
+    hi, passed) frame — constant |spec| rows — after every batch.
+
+    ``group_col`` runs the audit PER GROUP (the batch ``group_cols``
+    twin: "completeness per source", live): the per-batch aggregation
+    groups on it, driver state holds one counter set per group, and
+    the emitted frame leads with the group column — |groups|·|spec|
+    rows. The group must be a SEMANTIC dimension (source, state,
+    shard), not data-sized: the per-batch collect and the driver dict
+    are |groups|-bounded, the same contract as cms_stream's watch
+    manifest. Grouped parity to the batch audit and grouped
+    snapshot/seed restart hold by the same counter-merge argument
+    (pinned in tests/test_streaming.py)."""
     from ..caching import release_scope
 
     kinds = {"completeness", "min", "max", "accepted"}
@@ -905,30 +917,35 @@ def dq_monitor_stream(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate check names: {names}")
 
-    state: dict = dict(seed) if seed else {}
+    # global mode: state is the flat counter dict; grouped mode: one
+    # counter dict per group value (seed shape matches either mode)
+    if group_col is None:
+        state: dict = dict(seed) if seed else {}
+    else:
+        state = {g: dict(c) for g, c in (seed or {}).items()}
     last = {"epoch": None}
 
-    def _merge(row) -> None:
-        state["n"] = state.get("n", 0) + row["n"]
+    def _merge_into(st: dict, row) -> None:
+        st["n"] = st.get("n", 0) + row["n"]
         merged_nn = set()  # nn:<col> is SHARED by completeness+accepted
         for entry in spec:
             kind, col = entry[0], entry[1]
             if kind in ("completeness", "accepted") and col not in merged_nn:
                 merged_nn.add(col)
                 k = f"nn:{col}"
-                state[k] = state.get(k, 0) + row[k.replace(":", "_")]
+                st[k] = st.get(k, 0) + row[k.replace(":", "_")]
             if kind == "accepted":
                 k = f"in:{col}"
-                state[k] = state.get(k, 0) + row[k.replace(":", "_")]
+                st[k] = st.get(k, 0) + row[k.replace(":", "_")]
             if kind in ("min", "max"):
                 k = f"{kind}:{col}"
                 v = row[k.replace(":", "_")]
                 if v is not None:
-                    cur = state.get(k)
+                    cur = st.get(k)
                     if cur is None:
-                        state[k] = float(v)
+                        st[k] = float(v)
                     else:
-                        state[k] = min(cur, float(v)) if kind == "min" else max(cur, float(v))
+                        st[k] = min(cur, float(v)) if kind == "min" else max(cur, float(v))
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         with release_scope():
@@ -950,43 +967,63 @@ def dq_monitor_stream(
                     if kind in ("min", "max"):
                         fn = F.min if kind == "min" else F.max
                         aggs.append(fn(col).cast("double").alias(f"{kind}_{col}"))
-                (row,) = batch_df.agg(*aggs).collect()
-                _merge(row)
+                if group_col is None:
+                    (row,) = batch_df.agg(*aggs).collect()
+                    _merge_into(state, row)
+                else:
+                    # |groups|-bounded collect (semantic dimension)
+                    for row in batch_df.groupBy(group_col).agg(*aggs).collect():
+                        _merge_into(state.setdefault(row[group_col], {}), row)
                 last["epoch"] = epoch_id
 
             # (check_name, kind, a, b, lo, hi): ratio checks carry
             # (numerator, denominator), value checks (value, NULL) —
             # the metric/passed expressions below are the BATCH
             # operator's, evaluated by the same engine
-            rows = []
-            n = state.get("n", 0)
-            for entry in spec:
-                kind, col = entry[0], entry[1]
-                nm = f"{kind}:{col}"
-                if kind == "completeness":
-                    rows.append((nm, "ratio", float(state.get(f"nn:{col}", 0)), float(n), 1.0, 1.0))
-                elif kind == "accepted":
-                    rows.append(
-                        (nm, "ratio", float(state.get(f"in:{col}", 0)),
-                         float(state.get(f"nn:{col}", 0)), 1.0, 1.0)
-                    )
-                elif kind == "min":
-                    rows.append((nm, "value", state.get(nm), None, float(entry[2]), None))
-                else:
-                    rows.append((nm, "value", state.get(nm), None, None, float(entry[2])))
-            frame = spark.createDataFrame(
-                rows, "check_name string, kind string, a double, b double, lo double, hi double"
-            )
+            def _check_rows(st: dict) -> list:
+                out_rows = []
+                n = st.get("n", 0)
+                for entry in spec:
+                    kind, col = entry[0], entry[1]
+                    nm = f"{kind}:{col}"
+                    if kind == "completeness":
+                        out_rows.append((nm, "ratio", float(st.get(f"nn:{col}", 0)), float(n), 1.0, 1.0))
+                    elif kind == "accepted":
+                        out_rows.append(
+                            (nm, "ratio", float(st.get(f"in:{col}", 0)),
+                             float(st.get(f"nn:{col}", 0)), 1.0, 1.0)
+                        )
+                    elif kind == "min":
+                        out_rows.append((nm, "value", st.get(nm), None, float(entry[2]), None))
+                    else:
+                        out_rows.append((nm, "value", st.get(nm), None, None, float(entry[2])))
+                return out_rows
+
+            schema = "check_name string, kind string, a double, b double, lo double, hi double"
+            lead = []
+            if group_col is None:
+                rows = _check_rows(state)
+            else:
+                rows = [
+                    (g,) + r
+                    for g in sorted(state, key=lambda x: (x is None, x))
+                    for r in _check_rows(state[g])
+                ]
+                schema = f"{group_col} string, " + schema
+                lead = [group_col]
+            frame = spark.createDataFrame(rows, schema)
             metric = F.when(
                 F.col("kind") == "ratio",
                 F.when(F.col("b") > 0, F.round(F.col("a") / F.col("b"), 6)),
             ).otherwise(F.round(F.col("a"), 6))
             out = frame.select(
+                *lead,
                 "check_name",
                 metric.alias("metric"),
                 "lo",
                 "hi",
             ).select(
+                *lead,
                 "check_name",
                 "metric",
                 "lo",
@@ -1002,6 +1039,11 @@ def dq_monitor_stream(
             )
             sink(out, epoch_id)
             if state_snapshot is not None:
-                state_snapshot(dict(state), epoch_id)
+                snap = (
+                    dict(state)
+                    if group_col is None
+                    else {g: dict(c) for g, c in state.items()}
+                )
+                state_snapshot(snap, epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)

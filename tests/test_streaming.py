@@ -1985,3 +1985,98 @@ def test_dq_monitor_stream_row_identical_to_batch_and_restarts(spark, tmp_path):
     # merging rows[:4] twice would double n; the guard keeps n == 4
     seen_g, snaps_g = run([rows[:4]], "rg2", seed=None)
     assert snaps_g[max(snaps_g)]["n"] == 4
+
+
+def test_dq_monitor_stream_grouped_matches_batch_grouped(spark, tmp_path):
+    """group_col parity: the grouped monitor's final frame equals the
+    batch run_expectations(group_cols=[...]) audit over the
+    concatenated input, and a grouped snapshot seeds a restart to the
+    same frame (NULL group values form their own group)."""
+    import json
+
+    from flink_kafka_spark.operators.dq import (
+        accepted_values,
+        completeness,
+        max_value,
+        run_expectations,
+    )
+    from flink_kafka_spark.streaming.jobs import dq_monitor_stream
+
+    rows = [
+        ("s1", "a", 1.0), ("s1", "b", 9.0), ("s1", None, None),
+        ("s2", "a", 2.0), ("s2", "zz", 3.0),
+        (None, "b", 4.0), (None, "b", 11.0),
+        ("s1", "a", 5.0), ("s2", "b", None),
+    ]
+    spec = (
+        ("completeness", "value"),
+        ("max", "value", 10.0),
+        ("accepted", "event_type", ("a", "b")),
+    )
+
+    def replay(chunks, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        for fi, ch in enumerate(chunks):
+            (d / f"f{fi}.json").write_text(
+                "\n".join(
+                    json.dumps({"src": s, "event_type": t, "value": v})
+                    for s, t, v in ch
+                )
+                + "\n"
+            )
+        return (
+            spark.readStream.schema("src string, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+
+    def run(chunks, subdir, seed=None):
+        seen, snaps = {}, {}
+        q = (
+            dq_monitor_stream(
+                replay(chunks, subdir),
+                lambda df, e: seen.__setitem__(e, list(map(tuple, df.collect()))),
+                spec,
+                seed=seed,
+                state_snapshot=lambda st, e: snaps.__setitem__(e, st),
+                group_col="src",
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / (subdir + "_ckpt")))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen, snaps
+
+    batch_df = spark.createDataFrame(rows, "src string, event_type string, value double")
+    batch = sorted(
+        map(
+            tuple,
+            run_expectations(
+                batch_df,
+                [
+                    completeness("value"),
+                    max_value("value", 10.0),
+                    accepted_values("event_type", ("a", "b")),
+                ],
+                group_cols=["src"],
+            ).collect(),
+        ),
+        key=lambda t: (t[0] is not None, t),
+    )
+
+    def norm(frame_rows):
+        return sorted(frame_rows, key=lambda t: (t[0] is not None, t))
+
+    seen, snaps = run([rows[:4], rows[4:]], "g0")
+    assert norm(seen[max(seen)]) == batch
+
+    # the NULL-src group genuinely fails max:value (11.0 > 10)
+    null_rows = {t[1]: t for t in batch if t[0] is None}
+    assert null_rows["max:value"][5] == 0
+
+    # grouped restart parity
+    seen_a, snaps_a = run([rows[:5]], "ga")
+    seen_b, _ = run([rows[5:]], "gb", seed=snaps_a[max(snaps_a)])
+    assert norm(seen_b[max(seen_b)]) == batch

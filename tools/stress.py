@@ -924,6 +924,27 @@ def main() -> None:
     assert agg["k0_gap"] == n_buckets - 1, agg["k0_gap"]
     assert agg["k0_fill_min"] == agg["k0_fill_max"] == 42.0
 
+    # z-order locality at 10M rows over a known 4096 x 2048 grid: the
+    # key is a pure codegen expression against broadcast bounds, so
+    # wall time must track the scan, and the geometry is exact — 64
+    # buckets over 12+11 interleaved bits carve tiles bounded by
+    # 512 x 512 (z-curve runs, not perfect squares, but each bucket's
+    # extent is <= 2 tiles per dim); the 1-D baseline's second dim
+    # would span the full 2048.
+    from flink_kafka_spark.operators.layout import zorder_locality
+
+    zdf = spark.range(n_events).select(
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(4096)).alias("zx"),
+        F.pmod(F.xxhash64("id", F.lit(12)), F.lit(2048)).alias("zy"),
+    )
+    t0 = time.perf_counter()
+    zrows = zorder_locality(zdf, ["zx", "zy"], bits=12, n_buckets=64).collect()
+    timings[f"zorder_locality_{n_events}"] = round(time.perf_counter() - t0, 2)
+    assert sum(r["n_rows"] for r in zrows) == n_events
+    for r in zrows:
+        assert r["max_zx"] - r["min_zx"] <= 1024, dict(r.asDict())
+        assert r["max_zy"] - r["min_zy"] <= 1024, dict(r.asDict())
+
     print(
         json.dumps(
             {
