@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     # round-13: the Morton z-order layout audit — pure-codegen key
     # against broadcast bounds + one bucket agg. No baseline entry.
     "zorder_layout",
+    # round-13 compose flagship: dedup -> privacy funnel in one scan.
+    "release_gate_snapshot",
 ]
 
 

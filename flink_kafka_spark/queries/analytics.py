@@ -1478,3 +1478,100 @@ QUERIES.append(
         "ext: Morton z-order layout audit (multi-dim data-skipping bounds)",
     )
 )
+
+
+# --- release-gate funnel compose (extension) --------------------------
+#
+# The round-13 families composed END-TO-END, one oracle pinning the
+# interactions (the training_mix_snapshot principle): exact dedup
+# first, then the privacy gates computed over the SURVIVORS — a class
+# size counted over raw rows instead of canonical ones, or the gates
+# reordered, fails the hash even when each stage is individually
+# correct. One corpus scan: the md5 groupBy carries forward each
+# content-class's canonical metadata via min_by, and everything after
+# operates on the canonical frame (classes are |lang x source|-sized).
+
+_RG_K = 10          # k-anonymity class floor
+_RG_L = 3           # distinct length-bands per class floor
+_RG_BAND = 100      # n_chars band width (the sensitive attribute)
+
+
+def release_gate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    canon = (
+        d.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min_by(
+                F.struct(
+                    "lang",
+                    "source",
+                    F.expr(f"CAST(n_chars div {_RG_BAND} AS BIGINT)").alias("band"),
+                ),
+                F.col("doc_id"),
+            ).alias("meta"),
+        )
+        .select("n_dups", "meta.lang", "meta.source", "meta.band")
+    )
+    classes = canon.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_class"),
+        F.count_distinct("band").alias("l_class"),
+        F.sum("n_dups").alias("n_raw_class"),
+    )
+    funnel = classes.agg(
+        F.sum("n_raw_class").alias("_raw"),
+        F.sum("n_class").alias("_dedup"),
+        F.sum(F.when(F.col("n_class") >= _RG_K, F.col("n_class"))).alias("_kanon"),
+        F.sum(
+            F.when(
+                (F.col("n_class") >= _RG_K) & (F.col("l_class") >= _RG_L),
+                F.col("n_class"),
+            )
+        ).alias("_ldiv"),
+    )
+    return funnel.select(
+        F.expr(
+            "stack(4, 'raw', CAST(coalesce(_raw, 0) AS BIGINT),"
+            " 'dedup_exact', CAST(coalesce(_dedup, 0) AS BIGINT),"
+            " 'k_anonymous', CAST(coalesce(_kanon, 0) AS BIGINT),"
+            " 'l_diverse', CAST(coalesce(_ldiv, 0) AS BIGINT))"
+            " AS (stage, n_docs)"
+        )
+    ).orderBy("stage")
+
+
+RELEASE_GATE_ORACLE = f"""
+WITH canon AS (
+  SELECT count(*) AS n_dups,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(source, doc_id) AS source,
+         arg_min(CAST(n_chars // {_RG_BAND} AS BIGINT), doc_id) AS band
+  FROM documents GROUP BY md5(lower(text))
+), classes AS (
+  SELECT lang, source, count(*) AS n_class,
+         count(DISTINCT band) AS l_class,
+         sum(n_dups) AS n_raw_class
+  FROM canon GROUP BY lang, source
+), funnel AS (
+  SELECT CAST(sum(n_raw_class) AS BIGINT) AS raw,
+         CAST(sum(n_class) AS BIGINT) AS dedup_exact,
+         CAST(coalesce(sum(CASE WHEN n_class >= {_RG_K} THEN n_class END), 0) AS BIGINT) AS k_anonymous,
+         CAST(coalesce(sum(CASE WHEN n_class >= {_RG_K} AND l_class >= {_RG_L}
+                                THEN n_class END), 0) AS BIGINT) AS l_diverse
+  FROM classes
+)
+SELECT 'raw' AS stage, raw AS n_docs FROM funnel
+UNION ALL SELECT 'dedup_exact', dedup_exact FROM funnel
+UNION ALL SELECT 'k_anonymous', k_anonymous FROM funnel
+UNION ALL SELECT 'l_diverse', l_diverse FROM funnel
+ORDER BY stage
+"""
+
+QUERIES.append(
+    Query(
+        "release_gate_snapshot",
+        release_gate_snapshot,
+        RELEASE_GATE_ORACLE,
+        "ext: dedup -> k-anonymity -> l-diversity release funnel compose",
+    )
+)

@@ -122,6 +122,7 @@ CAPACITY_DEFERRED: dict[str, int] = {
     "embedding_drift": 13,
     "l_diversity_audit": 13,
     "zorder_layout": 13,
+    "release_gate_snapshot": 13,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

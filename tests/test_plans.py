@@ -120,6 +120,9 @@ PLAN_BOUNDS = {
     # 1-row bounds agg (2 exch: partial->single) broadcast onto the
     # scan + the bucket agg; zkey is a pure codegen expression
     "zorder_layout": (3, 0),
+    # one scan: md5 groupBy (corpus shuffle) -> class groupBy (tiny) ->
+    # 1-row funnel agg; the distinct behind l_class adds the 4th
+    "release_gate_snapshot": (4, 0),
     # percentile agg + broadcast bounds join + final per-type agg
     "events_value_winsorize": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned

@@ -1284,3 +1284,43 @@ def test_l_diversity_planted_classes(spark):
         l_diversity(df, "id", ["q"], "s", l=0)
     with _pytest.raises(ValueError, match="quasi_cols"):
         l_diversity(df, "id", [], "s")
+
+
+def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
+    """Planted funnel: duplicates collapse BEFORE class sizing (a
+    class that is k-anonymous only thanks to copies must be
+    suppressed), and a big-but-homogeneous class passes k but fails
+    l. Ground truth is exact."""
+    from flink_kafka_spark.queries import analytics as A
+
+    rows = []
+    # class (en, s1): 12 distinct docs, bands spread -> passes k and l
+    for i in range(12):
+        rows.append((i, f"uniq text {i} " + "x" * (i * A._RG_BAND), "en", "s1"))
+    # class (de, s2): 12 raw rows but only 4 distinct texts -> fails k
+    for i in range(12):
+        rows.append((100 + i, f"dup text {i % 4}", "de", "s2"))
+    # class (fr, s3): 11 distinct docs, ALL in one band -> passes k, fails l
+    for i in range(11):
+        rows.append((200 + i, f"flat text {i}", "fr", "s3"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df = df.withColumn("n_chars", F.length("text"))
+    pq = str(tmp_path / "documents.parquet")
+    df.write.parquet(pq)
+
+    # point the loader at the planted table
+    import flink_kafka_spark.tables as T
+
+    real_load = T.load
+
+    def fake_load(spark_, sf_dir_, name):
+        if name == "documents":
+            return spark_.read.parquet(pq)
+        return real_load(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(A, "load", fake_load)
+    out = {r["stage"]: r["n_docs"] for r in A.release_gate_snapshot(spark, "ignored").collect()}
+    assert out["raw"] == 35
+    assert out["dedup_exact"] == 12 + 4 + 11
+    assert out["k_anonymous"] == 12 + 11  # de/s2 collapses to 4 < k
+    assert out["l_diverse"] == 12        # fr/s3 is single-band
