@@ -101,3 +101,30 @@ def test_write_zordered_files_carry_tight_bounds(spark, tmp_path):
     # in both dims (vs 63 for a 1-D sorted write's second dimension)
     assert _avg_extent(per_file, "x") <= 16
     assert _avg_extent(per_file, "y") <= 16
+
+
+def test_zorder_three_column_interleave(spark):
+    """N=3 interleave: bit b of column c lands at b*3 + c — pinned
+    against a Python reference on an 8x8x8 grid (bits=3, identity
+    scaling), since the 2-D tests can't catch a stride bug."""
+    df = spark.range(512).select(
+        (F.col("id") / 64).cast("long").alias("x"),
+        ((F.col("id") / 8) % 8).cast("long").alias("y"),
+        (F.col("id") % 8).cast("long").alias("z"),
+    )
+    out = {
+        (r["x"], r["y"], r["z"]): r["zkey"]
+        for r in zorder_key(df, ["x", "y", "z"], bits=3).collect()
+    }
+
+    def morton3(x, y, z):
+        m = 0
+        for b in range(3):
+            m |= ((x >> b) & 1) << (3 * b)
+            m |= ((y >> b) & 1) << (3 * b + 1)
+            m |= ((z >> b) & 1) << (3 * b + 2)
+        return m
+
+    for x, y, z in [(0, 0, 0), (7, 7, 7), (1, 2, 4), (5, 0, 3), (6, 6, 1)]:
+        assert out[(x, y, z)] == morton3(x, y, z), (x, y, z)
+    assert len(set(out.values())) == 512  # bijective on the full grid
