@@ -14,7 +14,12 @@ set/value/k combinations, with a coverage assert that both the
 exact-below-k and estimator branches execute, plus a DQ-audit sweep
 (r13) that compiles random expectation sets over four tables through
 run_expectations and a hand-assembled DuckDB twin, pinning the audit's
-single-round(6)-ratio, NULL-bound and accepted-set conventions.
+single-round(6)-ratio, NULL-bound and accepted-set conventions, plus a
+z-order sweep (r13) that renders the full bounds→scale→bit-interleave→
+bucket pipeline into both dialects across generated (columns, bits,
+buckets) combinations — the shift/mask convention class
+(shiftleft/shiftright/& ↔ <</>>/&) the one registered zorder_layout
+row pins only at a single shape.
 
 The hand-written oracle queries each pin ONE use of the cross-engine
 conventions (epoch-second BIGINTs, floor-half-up rounding, the
@@ -56,6 +61,12 @@ _DIALECT = {
         "{H8_OPEN}": "cast(conv(substr(md5(",
         "{H8_CLOSE}": "),1,8),16,10) as bigint)",
         "{STR}": "STRING",
+        # bit interleave: shiftleft(shiftright(S, b) & 1, pos)
+        "{SHR_OPEN}": "shiftleft(shiftright(",
+        "{SHR_MID}": ", ",
+        "{SHR_CLOSE}": ")",
+        "{SHL_MID}": ", ",
+        "{SHL_CLOSE}": ")",
     },
     "duckdb": {
         "{EPOCH}": "CAST(floor(epoch(ts)) AS BIGINT)",
@@ -63,6 +74,12 @@ _DIALECT = {
         "{H8_OPEN}": "(('0x' || substr(md5(",
         "{H8_CLOSE}": "),1,8))::BIGINT)",
         "{STR}": "VARCHAR",
+        # bit interleave: (((S >> b) & 1) << pos)
+        "{SHR_OPEN}": "(((",
+        "{SHR_MID}": " >> ",
+        "{SHR_CLOSE}": ")",
+        "{SHL_MID}": ") << ",
+        "{SHL_CLOSE}": ")",
     },
 }
 
@@ -589,3 +606,68 @@ def test_dq_sweep_exercises_pass_and_fail(spark):
         for r in run_expectations(load(spark, SF_DIR, table), exps).collect():
             outcomes.add(r["passed"])
     assert outcomes == {0, 1}, outcomes
+
+
+# --- z-order interleave sweep (r13) --------------------------------------
+# The bit-shift/mask interleave is a NEW convention class (Spark
+# shiftleft/shiftright/& vs DuckDB <</>>/&, exact-BIGINT scaling by
+# integer division against aggregate bounds); the one registered
+# zorder_layout row pins a single (2 cols, 16 bits, orders) shape.
+# This sweep generates (columns, bits, bucket-count) combinations over
+# events/lineitem and renders the WHOLE pipeline — bounds, scaling,
+# interleave, bucket agg — into both dialects.
+
+_Z_TABLES = {
+    "events": ["user_id", "event_id", "{EPOCH}{IDIV}86400"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+}
+
+
+def _gen_zorder_spec(rng: random.Random) -> str:
+    table = rng.choice(sorted(_Z_TABLES))
+    n_cols = rng.choice([2, 2, 3])
+    cols = rng.sample(_Z_TABLES[table], n_cols)
+    bits = rng.choice([6, 10, 16] if n_cols == 2 else [6, 10])
+    n_buckets = rng.choice([16, 64])
+    top = (1 << bits) - 1
+    width = max((1 << (bits * n_cols)) // n_buckets, 1)
+    aliases = [f"c{i}" for i in range(n_cols)]
+    src = ", ".join(f"CAST({e} AS BIGINT) AS {a}" for e, a in zip(cols, aliases))
+    bounds = ", ".join(
+        f"min({a}) AS mn{i}, max({a}) AS mx{i}" for i, a in enumerate(aliases)
+    )
+    scaled = [
+        f"(({a} - mn{i}) * {top}{{IDIV}}greatest(mx{i} - mn{i}, 1))"
+        for i, a in enumerate(aliases)
+    ]
+    terms = " + ".join(
+        "{SHR_OPEN}" + sc + "{SHR_MID}" + str(b) + "{SHR_CLOSE}"
+        + " & 1" + "{SHL_MID}" + str(b * n_cols + c) + "{SHL_CLOSE}"
+        for b in range(bits)
+        for c, sc in enumerate(scaled)
+    )
+    mins = ", ".join(
+        f"CAST(min({a}) AS BIGINT) AS min_{a}, CAST(max({a}) AS BIGINT) AS max_{a}"
+        for a in aliases
+    )
+    return (
+        f"WITH src AS (SELECT {src} FROM {table}), "
+        f"b AS (SELECT {bounds} FROM src), "
+        f"keyed AS (SELECT {', '.join(aliases)}, CAST({terms} AS BIGINT) AS zkey"
+        " FROM src, b) "
+        f"SELECT CAST(zkey{{IDIV}}{width} AS BIGINT) AS bucket, count(*) AS n_rows, {mins}"
+        " FROM keyed GROUP BY 1 ORDER BY bucket"
+    )
+
+
+N_ZORDER_QUERIES = 5
+_ZRNG = random.Random(SEED + 6)
+ZORDER_SPECS = [_gen_zorder_spec(_ZRNG) for _ in range(N_ZORDER_QUERIES)]
+
+
+@pytest.mark.parametrize("idx", range(N_ZORDER_QUERIES))
+def test_generated_zorder_query_matches_duckdb(spark, idx):
+    template = ZORDER_SPECS[idx]
+    register_views(spark, SF_DIR, ("events", "lineitem"))
+    spark_df = spark.sql(_render(template, "spark"))
+    compare_spark_duckdb(spark_df, _render(template, "duckdb"), SF_DIR)
