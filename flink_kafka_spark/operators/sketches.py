@@ -313,7 +313,13 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
     - ``est_intersection``: exact when both sides are exact, else
       ``n_both * est_union div |S|`` where n_both counts S-hashes
       present in BOTH sketches (the Jaccard sample restricted to the
-      decidable region).
+      decidable region);
+    - ``est_a_minus_b`` / ``est_b_minus_a``: the set DIFFERENCES by
+      the same sample argument — S partitions into both/only-A/only-B
+      (every S-hash is decidable on each side), so the one-sided
+      counts scale by the same ``est_union div |S|`` factor and the
+      four outputs satisfy ``only_a + only_b + both = |S|`` exactly
+      on the sample (estimates may each round down independently).
 
     Exactness contract caveat: "exact" on the both-below-k path means
     exact over DISTINCT 32-BIT HASHES, not distinct values — two
@@ -335,7 +341,8 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
     for set-level (source/domain/day) sketches, not per-document ones.
 
     Returns ``(set_a, set_b, est_a, est_b, est_union,
-    est_intersection)`` with set_a < set_b."""
+    est_intersection, est_a_minus_b, est_b_minus_a)`` with
+    set_a < set_b."""
     from ..caching import track
 
     # minima feeds three subtrees (stats, the a-side join, the b-side
@@ -405,6 +412,8 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_s"),
             F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+            F.sum(F.col("ia") * (1 - F.col("ib"))).alias("n_only_a"),
+            F.sum((1 - F.col("ia")) * F.col("ib")).alias("n_only_b"),
         )
     )
     est_union = F.when(F.col("both_exact"), F.col("n_s")).otherwise(
@@ -425,6 +434,14 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
             .otherwise(F.expr("n_both * est_union div n_s"))
             .cast("long")
             .alias("est_intersection"),
+            F.when(F.col("both_exact"), F.col("n_only_a"))
+            .otherwise(F.expr("n_only_a * est_union div n_s"))
+            .cast("long")
+            .alias("est_a_minus_b"),
+            F.when(F.col("both_exact"), F.col("n_only_b"))
+            .otherwise(F.expr("n_only_b * est_union div n_s"))
+            .cast("long")
+            .alias("est_b_minus_a"),
         )
     )
 

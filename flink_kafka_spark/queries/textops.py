@@ -2309,13 +2309,17 @@ memb AS (
   FROM pairs p JOIN kept k ON k.s = p.t2
 ),
 sample AS (
-  SELECT t1, t2, count(*) AS n_s, CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM (
+  SELECT t1, t2, count(*) AS n_s,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+         CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_only_b
+  FROM (
     SELECT t1, t2, h, max(ia) AS in_a, max(ib) AS in_b, max(theta) AS theta
     FROM memb GROUP BY 1, 2, 3
   ) WHERE h <= theta GROUP BY 1, 2
 ),
 est AS (
-  SELECT p.*, s.n_s, s.n_both,
+  SELECT p.*, s.n_s, s.n_both, s.n_only_a, s.n_only_b,
          CAST(CASE WHEN p.both_exact THEN s.n_s
               ELSE (s.n_s - 1) * {_KMV_SPACE} // p.theta END AS BIGINT) AS est_union
   FROM pairs p JOIN sample s ON s.t1 = p.t1 AND s.t2 = p.t2
@@ -2327,7 +2331,11 @@ SELECT t1 AS set_a, t2 AS set_b,
             ELSE {KMV_PAIR_K - 1} * {_KMV_SPACE} // hmax_b END AS BIGINT) AS est_b,
        est_union,
        CAST(CASE WHEN both_exact THEN n_both
-            ELSE n_both * est_union // n_s END AS BIGINT) AS est_intersection
+            ELSE n_both * est_union // n_s END AS BIGINT) AS est_intersection,
+       CAST(CASE WHEN both_exact THEN n_only_a
+            ELSE n_only_a * est_union // n_s END AS BIGINT) AS est_a_minus_b,
+       CAST(CASE WHEN both_exact THEN n_only_b
+            ELSE n_only_b * est_union // n_s END AS BIGINT) AS est_b_minus_a
 FROM est
 """
 

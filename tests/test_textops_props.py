@@ -871,11 +871,12 @@ def test_kmv_prefilter_miss_fails_loudly_not_silently(spark):
 
 
 def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
-    """KMV set algebra: est_a/est_b/est_union/est_intersection must
-    bit-match a pure-Python replay of the same integer estimator over
-    the same md5-prefix hashes (the determinism contract), the
-    both-exact pair must come out EXACT, and the sketch-path estimates
-    must land within the KMV error band of the true values."""
+    """KMV set algebra: est_a/est_b/est_union/est_intersection and the
+    r13 difference columns est_a_minus_b/est_b_minus_a must bit-match
+    a pure-Python replay of the same integer estimator over the same
+    md5-prefix hashes (the determinism contract), the both-exact pair
+    must come out EXACT, and the sketch-path estimates must land
+    within the KMV error band of the true values."""
     from flink_kafka_spark.operators.sketches import (
         CMS_SPACE,
         kmv_minima,
@@ -895,7 +896,8 @@ def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
     df = spark.createDataFrame(rows, "s string, v string")
     got = {
         (r["set_a"], r["set_b"]): (
-            r["est_a"], r["est_b"], r["est_union"], r["est_intersection"]
+            r["est_a"], r["est_b"], r["est_union"], r["est_intersection"],
+            r["est_a_minus_b"], r["est_b_minus_a"],
         )
         for r in kmv_pair_intersections(kmv_minima(df, "s", "v", k), k).collect()
     }
@@ -910,12 +912,16 @@ def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
         ea, eb = est(ha, len(set(va))), est(hb, len(set(vb)))
         if len(ha) < k and len(hb) < k:
             inter = len(set(ha) & set(hb))
-            return ea, eb, len(set(ha) | set(hb)), inter
+            only_a, only_b = len(set(ha) - set(hb)), len(set(hb) - set(ha))
+            return ea, eb, len(set(ha) | set(hb)), inter, only_a, only_b
         theta = min(m[-1] for m in (ha, hb) if len(m) == k)
         s_ = {h for h in set(ha) | set(hb) if h <= theta}
         n_both = len({h for h in set(ha) & set(hb) if h <= theta})
+        n_oa = len({h for h in set(ha) - set(hb) if h <= theta})
+        n_ob = len({h for h in set(hb) - set(ha) if h <= theta})
         e_union = (len(s_) - 1) * CMS_SPACE // theta
-        return ea, eb, e_union, n_both * e_union // len(s_)
+        return (ea, eb, e_union, n_both * e_union // len(s_),
+                n_oa * e_union // len(s_), n_ob * e_union // len(s_))
 
     names = sorted(sets)
     want = {
@@ -924,11 +930,13 @@ def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
         for b in names[i + 1:]
     }
     assert got == want  # bit-identical to the integer replay
-    # exact pair is exact
-    assert got[("tiny", "tiny2")] == (40, 40, 70, 10)
-    # sketch-path accuracy: generous 4-sigma (~1/sqrt(k-2)) bands
-    ea, eb, eu, ei = got[("big", "big2")]
+    # exact pair is exact: union 70, both 10, only-tiny 30, only-tiny2 30
+    assert got[("tiny", "tiny2")] == (40, 40, 70, 10, 30, 30)
+    # sketch-path accuracy: generous 4-sigma (~1/sqrt(k-2)) bands; the
+    # true differences are 3000 each (5000\3000-8000 on either side)
+    ea, eb, eu, ei, eoa, eob = got[("big", "big2")]
     assert abs(eu - 8000) / 8000 < 0.5 and abs(ei - 2000) / 2000 < 0.75
+    assert abs(eoa - 3000) / 3000 < 0.75 and abs(eob - 3000) / 3000 < 0.75
 
 
 def test_kll_quantile_rollup_exact_below_k_and_rank_bounded_above(spark):

@@ -538,9 +538,16 @@ def main() -> None:
     assert (exact_small["est_union"], exact_small["est_intersection"]) == (65, 15), (
         tuple(exact_small)
     )
+    # exact differences: c = 0..39, d = 25..64 -> 25 on each side
+    assert (exact_small["est_a_minus_b"], exact_small["est_b_minus_a"]) == (25, 25), (
+        tuple(exact_small)
+    )
     big = got_pairs[("a", "b")]
     assert abs(big["est_union"] - 1_000_000) / 1_000_000 < 0.5, tuple(big)
     assert abs(big["est_intersection"] - 200_000) / 200_000 < 0.6, tuple(big)
+    # planted differences: a\b = 400k (ids 0..399999), b\a = 400k
+    assert abs(big["est_a_minus_b"] - 400_000) / 400_000 < 0.6, tuple(big)
+    assert abs(big["est_b_minus_a"] - 400_000) / 400_000 < 0.6, tuple(big)
 
     # PageRank on a planted 100k-node hub graph: 1000 hubs, each the
     # center of a 99-leaf star (leaves point only at their hub, hubs
