@@ -132,8 +132,15 @@ def run_expectations(
     def _bound(v: float | None) -> str:
         return "CAST(NULL AS DOUBLE)" if v is None else f"CAST({float(v)!r} AS DOUBLE)"
 
+    def _name_lit(name: str) -> str:
+        # Spark SQL string literals consume backslash escapes and
+        # single quotes — regex-bearing check names (pattern:...) must
+        # round-trip verbatim through the stack expression
+        return "'" + name.replace("\\", "\\\\").replace("'", "''") + "'"
+
     cells = ", ".join(
-        f"'{c.name}', CAST(_m{i} AS DOUBLE), {_bound(c.lo)}, {_bound(c.hi)}"
+        f"{_name_lit(c.name)},"
+        f" CAST(_m{i} AS DOUBLE), {_bound(c.lo)}, {_bound(c.hi)}"
         for i, c in enumerate(checks)
     )
     stacked = metrics.select(
@@ -155,3 +162,30 @@ def run_expectations(
         )
         .alias("passed"),
     )
+
+
+def pattern_fraction(
+    col: str, pattern: str, lo: float | None = 1.0, hi: float | None = 1.0
+) -> Expectation:
+    """Fraction of non-NULL values matching ``pattern`` (Java regex,
+    `rlike` semantics — anchor explicitly for full-match checks). The
+    format-contract expectation: ids, emails, locale tags. Default
+    bounds demand every value matches."""
+    m = F.count(F.when(F.col(col).rlike(pattern), F.lit(1)))
+    return Expectation(f"pattern:{col}:{pattern}", _ratio(m, F.count(col)), lo, hi)
+
+
+def quantile_between(
+    col: str, q: float, lo: float | None = None, hi: float | None = None
+) -> Expectation:
+    """Bound on an approximate quantile of ``col`` (Spark native
+    approx_percentile, Greenwald-Khanna accuracy 1/10000) — the tail
+    contract a min/max pair cannot express ("p99 latency under X"
+    tolerates outliers; max_value does not). Approximate ⇒ NOT
+    oracle-hashable (same class as approx_uniqueness): bounds must
+    leave the sketch's rank-error band. Still one column of the same
+    single aggregation pass."""
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"quantile must be in (0, 1), got {q}")
+    m = F.expr(f"approx_percentile({col}, {q!r}, 10000)").cast("double")
+    return Expectation(f"quantile{q:g}:{col}", F.round(m, 6), lo, hi)

@@ -139,3 +139,33 @@ def test_grouped_expectations_per_group_rows(spark):
     # fanout would print once per group (3+ per section)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 2, plan
+
+
+def test_pattern_and_quantile_expectations(spark):
+    df = spark.createDataFrame(
+        [("a-1", 1.0), ("b-2", 2.0), ("bad", 3.0), (None, 100.0)],
+        "code string, v double",
+    )
+    from flink_kafka_spark.operators.dq import pattern_fraction, quantile_between
+
+    out = {
+        r["check_name"]: r
+        for r in run_expectations(
+            df,
+            [
+                pattern_fraction("code", r"^[ab]-\d$"),          # 2/3 -> fail
+                pattern_fraction("code", r"^[a-z]", lo=0.5, hi=None),  # 3/3 pass
+                quantile_between("v", 0.5, lo=1.0, hi=3.0),      # median 2.0
+                quantile_between("v", 0.99, lo=None, hi=50.0),   # p99 100 -> fail
+            ],
+        ).collect()
+    }
+    assert out[r"pattern:code:^[ab]-\d$"]["metric"] == 0.666667
+    assert out[r"pattern:code:^[ab]-\d$"]["passed"] == 0
+    assert out["pattern:code:^[a-z]"]["passed"] == 1
+    assert out["quantile0.5:v"]["metric"] == 2.0
+    assert out["quantile0.5:v"]["passed"] == 1
+    assert out["quantile0.99:v"]["passed"] == 0
+
+    with pytest.raises(ValueError, match="quantile"):
+        quantile_between("v", 1.5)
