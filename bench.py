@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "zorder_layout",
     # round-13 compose flagship: dedup -> privacy funnel in one scan.
     "release_gate_snapshot",
+    # round-13: leave-one-out hour-of-week anomaly scores (one corpus
+    # shuffle + a tiny seasonal window regroup). No baseline entry.
+    "seasonal_anomalies",
 ]
 
 

@@ -1575,3 +1575,122 @@ QUERIES.append(
         "ext: dedup -> k-anonymity -> l-diversity release funnel compose",
     )
 )
+
+
+# --- seasonal (hour-of-week) anomaly detection (extension) ------------
+#
+# traffic_anomalies flags hours against a type's GLOBAL mean, so every
+# rush hour looks anomalous; this variant scores each (type, day,
+# hour) cell against the SAME weekday+hour cells of the OTHER weeks
+# (leave-one-out), which is the baseline that survives seasonality.
+# Determinism: the moment sums S=Σx, Q=Σx² are exact integer window
+# sums over integer counts (order-free), leave-one-out subtracts the
+# cell's own exact contribution, and the z expression is ONE fixed
+# formula over those integers — identical IEEE evaluation in DuckDB —
+# before the terminal round(6). Weekday from pure integer epoch math
+# ((epoch_day + 4) % 7; 1970-01-01 was a Thursday) so no date-function
+# dialect drift enters.
+#
+# Scale shape (100 TB): the only corpus-sized shuffle is the
+# map-side-combined (type, day, hour) count; the seasonal window runs
+# on that ≤ |types|·days·24 frame. z needs >= 3 other weeks (ko >= 2
+# for a sample std); younger cells emit NULL z / flag 0.
+
+SEASONAL_Z = 3.0
+
+
+def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("unix_seconds(ts) div 86400").alias("day"),
+            F.expr("(unix_seconds(ts) div 3600) % 24").alias("hour"),
+        )
+        .groupBy("event_type", "day", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("dow", F.expr("(day + 4) % 7"))
+    )
+    w = Window.partitionBy("event_type", "dow", "hour")
+    stats = cells.select(
+        "event_type",
+        "day",
+        "hour",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("s_o"),
+        (F.sum(F.col("cnt") * F.col("cnt")).over(w) - F.col("cnt") * F.col("cnt")).alias("q_o"),
+        (F.count(F.lit(1)).over(w) - 1).alias("k_o"),
+    )
+    z = F.expr(
+        "CASE WHEN k_o >= 2 AND (q_o * k_o - s_o * s_o) > 0 THEN "
+        "round((CAST(cnt AS DOUBLE) * k_o - s_o)"
+        " / (k_o * sqrt(CAST(q_o * k_o - s_o * s_o AS DOUBLE)"
+        "               / (k_o * (k_o - 1)))), 6) END"
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        "hour",
+        "cnt",
+        F.col("k_o").cast("long").alias("baseline_n"),
+        z.alias("z"),
+        # zero-variance baseline with a deviating cell is the MOST
+        # anomalous case (infinite z, which the formula leaves NULL):
+        # flag it explicitly; an agreeing cell over a constant
+        # baseline is the least anomalous and stays 0
+        F.expr(
+            f"CASE WHEN k_o >= 2 AND (q_o * k_o - s_o * s_o) <= 0"
+            f" THEN CAST(cnt * k_o != s_o AS INT) END"
+        ).alias("_flat_dev"),
+    ).select(
+        "event_type",
+        "day",
+        "hour",
+        "cnt",
+        "baseline_n",
+        "z",
+        F.when(F.col("z").isNotNull(), (F.abs("z") > SEASONAL_Z).cast("int"))
+        .otherwise(F.coalesce(F.col("_flat_dev"), F.lit(0)))
+        .alias("is_anomaly"),
+    )
+
+
+SEASONAL_ANOMALIES_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), stats AS (
+  SELECT event_type, day, hour, cnt,
+         sum(cnt) OVER w - cnt AS s_o,
+         sum(cnt * cnt) OVER w - cnt * cnt AS q_o,
+         count(*) OVER w - 1 AS k_o
+  FROM (SELECT *, (day + 4) % 7 AS dow FROM cells)
+  WINDOW w AS (PARTITION BY event_type, dow, hour)
+), scored AS (
+  SELECT event_type, day, hour, cnt, k_o, s_o, q_o,
+         CAST(k_o AS BIGINT) AS baseline_n,
+         CASE WHEN k_o >= 2 AND (q_o * k_o - s_o * s_o) > 0 THEN
+           round((CAST(cnt AS DOUBLE) * k_o - s_o)
+                 / (k_o * sqrt(CAST(q_o * k_o - s_o * s_o AS DOUBLE)
+                               / (k_o * (k_o - 1)))), 6) END AS z
+  FROM stats
+)
+SELECT event_type, day, hour, cnt, baseline_n, z,
+       CASE WHEN z IS NOT NULL THEN CAST(abs(z) > {SEASONAL_Z} AS INT)
+            WHEN k_o >= 2 AND (q_o * k_o - s_o * s_o) <= 0
+                 THEN CAST(cnt * k_o != s_o AS INT)
+            ELSE 0 END AS is_anomaly
+FROM scored
+"""
+
+QUERIES.append(
+    Query(
+        "seasonal_anomalies",
+        seasonal_anomalies,
+        SEASONAL_ANOMALIES_ORACLE,
+        "ext: leave-one-out hour-of-week seasonal anomaly z-scores",
+    )
+)

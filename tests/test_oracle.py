@@ -123,6 +123,7 @@ CAPACITY_DEFERRED: dict[str, int] = {
     "l_diversity_audit": 13,
     "zorder_layout": 13,
     "release_gate_snapshot": 13,
+    "seasonal_anomalies": 13,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

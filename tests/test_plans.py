@@ -123,6 +123,9 @@ PLAN_BOUNDS = {
     # one scan: md5 groupBy (corpus shuffle) -> class groupBy (tiny) ->
     # 1-row funnel agg; the distinct behind l_class adds the 4th
     "release_gate_snapshot": (4, 0),
+    # one corpus shuffle (map-side-combined cell count) + the seasonal
+    # window's regroup on the tiny cells frame
+    "seasonal_anomalies": (2, 0),
     # percentile agg + broadcast bounds join + final per-type agg
     "events_value_winsorize": (2, 0),
     # iterative driver loop (CC-style eager checkpoints): the returned

@@ -1324,3 +1324,54 @@ def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     assert out["dedup_exact"] == 12 + 4 + 11
     assert out["k_anonymous"] == 12 + 11  # de/s2 collapses to 4 < k
     assert out["l_diverse"] == 12        # fr/s3 is single-band
+
+
+def test_seasonal_anomalies_planted_spike(spark, monkeypatch, tmp_path):
+    """Planted seasonality: Mondays 9:00 always carry 100 events and
+    other hours 10 — a flat-baseline z-score would flag every Monday
+    9:00; the seasonal leave-one-out must flag NONE of them, and must
+    flag the one week whose Monday 9:00 spikes to 400."""
+    import datetime
+
+    from flink_kafka_spark.queries import analytics as A
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)  # a Monday
+    rows = []
+    eid = 0
+    for week in range(5):
+        for d in range(7):
+            for h in (9, 15):
+                day = base + datetime.timedelta(weeks=week, days=d, hours=h)
+                is_monday_nine = d == 0 and h == 9
+                n = 100 if is_monday_nine else 10
+                if week == 3 and is_monday_nine:
+                    n = 400  # the planted spike
+                for _ in range(n):
+                    rows.append((eid, day, "pv"))
+                    eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    pq = str(tmp_path / "events.parquet")
+    df.write.parquet(pq)
+
+    import flink_kafka_spark.tables as T
+
+    real_load = T.load
+
+    def fake_load(spark_, sf_dir_, name):
+        if name == "events":
+            return spark_.read.parquet(pq)
+        return real_load(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(A, "load", fake_load)
+    out = A.seasonal_anomalies(spark, "ignored").collect()
+    flagged = [(r["day"], r["hour"]) for r in out if r["is_anomaly"] == 1]
+    spike_day = int((base + datetime.timedelta(weeks=3)).timestamp()) // 86400
+    assert flagged == [(spike_day, 9)], flagged
+    # every NON-spike Monday 9:00 passes despite being 10x the global mean
+    # (epoch_day + 4) % 7 indexes 0=Sunday (1970-01-01 was a Thursday
+    # = 4), so Monday is 1
+    mondays = [r for r in out if r["hour"] == 9 and (r["day"] + 4) % 7 == 1]
+    assert len(mondays) == 5
+    assert sum(r["is_anomaly"] for r in mondays) == 1
+    # baseline_n is the other-week count
+    assert all(r["baseline_n"] == 4 for r in mondays)
