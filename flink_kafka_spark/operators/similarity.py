@@ -738,6 +738,21 @@ def centroid_drift(
     frame (a dim-row re-aggregation), never a second scan, and joins
     back as a broadcast 1-row array.
     """
+    return centroid_drift_from_sums(
+        centroid_sums(df, group_col, vec_col, quant), group_col
+    )
+
+
+def centroid_sums(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """The distributed half of :func:`centroid_drift`: exact-BIGINT
+    per-(group, dim) component sums ``(g, pos, s, c)``. These are the
+    state the streaming monitor holds — integer addition merges them
+    exactly under any batch split."""
     ex = df.select(
         F.col(group_col).alias("g"),
         F.posexplode(
@@ -747,9 +762,15 @@ def centroid_drift(
             )
         ).alias("pos", "q"),
     )
-    per = ex.groupBy("g", "pos").agg(
+    return ex.groupBy("g", "pos").agg(
         F.sum("q").alias("s"), F.count(F.lit(1)).alias("c")
     )
+
+
+def centroid_drift_from_sums(per: DataFrame, group_col: str = "label") -> DataFrame:
+    """The scoring half of :func:`centroid_drift`, over a ``(g, pos,
+    s, c)`` sums frame — shared verbatim by the batch operator and the
+    streaming monitor so their outputs cannot drift."""
     lab = per.groupBy("g").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE)"

@@ -1047,3 +1047,74 @@ def dq_monitor_stream(
                 state_snapshot(snap, epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)
+
+
+def centroid_drift_stream(
+    events_stream: DataFrame,
+    sink,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+    group_type: str = "string",
+    seed: "dict | None" = None,
+    state_snapshot=None,
+):
+    """Continuous embedding-centroid drift monitor — the streaming twin
+    of the batch ``operators.similarity.centroid_drift`` (and the
+    seventh monitor): the live "did a source's embedding mass move"
+    surface for an ingest stream of vectors.
+
+    Parity contract (pinned in tests/test_streaming.py): the batch
+    operator quantizes components to exact BIGINTs before any sum, so
+    its per-(group, dim) sums are plain integer additions — the
+    monitor holds exactly those counters and merges each micro-batch's
+    distributed ``centroid_sums`` output by addition (order-free,
+    duplicate-batch-free via the epoch guard), then scores the
+    state-rebuilt sums frame with the SAME ``centroid_drift_from_sums``
+    code path. The emitted frame is therefore ROW-IDENTICAL to the
+    batch operator over the concatenated input under ANY batch split —
+    exact parity, not a sketch bound.
+
+    Scale shape: each micro-batch runs one distributed explode +
+    map-side-combined (group, dim) sum and collects ≤ |groups|·dim
+    rows (groups are a semantic dimension — the cms_stream watch-
+    manifest contract); driver state is one (s, c) long pair per
+    (group, dim) cell. Replay guard and snapshot/seed restart follow
+    the dq_monitor_stream shape.
+
+    ``sink(df, epoch_id)`` receives (group, n_vecs, cos_to_global,
+    norm_ratio) — |groups| rows — after every batch."""
+    from ..caching import release_scope
+    from ..operators.similarity import centroid_drift_from_sums, centroid_sums
+
+    # state: {(g, pos): [s, c]} exact longs
+    state: dict = {k: list(v) for k, v in (seed or {}).items()}
+    last = {"epoch": None}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            spark = batch_df.sparkSession
+            if epoch_id != last["epoch"]:
+                rows = centroid_sums(batch_df, group_col, vec_col, quant).collect()
+                for r in rows:  # |groups| x dim — bounded collect
+                    cell = state.setdefault((r["g"], r["pos"]), [0, 0])
+                    cell[0] += r["s"]
+                    cell[1] += r["c"]
+                last["epoch"] = epoch_id
+            if state:
+                per = spark.createDataFrame(
+                    [(g, p, s, c) for (g, p), (s, c) in sorted(state.items())],
+                    f"g {group_type}, pos int, s long, c long",
+                )
+                out = centroid_drift_from_sums(per, group_col)
+            else:
+                out = spark.createDataFrame(
+                    [(None, None, None, None)],
+                    f"{group_col} {group_type}, n_vecs long,"
+                    " cos_to_global double, norm_ratio double",
+                )
+            sink(out, epoch_id)
+            if state_snapshot is not None:
+                state_snapshot({k: tuple(v) for k, v in state.items()}, epoch_id)
+
+    return events_stream.writeStream.foreachBatch(_process)

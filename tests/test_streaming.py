@@ -2080,3 +2080,67 @@ def test_dq_monitor_stream_grouped_matches_batch_grouped(spark, tmp_path):
     seen_a, snaps_a = run([rows[:5]], "ga")
     seen_b, _ = run([rows[5:]], "gb", seed=snaps_a[max(snaps_a)])
     assert norm(seen_b[max(seen_b)]) == batch
+
+
+def test_centroid_drift_stream_row_identical_to_batch_and_restarts(spark, tmp_path):
+    """The centroid monitor holds the batch operator's exact integer
+    (group, dim) sums and scores them through the SAME
+    centroid_drift_from_sums path, so the final frame must equal the
+    batch centroid_drift over the concatenated vectors under any
+    split, and a snapshot-seeded restart converges to the same frame."""
+    import json
+
+    from flink_kafka_spark.operators.similarity import centroid_drift
+    from flink_kafka_spark.streaming.jobs import centroid_drift_stream
+
+    dim = 8
+    rows = [
+        (f"s{i % 3}", [((i * 7 + j * 13) % 100) / 50.0 - 1.0 for j in range(dim)])
+        for i in range(60)
+    ]
+
+    def replay(chunks, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        for fi, ch in enumerate(chunks):
+            (d / f"f{fi}.json").write_text(
+                "\n".join(json.dumps({"label": g, "embedding": v}) for g, v in ch)
+                + "\n"
+            )
+        return (
+            spark.readStream.schema("label string, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+
+    def run(chunks, subdir, seed=None):
+        seen, snaps = {}, {}
+        q = (
+            centroid_drift_stream(
+                replay(chunks, subdir),
+                lambda df, e: seen.__setitem__(e, sorted(map(tuple, df.collect()))),
+                seed=seed,
+                state_snapshot=lambda st, e: snaps.__setitem__(e, st),
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / (subdir + "_ckpt")))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen, snaps
+
+    batch_df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    batch = sorted(map(tuple, centroid_drift(batch_df).collect()))
+
+    for i, split in enumerate(([20, 40], [7, 23, 30])):
+        chunks, at = [], 0
+        for w in split:
+            chunks.append(rows[at : at + w])
+            at += w
+        seen, _ = run(chunks, f"c{i}")
+        assert seen[max(seen)] == batch, f"split {split} diverged"
+
+    # restart parity from a mid-stream snapshot
+    seen_a, snaps_a = run([rows[:25]], "ca")
+    seen_b, _ = run([rows[25:]], "cb", seed=snaps_a[max(snaps_a)])
+    assert seen_b[max(seen_b)] == batch

@@ -277,6 +277,7 @@ def main() -> None:
         from flink_kafka_spark.streaming.jobs import (
             cms_stream,
             heavy_hitters_stream,
+            centroid_drift_stream,
             dq_monitor_stream,
             kll_stream,
             kmv_stream,
@@ -347,6 +348,19 @@ def main() -> None:
             "kll_stream": lambda s, peak: kll_stream(
                 s.withColumn("v", F.pmod("user_id", F.lit(997)).cast("double")),
                 manifest_sink(peak), set_col="login_state", val_col="v", k=200,
+            ),
+            # embedding-centroid drift: synthesize an 8-dim vector from
+            # the user id so the monitor's explode+sum path runs at
+            # stream volume; state = 2 strata x 8 dims of long pairs
+            "centroid_drift_stream": lambda s, peak: centroid_drift_stream(
+                s.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(sequence(0, 7), j -> CAST(pmod(xxhash64("
+                        "user_id, j), 200) AS FLOAT) / 100.0 - 1.0)"
+                    ),
+                ),
+                manifest_sink(peak), group_col="login_state",
             ),
             # the ingest-contract monitor: one distributed agg per
             # micro-batch, driver state = one number per counter
