@@ -50,7 +50,7 @@ class Query:
 # beyond_cadence): a NEVER-hashed full-oracle registration must enter
 # the window its own round (or be capacity-deferred at most 3); an
 # active row may sit out at most 6 consecutive rounds — the original
-# "~3 rounds" promise is infeasible at 148 full-oracle rows (max
+# "~3 rounds" promise is infeasible at 149 full-oracle rows (max
 # 3-round coverage through a 50-slot window at twice-green turnover
 # is 100 rows); row-linked twins may retire from the window with a
 # named co-covering row (RETIRED_TWINS), still oracle-verified by

@@ -154,11 +154,11 @@ CADENCE_DEBT: dict[str, int] = {
 }
 
 # Re-hash cadence bound. The policy header's original "~3 rounds" is
-# infeasible at the current registry size: 148 full-oracle rows (r13)
+# infeasible at the current registry size: 149 full-oracle rows (r13)
 # cannot cycle through a 50-slot window in 3 rounds when only
 # twice-green rows may leave (max 3-round coverage = 50 + 2*25 = 100
-# rows). Six rounds cover 50 + 5*25 = 175 > 148 with slack for
-# checks/anchors — 27 rows of headroom; a future round that pushes
+# rows). Six rounds cover 50 + 5*25 = 175 > 149 with slack for
+# checks/anchors — 26 rows of headroom; a future round that pushes
 # the full-oracle count toward 175 must widen the window or retire
 # twins instead.
 CADENCE_MAX_ABSENT = 6
