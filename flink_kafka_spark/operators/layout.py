@@ -70,7 +70,10 @@ def zorder_key(
     callers pre-bucket continuous/temporal values, e.g. epoch-day).
     Bounds come from one 1-row aggregate broadcast onto the scan; the
     key itself is a pure expression. ``bits`` per column; the key
-    needs bits*len(cols) <= 63 total."""
+    needs bits*len(cols) <= 63 total. Operating ceiling: the scaling
+    multiply is exact only while (max - min) · (2^bits − 1) stays
+    under 2^63 — i.e. domain width below ~2^(63 − bits); pre-bucket
+    wider domains (epoch-days not epoch-micros)."""
     if len(cols) < 2:
         raise ValueError("zorder_key needs >= 2 columns to interleave")
     if bits * len(cols) > 63:

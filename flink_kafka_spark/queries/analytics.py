@@ -1594,7 +1594,11 @@ QUERIES.append(
 # Scale shape (100 TB): the only corpus-sized shuffle is the
 # map-side-combined (type, day, hour) count; the seasonal window runs
 # on that ≤ |types|·days·24 frame. z needs >= 3 other weeks (ko >= 2
-# for a sample std); younger cells emit NULL z / flag 0.
+# for a sample std); younger cells emit NULL z / flag 0. Operating
+# ceiling: the exact moment math squares cell counts in BIGINT, so a
+# single (type, day, hour) cell above ~1.5e9 events overflows s_o² —
+# at that density, pre-aggregate on a finer time grain (or scale
+# counts down by a constant) before scoring.
 
 SEASONAL_Z = 3.0
 
