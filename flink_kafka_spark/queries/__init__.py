@@ -68,53 +68,46 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-13 ROTATION (full rationale in ROTATION_LEDGER.md §Round 13):
-# tools/cadence_audit.py (new this round) recomputes absence from
-# CORRECTNESS_r*.json last-hash rounds — the r12 ledger's "due r14"
-# prose was off by one (rows rotate OUT the round AFTER their last
-# hash). The audit shows 10 rows last-hashed r6 (OVERDUE) and 10 more
-# last-hashed r7 (due exactly r13), so this rotation drains BOTH
-# waves: OUT all 24 twice-green (r11+r12) rows, IN the 20 mandatory
-# rows + kmv_pair_intersections (new full-oracle registration,
-# immediate-hash rule) + 3 early drains from the r14-due r8 queue
-# (bm25_search, fuzzy_part_matches, dedup_canonicalize_skew) to
-# soften r14's 25-row bulge. kmv_set_cardinality may leave only
-# because kmv_pair_intersections enters (same kmv_minima/kmv_est_expr
-# machinery, full oracle); media_features leaves against
-# media_decode_meta + media_features_check staying.
+# ROUND-14 ROTATION (full rationale in ROTATION_LEDGER.md §Round 14):
+# tools/cadence_audit.py at round entry shows 22 r8-stale rows at
+# their hard 6-absence bound (due exactly r14). OUT pool = the 14
+# carried r12-INs, all twice-green (r12+r13); the 24 r13-INs are
+# once-green and may not leave. 14 < 22, so all 14 slots go to the
+# scheduled family-balanced IN set and the remaining 8 r8-stale rows
+# enter CADENCE_DEBT (tests/test_oracle.py) with written deadline r15
+# — the designed late-but-never-forgotten mechanism. The §2
+# streamlike surface leaves the window whole (hot_items_topn,
+# channel_stats, global_stats, hot_sources_topn, uv_bloom, sessionize,
+# funnel_conversions): every row is co-covered by its SQL-twin /
+# parity pytests and the full rehearsal sweep, and the family has no
+# never-hashed backlog (re-enters from the r13-IN pool at r15+).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2 reference surface (carried r12 INs, once-green)
-    "hot_items_topn",
-    "sessionize",
-    "funnel_conversions",
-    "channel_stats",
-    "global_stats",
-    "hot_sources_topn",
-    "uv_bloom",
-    "uv_approx_check",
-    # joins family (r6-overdue IN)
+    # §2 reference surface / joins / analytics checks (r13 INs stay)
     "order_ship_interval_join",
-    # analytics property oracle (approx percentile rank-error bound)
+    "uv_approx_check",
     "quantity_percentiles_approx_check",
-    # relational block (carried q1/q3 + r6-overdue q5/q18 + r7-due q4..q12)
-    "tpch_q1",
-    "tpch_q3",
+    # relational block (q4..q18 carried; q8/q13 at their r14 bound IN)
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q18",
-    # deduplication / graph family (r6-overdue + r7-due + early drain)
+    # deduplication family (carried r13 INs + the r8-stale trio IN)
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_canonicalize",
     "dedup_canonicalize_skew",
+    "dedup_containment",
+    "dedup_span_stats",
+    "dedup_span_trim",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_incremental_check",
-    # similarity / ANN family (r6-overdue rows + staying checks)
+    # similarity / ANN family (carried rows + staying checks)
     "ann_cosine_topk",
     "embedding_quantize",
     "ann_lsh_check",
@@ -122,27 +115,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    # text family (carried + r6-overdue repetition_stats + r7-due rows)
-    "decontaminate",
-    "pii_scan",
+    # text family (carried + r8-stale rows at their bound IN)
     "repetition_stats",
     "lang_id",
     "pii_redact",
     "doc_chunk",
+    "text_quality",
+    "doc_fingerprint",
+    "word_pmi",
+    "source_scorecard",
     "heavy_hitters_check",
-    # sketch family (new registration, immediate-hash rule)
     "kmv_pair_intersections",
-    # joins long-tail early drain (r8, due r14)
+    # joins long-tail (carried r13 IN)
     "fuzzy_part_matches",
-    # retrieval family (carried anchors + early-drain bm25)
-    "multi_query_search",
-    "tfidf_top_terms",
+    # retrieval family anchor (carried r13 IN)
     "bm25_search",
-    # sampling / release family (carried + r6-overdue + r7-due)
-    "dataset_split",
+    # source analytics (r8-stale IN)
+    "source_overlap",
+    # sampling / release family (carried + r8-stale rows IN)
     "profile_documents",
     "stratified_cap",
-    # multimodal family (r6-overdue IN + staying check)
+    "weighted_sample",
+    "snapshot_diff",
+    "corpus_shuffle",
+    "leakage_safe_split",
+    # multimodal family (carried)
     "media_features_check",
     "media_decode_meta",
 )

@@ -151,6 +151,17 @@ RETIRED_TWINS: dict[str, str] = {
 CADENCE_DEBT: dict[str, int] = {
     # (quantity_percentiles and customer_running_totals, last hashed
     # r2, re-entered the window in r11 on their written deadline.)
+    # r14: 22 r8-stale rows hit the 6-absence bound at once but the
+    # twice-green OUT pool was only 14 (ROTATION_LEDGER §Round 14);
+    # the 8 overflow rows run on this written deadline instead.
+    "bpe_token_count": 15,
+    "clf_quality_score": 15,
+    "doc_logprob": 15,
+    "event_transitions": 15,
+    "filter_threshold_sweep": 15,
+    "orders_rollup": 15,
+    "traffic_anomalies": 15,
+    "value_drift_psi": 15,
 }
 
 # Re-hash cadence bound. The policy header's original "~3 rounds" is
