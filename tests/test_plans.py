@@ -142,7 +142,9 @@ PLAN_BOUNDS = {
     "page_views": (1, 0),
     "unique_visitors": (2, 0),  # (window) shuffle + distinct
     "uv_approx": (1, 0),
-    "uv_bloom": (1, 0),
+    # distinct (window,user) pre-shuffle (map-side combined) bounds the
+    # serial per-window bloom insert at O(UV), + the window regroup
+    "uv_bloom": (2, 0),
     "channel_stats": (1, 0),
     "global_stats": (1, 0),
     "global_stats_fine": (2, 0),  # fine-slide rollup: slice agg + window agg
