@@ -428,6 +428,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard. b=bands bands of r=k/bands rows: a pair collides in ≥1
@@ -435,6 +436,30 @@ def minhash_lsh_pairs(
 
     Only (band-hash, id) pairs shuffle for candidate generation; exact
     verification re-derives shingle sets for candidate ids only.
+
+    ``max_bucket`` bounds the quadratic pair OUTPUT of a pathological
+    band bucket (the r13-verdict hardening; the fuzzy join's
+    ``max_block`` is the sibling discipline): peak MEMORY was already
+    O(bucket) via the generator enumeration below, but a boilerplate
+    mega-bucket — 10⁵ copies of the same cookie banner hashing into
+    one (band, band_hash) — still emitted O(bucket²) candidate pairs.
+    With the cap, a bucket of size H > max_bucket switches from
+    all-pairs to SORTED-NEIGHBORHOOD enumeration: each id pairs with
+    its next ``w = max(1, max_bucket²/(2H))`` neighbors in the sorted
+    id array, keeping the bucket's pair budget at ~max_bucket²/2 (what
+    a just-at-cap bucket costs) with a floor of the adjacency chain.
+    No member is dropped and the chain keeps the bucket CONNECTED, so
+    downstream connected-component canonicalization collapses the
+    boilerplate cluster exactly as the uncapped pair set would — what
+    the cap trades away is only non-adjacent direct edges inside the
+    oversized bucket (transitively recovered post-verification when
+    the bucket really is near-identical text). Buckets at or under
+    the cap are enumerated exactly; ``None`` (default) disables the
+    cap, so registered-oracle outputs are unchanged. At 100 TB, set it
+    (e.g. 1000) — an uncapped web crawl WILL contain mega-buckets.
+    Audit which buckets were capped via the companion
+    ``shingle_prune_stats``-style sweep: ``_lsh_bands(...).groupBy(
+    "band", "band_hash").count().filter(F.col("count") > cap)``.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -464,9 +489,26 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        # per-id neighborhood width: full enumeration at/under the cap,
+        # budget-preserving window (floor 1 = the connectivity chain)
+        # above it — all inside codegen, no extra pass or shuffle
+        width = F.when(
+            F.size("ids") <= max_bucket, F.size("ids")
+        ).otherwise(
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(max_bucket * max_bucket) / (2 * F.size("ids"))),
+            )
+        )
+        buckets = buckets.withColumn("_w", width.cast("int"))
+    else:
+        buckets = buckets.withColumn("_w", F.size("ids"))
     pairs = buckets.select(
-        "ids", F.posexplode("ids").alias("_i", "id_a")
-    ).select("id_a", F.expr("explode(slice(ids, _i + 2, size(ids)))").alias("id_b"))
+        "ids", "_w", F.posexplode("ids").alias("_i", "id_a")
+    ).select("id_a", F.expr("explode(slice(ids, _i + 2, _w))").alias("id_b"))
     # Candidates are tiny relative to the corpus (that is the point of
     # LSH); cache them because two consumers follow (the id-set
     # broadcast + the verification join), and the broadcast exchange

@@ -735,6 +735,64 @@ def test_fuzzy_match_pairs_hot_block_cap_is_lossless(spark):
     assert pairs(max_block=10_000) == uncapped  # no block refined
 
 
+def test_minhash_lsh_mega_bucket_cap_bounds_pairs_keeps_connectivity(spark):
+    """The r13-verdict LSH hardening: a planted 10k-id boilerplate
+    bucket (identical text → identical band hash in EVERY band) must
+    complete under a bounded pair budget when ``max_bucket`` is armed —
+    uncapped it would emit C(10k,2) ≈ 5·10⁷ candidate pairs per band.
+    At w=1 (the chain floor) the capped pair set over the bucket is
+    exactly the sorted-id adjacency chain, which (a) proves the budget
+    and (b) proves no member is dropped and the bucket stays connected
+    for downstream CC canonicalization. A disjoint cold pair must be
+    untouched, and on buckets at/under the cap the capped path must
+    return the EXACT uncapped pair set (recall unchanged)."""
+    from flink_kafka_spark.operators.dedup import minhash_lsh_pairs
+
+    n_mega = 10_000
+    boiler = "accept our cookie banner to continue reading this very page today"
+    cold = "a completely different document about distributed shuffle planning"
+    rows = [(i, boiler) for i in range(n_mega)]
+    rows += [(20_000, cold), (20_001, cold)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=64).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    # w = max(1, 64²/(2·10000)) = 1 → the adjacency chain, every band
+    # emitting the same chain (distinct collapses them) + the cold pair
+    chain = {(i, i + 1) for i in range(n_mega - 1)}
+    assert got == chain | {(20_000, 20_001)}
+    assert all(r.jaccard == 1.0 for r in capped)
+
+    # moderate overflow: 32-id bucket at cap 16 → w = 16²/64 = 4;
+    # every member pairs with its next 4 sorted neighbors
+    mid = spark.createDataFrame(
+        [(i, boiler) for i in range(32)], "doc_id long, text string"
+    )
+    got_mid = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(mid, threshold=0.5, max_bucket=16).collect()
+    }
+    assert got_mid == {(i, j) for i in range(32) for j in range(i + 1, min(i + 5, 32))}
+
+    # recall unchanged when no bucket exceeds the cap
+    small = spark.createDataFrame(
+        [(i, boiler) for i in range(6)]
+        + [(10 + i, cold) for i in range(4)]
+        + [(99, "unique text with no duplicate partner in this fixture at all")],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(small, threshold=0.5).collect()
+    }
+    assert uncapped  # fixture must produce pairs
+    for cap in (6, 100):
+        assert {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(small, threshold=0.5, max_bucket=cap).collect()
+        } == uncapped
+
+
 def test_value_drift_psi_detects_planted_shift(spark, tmp_path):
     """PSI on a constructed stream: a type whose value distribution
     jumps between halves scores far above the 0.25 'shifted' alarm
