@@ -73,16 +73,29 @@ def uniqueness(key: Column, label: str) -> Expectation:
     )
 
 
-def approx_uniqueness(key: Column, label: str, rsd: float = 0.01) -> Expectation:
+def approx_uniqueness(
+    key: Column,
+    label: str,
+    rsd: float = 0.01,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> Expectation:
     """HLL++ uniqueness ratio — the 100 TB substitute for
     :func:`uniqueness`: no expand, partial-aggregates map-side. The
-    bound must leave the ±rsd estimator band (callers pass lo ≈
-    1 − 3·rsd); NOT oracle-hashable (estimate is engine-internal)."""
+    bound must leave the ±rsd estimator band, so ``lo`` defaults to
+    1 − 3·rsd (the documented key-check usage — r13 advisory: the old
+    unbounded default made every approx-uniqueness gate a silent
+    always-pass). Pass ``lo``/``hi`` explicitly for non-key ratios, or
+    ``lo=None`` wrapped in an explicit :class:`Expectation` if an
+    unbounded probe is genuinely wanted. NOT oracle-hashable (the
+    estimate is engine-internal)."""
+    if lo is None and hi is None:
+        lo = round(1.0 - 3.0 * rsd, 6)
     return Expectation(
         f"approx_uniqueness:{label}",
         _ratio(F.approx_count_distinct(key, rsd), F.count(F.lit(1))),
-        None,
-        None,
+        lo,
+        hi,
     )
 
 

@@ -844,6 +844,26 @@ def kll_stream(
     return events_stream.writeStream.foreachBatch(_process)
 
 
+def _merge_extreme(cur: float, v: float, kind: str) -> float:
+    """Merge one running extreme with Spark's NaN ORDERING (NaN is
+    GREATER than any double): max prefers NaN the moment one appears,
+    min avoids NaN unless nothing else ever arrived. Python's bare
+    min()/max() are order-dependent under NaN (every comparison is
+    False, so whichever argument sits in the short-circuit slot wins),
+    which would break the pinned row-identical parity between a
+    split-stream run and the batch run_expectations audit (r13
+    advisory)."""
+    import math
+
+    if kind == "max":
+        return float("nan") if (math.isnan(cur) or math.isnan(v)) else max(cur, v)
+    if math.isnan(cur):
+        return v
+    if math.isnan(v):
+        return cur
+    return min(cur, v)
+
+
 def dq_monitor_stream(
     events_stream: DataFrame,
     sink,
@@ -851,6 +871,7 @@ def dq_monitor_stream(
     seed: "dict | None" = None,
     state_snapshot=None,
     group_col: "str | None" = None,
+    group_type: str = "string",
 ):
     """Continuous data-quality expectation monitor — the streaming twin
     of the batch ``operators.dq.run_expectations`` audit (and the sixth
@@ -896,7 +917,10 @@ def dq_monitor_stream(
     hi, passed) frame — constant |spec| rows — after every batch.
 
     ``group_col`` runs the audit PER GROUP (the batch ``group_cols``
-    twin: "completeness per source", live): the per-batch aggregation
+    twin: "completeness per source", live), with ``group_type`` naming
+    its Spark SQL type for the emitted frame (default ``string``; pass
+    e.g. ``"bigint"`` for an int shard id — the centroid_drift_stream
+    convention, r13 advisory): the per-batch aggregation
     groups on it, driver state holds one counter set per group, and
     the emitted frame leads with the group column — |groups|·|spec|
     rows. The group must be a SEMANTIC dimension (source, state,
@@ -942,10 +966,7 @@ def dq_monitor_stream(
                 v = row[k.replace(":", "_")]
                 if v is not None:
                     cur = st.get(k)
-                    if cur is None:
-                        st[k] = float(v)
-                    else:
-                        st[k] = min(cur, float(v)) if kind == "min" else max(cur, float(v))
+                    st[k] = float(v) if cur is None else _merge_extreme(cur, float(v), kind)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         with release_scope():
@@ -1009,7 +1030,7 @@ def dq_monitor_stream(
                     for g in sorted(state, key=lambda x: (x is None, x))
                     for r in _check_rows(state[g])
                 ]
-                schema = f"{group_col} string, " + schema
+                schema = f"{group_col} {group_type}, " + schema
                 lead = [group_col]
             frame = spark.createDataFrame(rows, schema)
             metric = F.when(

@@ -72,7 +72,21 @@ def test_approx_uniqueness_tracks_exact_within_rsd(spark):
     )
     (row,) = run_expectations(df, [approx_uniqueness(F.col("k"), "k", 0.02)]).collect()
     assert abs(row["metric"] - 0.8) <= 0.8 * 3 * 0.02
-    assert row["passed"] == 1  # unbounded -> informational metric
+    # default bound is the key-check band lo = 1 - 3*rsd: a 0.8-unique
+    # column must FAIL it (r13 advisory: the old unbounded default was
+    # a silent always-pass gate)
+    assert row["lo"] == 0.94
+    assert row["passed"] == 0
+    (key_row,) = run_expectations(
+        df.select(F.col("k") + F.lit(0)).distinct().select(F.col("(k + 0)").alias("k")),
+        [approx_uniqueness(F.col("k"), "k", 0.02)],
+    ).collect()
+    assert key_row["passed"] == 1  # a true key lands inside the band
+    # explicit bounds still win over the default
+    (loose,) = run_expectations(
+        df, [approx_uniqueness(F.col("k"), "k", 0.02, lo=0.5)]
+    ).collect()
+    assert loose["lo"] == 0.5 and loose["passed"] == 1
 
 
 def test_run_expectations_single_scan_plan(spark, sf_dir):
