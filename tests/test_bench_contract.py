@@ -76,3 +76,34 @@ def test_vs_baseline_survives_zero_timing(monkeypatch):
     # "q"'s zero TIMING is clamped instead of feeding math.log(0)
     assert vs["common_queries"] == 1
     assert all(v["raw"] > 0 and v["norm"] > 0 for v in vs["per_query"].values())
+
+
+def test_readme_bench_block_is_generated_and_renderable():
+    """r13 verdict item 6: the README's end-of-round bench paragraph is
+    GENERATED from the recorded JSON (tools/gen_bench.py), never
+    hand-typed. Pin the marker block's presence and that the generator
+    renders cleanly from the committed files; freshness itself is the
+    end-of-round `python tools/gen_bench.py --check` step (the driver
+    rewrites BENCH_DETAIL.json each round, so a freshness assert here
+    would flake on ordering)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        import gen_bench
+    finally:
+        sys.path.pop(0)
+
+    text = (repo / "README.md").read_text()
+    assert gen_bench.BEGIN in text and gen_bench.END in text
+    assert text.index(gen_bench.BEGIN) < text.index(gen_bench.END)
+    block = gen_bench.render()
+    assert block.startswith(gen_bench.BEGIN) and block.endswith(gen_bench.END)
+    assert "Latest recorded bench" in block
+    # every per-query number in the block must come from the JSON, so
+    # the five-most-expensive names it lists must be benched queries
+    detail = json.loads((repo / "BENCH_DETAIL.json").read_text())
+    for name, _ in sorted(detail["queries"].items(), key=lambda kv: -kv[1])[:5]:
+        assert f"`{name}`" in block
