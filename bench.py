@@ -212,6 +212,10 @@ BENCH_QUERIES = [
     # round-13: leave-one-out hour-of-week anomaly scores (one corpus
     # shuffle + a tiny seasonal window regroup). No baseline entry.
     "seasonal_anomalies",
+    # round-14: t-closeness (privacy triad completion) — one corpus
+    # cell shuffle, then sketch-sized distance algebra. No baseline
+    # entry yet — guardrail skips until the next justified re-record.
+    "t_closeness_audit",
 ]
 
 

@@ -454,3 +454,131 @@ def l_diversity(
         .withColumn("keep", (F.col("l_count") >= l).cast("int"))
         .drop("_dr")
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit — the third gate of the release-privacy triad
+    (Li, Li & Venkatasubramanian, ICDE 2007), run beside
+    :func:`k_anonymity` and :func:`l_diversity`: a class can be
+    k-anonymous AND l-diverse yet still leak when its sensitive-value
+    DISTRIBUTION differs sharply from the corpus (the paper's salary
+    example: a class whose three distinct salaries are all the lowest
+    three). Per quasi-identifier class this emits both standard
+    distances between the class distribution p and the global
+    distribution q over the sensitive values:
+
+    - ``t_tvd``   = ½ Σ_j |p_j − q_j| (total variation — EMD under the
+      uniform ground distance, the categorical-attribute metric);
+    - ``t_emd``   = (1/(m−1)) Σ_i |Σ_{j≤i} (p_j − q_j)| over the m
+      globally-observed values in sorted order (ordered EMD — the
+      paper's numeric-attribute metric);
+    - ``keep = 1`` iff ``t_emd ≤ t``.
+
+    Determinism contract (repo oracle convention): both distances are
+    computed in EXACT integer arithmetic — p_j − q_j is scaled to the
+    common denominator n_c·N as ``cnt_j·N − g_j·n_c`` (all BIGINT) and
+    the absolute sums divide ONCE at the end (then round(6)), so Spark
+    and DuckDB agree bit-for-bit. BIGINT ceiling: |diff| ≤ n_c·N ≤ N²,
+    so the pipeline is exact to N ≈ 3·10⁹ audited rows; past that,
+    pre-aggregate per shard or widen to DECIMAL(38,0).
+
+    Scale design (100 TB): ONE corpus shuffle builds the
+    (class, value) cell counts with map-side combine; everything after
+    runs on sketch-sized frames — the global value histogram is a
+    SEMANTIC dimension (|values| rows) folded into one broadcast row
+    (collect_list + totals, the scalar-broadcast class), the dense
+    class×value grid is |classes|·|values| rows, and the per-class
+    cumulative window sorts |values| rows per class. Skewed classes
+    are harmless: after the cell agg, every structure is
+    cardinality-bounded, not row-bounded.
+
+    NULL sensitive values: ``t_tvd`` is order-free and treats NULL as
+    one more category, but the cumulative ``t_emd`` depends on value
+    ORDER and Spark/DuckDB disagree on NULL placement — coalesce NULLs
+    to a sentinel before calling if the column is nullable (the
+    registered audit's band column is derived non-NULL)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if t < 0:
+        raise ValueError(f"t must be >= 0, got {t}")
+    from pyspark.sql.window import Window
+
+    from ..caching import track
+
+    # one corpus shuffle; three sketch-sized consumers follow
+    cells = track(
+        df.groupBy(*quasi_cols, F.col(sensitive_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist()
+    )
+    # the global histogram as ONE broadcast row: ordered (value, count)
+    # pairs + corpus total + distinct-value count
+    vals = cells.groupBy("_v").agg(F.sum("_cnt").alias("_gv"))
+    glob = vals.agg(
+        F.sort_array(F.collect_list(F.struct("_v", "_gv"))).alias("_hist"),
+        F.sum("_gv").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    classes = cells.groupBy(*quasi_cols).agg(
+        F.sum("_cnt").cast("long").alias("class_size")
+    )
+    # dense class×value grid (zero cells included — both distances need
+    # the values a class is MISSING), then the observed counts back on
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .select(*quasi_cols, "class_size", "_n", "_m", F.explode("_hist").alias("_h"))
+        .select(
+            *quasi_cols,
+            "class_size",
+            "_n",
+            "_m",
+            F.col("_h._v").alias("_v"),
+            F.col("_h._gv").alias("_gv"),
+        )
+        .join(cells, [*quasi_cols, "_v"], "left")
+        .withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
+        # exact p_j − q_j over the common denominator class_size·N
+        .withColumn(
+            "_diff",
+            F.col("_cnt").cast("long") * F.col("_n")
+            - F.col("_gv").cast("long") * F.col("class_size"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        grid.withColumn("_cum", F.sum("_diff").over(wcum))
+        .groupBy(*quasi_cols, "class_size", "_n", "_m")
+        .agg(
+            F.sum(F.abs("_diff")).cast("long").alias("_tvd_num"),
+            F.sum(F.abs("_cum")).cast("long").alias("_emd_num"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            F.round(
+                F.col("_tvd_num")
+                / (F.lit(2.0) * F.col("class_size") * F.col("_n")),
+                6,
+            ).alias("t_tvd"),
+            F.round(
+                F.col("_emd_num")
+                / (
+                    F.greatest(F.col("_m") - 1, F.lit(1)).cast("double")
+                    * F.col("class_size")
+                    * F.col("_n")
+                ),
+                6,
+            ).alias("t_emd"),
+        )
+        .withColumn("keep", (F.col("t_emd") <= F.lit(t)).cast("int"))
+    )
+    return out

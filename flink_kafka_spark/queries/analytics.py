@@ -1407,6 +1407,83 @@ QUERIES.append(
 )
 
 
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (t=0.2, the ICDE 2007 paper's example threshold)
+    over the same quasi-identifier pair and sensitive balance band as
+    the k-anonymity / l-diversity audits — the privacy triad's third
+    gate: a (nation, segment) class that is 10-anonymous and 3-diverse
+    still leaks if its balance-band DISTRIBUTION sits far from the
+    corpus's (all three distinct bands being the lowest three). Emits
+    per class the integer-exact total-variation and ordered-EMD
+    distances plus the keep verdict."""
+    from ..operators.sampling import t_closeness
+
+    c = load(spark, sf_dir, "customer").withColumn(
+        "balance_band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+    return t_closeness(
+        c, ["c_nationkey", "c_mktsegment"], "balance_band", t=0.2
+    )
+
+
+T_CLOSENESS_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS v
+  FROM customer
+), cells AS (
+  SELECT c_nationkey, c_mktsegment, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2, 3
+), vals AS (
+  SELECT v, CAST(sum(cnt) AS BIGINT) AS gv FROM cells GROUP BY v
+), gtot AS (
+  SELECT CAST(sum(gv) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m
+  FROM vals
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS class_size
+  FROM cells GROUP BY 1, 2
+), grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size, g.n, g.m,
+         va.v, va.gv, COALESCE(ce.cnt, 0) AS cnt
+  FROM classes cl
+  CROSS JOIN vals va
+  CROSS JOIN gtot g
+  LEFT JOIN cells ce
+    ON ce.c_nationkey = cl.c_nationkey
+   AND ce.c_mktsegment = cl.c_mktsegment
+   AND ce.v = va.v
+), diffs AS (
+  SELECT *, cnt * n - gv * class_size AS diff FROM grid
+), cums AS (
+  SELECT *,
+         sum(diff) OVER (
+           PARTITION BY c_nationkey, c_mktsegment
+           ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM diffs
+), agg AS (
+  SELECT c_nationkey, c_mktsegment, class_size, n, m,
+         CAST(sum(abs(diff)) AS BIGINT) AS tvd_num,
+         CAST(sum(abs(cum)) AS BIGINT) AS emd_num
+  FROM cums GROUP BY 1, 2, 3, 4, 5
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       round(tvd_num / (2.0 * class_size * n), 6) AS t_tvd,
+       round(emd_num / (greatest(m - 1, 1) * 1.0 * class_size * n), 6)
+         AS t_emd,
+       CASE WHEN round(
+              emd_num / (greatest(m - 1, 1) * 1.0 * class_size * n), 6
+            ) <= 0.2 THEN 1 ELSE 0 END AS keep
+FROM agg
+"""
+
+QUERIES.append(
+    Query("t_closeness_audit", t_closeness_audit, T_CLOSENESS_ORACLE,
+          "ext: t-closeness release gate (privacy triad completion)")
+)
+
+
 # --- Z-order layout audit (extension) ---------------------------------
 #
 # The data-layout family: Morton-interleave (o_custkey, order epoch-day)

@@ -124,6 +124,10 @@ CAPACITY_DEFERRED: dict[str, int] = {
     "zorder_layout": 13,
     "release_gate_snapshot": 13,
     "seasonal_anomalies": 13,
+    # r14: the mandatory 22-row stale wave fills every slot
+    # (ROTATION_LEDGER §Round 14), so the round's one new full-oracle
+    # registration defers; it enters with the r15 wave.
+    "t_closeness_audit": 14,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -117,6 +117,11 @@ PLAN_BOUNDS = {
     # one quasi-key shuffle carries all three windows (class count,
     # dense_rank, max-rank) — the k_anonymity shape plus diversity
     "l_diversity_audit": (1, 0),
+    # one corpus cell shuffle (map-side combined), then sketch-sized
+    # frames only: class agg + value agg + the 1-row global histogram's
+    # single-partition fold; the per-class cum window reuses the class
+    # agg's (quasi) partitioning — no fifth exchange
+    "t_closeness_audit": (4, 0),
     # 1-row bounds agg (2 exch: partial->single) broadcast onto the
     # scan + the bucket agg; zkey is a pure codegen expression
     "zorder_layout": (3, 0),
@@ -486,6 +491,10 @@ BNLJ_BOUNDS = {
     # (s) scalar-broadcast class: the 1-row global-bounds frame onto
     # the orders scan (one join, tree+detail double count)
     "zorder_layout": 2,
+    # (s) scalar-broadcast class: the 1-row global sensitive-value
+    # histogram (ordered (value,count) list + total + m) crossed onto
+    # the |classes|-row frame (one join, tree+detail double count)
+    "t_closeness_audit": 2,
 }
 
 

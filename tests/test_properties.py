@@ -1344,6 +1344,52 @@ def test_l_diversity_planted_classes(spark):
         l_diversity(df, "id", [], "s")
 
 
+def test_t_closeness_hand_computed_distances(spark):
+    """Planted two-class corpus with hand-derived ground truth for both
+    distances (the ICDE 2007 definitions, exact-fraction arithmetic):
+
+    class A = [1,1,2], class B = [2,3,3,3]; global = {1:2, 2:2, 3:3},
+    N=7, m=3. A: diffs (cnt*N - gv*n_c) = (8, 1, -9) -> TVD 18/42,
+    cums (8, 9, 0) -> EMD 17/42. B: diffs (-8, -1, 9) -> TVD 18/56,
+    cums (-8, -9, 0) -> EMD 17/56. Both fail t=0.2; a corpus that IS
+    one single class sits at distance exactly 0.0 and passes. The
+    zero-count grid cells matter: class A never observes value 3, yet
+    value 3 carries 9/21 of its TVD."""
+    from flink_kafka_spark.operators.sampling import t_closeness
+
+    rows = [(i, "A", v) for i, v in enumerate([1, 1, 2])] + [
+        (10 + i, "B", v) for i, v in enumerate([2, 3, 3, 3])
+    ]
+    df = spark.createDataFrame(rows, "id int, q string, s int")
+    out = {r["q"]: r for r in t_closeness(df, ["q"], "s", t=0.2).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["class_size"], b["class_size"]) == (3, 4)
+    assert a["t_tvd"] == round(18 / 42, 6) and a["t_emd"] == round(17 / 42, 6)
+    assert b["t_tvd"] == round(18 / 56, 6) and b["t_emd"] == round(17 / 56, 6)
+    assert a["keep"] == 0 and b["keep"] == 0
+
+    # a class that IS the corpus: p == q termwise, both distances 0
+    (only,) = t_closeness(
+        df.withColumn("q", F.lit("all")), ["q"], "s", t=0.2
+    ).collect()
+    assert only["t_tvd"] == 0.0 and only["t_emd"] == 0.0 and only["keep"] == 1
+
+    # m == 1 (single global value): greatest(m-1,1) guards the EMD
+    # denominator; distances are 0 for every class
+    one_val = spark.createDataFrame(
+        [(1, "A", 5), (2, "A", 5), (3, "B", 5)], "id int, q string, s int"
+    )
+    for r in t_closeness(one_val, ["q"], "s").collect():
+        assert r["t_tvd"] == 0.0 and r["t_emd"] == 0.0 and r["keep"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness(df, [], "s")
+    with _pytest.raises(ValueError, match="t must be"):
+        t_closeness(df, ["q"], "s", t=-0.1)
+
+
 def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     """Planted funnel: duplicates collapse BEFORE class sizing (a
     class that is k-anonymous only thanks to copies must be
