@@ -461,6 +461,7 @@ def t_closeness(
     quasi_cols: list[str],
     sensitive_col: str,
     t: float = 0.2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """t-closeness audit — the third gate of the release-privacy triad
     (Li, Li & Venkatasubramanian, ICDE 2007), run beside
@@ -501,7 +502,16 @@ def t_closeness(
     one more category, but the cumulative ``t_emd`` depends on value
     ORDER and Spark/DuckDB disagree on NULL placement — coalesce NULLs
     to a sentinel before calling if the column is nullable (the
-    registered audit's band column is derived non-NULL)."""
+    registered audit's band column is derived non-NULL).
+
+    ``weight_col``: when the input is already a pre-aggregated cell
+    frame — (quasi…, value, count) from an upstream groupBy, the
+    normal shape once a 100 TB corpus has been reduced once — pass the
+    count column here and the audit sums weights instead of counting
+    rows, skipping the corpus shuffle entirely (the cell agg then runs
+    on the already-small frame). Weighted and row-level calls are
+    exactly equivalent: sum-of-weights is the same BIGINT the row
+    count would have produced (pinned by pytest)."""
     if not quasi_cols:
         raise ValueError("quasi_cols must be non-empty")
     if t < 0:
@@ -511,9 +521,10 @@ def t_closeness(
     from ..caching import track
 
     # one corpus shuffle; three sketch-sized consumers follow
+    _w = F.col(weight_col) if weight_col else F.lit(1)
     cells = track(
         df.groupBy(*quasi_cols, F.col(sensitive_col).alias("_v"))
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(F.sum(_w).cast("long").alias("_cnt"))
         .persist()
     )
     # the global histogram as ONE broadcast row: ordered (value, count)

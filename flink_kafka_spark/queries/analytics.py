@@ -1559,21 +1559,31 @@ QUERIES.append(
 
 # --- release-gate funnel compose (extension) --------------------------
 #
-# The round-13 families composed END-TO-END, one oracle pinning the
+# The round-13/14 families composed END-TO-END, one oracle pinning the
 # interactions (the training_mix_snapshot principle): exact dedup
-# first, then the privacy gates computed over the SURVIVORS — a class
-# size counted over raw rows instead of canonical ones, or the gates
-# reordered, fails the hash even when each stage is individually
-# correct. One corpus scan: the md5 groupBy carries forward each
-# content-class's canonical metadata via min_by, and everything after
-# operates on the canonical frame (classes are |lang x source|-sized).
+# first, then the FULL privacy triad computed over the SURVIVORS —
+# k-anonymity, l-diversity, t-closeness, in that order (each gate
+# strictly tightens the last) — a class size counted over raw rows
+# instead of canonical ones, or the gates reordered, fails the hash
+# even when each stage is individually correct. One corpus scan: the
+# md5 groupBy carries forward each content-class's canonical metadata
+# via min_by, the (class, band) cell agg reduces it once more, and
+# everything after — class sizes, distinct-band counts, the
+# t-closeness distance machinery — runs on the persisted cell frame
+# (|lang x source x band| rows). l_class needs no count_distinct
+# expand: the cell frame's per-class row count IS the distinct-band
+# count.
 
 _RG_K = 10          # k-anonymity class floor
 _RG_L = 3           # distinct length-bands per class floor
+_RG_T = 0.2         # t-closeness ordered-EMD ceiling
 _RG_BAND = 100      # n_chars band width (the sensitive attribute)
 
 
 def release_gate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+    from ..operators.sampling import t_closeness
+
     d = load(spark, sf_dir, "documents")
     canon = (
         d.groupBy(F.md5(F.lower("text")).alias("h"))
@@ -1590,12 +1600,27 @@ def release_gate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_dups", "meta.lang", "meta.source", "meta.band")
     )
-    classes = canon.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_class"),
-        F.count_distinct("band").alias("l_class"),
-        F.sum("n_dups").alias("n_raw_class"),
+    # (class, band) cells: the one frame every later stage reads
+    cells = track(
+        canon.groupBy("lang", "source", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cell"),
+            F.sum("n_dups").cast("long").alias("n_raw_cell"),
+        )
+        .persist()
     )
-    funnel = classes.agg(
+    classes = cells.groupBy("lang", "source").agg(
+        F.sum("n_cell").alias("n_class"),
+        F.count(F.lit(1)).alias("l_class"),
+        F.sum("n_raw_cell").alias("n_raw_class"),
+    )
+    # weighted t-closeness over the SAME cell frame (weight_col skips
+    # the operator's own corpus shuffle — the cells are already built)
+    tkeep = t_closeness(
+        cells, ["lang", "source"], "band", t=_RG_T, weight_col="n_cell"
+    ).select("lang", "source", F.col("keep").alias("keep_t"))
+    gated = classes.join(F.broadcast(tkeep), ["lang", "source"])
+    funnel = gated.agg(
         F.sum("n_raw_class").alias("_raw"),
         F.sum("n_class").alias("_dedup"),
         F.sum(F.when(F.col("n_class") >= _RG_K, F.col("n_class"))).alias("_kanon"),
@@ -1605,13 +1630,22 @@ def release_gate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_class"),
             )
         ).alias("_ldiv"),
+        F.sum(
+            F.when(
+                (F.col("n_class") >= _RG_K)
+                & (F.col("l_class") >= _RG_L)
+                & (F.col("keep_t") == 1),
+                F.col("n_class"),
+            )
+        ).alias("_tclose"),
     )
     return funnel.select(
         F.expr(
-            "stack(4, 'raw', CAST(coalesce(_raw, 0) AS BIGINT),"
+            "stack(5, 'raw', CAST(coalesce(_raw, 0) AS BIGINT),"
             " 'dedup_exact', CAST(coalesce(_dedup, 0) AS BIGINT),"
             " 'k_anonymous', CAST(coalesce(_kanon, 0) AS BIGINT),"
-            " 'l_diverse', CAST(coalesce(_ldiv, 0) AS BIGINT))"
+            " 'l_diverse', CAST(coalesce(_ldiv, 0) AS BIGINT),"
+            " 't_close', CAST(coalesce(_tclose, 0) AS BIGINT))"
             " AS (stage, n_docs)"
         )
     ).orderBy("stage")
@@ -1624,23 +1658,65 @@ WITH canon AS (
          arg_min(source, doc_id) AS source,
          arg_min(CAST(n_chars // {_RG_BAND} AS BIGINT), doc_id) AS band
   FROM documents GROUP BY md5(lower(text))
+), cells AS (
+  SELECT lang, source, band,
+         CAST(count(*) AS BIGINT) AS n_cell,
+         CAST(sum(n_dups) AS BIGINT) AS n_raw_cell
+  FROM canon GROUP BY 1, 2, 3
 ), classes AS (
-  SELECT lang, source, count(*) AS n_class,
-         count(DISTINCT band) AS l_class,
-         sum(n_dups) AS n_raw_class
-  FROM canon GROUP BY lang, source
+  SELECT lang, source, CAST(sum(n_cell) AS BIGINT) AS n_class,
+         CAST(count(*) AS BIGINT) AS l_class,
+         CAST(sum(n_raw_cell) AS BIGINT) AS n_raw_class
+  FROM cells GROUP BY 1, 2
+), vals AS (
+  SELECT band, CAST(sum(n_cell) AS BIGINT) AS gv FROM cells GROUP BY band
+), gtot AS (
+  SELECT CAST(sum(gv) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m
+  FROM vals
+), grid AS (
+  SELECT cl.lang, cl.source, cl.n_class, g.n, g.m, va.band, va.gv,
+         COALESCE(ce.n_cell, 0) AS cnt
+  FROM classes cl
+  CROSS JOIN vals va
+  CROSS JOIN gtot g
+  LEFT JOIN cells ce
+    ON ce.lang = cl.lang AND ce.source = cl.source AND ce.band = va.band
+), cums AS (
+  SELECT *,
+         cnt * n - gv * n_class AS diff,
+         sum(cnt * n - gv * n_class) OVER (
+           PARTITION BY lang, source
+           ORDER BY band
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM grid
+), tqual AS (
+  SELECT lang, source,
+         CASE WHEN round(
+                CAST(sum(abs(cum)) AS BIGINT)
+                / (greatest(max(m) - 1, 1) * 1.0 * max(n_class) * max(n)),
+                6
+              ) <= {_RG_T} THEN 1 ELSE 0 END AS keep_t
+  FROM cums GROUP BY 1, 2
+), gated AS (
+  SELECT c.*, t.keep_t
+  FROM classes c JOIN tqual t ON c.lang = t.lang AND c.source = t.source
 ), funnel AS (
   SELECT CAST(sum(n_raw_class) AS BIGINT) AS raw,
          CAST(sum(n_class) AS BIGINT) AS dedup_exact,
          CAST(coalesce(sum(CASE WHEN n_class >= {_RG_K} THEN n_class END), 0) AS BIGINT) AS k_anonymous,
          CAST(coalesce(sum(CASE WHEN n_class >= {_RG_K} AND l_class >= {_RG_L}
-                                THEN n_class END), 0) AS BIGINT) AS l_diverse
-  FROM classes
+                                THEN n_class END), 0) AS BIGINT) AS l_diverse,
+         CAST(coalesce(sum(CASE WHEN n_class >= {_RG_K} AND l_class >= {_RG_L}
+                                AND keep_t = 1
+                                THEN n_class END), 0) AS BIGINT) AS t_close
+  FROM gated
 )
 SELECT 'raw' AS stage, raw AS n_docs FROM funnel
 UNION ALL SELECT 'dedup_exact', dedup_exact FROM funnel
 UNION ALL SELECT 'k_anonymous', k_anonymous FROM funnel
 UNION ALL SELECT 'l_diverse', l_diverse FROM funnel
+UNION ALL SELECT 't_close', t_close FROM funnel
 ORDER BY stage
 """
 
@@ -1649,7 +1725,7 @@ QUERIES.append(
         "release_gate_snapshot",
         release_gate_snapshot,
         RELEASE_GATE_ORACLE,
-        "ext: dedup -> k-anonymity -> l-diversity release funnel compose",
+        "ext: dedup -> k-anon -> l-diversity -> t-closeness release funnel",
     )
 )
 

@@ -125,9 +125,13 @@ PLAN_BOUNDS = {
     # 1-row bounds agg (2 exch: partial->single) broadcast onto the
     # scan + the bucket agg; zkey is a pure codegen expression
     "zorder_layout": (3, 0),
-    # one scan: md5 groupBy (corpus shuffle) -> class groupBy (tiny) ->
-    # 1-row funnel agg; the distinct behind l_class adds the 4th
-    "release_gate_snapshot": (4, 0),
+    # one scan: md5 groupBy (corpus shuffle) -> (class, band) cell agg
+    # (persisted; replaces the old count_distinct expand) -> class agg
+    # + the weighted t-closeness machinery's four sketch-sized
+    # exchanges (operator cell re-agg, class_size, value histogram,
+    # 1-row global fold; the per-class cum window and the keep join
+    # reuse existing partitioning/broadcasts) -> 1-row funnel agg
+    "release_gate_snapshot": (8, 0),
     # one corpus shuffle (map-side-combined cell count) + the seasonal
     # window's regroup on the tiny cells frame
     "seasonal_anomalies": (2, 0),
@@ -495,6 +499,9 @@ BNLJ_BOUNDS = {
     # histogram (ordered (value,count) list + total + m) crossed onto
     # the |classes|-row frame (one join, tree+detail double count)
     "t_closeness_audit": 2,
+    # (s) same 1-row histogram cross, inside the funnel's embedded
+    # weighted t-closeness stage
+    "release_gate_snapshot": 2,
 }
 
 

@@ -1390,11 +1390,33 @@ def test_t_closeness_hand_computed_distances(spark):
         t_closeness(df, ["q"], "s", t=-0.1)
 
 
+def test_t_closeness_weighted_equals_row_level(spark):
+    """weight_col contract: pre-aggregated (quasi, value, count) cells
+    produce row-identical output to the raw row-level call — the
+    100 TB shape where the corpus has already been reduced once."""
+    from flink_kafka_spark.operators.sampling import t_closeness
+
+    rows = [(i, "A", v) for i, v in enumerate([1, 1, 2])] + [
+        (10 + i, "B", v) for i, v in enumerate([2, 3, 3, 3])
+    ]
+    df = spark.createDataFrame(rows, "id int, q string, s int")
+    cells = df.groupBy("q", "s").agg(F.count(F.lit(1)).alias("w"))
+    raw = sorted(map(tuple, t_closeness(df, ["q"], "s", t=0.2).collect()))
+    wtd = sorted(
+        map(tuple, t_closeness(cells, ["q"], "s", t=0.2, weight_col="w").collect())
+    )
+    assert raw == wtd
+
+
 def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     """Planted funnel: duplicates collapse BEFORE class sizing (a
     class that is k-anonymous only thanks to copies must be
-    suppressed), and a big-but-homogeneous class passes k but fails
-    l. Ground truth is exact."""
+    suppressed), a big-but-homogeneous class passes k but fails l,
+    and the t-closeness gate is pinned in BOTH directions with
+    hand-derived EMD: the surviving class en/s1 (12 uniform bands)
+    sits at t_emd = 990/3564 ≈ 0.2778 against the band-0-heavy
+    global, so it FAILS the default t=0.2 and PASSES t=0.3.
+    Ground truth is exact."""
     from flink_kafka_spark.queries import analytics as A
 
     rows = []
@@ -1428,6 +1450,17 @@ def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     assert out["dedup_exact"] == 12 + 4 + 11
     assert out["k_anonymous"] == 12 + 11  # de/s2 collapses to 4 < k
     assert out["l_diverse"] == 12        # fr/s3 is single-band
+    # en/s1's band distribution (uniform over 12 bands) vs the global
+    # (band 0 holds 16 of 27 canonical docs): diffs cnt·N − gv·n_c are
+    # (−165, 15×11), |cum| sum = 15·(11+10+…+1) = 990, denominator
+    # (m−1)·n_c·N = 11·12·27 = 3564 → t_emd = 0.277778 > 0.2
+    assert out["t_close"] == 0
+
+    # loosening the ceiling past 990/3564 admits en/s1
+    monkeypatch.setattr(A, "_RG_T", 0.3)
+    out3 = {r["stage"]: r["n_docs"] for r in A.release_gate_snapshot(spark, "ignored").collect()}
+    assert out3["t_close"] == 12
+    assert out3["l_diverse"] == 12  # upstream stages unchanged
 
 
 def test_seasonal_anomalies_planted_spike(spark, monkeypatch, tmp_path):

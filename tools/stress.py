@@ -1031,11 +1031,18 @@ def _build_scaled_dir(spark, src_dir: str, out_dir: str, replicas: int) -> None:
             "event_type", "value", "props",
         )
 
+    # keys offset, quasi/sensitive columns untouched: class sizes and
+    # the global histogram scale together, so t-closeness DISTANCES are
+    # replica-invariant while the audited row volume grows honestly
+    def customer_t(df, rep, off):
+        return df.withColumn("c_custkey", (F.col("c_custkey") + off).cast("long"))
+
     replicate("documents", docs_t)
     replicate("part", part_t)
     replicate("events", events_t)
+    replicate("customer", customer_t)
     for name in TABLES:
-        if name in ("documents", "part", "events"):
+        if name in ("documents", "part", "events", "customer"):
             continue
         load(spark, src_dir, name).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
@@ -1059,6 +1066,12 @@ CURVE_QUERIES = (
     # two map-side-combined sketch shuffles (linear scan term only)
     "kmv_pair_intersections",
     "kll_quantile_rollup",
+    # r14 registrations: the t-closeness distance machinery (and its
+    # embedded reuse inside the release funnel) must stay cell-framed —
+    # everything past the one corpus shuffle is |classes|x|values|
+    # rows, so walls should be flat in corpus growth
+    "t_closeness_audit",
+    "release_gate_snapshot",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
