@@ -1139,3 +1139,93 @@ def centroid_drift_stream(
                 state_snapshot({k: tuple(v) for k, v in state.items()}, epoch_id)
 
     return events_stream.writeStream.foreachBatch(_process)
+
+
+def t_closeness_stream(
+    records_stream: DataFrame,
+    sink,
+    quasi_cols: "list[str] | tuple[str, ...]" = ("label",),
+    sensitive_col: str = "band",
+    t: float = 0.2,
+    quasi_types: "str | list[str]" = "string",
+    sensitive_type: str = "bigint",
+    seed: "dict | None" = None,
+    state_snapshot=None,
+):
+    """Continuous t-closeness monitor — the streaming twin of the batch
+    ``operators.sampling.t_closeness`` gate (and the eighth monitor):
+    the live "is any quasi-identifier class's sensitive-value
+    distribution drifting away from the corpus" surface for an ingest
+    stream feeding a privacy-gated release.
+
+    Parity contract (pinned in tests/test_streaming.py): the batch
+    operator's only data-dependent state is the (class, value) cell
+    count table — everything downstream is exact BIGINT arithmetic on
+    those cells — so the monitor holds exactly those counters and
+    merges each micro-batch's distributed groupBy output by addition
+    (order-free, duplicate-batch-free via the epoch guard), then
+    scores the state-rebuilt cell frame through the SAME operator via
+    its ``weight_col`` path. The emitted frame is therefore
+    ROW-IDENTICAL to the batch gate over the concatenated input under
+    ANY batch split — exact parity, not an approximation.
+
+    Scale shape: each micro-batch runs one map-side-combined
+    (quasi…, value) count and collects ≤ |classes|·|values| rows
+    (both semantic dimensions — the cms_stream watch-manifest
+    contract); driver state is one long per cell. Replay guard and
+    snapshot/seed restart follow the dq_monitor_stream shape.
+
+    ``sink(df, epoch_id)`` receives (quasi…, class_size, t_tvd, t_emd,
+    keep) — |classes| rows — after every batch."""
+    from ..caching import release_scope
+    from ..operators.sampling import t_closeness
+
+    quasi_cols = list(quasi_cols)
+    qt = (
+        list(quasi_types)
+        if isinstance(quasi_types, (list, tuple))
+        else [quasi_types] * len(quasi_cols)
+    )
+    cell_schema = (
+        ", ".join(f"{c} {ty}" for c, ty in zip(quasi_cols, qt))
+        + f", {sensitive_col} {sensitive_type}, _w long"
+    )
+    out_schema = (
+        ", ".join(f"{c} {ty}" for c, ty in zip(quasi_cols, qt))
+        + ", class_size long, t_tvd double, t_emd double, keep int"
+    )
+    # state: {(quasi…, value): n} exact longs
+    state: dict = dict(seed or {})
+    last = {"epoch": None}
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            spark = batch_df.sparkSession
+            if epoch_id != last["epoch"]:
+                rows = (
+                    batch_df.groupBy(*quasi_cols, sensitive_col).count().collect()
+                )
+                for r in rows:  # |classes| x |values| — bounded collect
+                    k = tuple(r[c] for c in quasi_cols) + (r[sensitive_col],)
+                    state[k] = state.get(k, 0) + r["count"]
+                last["epoch"] = epoch_id
+            if state:
+                cells = spark.createDataFrame(
+                    sorted(
+                        ((*k, n) for k, n in state.items()),
+                        key=lambda row: tuple((x is None, x) for x in row),
+                    ),
+                    cell_schema,
+                )
+                out = t_closeness(
+                    cells, quasi_cols, sensitive_col, t, weight_col="_w"
+                )
+            else:
+                out = spark.createDataFrame(
+                    [tuple([None] * (len(quasi_cols) + 4))], out_schema
+                )
+            sink(out, epoch_id)
+            if state_snapshot is not None:
+                state_snapshot(dict(state), epoch_id)
+
+    return records_stream.writeStream.foreachBatch(_process)

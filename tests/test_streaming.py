@@ -2238,3 +2238,121 @@ def test_centroid_drift_stream_row_identical_to_batch_and_restarts(spark, tmp_pa
     seen_a, snaps_a = run([rows[:25]], "ca")
     seen_b, _ = run([rows[25:]], "cb", seed=snaps_a[max(snaps_a)])
     assert seen_b[max(seen_b)] == batch
+
+
+def test_t_closeness_stream_row_identical_to_batch_and_restarts(spark, tmp_path):
+    """The t-closeness monitor's state is the (class, value) cell
+    count table — exact integer additions — and scoring runs the batch
+    operator's own weight_col path over the rebuilt cells, so after
+    ANY batch split the final emitted frame must be ROW-IDENTICAL to
+    the batch gate over the concatenated input. A mid-stream snapshot
+    seeds a restarted monitor to the same frame, and a redelivered
+    epoch re-emits without re-merging."""
+    import json
+
+    from flink_kafka_spark.operators.sampling import t_closeness
+    from flink_kafka_spark.streaming.jobs import t_closeness_stream
+
+    # the hand-derived two-class corpus from test_properties (A fails
+    # t=0.2 at 17/42, B at 17/56) plus a third class C that matches
+    # the global distribution closely enough to pass
+    rows = (
+        [("A", v) for v in (1, 1, 2)]
+        + [("B", v) for v in (2, 3, 3, 3)]
+        + [("C", v) for v in (1, 1, 2, 2, 3, 3, 3)]
+    )
+
+    def replay(chunks, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        for fi, ch in enumerate(chunks):
+            (d / f"f{fi}.json").write_text(
+                "\n".join(json.dumps({"q": q, "s": s}) for q, s in ch) + "\n"
+            )
+        return (
+            spark.readStream.schema("q string, s bigint")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+
+    def run(chunks, subdir, seed=None):
+        seen, snaps = {}, {}
+        q = (
+            t_closeness_stream(
+                replay(chunks, subdir),
+                lambda df, e: seen.__setitem__(e, sorted(map(tuple, df.collect()))),
+                quasi_cols=["q"],
+                sensitive_col="s",
+                t=0.2,
+                seed=seed,
+                state_snapshot=lambda st, e: snaps.__setitem__(e, st),
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / (subdir + "_ckpt")))
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen, snaps
+
+    batch_df = spark.createDataFrame(rows, "q string, s bigint")
+    batch = sorted(map(tuple, t_closeness(batch_df, ["q"], "s", t=0.2).collect()))
+    by_q = {r[0]: r for r in batch}
+    assert by_q["A"][4] == 0 and by_q["B"][4] == 0  # hand-derived fails
+    assert by_q["C"][4] == 1  # near-global class passes
+
+    for i, split in enumerate(([7, 7], [3, 4, 7], [1, 6, 7])):
+        chunks, at = [], 0
+        for w in split:
+            chunks.append(rows[at : at + w])
+            at += w
+        seen, _ = run(chunks, f"t{i}")
+        assert seen[max(seen)] == batch, f"split {split} diverged from batch"
+
+    # restart parity from a mid-stream snapshot
+    seen_a, snaps_a = run([rows[:5]], "ta")
+    seen_b, _ = run([rows[5:]], "tb", seed=snaps_a[max(snaps_a)])
+    assert seen_b[max(seen_b)] == batch
+
+    # replay guard, driven for real (the kll_stream crash-replay
+    # shape): sink dies after the merge, the restart redelivers the
+    # same epoch_id, and the guard re-emits without re-merging
+    d = tmp_path / "trg"
+    d.mkdir()
+    (d / "f0.json").write_text(
+        "\n".join(json.dumps({"q": q, "s": s}) for q, s in rows[:5]) + "\n"
+    )
+    g_stream = spark.readStream.schema("q string, s bigint").json(str(d))
+    g_seen: dict[int, list] = {}
+    g_snaps: dict[int, dict] = {}
+    calls = {"n": 0}
+
+    def crashing_sink(df, epoch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("sink outage")
+        g_seen[epoch_id] = sorted(map(tuple, df.collect()))
+
+    writer = (
+        t_closeness_stream(
+            g_stream,
+            crashing_sink,
+            quasi_cols=["q"],
+            sensitive_col="s",
+            t=0.2,
+            state_snapshot=lambda st, e: g_snaps.__setitem__(e, dict(st)),
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_trg"))
+    )
+    q = writer.start()
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # planted outage fails attempt one, state already merged
+    q2 = writer.start()  # same closure state, same checkpoint -> same epoch
+    q2.awaitTermination(120)
+    assert calls["n"] >= 2 and len(g_seen) == 1
+    # merged exactly once: the 5 replayed rows are A(1,1,2) + B(2,3)
+    assert sum(g_snaps[max(g_snaps)].values()) == 5
+    clean, _ = run([rows[:5]], "trg_clean")
+    assert g_seen[max(g_seen)] == clean[max(clean)]

@@ -120,7 +120,14 @@ EXTENSIONS = [
                      " row-identical to the batch audit, pytest-pinned)"),
     ("privacy", "k-anonymity suppression gate / distinct l-diversity"
                 " companion (max-dense_rank on the same quasi-key"
-                " shuffle, no count-distinct join-back)"),
+                " shuffle, no count-distinct join-back) / t-closeness"
+                " gate (integer-exact TVD + ordered-EMD vs the corpus"
+                " distribution, weighted cell-frame path for"
+                " pre-aggregated inputs) + continuous streaming"
+                " t-closeness monitor (exact cell merges scored by the"
+                " batch gate's own code path, row-identical parity)"
+                " / full-triad release funnel compose"
+                " (release_gate_snapshot)"),
     ("layout", "Morton z-order clustering: exact-BIGINT z-key (scale +"
                " interleave against broadcast bounds, pure codegen) /"
                " per-bucket locality audit (footer min/max bounds) /"

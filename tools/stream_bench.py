@@ -282,6 +282,7 @@ def main() -> None:
             kll_stream,
             kmv_stream,
             reservoir_stream,
+            t_closeness_stream,
         )
 
         def run_monitor(writer, ckpt: str, peak: dict) -> None:
@@ -373,6 +374,14 @@ def main() -> None:
                     ("max", "user_id", 1e12),
                     ("accepted", "login_state", ("fail", "success")),
                 ),
+            ),
+            # the privacy-gate monitor: per-class sensitive-value
+            # distribution vs the corpus; user_id mod 20 as the band
+            # domain, driver state = 2 classes x 20 bands of longs
+            "t_closeness_stream": lambda s, peak: t_closeness_stream(
+                s.withColumn("band", F.pmod("user_id", F.lit(20)).cast("long")),
+                manifest_sink(peak), quasi_cols=["login_state"],
+                sensitive_col="band",
             ),
         }
         for name, build in monitors.items():
