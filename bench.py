@@ -37,7 +37,17 @@ prior baseline entry), and (b) keeping the superseded file in-tree as
 BENCH_BASELINE_r{N}.json so cross-round drift stays measurable.
 Queries absent from the baseline (newly benched) are skipped by the
 guardrail until the next justified re-record — that is intentional,
-not a reason to refresh."""
+not a reason to refresh.
+
+RECORDING PRECONDITION (round-14 lesson): before recording, confirm
+the in-run calibration agrees with a few STANDALONE _calibrate probes
+taken minutes apart. Calibration (a CPU-burst shuffle) degrades ~2x
+faster under box contention than the mixed parquet/query walls do, so
+a record taken on a contended box bakes in an inflated calibration:
+every later normalized comparison reads high, and once the two
+calibrations differ by >1.5x the comparable-box waiver disables the
+raw backstop too — the r14 first record produced 57 false regressions
+on unchanged code exactly this way."""
 
 from __future__ import annotations
 

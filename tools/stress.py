@@ -952,6 +952,38 @@ def main() -> None:
         assert r["max_zx"] - r["min_zx"] <= 1024, dict(r.asDict())
         assert r["max_zy"] - r["min_zy"] <= 1024, dict(r.asDict())
 
+    # t-closeness mega-class probe: one quasi class carries 90% of a
+    # 10M-row audit (the boilerplate-source shape the docstring's skew
+    # claim is about: nothing after the (class, value) cell agg is
+    # row-bounded — cells here are 101 classes x 32 values, so the wall
+    # must track the one scan+shuffle). Geometry is exact: ids arrive
+    # in blocks of 32 consecutive values, every block contributing one
+    # full uniform pass over the value domain to its class, so EVERY
+    # class's distribution equals the global uniform and both distances
+    # are exactly 0.0 for all 101 classes — keep-all, bit-exact.
+    from flink_kafka_spark.operators.sampling import t_closeness
+
+    n_tc = n_events - (n_events % 320)
+    blk = F.floor(F.col("id") / 32)
+    tdf = spark.range(n_tc).select(
+        F.when(F.pmod(blk, 10) < 9, F.lit("mega"))
+        .otherwise(
+            F.concat(F.lit("c"), F.pmod(F.floor(blk / 10), 100).cast("string"))
+        )
+        .alias("q"),
+        F.pmod("id", F.lit(32)).alias("v"),
+    )
+    t0 = time.perf_counter()
+    trows = t_closeness(tdf, ["q"], "v", t=0.2).collect()
+    timings[f"t_closeness_skew_{n_events}"] = round(time.perf_counter() - t0, 2)
+    assert len(trows) == 101, len(trows)
+    assert sum(r["class_size"] for r in trows) == n_tc
+    mega = next(r for r in trows if r["q"] == "mega")
+    assert mega["class_size"] == n_tc * 9 // 10, mega["class_size"]
+    assert all(
+        r["t_tvd"] == 0.0 and r["t_emd"] == 0.0 and r["keep"] == 1 for r in trows
+    ), [r for r in trows if r["keep"] != 1][:3]
+
     print(
         json.dumps(
             {
