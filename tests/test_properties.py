@@ -1512,3 +1512,58 @@ def test_seasonal_anomalies_planted_spike(spark, monkeypatch, tmp_path):
     assert sum(r["is_anomaly"] for r in mondays) == 1
     # baseline_n is the other-week count
     assert all(r["baseline_n"] == 4 for r in mondays)
+
+
+tcl_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),  # quasi class
+        st.integers(0, 5),                 # sensitive value (collisions likely)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=tcl_strategy)
+@settings(**SETTINGS)
+def test_t_closeness_fuzz_vs_exact_fraction_reference(spark, rows):
+    """Fuzz sweep vs an exact-Fraction Python reference (ICDE 2007
+    definitions): for random small corpora, every class's emitted TVD
+    and ordered EMD must sit within half an ulp of the 6-dp rounding
+    of the exact rational — pinning the integer scaling, the zero-cell
+    grid, the cumulative order, and the single terminal division — and
+    ``keep`` must be exactly the emitted-value comparison."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from flink_kafka_spark.operators.sampling import t_closeness
+
+    cells = Counter(rows)
+    vals = sorted({v for _, v in rows})
+    glob = {v: sum(n for (_, v2), n in cells.items() if v2 == v) for v in vals}
+    big_n, m = sum(glob.values()), len(vals)
+    expect = {}
+    for q in {q for q, _ in rows}:
+        nc = sum(n for (q2, _), n in cells.items() if q2 == q)
+        diffs = [cells.get((q, v), 0) * big_n - glob[v] * nc for v in vals]
+        cum, emd_num = 0, 0
+        for d in diffs:
+            cum += d
+            emd_num += abs(cum)
+        expect[q] = (
+            nc,
+            Fraction(sum(abs(d) for d in diffs), 2 * nc * big_n),
+            Fraction(emd_num, max(m - 1, 1) * nc * big_n),
+        )
+
+    df = spark.createDataFrame(
+        [(i, q, v) for i, (q, v) in enumerate(rows)], "id int, q string, s int"
+    )
+    out = {r["q"]: r for r in t_closeness(df, ["q"], "s", t=0.2).collect()}
+    assert set(out) == set(expect)
+    for q, (nc, tvd, emd) in expect.items():
+        r = out[q]
+        assert r["class_size"] == nc
+        assert abs(r["t_tvd"] - float(tvd)) <= 5.001e-7, (q, r["t_tvd"], tvd)
+        assert abs(r["t_emd"] - float(emd)) <= 5.001e-7, (q, r["t_emd"], emd)
+        assert r["keep"] == int(r["t_emd"] <= 0.2)
