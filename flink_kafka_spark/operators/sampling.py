@@ -502,7 +502,9 @@ def t_closeness(
     one more category, but the cumulative ``t_emd`` depends on value
     ORDER and Spark/DuckDB disagree on NULL placement — coalesce NULLs
     to a sentinel before calling if the column is nullable (the
-    registered audit's band column is derived non-NULL).
+    registered audit's band column is derived non-NULL). NULL QUASI
+    values are fine: they form their own class (the internal grid
+    join is null-safe).
 
     ``weight_col``: when the input is already a pre-aggregated cell
     frame — (quasi…, value, count) from an upstream groupBy, the
@@ -511,7 +513,10 @@ def t_closeness(
     rows, skipping the corpus shuffle entirely (the cell agg then runs
     on the already-small frame). Weighted and row-level calls are
     exactly equivalent: sum-of-weights is the same BIGINT the row
-    count would have produced (pinned by pytest)."""
+    count would have produced, and cells whose weights sum to zero (or
+    NULL) are dropped — present-with-zero-weight and absent are the
+    same thing, so a zero cell must not inflate the distinct-value
+    count m the EMD denominator uses (pinned by pytest)."""
     if not quasi_cols:
         raise ValueError("quasi_cols must be non-empty")
     if t < 0:
@@ -525,6 +530,7 @@ def t_closeness(
     cells = track(
         df.groupBy(*quasi_cols, F.col(sensitive_col).alias("_v"))
         .agg(F.sum(_w).cast("long").alias("_cnt"))
+        .filter(F.col("_cnt") > 0)
         .persist()
     )
     # the global histogram as ONE broadcast row: ordered (value, count)
@@ -539,8 +545,10 @@ def t_closeness(
         F.sum("_cnt").cast("long").alias("class_size")
     )
     # dense class×value grid (zero cells included — both distances need
-    # the values a class is MISSING), then the observed counts back on
-    grid = (
+    # the values a class is MISSING), then the observed counts back on.
+    # The join is NULL-SAFE on the quasi keys (a NULL quasi value is a
+    # real class; plain equality would silently zero its counts).
+    gridbase = (
         classes.crossJoin(F.broadcast(glob))
         .select(*quasi_cols, "class_size", "_n", "_m", F.explode("_hist").alias("_h"))
         .select(
@@ -551,7 +559,18 @@ def t_closeness(
             F.col("_h._v").alias("_v"),
             F.col("_h._gv").alias("_gv"),
         )
-        .join(cells, [*quasi_cols, "_v"], "left")
+    )
+    rcells = cells.select(
+        *[F.col(c).alias(f"_rq{i}") for i, c in enumerate(quasi_cols)],
+        F.col("_v").alias("_rv"),
+        "_cnt",
+    )
+    cond = gridbase["_v"].eqNullSafe(rcells["_rv"])
+    for i, c in enumerate(quasi_cols):
+        cond = cond & gridbase[c].eqNullSafe(rcells[f"_rq{i}"])
+    grid = (
+        gridbase.join(rcells, cond, "left")
+        .drop("_rv", *[f"_rq{i}" for i in range(len(quasi_cols))])
         .withColumn("_cnt", F.coalesce(F.col("_cnt"), F.lit(0)))
         # exact p_j − q_j over the common denominator class_size·N
         .withColumn(

@@ -1449,9 +1449,9 @@ WITH c AS (
   CROSS JOIN vals va
   CROSS JOIN gtot g
   LEFT JOIN cells ce
-    ON ce.c_nationkey = cl.c_nationkey
-   AND ce.c_mktsegment = cl.c_mktsegment
-   AND ce.v = va.v
+    ON ce.c_nationkey IS NOT DISTINCT FROM cl.c_nationkey
+   AND ce.c_mktsegment IS NOT DISTINCT FROM cl.c_mktsegment
+   AND ce.v IS NOT DISTINCT FROM va.v
 ), diffs AS (
   SELECT *, cnt * n - gv * class_size AS diff FROM grid
 ), cums AS (
@@ -1609,17 +1609,30 @@ def release_gate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # l_class counts NON-NULL band cells only (count(col) skips NULLs
+    # — the count_distinct semantics the pre-cell-frame version had: a
+    # NULL band must not count as one more distinct band toward _RG_L)
     classes = cells.groupBy("lang", "source").agg(
         F.sum("n_cell").alias("n_class"),
-        F.count(F.lit(1)).alias("l_class"),
+        F.count(F.col("band")).alias("l_class"),
         F.sum("n_raw_cell").alias("n_raw_class"),
     )
     # weighted t-closeness over the SAME cell frame (weight_col skips
-    # the operator's own corpus shuffle — the cells are already built)
+    # the operator's own corpus shuffle — the cells are already built);
+    # the join back is NULL-SAFE so a NULL-lang/source class keeps its
+    # verdict instead of silently dropping out of EVERY funnel stage
     tkeep = t_closeness(
         cells, ["lang", "source"], "band", t=_RG_T, weight_col="n_cell"
-    ).select("lang", "source", F.col("keep").alias("keep_t"))
-    gated = classes.join(F.broadcast(tkeep), ["lang", "source"])
+    ).select(
+        F.col("lang").alias("_tlang"),
+        F.col("source").alias("_tsource"),
+        F.col("keep").alias("keep_t"),
+    )
+    gated = classes.join(
+        F.broadcast(tkeep),
+        classes["lang"].eqNullSafe(tkeep["_tlang"])
+        & classes["source"].eqNullSafe(tkeep["_tsource"]),
+    ).drop("_tlang", "_tsource")
     funnel = gated.agg(
         F.sum("n_raw_class").alias("_raw"),
         F.sum("n_class").alias("_dedup"),
@@ -1665,7 +1678,7 @@ WITH canon AS (
   FROM canon GROUP BY 1, 2, 3
 ), classes AS (
   SELECT lang, source, CAST(sum(n_cell) AS BIGINT) AS n_class,
-         CAST(count(*) AS BIGINT) AS l_class,
+         CAST(count(band) AS BIGINT) AS l_class,
          CAST(sum(n_raw_cell) AS BIGINT) AS n_raw_class
   FROM cells GROUP BY 1, 2
 ), vals AS (
@@ -1680,7 +1693,9 @@ WITH canon AS (
   CROSS JOIN vals va
   CROSS JOIN gtot g
   LEFT JOIN cells ce
-    ON ce.lang = cl.lang AND ce.source = cl.source AND ce.band = va.band
+    ON ce.lang IS NOT DISTINCT FROM cl.lang
+   AND ce.source IS NOT DISTINCT FROM cl.source
+   AND ce.band IS NOT DISTINCT FROM va.band
 ), cums AS (
   SELECT *,
          cnt * n - gv * n_class AS diff,
@@ -1700,7 +1715,9 @@ WITH canon AS (
   FROM cums GROUP BY 1, 2
 ), gated AS (
   SELECT c.*, t.keep_t
-  FROM classes c JOIN tqual t ON c.lang = t.lang AND c.source = t.source
+  FROM classes c
+  JOIN tqual t ON c.lang IS NOT DISTINCT FROM t.lang
+              AND c.source IS NOT DISTINCT FROM t.source
 ), funnel AS (
   SELECT CAST(sum(n_raw_class) AS BIGINT) AS raw,
          CAST(sum(n_class) AS BIGINT) AS dedup_exact,

@@ -1393,7 +1393,10 @@ def test_t_closeness_hand_computed_distances(spark):
 def test_t_closeness_weighted_equals_row_level(spark):
     """weight_col contract: pre-aggregated (quasi, value, count) cells
     produce row-identical output to the raw row-level call — the
-    100 TB shape where the corpus has already been reduced once."""
+    100 TB shape where the corpus has already been reduced once — and
+    zero- or NULL-weight cells behave as ABSENT (present-with-zero and
+    absent are the same distribution, so a zero cell must not inflate
+    the distinct-value count m in the EMD denominator)."""
     from flink_kafka_spark.operators.sampling import t_closeness
 
     rows = [(i, "A", v) for i, v in enumerate([1, 1, 2])] + [
@@ -1407,15 +1410,52 @@ def test_t_closeness_weighted_equals_row_level(spark):
     )
     assert raw == wtd
 
+    # planting a zero-weight phantom value and a NULL-weight cell must
+    # change NOTHING — the pre-fix behavior let ('A', 99, 0) grow m
+    # from 3 to 4 and silently deflate every class's t_emd
+    noisy = cells.unionByName(
+        spark.createDataFrame(
+            [("A", 99, 0), ("B", 98, None)], "q string, s int, w long"
+        )
+    )
+    wtd_noisy = sorted(
+        map(tuple, t_closeness(noisy, ["q"], "s", t=0.2, weight_col="w").collect())
+    )
+    assert wtd_noisy == raw
+
+
+def test_t_closeness_null_quasi_class(spark):
+    """A NULL quasi value is a real class: the internal grid join is
+    null-safe, so the NULL class's observed counts survive and its
+    distances are computed, not zeroed. Planted: NULL class ==
+    distribution of class A exactly, so their distances must match,
+    and the global now counts both."""
+    from flink_kafka_spark.operators.sampling import t_closeness
+
+    rows = [(i, "A", v) for i, v in enumerate([1, 1, 2])] + [
+        (10 + i, None, v) for i, v in enumerate([1, 1, 2])
+    ]
+    df = spark.createDataFrame(rows, "id int, q string, s int")
+    out = {r["q"]: r for r in t_closeness(df, ["q"], "s", t=0.2).collect()}
+    assert set(out) == {"A", None}
+    a, n = out["A"], out[None]
+    assert a["class_size"] == n["class_size"] == 3
+    # identical distributions -> identical distances; both halves ARE
+    # the global, so every distance is exactly 0 and both classes keep
+    assert a["t_tvd"] == n["t_tvd"] == 0.0
+    assert a["t_emd"] == n["t_emd"] == 0.0
+    assert a["keep"] == n["keep"] == 1
+
 
 def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     """Planted funnel: duplicates collapse BEFORE class sizing (a
     class that is k-anonymous only thanks to copies must be
-    suppressed), a big-but-homogeneous class passes k but fails l,
+    suppressed), a big-but-homogeneous class passes k but fails l, a
+    NULL-lang class survives the null-safe gate join into the totals,
     and the t-closeness gate is pinned in BOTH directions with
     hand-derived EMD: the surviving class en/s1 (12 uniform bands)
-    sits at t_emd = 990/3564 ≈ 0.2778 against the band-0-heavy
-    global, so it FAILS the default t=0.2 and PASSES t=0.3.
+    sits at t_emd = 1188/3960 = 0.30 exactly against the band-0-heavy
+    global, so it FAILS the default t=0.2 and PASSES t=0.35.
     Ground truth is exact."""
     from flink_kafka_spark.queries import analytics as A
 
@@ -1429,6 +1469,11 @@ def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     # class (fr, s3): 11 distinct docs, ALL in one band -> passes k, fails l
     for i in range(11):
         rows.append((200 + i, f"flat text {i}", "fr", "s3"))
+    # class (NULL, s4): 3 distinct docs with a NULL lang — a real
+    # class; the null-safe gate join must keep it in raw/dedup totals
+    # (plain equality silently dropped it from EVERY stage)
+    for i in range(3):
+        rows.append((300 + i, f"nl text {i}", None, "s4"))
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
     df = df.withColumn("n_chars", F.length("text"))
     pq = str(tmp_path / "documents.parquet")
@@ -1446,21 +1491,58 @@ def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
 
     monkeypatch.setattr(A, "load", fake_load)
     out = {r["stage"]: r["n_docs"] for r in A.release_gate_snapshot(spark, "ignored").collect()}
-    assert out["raw"] == 35
-    assert out["dedup_exact"] == 12 + 4 + 11
-    assert out["k_anonymous"] == 12 + 11  # de/s2 collapses to 4 < k
+    assert out["raw"] == 38              # includes the 3 NULL-lang docs
+    assert out["dedup_exact"] == 12 + 4 + 11 + 3
+    assert out["k_anonymous"] == 12 + 11  # de/s2 -> 4 < k; NULL/s4 -> 3 < k
     assert out["l_diverse"] == 12        # fr/s3 is single-band
     # en/s1's band distribution (uniform over 12 bands) vs the global
-    # (band 0 holds 16 of 27 canonical docs): diffs cnt·N − gv·n_c are
-    # (−165, 15×11), |cum| sum = 15·(11+10+…+1) = 990, denominator
-    # (m−1)·n_c·N = 11·12·27 = 3564 → t_emd = 0.277778 > 0.2
+    # (band 0 holds 19 of 30 canonical docs): diffs cnt·N − gv·n_c are
+    # (−198, 18×11), |cum| sum = 18·(11+10+…+1) = 1188, denominator
+    # (m−1)·n_c·N = 11·12·30 = 3960 → t_emd = 0.30 exactly > 0.2
     assert out["t_close"] == 0
 
-    # loosening the ceiling past 990/3564 admits en/s1
-    monkeypatch.setattr(A, "_RG_T", 0.3)
+    # loosening the ceiling past 1188/3960 admits en/s1
+    monkeypatch.setattr(A, "_RG_T", 0.35)
     out3 = {r["stage"]: r["n_docs"] for r in A.release_gate_snapshot(spark, "ignored").collect()}
     assert out3["t_close"] == 12
     assert out3["l_diverse"] == 12  # upstream stages unchanged
+
+
+def test_release_gate_null_band_does_not_count_toward_l(spark, monkeypatch, tmp_path):
+    """l_class counts NON-NULL bands only (the count_distinct
+    semantics the pre-cell-frame funnel had): a class with two real
+    bands plus NULL-n_chars docs is l=2, not l=3 — it must pass k and
+    FAIL the _RG_L=3 gate. The cell-frame rewrite counted the NULL
+    band cell as one more distinct band and released it."""
+    from flink_kafka_spark.queries import analytics as A
+
+    rows = []
+    for i in range(5):
+        rows.append((i, f"a text {i}", 10))                    # band 0
+    for i in range(5):
+        rows.append((10 + i, f"b text {i}", 100 + i))          # band 1
+    rows.append((20, "null chars doc", None))                  # NULL band
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    df = df.select("doc_id", "text", F.lit("en").alias("lang"),
+                   F.lit("s1").alias("source"), "n_chars")
+    pq = str(tmp_path / "documents.parquet")
+    df.write.parquet(pq)
+
+    import flink_kafka_spark.tables as T
+
+    real_load = T.load
+
+    def fake_load(spark_, sf_dir_, name):
+        if name == "documents":
+            return spark_.read.parquet(pq)
+        return real_load(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(A, "load", fake_load)
+    out = {r["stage"]: r["n_docs"] for r in A.release_gate_snapshot(spark, "ignored").collect()}
+    assert out["raw"] == out["dedup_exact"] == 11
+    assert out["k_anonymous"] == 11   # one class of 11 >= k
+    assert out["l_diverse"] == 0      # 2 real bands + NULL != 3
+    assert out["t_close"] == 0
 
 
 def test_seasonal_anomalies_planted_spike(spark, monkeypatch, tmp_path):
