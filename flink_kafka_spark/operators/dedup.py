@@ -255,7 +255,12 @@ def source_overlap_matrix(
     The corpus is therefore scanned and shingle-shuffled exactly ONCE
     (previously once per branch — measured 2x the whole operator's
     cost at sf0.1); the only persisted frame is the aggregated result,
-    bounded by |sources|² + |sources| rows, never corpus-sized."""
+    bounded by |sources|² + |sources| rows, never corpus-sized.
+
+    Contract: ``group_col`` values must be NON-NULL — NULL is the
+    internal pair/size marker in the combined aggregation, so a NULL
+    source would corrupt the split. Coalesce to a sentinel (or filter)
+    before calling if the column is nullable."""
     from ..caching import track
 
     expr = f"array_distinct({_shingle_expr(n)})"

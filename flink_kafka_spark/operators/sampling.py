@@ -147,6 +147,11 @@ def mixture_resample(
     reproduces it bit-for-bit: per-source target tokens =
     grand * budget_permille/1000 * w/Σw, keep-threshold =
     min(1e6, floor(target * 1e6 / source_tokens)).
+
+    A NULL source is a real stratum (default-weighted): the threshold
+    join-back is null-safe, so its documents keep their release
+    decision instead of silently vanishing from the output (pinned by
+    pytest).
     """
     wsum = sum(weights.values()) or default_weight
     case = "CASE " + " ".join(
@@ -171,10 +176,13 @@ def mixture_resample(
                 "/ src_tokens) AS BIGINT))"
             ),
         )
-        .select(source_col, "keep_thresh")
+        .select(F.col(source_col).alias("_th_src"), "keep_thresh")
     )
     return (
-        df.join(F.broadcast(thresholds), source_col)
+        df.join(
+            F.broadcast(thresholds),
+            F.col(source_col).eqNullSafe(F.col("_th_src")),
+        )
         .withColumn(
             "keep",
             (split_bucket_expr(id_col, 1_000_000) < F.col("keep_thresh")).cast("int"),

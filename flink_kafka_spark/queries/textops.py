@@ -602,7 +602,7 @@ th AS (
 )
 SELECT t.doc_id, t.source, t.n_tokens,
        CAST(({_MIX_BUCKET} < keep_thresh) AS INT) AS keep
-FROM toks t JOIN th USING (source)
+FROM toks t JOIN th ON t.source IS NOT DISTINCT FROM th.source
 """
 
 QUERIES.append(

@@ -283,3 +283,28 @@ def test_split_bucket_extreme_ids_cross_engine(spark):
         ).fetchall()
     )
     assert got == want and set(got) == set(ids)
+
+
+def test_mixture_resample_null_source_stratum_kept(spark):
+    """A NULL source is a real stratum: the threshold join-back is
+    null-safe, so its documents stay in the output (the plain-equality
+    join silently dropped every NULL-source doc from the release), and
+    the stratum behaves exactly as a default-weighted named source —
+    same keep decisions as the identical corpus with NULL coalesced to
+    an unweighted sentinel."""
+    from flink_kafka_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "a", 100) for i in range(20)] + [
+        (100 + i, None, 100) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = mixture_resample(df, {"a": 3}, budget_permille=500).collect()
+    assert len(out) == 40
+    assert sum(1 for r in out if r["source"] is None) == 20
+
+    sent = df.withColumn("source", F.coalesce("source", F.lit("zzz")))
+    ref = {
+        r["doc_id"]: r["keep"]
+        for r in mixture_resample(sent, {"a": 3}, budget_permille=500).collect()
+    }
+    assert {r["doc_id"]: r["keep"] for r in out} == ref
