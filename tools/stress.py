@@ -284,7 +284,11 @@ def main() -> None:
     )
     ov = source_overlap_matrix(sourced).collect()
     timings[f"source_overlap_{n_docs}"] = round(time.perf_counter() - t0, 2)
-    assert len(ov) == 190 and all(r.jaccard > 0 for r in ov), len(ov)
+    # full 190-pair saturation is a DENSITY property of the default
+    # corpus size; a smaller CLI n_docs legitimately yields fewer
+    # overlapping pairs (observed: 13 at n_docs=2000)
+    assert all(r.jaccard > 0 for r in ov), "zero-jaccard pair emitted"
+    assert len(ov) == 190 if n_docs >= 50_000 else len(ov) <= 190, len(ov)
 
     # leakage-safe split on the known chain graph: every decade chain
     # is one cluster, so all 10 members must co-assign — zero pairs may
@@ -924,10 +928,15 @@ def main() -> None:
     timings[f"resample_ffill_{n_events}"] = round(time.perf_counter() - t0, 2)
     # the planted observation sits in the global FIRST bucket, so key
     # 0's grid = 1 observed + (n_buckets - 1) empty, gap peaking at
-    # n_buckets - 1, and the carried mean is exactly 42.0 throughout
-    n_buckets = agg["rows"] // 1000
-    assert agg["rows"] == n_buckets * 1000, agg["rows"]
-    assert agg["k0_rows"] == n_buckets and agg["k0_empty"] == n_buckets - 1
+    # n_buckets - 1, and the carried mean is exactly 42.0 throughout.
+    # Bucket count comes from key 0's own rows; rows = keys_present x
+    # buckets always, and all 1000 hash keys materialize only at the
+    # default event volume (smaller CLI inputs may miss some)
+    n_buckets = agg["k0_rows"]
+    assert n_buckets > 0 and agg["rows"] % n_buckets == 0, (agg["rows"], n_buckets)
+    if n_events >= 10_000_000:
+        assert agg["rows"] == n_buckets * 1000, agg["rows"]
+    assert agg["k0_empty"] == n_buckets - 1
     assert agg["k0_gap"] == n_buckets - 1, agg["k0_gap"]
     assert agg["k0_fill_min"] == agg["k0_fill_max"] == 42.0
 
