@@ -54,8 +54,15 @@ class Expectation:
 
 
 def _ratio(num: Column, den: Column) -> Column:
-    # one bigint/bigint division, rounded once — engine-exact
-    return F.round(num.cast("double") / den.cast("double"), 6)
+    # one bigint/bigint division, rounded once — engine-exact. A zero
+    # denominator (empty frame / all-NULL column / empty group) yields
+    # NULL, which run_expectations maps to passed=0 — the failing-check
+    # report this gate exists for; the bare division would instead
+    # throw DIVIDE_BY_ZERO under Spark's default ANSI mode and kill
+    # the whole audit job (the streaming twin already guards b > 0)
+    return F.round(
+        F.when(den > 0, num.cast("double") / den.cast("double")), 6
+    )
 
 
 def completeness(col: str) -> Expectation:

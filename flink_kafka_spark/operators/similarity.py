@@ -770,7 +770,13 @@ def centroid_sums(
 def centroid_drift_from_sums(per: DataFrame, group_col: str = "label") -> DataFrame:
     """The scoring half of :func:`centroid_drift`, over a ``(g, pos,
     s, c)`` sums frame — shared verbatim by the batch operator and the
-    streaming monitor so their outputs cannot drift."""
+    streaming monitor so their outputs cannot drift.
+
+    Zero-norm degradation: a group (or corpus) whose quantized
+    centroid is the all-zero vector has no direction — cosine and the
+    norm ratio emit NULL for it instead of tripping ANSI
+    DIVIDE_BY_ZERO and killing the job (same NULL-degradation
+    convention as the DQ audit's zero-denominator ratios)."""
     lab = per.groupBy("g").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE)"
@@ -796,9 +802,18 @@ def centroid_drift_from_sums(per: DataFrame, group_col: str = "label") -> DataFr
         .select(
             F.col("g").alias(group_col),
             "n_vecs",
-            F.round(F.expr(f"({dot}) / (sqrt({nl}) * sqrt({ng}))"), 6).alias(
-                "cos_to_global"
-            ),
-            F.round(F.expr(f"sqrt({nl}) / sqrt({ng})"), 6).alias("norm_ratio"),
+            F.round(
+                F.expr(
+                    f"CASE WHEN ({nl}) > 0 AND ({ng}) > 0"
+                    f" THEN ({dot}) / (sqrt({nl}) * sqrt({ng})) END"
+                ),
+                6,
+            ).alias("cos_to_global"),
+            F.round(
+                F.expr(
+                    f"CASE WHEN ({ng}) > 0 THEN sqrt({nl}) / sqrt({ng}) END"
+                ),
+                6,
+            ).alias("norm_ratio"),
         )
     )

@@ -572,8 +572,9 @@ scored AS (
   FROM lab, gcent
 )
 SELECT label, n_vecs,
-       round(dot / (sqrt(nl) * sqrt(ng)), 6) AS cos_to_global,
-       round(sqrt(nl) / sqrt(ng), 6) AS norm_ratio
+       round(CASE WHEN nl > 0 AND ng > 0
+             THEN dot / (sqrt(nl) * sqrt(ng)) END, 6) AS cos_to_global,
+       round(CASE WHEN ng > 0 THEN sqrt(nl) / sqrt(ng) END, 6) AS norm_ratio
 FROM scored
 ORDER BY label
 """

@@ -822,8 +822,11 @@ def kll_stream(
                         state[r["s"]] = bytes(r["msk"])
                 last["epoch"] = epoch_id
             if state:
+                # NULL set keys are a real group (Spark groupBy keeps
+                # them); a plain sort would raise on None vs str
                 frame = spark.createDataFrame(
-                    sorted(state.items()), "s string, msk binary"
+                    sorted(state.items(), key=lambda kv: (kv[0] is None, kv[0])),
+                    "s string, msk binary",
                 )
                 out = frame.select(
                     "s",
@@ -1118,13 +1121,24 @@ def centroid_drift_stream(
             if epoch_id != last["epoch"]:
                 rows = centroid_sums(batch_df, group_col, vec_col, quant).collect()
                 for r in rows:  # |groups| x dim — bounded collect
+                    if r["s"] is None:
+                        # every component NULL for this (g, pos): SQL
+                        # sum contributes nothing — adding None would
+                        # TypeError and kill the query instead
+                        continue
                     cell = state.setdefault((r["g"], r["pos"]), [0, 0])
                     cell[0] += r["s"]
                     cell[1] += r["c"]
                 last["epoch"] = epoch_id
             if state:
                 per = spark.createDataFrame(
-                    [(g, p, s, c) for (g, p), (s, c) in sorted(state.items())],
+                    [
+                        (g, p, s, c)
+                        for (g, p), (s, c) in sorted(
+                            state.items(),
+                            key=lambda kv: (kv[0][0] is None, kv[0][0], kv[0][1]),
+                        )
+                    ],
                     f"g {group_type}, pos int, s long, c long",
                 )
                 out = centroid_drift_from_sums(per, group_col)

@@ -183,3 +183,42 @@ def test_pattern_and_quantile_expectations(spark):
 
     with pytest.raises(ValueError, match="quantile"):
         quantile_between("v", 1.5)
+
+
+def test_run_expectations_zero_denominator_reports_failed_not_crash(spark):
+    """Under Spark's default ANSI mode a bare division would throw
+    DIVIDE_BY_ZERO exactly when a gate should REPORT: accepted_values
+    over an all-NULL column (count(col)=0) and any ratio over an
+    empty frame must come back as metric NULL / passed 0 rows, and in
+    grouped mode one empty group must not kill the other groups'
+    audit."""
+    from flink_kafka_spark.operators.dq import (
+        accepted_values,
+        completeness,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "tag string, v string"
+    )
+    rows = {r["check_name"]: r for r in run_expectations(
+        df, [accepted_values("v", ("x", "y")), completeness("v")]
+    ).collect()}
+    assert rows["accepted:v"]["metric"] is None and rows["accepted:v"]["passed"] == 0
+    assert rows["completeness:v"]["metric"] == 0.0 and rows["completeness:v"]["passed"] == 0
+
+    empty = df.filter("tag = 'nope'")
+    rows = {r["check_name"]: r for r in run_expectations(
+        empty, [completeness("v"), accepted_values("tag", ("a",))]
+    ).collect()}
+    assert all(r["metric"] is None and r["passed"] == 0 for r in rows.values())
+
+    grouped = spark.createDataFrame(
+        [("g1", "x"), ("g1", "x"), ("g2", None)], "g string, v string"
+    )
+    by_g = {(r["g"], r["check_name"]): r for r in run_expectations(
+        grouped, [accepted_values("v", ("x",))], group_cols=["g"]
+    ).collect()}
+    assert by_g[("g1", "accepted:v")]["passed"] == 1
+    assert by_g[("g2", "accepted:v")]["metric"] is None
+    assert by_g[("g2", "accepted:v")]["passed"] == 0

@@ -193,16 +193,15 @@ def test_no_full_oracle_row_skips_driver_hashing_beyond_cadence():
     CADENCE_DEBT entries run on their written deadline instead)."""
     import json
     import pathlib
-    import re
 
     from flink_kafka_spark.queries import DRIVER_WINDOW
+    from tools.cadence_audit import hash_history
 
     repo = pathlib.Path(__file__).resolve().parent.parent
-    rounds: dict[int, set[str]] = {}
-    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", p.name)
-        if m:
-            rounds[int(m.group(1))] = set(json.loads(p.read_text()))
+    # ONE reconstruction of round -> hashed-green names, shared with
+    # the ledger's audit tool so the enforcing test and the reporting
+    # tool can never drift apart (the r12 off-by-one class)
+    rounds = hash_history(repo)
     assert rounds, "no CORRECTNESS_r*.json found — cadence unverifiable"
     current = max(rounds) + 1
 

@@ -127,3 +127,23 @@ def test_centroid_drift_scan_reuse(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1, plan
+
+
+def test_centroid_drift_zero_norm_group_degrades_to_null(spark):
+    """A group whose quantized centroid is the all-zero vector has no
+    direction: cosine and norm_ratio must come back NULL (the DQ
+    NULL-degradation convention) instead of tripping ANSI
+    DIVIDE_BY_ZERO and killing the job — and the nonzero groups'
+    scores must be unaffected."""
+    from flink_kafka_spark.operators.similarity import centroid_drift
+
+    df = spark.createDataFrame(
+        [("z", [0.0, 0.0]), ("z", [0.0, 0.0]), ("b", [1.0, 0.5]), ("b", [1.0, 0.5])],
+        "label string, embedding array<float>",
+    )
+    out = {r["label"]: r for r in centroid_drift(df).collect()}
+    assert out["z"]["cos_to_global"] is None
+    assert out["z"]["norm_ratio"] is not None  # nl=0 is fine when ng>0
+    assert out["z"]["norm_ratio"] == 0.0
+    assert out["b"]["cos_to_global"] is not None
+    assert out["b"]["norm_ratio"] > 0

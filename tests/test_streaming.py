@@ -2356,3 +2356,70 @@ def test_t_closeness_stream_row_identical_to_batch_and_restarts(spark, tmp_path)
     assert sum(g_snaps[max(g_snaps)].values()) == 5
     clean, _ = run([rows[:5]], "trg_clean")
     assert g_seen[max(g_seen)] == clean[max(clean)]
+
+
+def test_monitor_streams_survive_null_group_keys(spark, tmp_path):
+    """Spark groupBy keeps NULL-key groups, so the driver-side state
+    dicts gain None keys: the kll and centroid-drift monitors must
+    emit (None sorts via the None-safe key) instead of dying on
+    'None < str', and a (group, pos) cell whose components are all
+    NULL must merge as a no-op (SQL-sum semantics), not TypeError."""
+    import json
+
+    from flink_kafka_spark.streaming.jobs import centroid_drift_stream, kll_stream
+
+    d = tmp_path / "nullkeys"
+    d.mkdir()
+    (d / "f0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"s": None, "v": 3.0, "emb": [1.0, None]},
+                {"s": "a", "v": 1.0, "emb": [0.5, 0.25]},
+                {"s": "a", "v": 2.0, "emb": [0.5, None]},
+            ]
+        )
+        + "\n"
+    )
+
+    def replay():
+        return spark.readStream.schema(
+            "s string, v double, emb array<double>"
+        ).json(str(d))
+
+    seen: dict[int, list] = {}
+    q = (
+        kll_stream(
+            replay(),
+            lambda df, e: seen.__setitem__(e, sorted(
+                map(tuple, df.collect()), key=lambda t: (t[0] is None, t)
+            )),
+            set_col="s",
+            val_col="v",
+            k=200,
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_kll_null"))
+        .start()
+    )
+    q.awaitTermination(120)
+    final = seen[max(seen)]
+    assert {row[0] for row in final} == {"a", None}
+
+    seen2: dict[int, list] = {}
+    q2 = (
+        centroid_drift_stream(
+            replay(),
+            lambda df, e: seen2.__setitem__(e, sorted(
+                map(tuple, df.collect()), key=lambda t: (t[0] is None, str(t[0]))
+            )),
+            group_col="s",
+            vec_col="emb",
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_cd_null"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    final2 = seen2[max(seen2)]
+    assert {row[0] for row in final2} == {"a", None}
