@@ -74,6 +74,17 @@ class PeakStateListener(StreamingQueryListener):
         self.terminated.add(str(event.id))
 
 
+def _await_or_kill(q, ckpt: str) -> None:
+    """One wedged-query policy for every measured query: a query still
+    running after 600 s would record 600 s as a real datapoint AND
+    keep running under every later measurement — kill it and fail the
+    tool loudly (shared by run_stream and run_monitor so the timeout
+    handling cannot drift between them)."""
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"query on {ckpt} still running after 600 s")
+
+
 def run_stream(df, ckpt: str, listener: PeakStateListener) -> dict:
     """Run to completion; return peak state-store metrics across ALL of
     the replay's micro-batches (rows + bytes from stateOperators),
@@ -85,12 +96,7 @@ def run_stream(df, ckpt: str, listener: PeakStateListener) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(600):
-        # same hazard as run_monitor's: a wedged query would record
-        # 600 s as a real datapoint and keep running under every
-        # later stream's measurement — kill it and fail loudly
-        q.stop()
-        raise RuntimeError(f"stream query on {ckpt} still running after 600 s")
+    _await_or_kill(q, ckpt)
     # listener events are delivered on a separate thread; wait for the
     # terminated event so every progress update has been folded in
     deadline = time.time() + 30
@@ -121,7 +127,7 @@ def main() -> None:
                 F.when(F.pmod(F.xxhash64("id"), F.lit(4)) == 0, "success").otherwise("fail"),
                 (F.lit(BASE_TS) + (F.col("id") / 200).cast("long")).cast("string"),
             ).alias("value")
-        ).coalesce(4).write.mode("overwrite").text(login_src)
+        ).repartition(4).write.mode("overwrite").text(login_src)
         stream = csv_replay_source(spark, login_src, LOGIN_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
         state["login_fail_stream"] = run_stream(
@@ -151,7 +157,7 @@ def main() -> None:
                 (F.lit(BASE_TS) + (F.col("id") / 100).cast("long") + 30).cast("string"),
             ).alias("value")
         )
-        creates.union(pays).coalesce(4).write.mode("overwrite").text(order_src)
+        creates.union(pays).repartition(4).write.mode("overwrite").text(order_src)
         stream = csv_replay_source(spark, order_src, ORDER_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
         state["order_timeout_stream"] = run_stream(
@@ -170,7 +176,7 @@ def main() -> None:
                 F.concat(F.lit("tx"), F.col("id").cast("string")),
                 (F.lit(BASE_TS) + (F.col("id") / 100).cast("long")).cast("string"),
             ).alias("value")
-        ).coalesce(4).write.mode("overwrite").text(txo_src)
+        ).repartition(4).write.mode("overwrite").text(txo_src)
         spark.range(n // 2).filter(F.pmod("id", F.lit(2)) == 0).select(
             F.concat_ws(
                 ",",
@@ -178,7 +184,7 @@ def main() -> None:
                 F.lit("wechat"),
                 (F.lit(BASE_TS) + (F.col("id") / 100).cast("long") + 5).cast("string"),
             ).alias("value")
-        ).coalesce(4).write.mode("overwrite").text(txr_src)
+        ).repartition(4).write.mode("overwrite").text(txr_src)
         orders = csv_replay_source(spark, txo_src, ORDER_EVENT).withWatermark("ts", "1 second")
         receipts = csv_replay_source(spark, txr_src, RECEIPT_EVENT).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
@@ -202,7 +208,7 @@ def main() -> None:
                 F.lit("c"),
                 (F.lit(BASE_TS) + (F.col("id") / 1000).cast("long")).cast("string"),
             ).alias("value")
-        ).coalesce(4).write.mode("overwrite").text(click_src)
+        ).repartition(4).write.mode("overwrite").text(click_src)
         clicks = csv_replay_source(spark, click_src, AD_CLICK).withWatermark("ts", "1 second")
         t0 = time.perf_counter()
         state["blacklist_stream"] = run_stream(
@@ -228,7 +234,7 @@ def main() -> None:
                     + F.when(F.col("id") >= n // 2, 1).otherwise(0)
                 ).cast("string"),
             ).alias("value")
-        ).coalesce(4).write.mode("overwrite").text(dedup_src)
+        ).repartition(4).write.mode("overwrite").text(dedup_src)
         stream = csv_replay_source(spark, dedup_src, LOGIN_EVENT)
         t0 = time.perf_counter()
         state["dedup_stream"] = run_stream(
@@ -258,7 +264,7 @@ def main() -> None:
                     + F.pmod(seq, F.lit(5)) * 60
                 ).cast("string"),
             ).alias("value")
-        ).coalesce(4).write.mode("overwrite").text(sess_src)
+        ).repartition(4).write.mode("overwrite").text(sess_src)
         stream = csv_replay_source(spark, sess_src, LOGIN_EVENT)
         t0 = time.perf_counter()
         state["session_stats_stream"] = run_stream(
@@ -291,12 +297,7 @@ def main() -> None:
                 .trigger(availableNow=True)
                 .start()
             )
-            if not q.awaitTermination(600):
-                # a wedged query would otherwise record 600 s as a real
-                # datapoint AND keep running under the next monitor's
-                # measurement — kill it and fail the tool loudly
-                q.stop()
-                raise RuntimeError(f"monitor query on {ckpt} still running after 600 s")
+            _await_or_kill(q, ckpt)
             assert not peak.get("err"), peak["err"]
 
         def manifest_sink(peak: dict):
@@ -324,7 +325,7 @@ def main() -> None:
                 F.when(F.pmod("id", F.lit(2)) == 0, "fail").otherwise("success"),
                 (F.lit(BASE_TS) + (F.col("id") / 200).cast("long")).cast("string"),
             ).alias("value")
-        ).coalesce(4).write.mode("overwrite").text(mon_src)
+        ).repartition(4).write.mode("overwrite").text(mon_src)
 
         monitors = {
             "heavy_hitters_stream": lambda s, peak: heavy_hitters_stream(

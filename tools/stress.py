@@ -532,12 +532,17 @@ def main() -> None:
     ).unionByName(
         spark.range(25, 65).select(F.lit("d").alias("s"), F.col("id").cast("string").alias("v"))
     )
-    pair_minima = kmv_minima(ab, "s", "v", kmv_k)
+    # materialize the sketches BEFORE the clock starts: kmv_minima is
+    # lazy, so timing its build would charge the 1.24M-row scan to the
+    # pair algebra and contradict the sketch-only claim above
+    pair_minima = kmv_minima(ab, "s", "v", kmv_k).persist()
+    pair_minima.count()
     t0 = time.perf_counter()
     got_pairs = {
         (r["set_a"], r["set_b"]): r for r in kmv_pair_intersections(pair_minima, kmv_k).collect()
     }
     timings["kmv_pair_intersections_1M"] = round(time.perf_counter() - t0, 2)
+    pair_minima.unpersist()
     exact_small = got_pairs[("c", "d")]
     assert (exact_small["est_union"], exact_small["est_intersection"]) == (65, 15), (
         tuple(exact_small)
