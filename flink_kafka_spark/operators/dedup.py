@@ -287,6 +287,14 @@ def source_overlap_matrix(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .persist()
     )
+    # materialize HERE, not at the callers: the three downstream
+    # branches (pairs + two broadcast size joins) otherwise race the
+    # lazy cache's block locks inside one job and effectively re-run
+    # the corpus pass in parallel (the measured ~2x this operator's
+    # single-scan rewrite exists to eliminate). The frame is the
+    # aggregated |sources|² + |sources| result — counting it costs the
+    # one pass that was due anyway.
+    combined.count()
     pairs = combined.where(F.col("b").isNotNull()).select(
         F.col("a").alias("source_a"),
         F.col("b").alias("source_b"),

@@ -96,6 +96,22 @@ def pagerank(
 
     node_frame = track(nodes.select(F.col(id_col).alias("node")).persist())
     n = node_frame.count()
+    # loud precondition: every edge dst must be a declared node. The
+    # old node_frame-LEFT-JOIN formulation silently DROPPED outside
+    # dsts each round; the zeros-union rewrite would instead emit
+    # phantom rank rows computed against the wrong N — neither is what
+    # the caller meant, so fail at build time (one edges pass; the
+    # loop pays an edges-sized join per round anyway). src endpoints
+    # need no check: the inner rank join drops unknown srcs in both
+    # formulations identically.
+    dangling = edges.join(
+        node_frame, edges["dst"] == node_frame["node"], "left_anti"
+    )
+    if dangling.limit(1).count():
+        raise ValueError(
+            "pagerank: edges reference dst nodes absent from `nodes` — "
+            "pass a node frame covering every dst endpoint"
+        )
     base = unit // n
     teleport = (100 - damping_pct) * base // 100
 

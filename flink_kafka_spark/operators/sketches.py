@@ -233,10 +233,18 @@ def kmv_minima(
         .agg(F.approx_count_distinct(F.expr(val_sql)).alias("n_est"))
         .select(
             "s",
-            F.when(F.col("n_est") <= margin * k, F.lit(CMS_SPACE))
-            .otherwise((F.lit(margin * k) * F.lit(CMS_SPACE)) / F.col("n_est"))
-            .cast("long")
-            .alias("thr"),
+            # greatest(..., 1): past ~margin*k*2^32 distinct values the
+            # quotient truncates to 0 and `h < thr` would cut EVERY row
+            # — the set would silently vanish instead of tripping the
+            # survivor invariant below; thr=1 keeps the h=0 slot so the
+            # set still surfaces with n_surv < k and raises as the
+            # operating-ceiling note promises
+            F.greatest(
+                F.when(F.col("n_est") <= margin * k, F.lit(CMS_SPACE))
+                .otherwise((F.lit(margin * k) * F.lit(CMS_SPACE)) / F.col("n_est"))
+                .cast("long"),
+                F.lit(1),
+            ).alias("thr"),
         )
     )
     survivors = (

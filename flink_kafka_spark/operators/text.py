@@ -1149,7 +1149,14 @@ def bpe_apply_merges(
     fits an executor, leaving the occurrence stream unshuffled; at
     vocabularies past broadcast size it degrades to a narrow
     two-column shuffle, never a body shuffle. Python never touches a
-    row either way."""
+    row either way.
+
+    The corpus is deliberately scanned TWICE (once building the
+    distinct vocab, once as the join probe): both passes are the
+    narrow split/explode projection, and persisting the exploded
+    occurrence stream to save the second pass would cache a
+    corpus-sized frame — the span_dup_stats trade, decided the same
+    way: two narrow parquet passes beat a corpus-sized cache."""
     syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
     for left, right in merges:
         a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)

@@ -873,15 +873,10 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     docs = load(spark, sf_dir, "documents")
+    # the operator materializes its own |sources|²-bounded cache now,
+    # so every consumer (here the fwd/rev union) reads pure cache —
+    # the caller-side ov.count() workaround moved into the operator
     ov = source_overlap_matrix(docs)
-    # materialize the operator's internal |sources|²-bounded cache in
-    # its own job BEFORE the fwd/rev union consumes it twice: two
-    # branches of one job race the cache block locks and effectively
-    # recompute the corpus pass in parallel (measured ~2x), while this
-    # 1-row-per-pair count makes the union read pure cache. The query
-    # is already a driver-loop operator (pagerank collects per round),
-    # so a bounded action here is within its contract.
-    ov.count()
     e_fwd = ov.select(
         F.col("source_a").alias("src"),
         F.col("source_b").alias("dst"),

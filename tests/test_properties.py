@@ -1649,3 +1649,28 @@ def test_t_closeness_fuzz_vs_exact_fraction_reference(spark, rows):
         assert abs(r["t_tvd"] - float(tvd)) <= 5.001e-7, (q, r["t_tvd"], tvd)
         assert abs(r["t_emd"] - float(emd)) <= 5.001e-7, (q, r["t_emd"], emd)
         assert r["keep"] == int(r["t_emd"] <= 0.2)
+
+
+def test_pagerank_rejects_undeclared_dst_nodes(spark):
+    """An edge whose dst is absent from the node frame must fail at
+    build time: the old left-join formulation silently dropped such
+    contributions and the zeros-union one would emit phantom rank
+    rows against the wrong N — neither is what the caller meant."""
+    import pytest as _pytest
+
+    from flink_kafka_spark.operators.graph import pagerank
+
+    ndf = spark.createDataFrame([("a",), ("b",)], "id string")
+    edf = spark.createDataFrame(
+        [("a", "b", 1), ("b", "ghost", 2)], "src string, dst string, w long"
+    )
+    with _pytest.raises(ValueError, match="dst nodes absent"):
+        pagerank(edf, ndf, "id")
+
+    # unknown src endpoints stay allowed (dropped by the rank join,
+    # identically in both formulations)
+    ok = spark.createDataFrame(
+        [("a", "b", 1), ("ghost", "a", 2)], "src string, dst string, w long"
+    )
+    ranks = pagerank(ok, ndf, "id").collect()
+    assert {r["node"] for r in ranks} == {"a", "b"}
