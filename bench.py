@@ -324,7 +324,11 @@ def main() -> None:
 
     calibration = round((calibration_pre + _calibrate(spark)) / 2, 3)
 
-    regressions = _regressions(timings, calibration, sf)
+    # load the frozen baseline ONCE and hand it to both consumers, so
+    # the regression gate and the vs_baseline annotation can never
+    # read different file states within one run
+    baseline = _load_baseline(sf)
+    regressions = _regressions(timings, calibration, baseline)
     detail = {
         "metric": "headline queries wall time",
         "value": round(sum(timings.values()), 3),
@@ -333,7 +337,7 @@ def main() -> None:
         "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    vs = _vs_baseline(timings, calibration, sf)
+    vs = _vs_baseline(timings, calibration, baseline)
     if vs:
         detail["vs_baseline"] = vs
     if leaked:
@@ -415,7 +419,11 @@ def _load_baseline(sf: str) -> tuple[dict[str, float], float | None]:
         return {}, None
 
 
-def _vs_baseline(timings: dict[str, float], calibration: float, sf: str) -> dict:
+def _vs_baseline(
+    timings: dict[str, float],
+    calibration: float,
+    loaded: "tuple[dict[str, float], float | None]",
+) -> dict:
     """Per-query raw and calibration-normalized ratios vs the frozen
     baseline, emitted IN the bench JSON (r9 verdict item 8) so drift
     is auto-annotated instead of re-derived by hand each round. raw =
@@ -424,7 +432,7 @@ def _vs_baseline(timings: dict[str, float], calibration: float, sf: str) -> dict
     stays in 'regressions'."""
     import math
 
-    baseline, base_cal = _load_baseline(sf)
+    baseline, base_cal = loaded
     if not baseline:
         return {}
     per_query = {}
@@ -457,8 +465,12 @@ def _vs_baseline(timings: dict[str, float], calibration: float, sf: str) -> dict
     }
 
 
-def _regressions(timings: dict[str, float], calibration: float, sf: str) -> dict[str, str]:
-    baseline, base_cal = _load_baseline(sf)
+def _regressions(
+    timings: dict[str, float],
+    calibration: float,
+    loaded: "tuple[dict[str, float], float | None]",
+) -> dict[str, str]:
+    baseline, base_cal = loaded
     if not baseline:
         return {}
     out = {}

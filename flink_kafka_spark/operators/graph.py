@@ -96,6 +96,11 @@ def pagerank(
 
     node_frame = track(nodes.select(F.col(id_col).alias("node")).persist())
     n = node_frame.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty node frame — nothing to rank (base rank "
+            "unit div N is undefined)"
+        )
     # loud precondition: every edge dst must be a declared node. The
     # old node_frame-LEFT-JOIN formulation silently DROPPED outside
     # dsts each round; the zeros-union rewrite would instead emit

@@ -348,7 +348,10 @@ def weighted_sample_expr(id_col: str, weight_sql: str, seed: int = 1) -> Column:
     the sample is reproducible across runs, partitionings, and engines
     (the only cross-engine wobble is libm ln(), absorbed by rounding
     the key to 9 dp — callers must tie-break on id). Weights must be
-    strictly positive."""
+    strictly positive, and ``id_col`` must be NUMERIC — the mix is
+    arithmetic on the id (string keys: pre-hash to a numeric column,
+    e.g. the kmv md5-prefix hash, so the cross-engine guarantee
+    holds)."""
     u = (
         f"(CAST(pmod((pmod({id_col} + {seed}, 1000000007) * {_KNUTH}L), 1000000007) + 1 "
         f"AS DOUBLE) / 1000000008.0)"

@@ -148,7 +148,10 @@ def cms_estimate(
     The sketch frame (<= depth x width rows) broadcasts onto the query
     items, so estimating costs one broadcast-hash join + a groupBy on
     the item frame — no corpus re-scan. Extra columns of ``items``
-    ride through unchanged."""
+    ride through unchanged — as GROUP KEYS: duplicate (item, carry)
+    rows collapse to one output row (the estimate is identical for
+    identical inputs); probe with distinct rows, or add a row-id carry
+    column, if per-probe multiplicity matters downstream."""
     carry = [c for c in items.columns if c != col]
     expanded = items.select(
         F.col(col),

@@ -167,9 +167,17 @@ def densify_buckets(obs: DataFrame, key_col: str, step_s: int) -> DataFrame:
     grid/ffill half of :func:`resample_ffill` without the raw-event
     aggregate, for callers that receive bucket partials (the streaming
     emitter's closed windows, a stored rollup). Bucket-frame-sized:
-    |keys| x |range| rows, independent of the raw corpus."""
-    obs = obs.select(
-        F.col(key_col).alias("key"), "bucket_s", "cnt", "vcnt", "val_e4"
+    |keys| x |range| rows, independent of the raw corpus. The input
+    is persisted here for the same reason _grid_obs persists its
+    aggregate: _densify reads it three times (bounds, distinct keys,
+    join probe) — unpersisted, a streaming micro-batch's bucket frame
+    would be re-derived from its source on every branch."""
+    from ..caching import track
+
+    obs = track(
+        obs.select(
+            F.col(key_col).alias("key"), "bucket_s", "cnt", "vcnt", "val_e4"
+        ).persist()
     )
     return _ffill_project(_densify(obs, step_s), key_col, step_s)
 

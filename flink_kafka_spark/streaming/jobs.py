@@ -581,6 +581,8 @@ def reservoir_stream(
     m: int,
     ares_seed: int = 1,
     seed: "list[tuple[str, int, float]] | None" = None,
+    id_type: str = "long",
+    stratum_type: str = "string",
 ):
     """Continuous weighted reservoir (A-Res) over a stream: each
     micro-batch is sampled DISTRIBUTED (operators.sampling.
@@ -611,7 +613,12 @@ def reservoir_stream(
     ares_seed and id) collapses to one rank here, while batch
     ``weighted_sample`` over the concatenated input ranks both rows
     via row_number — the batch-parity guarantee above holds only for
-    per-stratum-unique ids."""
+    per-stratum-unique ids.
+
+    ``id_type``/``stratum_type`` name the columns' Spark SQL types for
+    the driver-side manifest frame (the dq_monitor_stream group_type
+    convention) — ids must still be NUMERIC (the A-Res key is
+    arithmetic on the id; pre-hash string keys first)."""
     from ..caching import release_scope
     from ..operators.sampling import weighted_sample
 
@@ -654,7 +661,8 @@ def reservoir_stream(
                 ]
             out = spark.createDataFrame(
                 rows or [(None, None, None, None)],
-                f"{stratum_col} string, {id_col} long, wkey double, rank int",
+                f"{stratum_col} {stratum_type}, {id_col} {id_type},"
+                " wkey double, rank int",
             )
             sink(out, epoch_id)
 

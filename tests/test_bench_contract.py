@@ -70,8 +70,9 @@ def test_compact_line_keeps_summary_fields():
 def test_vs_baseline_survives_zero_timing(monkeypatch):
     """ADVICE r10: a 0.0-rounded median must not abort the bench via
     math.log(0)."""
-    monkeypatch.setattr(bench, "_load_baseline", lambda sf: ({"q": 1.0, "z": 0.0}, 0.5))
-    vs = bench._vs_baseline({"q": 0.0, "z": 0.0}, calibration=0.5, sf="0.1")
+    vs = bench._vs_baseline(
+        {"q": 0.0, "z": 0.0}, calibration=0.5, loaded=({"q": 1.0, "z": 0.0}, 0.5)
+    )
     # "z" has a zero BASELINE — no signal, skipped by the existing guard;
     # "q"'s zero TIMING is clamped instead of feeding math.log(0)
     assert vs["common_queries"] == 1

@@ -2423,3 +2423,44 @@ def test_monitor_streams_survive_null_group_keys(spark, tmp_path):
     q2.awaitTermination(120)
     final2 = seen2[max(seen2)]
     assert {row[0] for row in final2} == {"a", None}
+
+
+def test_reservoir_stream_non_long_id_type(spark, tmp_path):
+    """id_type/stratum_type parity with dq_monitor_stream's group_type:
+    a non-long numeric id and a non-string stratum (int shard ids)
+    must emit cleanly instead of failing schema verification inside
+    foreachBatch. (String ids stay out of contract: the A-Res key is
+    arithmetic on the id — pre-hash to numeric first.)"""
+    import json
+
+    from flink_kafka_spark.streaming.jobs import reservoir_stream
+
+    d = tmp_path / "res_int"
+    d.mkdir()
+    (d / "f0.json").write_text(
+        "\n".join(
+            json.dumps({"h": i, "shard": i % 2}) for i in range(20)
+        )
+        + "\n"
+    )
+    stream = spark.readStream.schema("h int, shard int").json(str(d))
+    seen: dict[int, list] = {}
+    q = (
+        reservoir_stream(
+            stream,
+            lambda df, e: seen.__setitem__(e, sorted(map(tuple, df.collect()))),
+            id_col="h",
+            weight_sql="CAST(h + 1 AS DOUBLE)",
+            stratum_col="shard",
+            m=4,
+            id_type="int",
+            stratum_type="int",
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_res_int"))
+        .start()
+    )
+    q.awaitTermination(120)
+    final = seen[max(seen)]
+    assert len(final) == 8  # 2 strata x m=4
+    assert all(isinstance(r[0], int) and isinstance(r[1], int) for r in final)
