@@ -18,7 +18,8 @@ Scale design (100 TB):
   (key, bucket) frame, whose size is capped by the grid itself, so the
   broadcast hint is bounded by |keys| x |buckets| — the resample
   resolution the caller chose — never by the corpus. For a resolution
-  too fine to broadcast (1 s buckets x 1 M keys), drop the hint and
+  too fine to broadcast (1 s buckets x 1 M keys), pass
+  ``broadcast_obs=False`` (every public entry point threads it) and
   the same plan runs as a co-partitioned shuffle join on (key, bucket).
 - Forward-fill is ONE window pass per key (``last(..., ignorenulls)``
   over an unbounded-preceding frame), so the only post-grid exchange
@@ -43,7 +44,12 @@ def _e4(col: str | Column) -> Column:
 
 
 def _grid_obs(
-    df: DataFrame, key_col: str, ts_col: str, value_col: str, step_s: int
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+    broadcast_obs: bool = True,
 ) -> DataFrame:
     """Shared grid machinery for both resample modes: the per-(key,
     bucket) count/sum aggregate (persisted — the grid-capped frame is
@@ -72,10 +78,10 @@ def _grid_obs(
         )
         .persist()
     )
-    return _densify(obs, step_s)
+    return _densify(obs, step_s, broadcast_obs)
 
 
-def _densify(obs: DataFrame, step_s: int) -> DataFrame:
+def _densify(obs: DataFrame, step_s: int, broadcast_obs: bool = True) -> DataFrame:
     """Bounds + executor-side dense grid + broadcast left join over an
     aggregated (key, bucket_s, ...) frame — the single copy of the
     grid construction shared by :func:`_grid_obs` (batch resample) and
@@ -93,7 +99,8 @@ def _densify(obs: DataFrame, step_s: int) -> DataFrame:
             ).alias("bucket_s"),
         )
     )
-    return grid.join(F.broadcast(obs), ["key", "bucket_s"], "left")
+    probe = F.broadcast(obs) if broadcast_obs else obs
+    return grid.join(probe, ["key", "bucket_s"], "left")
 
 
 def resample_ffill(
@@ -102,6 +109,7 @@ def resample_ffill(
     ts_col: str,
     value_col: str,
     step_s: int,
+    broadcast_obs: bool = True,
 ) -> DataFrame:
     """Densify an event stream onto a ``step_s``-second grid per key.
 
@@ -121,7 +129,7 @@ def resample_ffill(
                        bucket (0 on observed rows, NULL before the
                        first observation).
     """
-    full = _grid_obs(df, key_col, ts_col, value_col, step_s)
+    full = _grid_obs(df, key_col, ts_col, value_col, step_s, broadcast_obs)
     return _ffill_project(full, key_col, step_s)
 
 
@@ -161,7 +169,9 @@ def _ffill_project(full: DataFrame, key_col: str, step_s: int) -> DataFrame:
     )
 
 
-def densify_buckets(obs: DataFrame, key_col: str, step_s: int) -> DataFrame:
+def densify_buckets(
+    obs: DataFrame, key_col: str, step_s: int, broadcast_obs: bool = True
+) -> DataFrame:
     """Densify an ALREADY-aggregated (key_col, bucket_s, cnt, vcnt,
     val_e4) bucket frame onto the step grid and forward-fill — the
     grid/ffill half of :func:`resample_ffill` without the raw-event
@@ -179,7 +189,7 @@ def densify_buckets(obs: DataFrame, key_col: str, step_s: int) -> DataFrame:
             F.col(key_col).alias("key"), "bucket_s", "cnt", "vcnt", "val_e4"
         ).persist()
     )
-    return _ffill_project(_densify(obs, step_s), key_col, step_s)
+    return _ffill_project(_densify(obs, step_s, broadcast_obs), key_col, step_s)
 
 
 def resample_interp(
@@ -188,6 +198,7 @@ def resample_interp(
     ts_col: str,
     value_col: str,
     step_s: int,
+    broadcast_obs: bool = True,
 ) -> DataFrame:
     """The other standard resample mode: LINEAR interpolation between
     the surrounding observed bucket means instead of carrying the last
@@ -207,7 +218,7 @@ def resample_interp(
     in the blend always come from the same pair of anchor buckets.
     The blend is evaluated on exact e4 integers with an identical
     expression on both engines, so the doubles agree bit-for-bit."""
-    full = _grid_obs(df, key_col, ts_col, value_col, step_s)
+    full = _grid_obs(df, key_col, ts_col, value_col, step_s, broadcast_obs)
     back = (
         Window.partitionBy("key")
         .orderBy("bucket_s")

@@ -110,10 +110,17 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SESSIONIZE_SQL)
 
 
-# Identical ANSI text runs on Spark and DuckDB.
+# Identical ANSI text runs on Spark and DuckDB. The lag and the
+# cumsum share ONE total order (full-precision ts + event_id — the
+# session_windows_native oracle's rule): ordering the cumsum by
+# truncated ts_s alone lets two same-second events at a session
+# boundary reorder between the two windows, and each engine may then
+# hand the unflagged peer a DIFFERENT session id (the hazardous
+# configuration exists in the sf0.1 fixture: user 1061 has two
+# sub-second-apart events in one second right after a >gap silence).
 SESSIONIZE_SQL = """
 WITH seq AS (
-  SELECT user_id,
+  SELECT user_id, ts, event_id,
          CAST(ts AS DATE) AS day,
          CAST(floor(unix_seconds(ts)) AS BIGINT) AS ts_s,
          lag(CAST(floor(unix_seconds(ts)) AS BIGINT))
@@ -129,7 +136,7 @@ sessions AS (
   SELECT user_id, ts_s,
          -- BIGINT cast: DuckDB integer sum() is HUGEINT (-> float64 in
          -- pandas) while Spark is already BIGINT; same text both engines
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s ASC
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked
 )

@@ -82,10 +82,12 @@ def test_documents_fixture_is_ascii_everywhere(spark):
 
     from pyspark.sql import functions as F
 
+    checked = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = os.path.join("/root/testdata", sf)
         if not os.path.isdir(path):
             continue
+        checked += 1
         bad = (
             load(spark, path, "documents")
             .filter(F.length("text") != F.octet_length("text"))
@@ -96,3 +98,7 @@ def test_documents_fixture_is_ascii_everywhere(spark):
             "media-features oracle no longer matches the byte-based "
             "operator; rewrite MEDIA_FEATURES_ORACLE byte-wise first"
         )
+    # the guard must have guarded something (the timeseries fixture
+    # test's rule): a moved fixture path silently passing would leave
+    # the ASCII invariant unverified until a driver hash mismatch
+    assert checked, "no testdata fixture found — ASCII guard ran on nothing"
