@@ -129,12 +129,18 @@ def media_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = media_features(spark, sf_dir)
     jvm = docs.select(
         "doc_id",
+        # the CASE guards the empty stride: sequence(lo, hi, step)
+        # THROWS under ANSI when lo > hi, so a doc shorter than j+1
+        # bytes must short-circuit to NULL (-> the coalesced 0.0 below,
+        # matching the numpy path's fill) before sequence evaluates
         F.expr(
             "transform(sequence(0, 7), j -> "
-            " aggregate(transform(sequence(j + 1, length(text), 8),"
-            "                     i -> ascii(substring(text, i, 1))),"
-            "           0L, (a, x) -> a + x)"
-            " / CAST(size(sequence(j + 1, length(text), 8)) AS DOUBLE))"
+            " CASE WHEN length(text) >= j + 1 THEN"
+            "  aggregate(transform(sequence(j + 1, length(text), 8),"
+            "                      i -> ascii(substring(text, i, 1))),"
+            "            0L, (a, x) -> a + x)"
+            "  / CAST(size(sequence(j + 1, length(text), 8)) AS DOUBLE)"
+            " END)"
         ).alias("jf"),
     ).select(
         "doc_id",

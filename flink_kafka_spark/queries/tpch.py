@@ -1187,10 +1187,10 @@ LEFT JOIN (SELECT {pkey} AS k FROM {parent}) p USING (k)
 
 QUERIES = [
     Query("tpch_q1", tpch_q1, TPCH_Q1_ORACLE, "batch agg (beyond ref)", ("bench",)),
-    Query("tpch_q2", tpch_q2, TPCH_Q2_ORACLE, "correlated-min subquery (beyond ref)"),
-    Query("tpch_q9", tpch_q9, TPCH_Q9_ORACLE, "profit multi-join self-agg (beyond ref)"),
-    Query("tpch_q11", tpch_q11, TPCH_Q11_ORACLE, "HAVING scalar subquery (beyond ref)"),
-    Query("tpch_q20", tpch_q20, TPCH_Q20_ORACLE, "nested semi-join (beyond ref)"),
+    Query("tpch_q2", tpch_q2, TPCH_Q2_ORACLE, "correlated-min subquery (beyond ref)", ("bench",)),
+    Query("tpch_q9", tpch_q9, TPCH_Q9_ORACLE, "profit multi-join self-agg (beyond ref)", ("bench",)),
+    Query("tpch_q11", tpch_q11, TPCH_Q11_ORACLE, "HAVING scalar subquery (beyond ref)", ("bench",)),
+    Query("tpch_q20", tpch_q20, TPCH_Q20_ORACLE, "nested semi-join (beyond ref)", ("bench",)),
     Query("tpch_q3", tpch_q3, TPCH_Q3_ORACLE, "batch join+agg (beyond ref)", ("bench",)),
     Query("tpch_q4", tpch_q4, TPCH_Q4_ORACLE, "semi join (beyond ref)", ("bench",)),
     Query("tpch_q5", tpch_q5, TPCH_Q5_ORACLE, "batch star join (beyond ref)", ("bench",)),

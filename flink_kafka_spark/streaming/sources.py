@@ -89,7 +89,21 @@ def json_lines_source(
     is a JVM expression inside whole-stage codegen (no Python), and a
     malformed line yields NULL columns rather than failing the batch —
     gate on ``F.col(key).isNotNull()`` downstream for dead-letter
-    routing (the K2 side-output pattern)."""
+    routing (the K2 side-output pattern).
+
+    FLAT schemas only: the epoch→timestamp shadow conversion rewrites
+    top-level fields — a TimestampType nested inside a struct/array
+    would silently parse to NULL, so nesting fails loudly here."""
+    nested = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+    ]
+    if nested:
+        raise ValueError(
+            "json_lines_source supports FLAT schemas only (the timestamp "
+            f"shadow conversion is top-level): nested fields {nested}"
+        )
     shadow = T.StructType(
         [
             T.StructField(

@@ -102,3 +102,36 @@ def test_documents_fixture_is_ascii_everywhere(spark):
     # test's rule): a moved fixture path silently passing would leave
     # the ASCII invariant unverified until a driver hash mismatch
     assert checked, "no testdata fixture found — ASCII guard ran on nothing"
+
+
+def test_media_features_check_survives_short_docs(spark, monkeypatch, tmp_path):
+    """Docs shorter than 8 bytes must not abort the JVM recompute:
+    sequence(lo, hi, step) throws under ANSI when lo > hi, so the
+    per-dim stride is CASE-guarded and an absent stride compares as
+    the numpy path's 0.0 fill — violations stays 0 for a corpus of
+    1-, 3- and 7-char docs beside a normal one."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.queries import multimodal as M
+
+    rows = [(1, "a"), (2, "abc"), (3, "1234567"), (4, "a longer document body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.select(
+        "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    pq = str(tmp_path / "documents.parquet")
+    df.write.parquet(pq)
+
+    import flink_kafka_spark.tables as T
+
+    real_load = T.load
+
+    def fake_load(spark_, sf_dir_, name):
+        if name == "documents":
+            return spark_.read.parquet(pq)
+        return real_load(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(M, "load", fake_load)
+    (row,) = M.media_features_check(spark, "ignored").collect()
+    assert row["violations"] == 0

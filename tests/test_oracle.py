@@ -92,8 +92,11 @@ def test_no_registered_query_emits_nested_columns(spark, sf_dir):
     """The driver's pandas canonicalizer sorts and hashes every cell,
     so array/map/struct output columns raise `unhashable type: 'list'`
     and burn a window slot as a red row (round-7: media_features).
-    Flat long form is the registry contract — schemas are lazy, so
-    this sweeps every query without executing any."""
+    Flat long form is the registry contract. Schema resolution is lazy
+    for MOST queries; the driver-loop operators (connected-components
+    canonicalize, pagerank, the BPE trainer) genuinely execute while
+    their plan is BUILT, so this sweep runs those pipelines at
+    sf0.001 — inherent to asking for their schema, not an accident."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     for name, q in QUERIES.items():
