@@ -635,11 +635,21 @@ def span_dup_stats(
     )
     # doc-level left join: both sides are one row per doc; AQE picks
     # the strategy (dup side is usually the small fraction)
+    # floor-half-up, not round(): k/n_spans lands exactly on a 6-dp
+    # half-point whenever n_spans has a 2^7 factor with odd k (e.g.
+    # n_spans=128), where Spark's HALF_UP and DuckDB's round() diverge
+    # — the containment_pairs / source_overlap_matrix convention
     return base.join(dup, id_col, "left").select(
         id_col,
         "n_spans",
         F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
-        F.when(F.col("n_spans") > 0, F.round(F.coalesce(F.col("n_dup_spans"), F.lit(0)) / F.col("n_spans"), 6))
+        F.when(
+            F.col("n_spans") > 0,
+            F.expr(
+                "floor(coalesce(n_dup_spans, 0) / n_spans * 1000000 + 0.5)"
+                " / 1000000"
+            ),
+        )
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )

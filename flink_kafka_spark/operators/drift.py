@@ -38,16 +38,27 @@ def value_bounds(df: DataFrame, value_col: str = "value") -> DataFrame:
 def bucket_expr(value_col: str, n_buckets: int) -> Column:
     """Equal-width bucket index in [0, n_buckets) against the vmin/vmax
     columns supplied by :func:`value_bounds` (degenerate all-equal
-    range collapses to bucket 0; the top edge clamps via least)."""
+    range collapses to bucket 0). BOTH edges clamp: above-vmax folds
+    into the top bucket and below-vmin into bucket 0 — the lower clamp
+    matters when the bounds come from a REFERENCE frame and the scored
+    values from elsewhere (drift_monitor_stream): a downward shift
+    must land its mass in the lowest bucket, where PSI sees it, not in
+    a negative index the 0..n-1 grid join silently drops (exactly the
+    drift the monitor exists to alarm on). On the batch query's
+    shared-bounds path no value lies outside [vmin, vmax], so the
+    clamp is a no-op there."""
     return (
         F.when(F.col("vmax") == F.col("vmin"), 0)
         .otherwise(
-            F.least(
-                F.floor(
-                    (F.col(value_col) - F.col("vmin"))
-                    / ((F.col("vmax") - F.col("vmin")) / float(n_buckets))
+            F.greatest(
+                F.least(
+                    F.floor(
+                        (F.col(value_col) - F.col("vmin"))
+                        / ((F.col("vmax") - F.col("vmin")) / float(n_buckets))
+                    ),
+                    F.lit(n_buckets - 1),
                 ),
-                F.lit(n_buckets - 1),
+                F.lit(0),
             )
         )
         .cast("int")

@@ -57,7 +57,13 @@ def misra_gries(df: DataFrame, col: str, k: int = 16) -> DataFrame:
     borderline items survive) depend on how rows were partitioned, so
     callers needing a partitioning-independent statement should assert
     the error/coverage bounds (see ``heavy_hitters_check``), not the
-    raw counts."""
+    raw counts.
+
+    NULL values are EXCLUDED from the sketch (pandas value_counts
+    drops them): on a nullable column, count n and any exact baseline
+    over non-null rows only, or the n/(k+1) budget inflates and a
+    NULL-heavy column can manufacture spurious coverage misses
+    (heavy_hitters_stream already counts n post-filter)."""
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.Series | None = None

@@ -337,9 +337,10 @@ dup AS (
 SELECT t.doc_id,
        CAST(greatest(len(ws) - {SPAN_N - 1}, 0) AS BIGINT) AS n_spans,
        CAST(coalesce(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-       round(CASE WHEN len(ws) > {SPAN_N - 1}
-                  THEN coalesce(d.n_dup_spans, 0) * 1.0 / (len(ws) - {SPAN_N - 1})
-                  ELSE 0.0 END, 6) AS dup_frac
+       CASE WHEN len(ws) > {SPAN_N - 1}
+            THEN floor(coalesce(d.n_dup_spans, 0) * 1.0
+                       / (len(ws) - {SPAN_N - 1}) * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS dup_frac
 FROM toks t LEFT JOIN dup d USING (doc_id)
 """
 

@@ -503,10 +503,27 @@ def mmr_rerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp_df = spark.createDataFrame(
         pd.DataFrame(expected, columns=["query_id", "neighbor_id", "mmr_rank", "score"])
     )
+    # SYMMETRIC mismatch count: a row absent on EITHER side is a miss.
+    # The old |union| - |expected| accounting was one-sided — an
+    # operator regression that DROPPED rows (all emitted rows still
+    # matching) made the union collapse onto expected and scored 0.
     diff = (
-        got.join(exp_df, ["query_id", "neighbor_id", "mmr_rank", "score"], "full_outer")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select((F.col("_n") - F.lit(len(expected))).cast("bigint").alias("mismatches"))
+        got.withColumn("_g", F.lit(1))
+        .join(
+            exp_df.withColumn("_e", F.lit(1)),
+            ["query_id", "neighbor_id", "mmr_rank", "score"],
+            "full_outer",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("_g").isNull() | F.col("_e").isNull()).cast("int")
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mismatches")
+        )
     )
     return diff.select(
         "mismatches",

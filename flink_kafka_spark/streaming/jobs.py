@@ -151,7 +151,14 @@ def incremental_dedup_stream(
     from ..operators.dedup import build_dedup_index, incremental_dedup
 
     if ref_index is None:
-        ref_index = build_dedup_index(reference, id_col, n, k, bands)
+        # persist + materialize BEFORE the loop: build_dedup_index is
+        # lazy, and an unpersisted index re-tokenizes and re-MinHashes
+        # the ENTIRE reference corpus inside every micro-batch's
+        # action — N batches = N full reference passes. Plain persist
+        # (not caching.track): the index must live for the query's
+        # lifetime, not until the next registered-query boundary.
+        ref_index = build_dedup_index(reference, id_col, n, k, bands).persist()
+        ref_index.count()
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         with release_scope():

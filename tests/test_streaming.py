@@ -2464,3 +2464,41 @@ def test_reservoir_stream_non_long_id_type(spark, tmp_path):
     final = seen[max(seen)]
     assert len(final) == 8  # 2 strata x m=4
     assert all(isinstance(r[0], int) and isinstance(r[1], int) for r in final)
+
+
+def test_drift_monitor_catches_downward_shift(spark, tmp_path):
+    """A batch whose values sit BELOW the reference's vmin is the
+    classic downward drift; those rows must clamp into bucket 0 and
+    drive PSI up, not vanish as negative bucket indices the 0..n-1
+    grid join silently drops (which under-reported exactly the drift
+    the monitor exists to alarm on)."""
+    import json
+
+    from flink_kafka_spark.streaming.jobs import drift_monitor_stream
+
+    reference = spark.createDataFrame(
+        [("k", 100.0 + i) for i in range(50)], "key string, value double"
+    )
+    d = tmp_path / "down"
+    d.mkdir()
+    (d / "f0.json").write_text(
+        "\n".join(json.dumps({"key": "k", "value": 1.0 + i}) for i in range(50))
+        + "\n"
+    )
+    stream = spark.readStream.schema("key string, value double").json(str(d))
+    seen: dict[int, list] = {}
+    q = (
+        drift_monitor_stream(
+            stream,
+            reference,
+            lambda df, e: seen.__setitem__(e, df.collect()),
+            key_col="key",
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_down"))
+        .start()
+    )
+    q.awaitTermination(120)
+    (row,) = seen[max(seen)]
+    assert row["n_batch"] == 50  # every shifted row counted, none dropped
+    assert row["psi"] > 1.0  # total mass displacement alarms loudly
