@@ -551,15 +551,26 @@ def canonicalize_clusters(
     )
     q = df.select(F.col(id_col), quality.alias("quality_score"))
     scored = q.join(F.broadcast(labels), id_col)
+    # ONE ranking key for both arms: undefined quality (NULL from a
+    # null-text doc, NaN from a degenerate scorer) ranks WORST — a doc
+    # without a real score must never beat one with a score. Without
+    # this normalization the arms disagree: the rank window's DESC
+    # puts NaN first / NULL last while min_by's struct comparison puts
+    # the NULL field smallest, so {real, NULL, NaN} clusters kept
+    # DIFFERENT docs per arm (pinned by pytest).
+    _qrank = F.when(
+        F.col("quality_score").isNotNull() & ~F.isnan("quality_score"),
+        F.col("quality_score"),
+    ).otherwise(F.lit(float("-inf")))
     if skew_safe:
         # per-cluster argmax as a partial-aggregatable reduction:
-        # min_by over (-quality, id) = highest quality, ties to lowest
+        # min_by over (-qrank, id) = highest quality, ties to lowest
         # id — identical semantics to the rank window below. Winners
         # are one row per cluster (bounded by the cluster count, far
         # below the member count for mega-clusters) and broadcast back.
         winners = scored.groupBy("cluster_id").agg(
             F.min_by(
-                F.col(id_col), F.struct(-F.col("quality_score"), F.col(id_col))
+                F.col(id_col), F.struct(-_qrank, F.col(id_col))
             ).alias("_win_id")
         )
         in_graph = scored.join(F.broadcast(winners), "cluster_id").select(
@@ -570,7 +581,7 @@ def canonicalize_clusters(
         )
     else:
         w = Window.partitionBy("cluster_id").orderBy(
-            F.col("quality_score").desc(), F.col(id_col).asc()
+            _qrank.desc(), F.col(id_col).asc()
         )
         in_graph = scored.select(
             id_col,
@@ -719,6 +730,14 @@ def _cc_labels(
                 # the jumping rounds, which is exactly when the
                 # O(diameter) loop (and its hard max_iter fail) needs
                 # the help.
+                # prop appears on both sides of this self-join
+                # UNPERSISTED: ReuseExchange dedupes the shuffle under
+                # the aggregate, but the final-agg pass runs twice per
+                # jump round — accepted: persisting prop would need a
+                # per-round materialization job (the exact per-round
+                # driver barrier the 49s->4s batched-probe fix
+                # removed), and jump rounds only run past round 3 on
+                # pathological-diameter graphs
                 hop = prop.select(
                     F.col("node").alias("via"), F.col("comp").alias("via_comp")
                 )
@@ -726,12 +745,18 @@ def _cc_labels(
                     "node", F.least("comp", F.coalesce("via_comp", "comp")).alias("comp")
                 )
             labels, new_ids = _chk(prop)
+            # track BOTH rounds until the probe lands: _chk has already
+            # REGISTERED the new checkpoint, so a failure inside the
+            # collect below must release it too — with live_ids still
+            # holding only the previous round, the except handler would
+            # leak the fresh registration for the session lifetime
+            prev_ids, live_ids = live_ids, live_ids | new_ids
             cur_sum = labels.agg(
                 F.sum(F.col("comp").cast("decimal(38,0)"))
             ).collect()[0][0]
             # the collect materialized the NEW checkpoint — the previous
             # round's blocks are now dead weight in the block manager
-            unpersist_rdds(sc, live_ids)
+            unpersist_rdds(sc, prev_ids)
             live_ids = new_ids
             if cur_sum == prev_sum:
                 converged = True
