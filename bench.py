@@ -492,6 +492,15 @@ def _regressions(
             # real slowdown, which would mask exactly the cross-
             # machine case the normalization exists for — there, the
             # normalized ratio alone decides.
+            # Known blind spot of the 1.5x cliff, accepted: on a box
+            # up to 1.5x faster, a real regression up to ~2.25x
+            # normalized can hide under the raw bar. Scaling the raw
+            # threshold by the calibration ratio would close it — but
+            # also reduce to norm-only on ANY faster box, which is
+            # the false-positive storm a non-representative baseline
+            # calibration produced this round (57 flags on unchanged
+            # code). With a representative baseline the ratio stays
+            # near 1 and the dual gate does its job.
             ratio_now, ratio_base = t / calibration, b / base_cal
             comparable_box = max(calibration, base_cal) / min(calibration, base_cal) <= 1.5
             raw_ok = t > REGRESSION_FACTOR * b or not comparable_box

@@ -71,9 +71,16 @@ def unpersist_rdds(sc, ids) -> int:
 
 def track_rdds(ids) -> None:
     """Register RDD-level persist ids (e.g. the final CC label
-    checkpoint) for deferred release by :func:`release_all`."""
+    checkpoint) for deferred release by :func:`release_all`. The
+    owning context's applicationId is recorded alongside: bare integer
+    ids are only meaningful within ONE SparkContext, and releasing
+    them against a restarted context could unpersist an unrelated RDD
+    that happens to reuse the id — fatal for a localCheckpoint, whose
+    blocks ARE the data."""
     if ids:
-        _LIVE_RDDS.append(frozenset(ids))
+        spark = SparkSession.getActiveSession()
+        app = spark.sparkContext.applicationId if spark is not None else None
+        _LIVE_RDDS.append((app, frozenset(ids)))
 
 
 def release_scope():
@@ -123,11 +130,13 @@ def release_all() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     while _LIVE_RDDS:
-        ids = _LIVE_RDDS.pop()
+        app, ids = _LIVE_RDDS.pop()
         try:
             spark = SparkSession.getActiveSession()
-            if spark is not None:
+            if spark is not None and spark.sparkContext.applicationId == app:
                 n += unpersist_rdds(spark.sparkContext, ids)
+            # a different (restarted) context: the stored ids are
+            # meaningless there — drop the record, touch nothing
         except Exception:
             pass  # session already stopped — nothing to release
     return n

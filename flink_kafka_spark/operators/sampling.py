@@ -290,6 +290,12 @@ def shuffle_corpus(
     single-partition window. One extra benefit at 100 TB: hash order
     is uniform by construction, so the range partitions are balanced
     no matter how skewed the input file order was.
+
+    PRECONDITION: ``id_col`` values are NON-NULL (and unique — the
+    export_shards rule). ``concat_ws`` skips NULL segments, so every
+    NULL-id row would collapse onto the identical key md5(seed) and
+    their relative positions become partitioning-dependent (and the
+    DuckDB oracle's '||' yields NULL instead, diverging entirely).
     """
     # 32-hex-digit md5 then zero-padded id: fixed-width segments make
     # the composite's lexicographic order equal (md5, id) order on any

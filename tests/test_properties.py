@@ -254,6 +254,20 @@ def test_canonicalize_skew_safe_path_is_row_identical(spark):
     keepers = {r[0] for r in default if r[3] == 1}
     assert keepers == {299, 1000, 2000, 2001, 3001, 4001, 5000}
 
+    # undefined quality (NULL / NaN) ranks WORST in BOTH arms: a
+    # cluster of {real, NULL, NaN} must keep the real-quality doc on
+    # each path (pre-fix the rank window's DESC put NaN first while
+    # min_by's struct put the NULL field smallest — different keepers)
+    nd = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, float("nan"))], "doc_id long, q double"
+    )
+    ne = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    for arm in (False, True):
+        out = canonicalize_clusters(
+            nd, ne, id_col="doc_id", quality=F.col("q"), skew_safe=arm
+        )
+        assert [r["doc_id"] for r in out.filter("keep = 1").collect()] == [1]
+
 
 def test_corpus_shuffle_is_a_partitioning_invariant_permutation(spark):
     """The training-order shuffle must be a function of (seed, id)
