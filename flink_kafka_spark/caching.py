@@ -40,7 +40,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 _LIVE: list[DataFrame] = []
-_LIVE_RDDS: list[frozenset[int]] = []
+# (owning applicationId, rdd ids) — ids are only meaningful within the
+# context that issued them; see track_rdds
+_LIVE_RDDS: list[tuple[str | None, frozenset[int]]] = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -69,17 +71,25 @@ def unpersist_rdds(sc, ids) -> int:
     return n
 
 
-def track_rdds(ids) -> None:
+def track_rdds(ids, sc=None) -> None:
     """Register RDD-level persist ids (e.g. the final CC label
     checkpoint) for deferred release by :func:`release_all`. The
     owning context's applicationId is recorded alongside: bare integer
     ids are only meaningful within ONE SparkContext, and releasing
     them against a restarted context could unpersist an unrelated RDD
     that happens to reuse the id — fatal for a localCheckpoint, whose
-    blocks ARE the data."""
+    blocks ARE the data.
+
+    Pass the owning ``sc`` explicitly when the caller holds it (the CC
+    loop does): resolving via the thread-local active session records
+    ``app=None`` when no session is active on the calling thread, and
+    a None-app record is dropped unreleased by :func:`release_all` —
+    leak-safe, but the release mechanism never fires."""
     if ids:
-        spark = SparkSession.getActiveSession()
-        app = spark.sparkContext.applicationId if spark is not None else None
+        if sc is None:
+            spark = SparkSession.getActiveSession()
+            sc = spark.sparkContext if spark is not None else None
+        app = sc.applicationId if sc is not None else None
         _LIVE_RDDS.append((app, frozenset(ids)))
 
 
@@ -105,10 +115,13 @@ def release_scope():
                 except Exception:
                     pass  # session already stopped — nothing to release
             while len(_LIVE_RDDS) > mark_r:
-                ids = _LIVE_RDDS.pop()
+                app, ids = _LIVE_RDDS.pop()
                 try:
                     spark = SparkSession.getActiveSession()
-                    if spark is not None:
+                    if (
+                        spark is not None
+                        and spark.sparkContext.applicationId == app
+                    ):
                         unpersist_rdds(spark.sparkContext, ids)
                 except Exception:
                     pass

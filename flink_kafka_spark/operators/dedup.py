@@ -1319,5 +1319,5 @@ def _cc_labels(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter"
         )
-    track_rdds(live_ids)
+    track_rdds(live_ids, sc=sc)
     return labels

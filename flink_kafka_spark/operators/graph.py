@@ -167,5 +167,5 @@ def pagerank(
             # cannot be recomputed once its predecessor's blocks drop)
             unpersist_rdds(sc, live)
             live = new_ids
-    track_rdds(live)
+    track_rdds(live, sc=sc)
     return ranks.select("node", F.col("r").alias("rank_e9"))
