@@ -68,38 +68,40 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-14 ROTATION (full rationale in ROTATION_LEDGER.md §Round 14):
-# tools/cadence_audit.py at round entry shows 22 r8-stale rows at
-# their hard 6-absence bound (due exactly r14). OUT pool = the 14
-# carried r12-INs, all twice-green (r12+r13); the 24 r13-INs are
-# once-green and may not leave. 14 < 22, so all 14 slots go to the
-# scheduled family-balanced IN set and the remaining 8 r8-stale rows
-# enter CADENCE_DEBT (tests/test_oracle.py) with written deadline r15
-# — the designed late-but-never-forgotten mechanism. The §2
-# streamlike surface leaves the window whole (hot_items_topn,
-# channel_stats, global_stats, hot_sources_topn, uv_bloom, sessionize,
-# funnel_conversions): every row is co-covered by its SQL-twin /
-# parity pytests and the full rehearsal sweep, and the family has no
-# never-hashed backlog (re-enters from the r13-IN pool at r15+).
+# ROUND-15 ROTATION (full rationale in ROTATION_LEDGER.md §Round 15):
+# the r14 driver pass ran against the detached round-6-window snapshot
+# (VERDICT r14 "split-brain"), so the r14 hash set is the OLD window —
+# which makes 29 current rows twice-green (r13+r14) by the audit. OUT
+# = all 20 of them that may leave (12 checks are pinned in-window;
+# bm25_search is the retrieval family's only in-window full-oracle
+# row). IN (20): the 8 CADENCE_DEBT rows at their written r15
+# deadline, the 6 r13 CAPACITY_DEFERRED never-hashed rows, the r14
+# late registration t_closeness_audit, and 5 r10-stale rows pulled
+# forward from the r16 wave (dedup_exact, tpch_q14, tpch_q15,
+# mixture_resample, events_dedup_late) — front-loading debt because
+# r14 proved a written schedule can fail to execute. The 14 rows the
+# r14 rotation moved in but the driver never hashed (tpch_q8/q13,
+# containment/span, text quality block, sampling block, source_*)
+# stay for their first hash.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2 reference surface / joins / analytics checks (r13 INs stay)
-    "order_ship_interval_join",
+    # §2 reference surface / joins / analytics checks (pinned)
     "uv_approx_check",
     "quantity_percentiles_approx_check",
-    # relational block (q4..q18 carried; q8/q13 at their r14 bound IN)
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
+    # relational block (q8/q13 carried for their first hash since r8;
+    # q14/q15 pulled forward from the r16 wave)
     "tpch_q8",
-    "tpch_q10",
-    "tpch_q12",
     "tpch_q13",
-    "tpch_q18",
-    # deduplication family (carried r13 INs + the r8-stale trio IN)
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_canonicalize",
+    "tpch_q14",
+    "tpch_q15",
+    # analytics long-tail (CADENCE_DEBT r15 + r16 pull-forward)
+    "orders_rollup",
+    "traffic_anomalies",
+    "event_transitions",
+    "value_drift_psi",
+    "events_dedup_late",
+    # deduplication family (carried first-hash rows + checks + r16
+    # pull-forward anchor)
+    "dedup_exact",
     "dedup_canonicalize_skew",
     "dedup_containment",
     "dedup_span_stats",
@@ -107,41 +109,46 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_incremental_check",
-    # similarity / ANN family (carried rows + staying checks)
-    "ann_cosine_topk",
-    "embedding_quantize",
+    # similarity / ANN family (checks)
     "ann_lsh_check",
     "ann_ivf_check",
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    # text family (carried + r8-stale rows at their bound IN)
-    "repetition_stats",
-    "lang_id",
-    "pii_redact",
-    "doc_chunk",
+    "embedding_drift",
+    # text family (carried first-hash rows + CADENCE_DEBT r15)
     "text_quality",
     "doc_fingerprint",
     "word_pmi",
     "source_scorecard",
+    "bpe_token_count",
+    "clf_quality_score",
+    "doc_logprob",
+    "filter_threshold_sweep",
     "heavy_hitters_check",
     "kmv_pair_intersections",
-    # joins long-tail (carried r13 IN)
+    # joins long-tail (once-green r13 IN stays)
     "fuzzy_part_matches",
-    # retrieval family anchor (carried r13 IN)
+    # retrieval family anchor (may not leave: only in-window
+    # full-oracle retrieval row)
     "bm25_search",
-    # source analytics (r8-stale IN)
+    # source analytics (carried first-hash row)
     "source_overlap",
-    # sampling / release family (carried + r8-stale rows IN)
-    "profile_documents",
-    "stratified_cap",
+    # sampling / release / privacy family (carried first-hash rows +
+    # the never-hashed r13/r14 deferrals)
     "weighted_sample",
     "snapshot_diff",
     "corpus_shuffle",
     "leakage_safe_split",
-    # multimodal family (carried)
+    "mixture_resample",
+    "dq_expectations",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "release_gate_snapshot",
+    "seasonal_anomalies",
+    "zorder_layout",
+    # multimodal family (check anchor)
     "media_features_check",
-    "media_decode_meta",
 )
 
 

@@ -121,16 +121,10 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # r13: the mandatory 24-row drain (ROTATION_LEDGER §Round 13) fills
     # every slot, so this round's new full-oracle registrations defer;
     # they enter at r14 alongside the r8-stale wave.
-    "dq_expectations": 13,
-    "embedding_drift": 13,
-    "l_diversity_audit": 13,
-    "zorder_layout": 13,
-    "release_gate_snapshot": 13,
-    "seasonal_anomalies": 13,
-    # r14: the mandatory 22-row stale wave fills every slot
-    # (ROTATION_LEDGER §Round 14), so the round's one new full-oracle
-    # registration defers; it enters with the r15 wave.
-    "t_closeness_audit": 14,
+    # (the six r13 deferrals — dq_expectations, embedding_drift,
+    # l_diversity_audit, zorder_layout, release_gate_snapshot,
+    # seasonal_anomalies — and r14's t_closeness_audit all entered the
+    # r15 window; the never-hashed queue is empty as of r15.)
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):
@@ -158,17 +152,10 @@ RETIRED_TWINS: dict[str, str] = {
 CADENCE_DEBT: dict[str, int] = {
     # (quantity_percentiles and customer_running_totals, last hashed
     # r2, re-entered the window in r11 on their written deadline.)
-    # r14: 22 r8-stale rows hit the 6-absence bound at once but the
-    # twice-green OUT pool was only 14 (ROTATION_LEDGER §Round 14);
-    # the 8 overflow rows run on this written deadline instead.
-    "bpe_token_count": 15,
-    "clf_quality_score": 15,
-    "doc_logprob": 15,
-    "event_transitions": 15,
-    "filter_threshold_sweep": 15,
-    "orders_rollup": 15,
-    "traffic_anomalies": 15,
-    "value_drift_psi": 15,
+    # (r14's 8 overflow rows — bpe_token_count, clf_quality_score,
+    # doc_logprob, event_transitions, filter_threshold_sweep,
+    # orders_rollup, traffic_anomalies, value_drift_psi — entered the
+    # r15 window on their written deadline.)
 }
 
 # Re-hash cadence bound. The policy header's original "~3 rounds" is
