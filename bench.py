@@ -226,6 +226,10 @@ BENCH_QUERIES = [
     # cell shuffle, then sketch-sized distance algebra. No baseline
     # entry yet — guardrail skips until the next justified re-record.
     "t_closeness_audit",
+    # round-15: media perceptual-hash near-dup (one payload-hash pass,
+    # persisted signatures, pigeonhole chunk buckets). No baseline
+    # entry yet — guardrail skips.
+    "media_phash_dedup",
 ]
 
 

@@ -220,6 +220,153 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ph0", IntegerType()),
+        StructField("ph1", IntegerType()),
+        StructField("ph2", IntegerType()),
+        StructField("ph3", IntegerType()),
+    ]
+)
+
+#: Docs shorter than this many payload bytes are skipped by the pHash
+#: family (every cell must have >=1 byte; tiny payloads hash to
+#: near-degenerate signatures that cluster meaninglessly — the "skip
+#: tiny images" rule of production image dedup).
+PHASH_MIN_BYTES = 64
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual hash per payload, as four 16-bit chunks
+    ``(ph0..ph3)`` — the aHash/pHash family shape for media near-dup
+    (reference has no media surface; this is the LAION-style image-dedup
+    stage of the extension scope). The payload bytes stand in for
+    decoded pixels (deterministic fake; real decode is the gated
+    :func:`decode_image`), but the hash math, Arrow plumbing, and the
+    downstream bucketed pair search are the real thing.
+
+    Definition (pure INTEGER arithmetic, so DuckDB replays it
+    bit-for-bit as a full value oracle — stronger than the
+    0-violations property pattern):
+
+    - cell ``j`` of 64 = bytes at positions ``i`` with ``i % 64 == j``
+      (0-based): ``s_j`` = their sum, ``n_j`` = their count;
+    - ``t`` = total byte sum, ``L`` = payload length;
+    - ``bit_j = 1  iff  s_j * L > t * n_j`` (cell mean strictly above
+      the payload mean, cross-multiplied — no float division anywhere;
+      exact in int64 for any payload under ~1.5 GB since the products
+      are bounded by ~4·L²);
+    - ``ph_c`` packs bits ``16c .. 16c+15`` little-endian (bit ``j``
+      contributes ``2^(j-16c)``), each a 16-bit non-negative int.
+
+    Payloads shorter than :data:`PHASH_MIN_BYTES` are EXCLUDED (see
+    its note) — with ``L >= 64`` every cell is non-empty, so the
+    engine and the SQL oracle agree on the row set by construction.
+
+    Scale: narrow Arrow ``mapInPandas`` over (doc_id, payload) — one
+    numpy bincount per payload, no shuffle, payload dropped on output.
+    """
+    import numpy as np
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chunks = [], ([], [], [], [])
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: nothing to hash (oracle: text IS NOT NULL)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                L = arr.size
+                if L < PHASH_MIN_BYTES:
+                    continue
+                pos = np.arange(L) % 64
+                # float64 weights are exact for integer sums < 2^53
+                s = np.bincount(pos, weights=arr, minlength=64).astype(np.int64)
+                n = np.bincount(pos, minlength=64).astype(np.int64)
+                t = int(s.sum())
+                bits = (s * L) > (t * n)
+                packed = np.packbits(bits, bitorder="little").astype(np.int64)
+                ids.append(doc_id)
+                for c in range(4):
+                    chunks[c].append(int(packed[2 * c] | (packed[2 * c + 1] << 8)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ph0": pd.Series(chunks[0], dtype="int32"),
+                    "ph1": pd.Series(chunks[1], dtype="int32"),
+                    "ph2": pd.Series(chunks[2], dtype="int32"),
+                    "ph3": pd.Series(chunks[3], dtype="int32"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(phash, PHASH_SCHEMA)
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Media near-dup pairs by perceptual hash: bucket on each of the
+    4 x 16-bit chunks (pigeonhole: Hamming <= 3 over 64 bits forces at
+    least one chunk to match EXACTLY, so the bucketing is complete, not
+    approximate), equi-join per chunk, exact Hamming via
+    ``bit_count(xor)`` per chunk pair, then distinct — the
+    :func:`~flink_kafka_spark.operators.dedup.simhash_pairs` recipe on
+    the media path. ``max_hamming`` must stay <= 3 for the pigeonhole
+    guarantee; a larger bound would need more/narrower chunks.
+
+    Scale: candidates are chunk-bucket collisions only (never
+    all-pairs); the Hamming filter runs BEFORE the pair-distinct so the
+    final shuffle carries true near-dups, not every bucket collision.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: pigeonhole completeness over 4 chunks "
+            "of a 64-bit hash holds only for max_hamming <= 3"
+        )
+    from ..caching import track
+
+    # Both sides of the chunk-bucket self-join consume the signature
+    # table; unpersisted, each side re-decodes and re-hashes every
+    # PAYLOAD (the dominant cost at 100 TB — real decode is far heavier
+    # than this fake). Signatures are 5 ints/doc, so the persist is
+    # ~free; released at the next query boundary (caching contract).
+    sig = track(perceptual_hash(media).persist())
+    chunks = sig.select(
+        "doc_id",
+        "ph0",
+        "ph1",
+        "ph2",
+        "ph3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"), F.col(f"ph{c}").alias("chunk")
+                )
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("doc_id", "ph0", "ph1", "ph2", "ph3", "ch.chunk_id", "ch.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"ph{c}").alias(f"a{c}") for c in range(4)],
+        "chunk_id",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"ph{c}").alias(f"b{c}") for c in range(4)],
+        "chunk_id",
+        "chunk",
+    )
+    hamming = sum(F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in range(4))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 # --- gated real-codec entry points -------------------------------------
 
 def decode_image(payload: bytes):

@@ -76,10 +76,12 @@ class Query:
 # bm25_search is the retrieval family's only in-window full-oracle
 # row). IN (20): the 8 CADENCE_DEBT rows at their written r15
 # deadline, the 6 r13 CAPACITY_DEFERRED never-hashed rows, the r14
-# late registration t_closeness_audit, and 5 r10-stale rows pulled
-# forward from the r16 wave (dedup_exact, tpch_q14, tpch_q15,
-# mixture_resample, events_dedup_late) — front-loading debt because
-# r14 proved a written schedule can fail to execute. The 14 rows the
+# late registration t_closeness_audit, 3 r10-stale rows pulled
+# forward from the r16 wave (dedup_exact, mixture_resample,
+# events_dedup_late) — front-loading debt because r14 proved a
+# written schedule can fail to execute — and the two r15
+# registrations media_phash / media_phash_dedup on the
+# immediate-hash rule. The 14 rows the
 # r14 rotation moved in but the driver never hashed (tpch_q8/q13,
 # containment/span, text quality block, sampling block, source_*)
 # stay for their first hash.
@@ -87,12 +89,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface / joins / analytics checks (pinned)
     "uv_approx_check",
     "quantity_percentiles_approx_check",
-    # relational block (q8/q13 carried for their first hash since r8;
-    # q14/q15 pulled forward from the r16 wave)
+    # relational block (q8/q13 carried for their first hash since r8)
     "tpch_q8",
     "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
     # analytics long-tail (CADENCE_DEBT r15 + r16 pull-forward)
     "orders_rollup",
     "traffic_anomalies",
@@ -147,8 +146,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "release_gate_snapshot",
     "seasonal_anomalies",
     "zorder_layout",
-    # multimodal family (check anchor)
+    # multimodal family (check anchor + the r15 registrations on the
+    # immediate-hash rule: full-value-oracle perceptual hash + media
+    # near-dup pairs)
     "media_features_check",
+    "media_phash",
+    "media_phash_dedup",
 )
 
 

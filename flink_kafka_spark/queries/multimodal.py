@@ -12,9 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
+    PHASH_MIN_BYTES,
     decode_media_meta,
     extract_features,
     frame_sample,
+    perceptual_hash,
+    phash_pairs,
     synthesize_media,
 )
 from ..tables import load
@@ -105,6 +108,82 @@ FROM documents d, (SELECT unnest(range(8)) AS dim_idx) dims
 """
 
 
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual hash per media payload as four 16-bit chunks
+    (operators/multimodal.perceptual_hash). The integer-only hash
+    definition lets DuckDB replay it bit-for-bit — a FULL value oracle
+    on a binary-payload media operator, not a 0-violations property
+    pin. Payloads under PHASH_MIN_BYTES are excluded (both sides)."""
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return perceptual_hash(
+        media.filter(media["meta.byte_len"] >= PHASH_MIN_BYTES)
+    )
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup pairs (id_a, id_b, hamming <= 3) via pigeonhole
+    chunk bucketing over the perceptual hash — the LAION-style image
+    dedup stage. The engine never goes all-pairs (4 chunk-bucket
+    equi-joins); the DuckDB oracle MAY (oracle-scale only), which makes
+    the compare also a completeness proof: any pair the bucketing
+    missed would show up as an oracle-only row and fail the hash."""
+    media = synthesize_media(load(spark, sf_dir, "documents"))
+    return phash_pairs(
+        media.filter(media["meta.byte_len"] >= PHASH_MIN_BYTES), max_hamming=3
+    )
+
+
+# Shared signature CTE: the pure-integer hash definition (cell sum
+# cross-multiplied against the payload mean — see perceptual_hash)
+# replayed in SQL. ASCII payloads make character positions = byte
+# positions on both engines.
+_PHASH_SIG_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {PHASH_MIN_BYTES}
+),
+pos AS (
+  SELECT doc_id, text, len, unnest(generate_series(CAST(1 AS BIGINT), len)) AS i
+  FROM d
+),
+bytes AS (
+  SELECT doc_id, len,
+         CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS b,
+         (i - 1) % 64 AS j
+  FROM pos
+),
+cells AS (
+  SELECT doc_id, j, SUM(b) AS s, COUNT(*) AS n, ANY_VALUE(len) AS len
+  FROM bytes GROUP BY doc_id, j
+),
+tot AS (SELECT doc_id, SUM(s) AS t FROM cells GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id, c.j, CASE WHEN c.s * c.len > tot.t * c.n THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot ON c.doc_id = tot.doc_id
+),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN j BETWEEN 0  AND 15 THEN bit << CAST(j      AS INT) ELSE 0 END) AS INT) AS ph0,
+    CAST(SUM(CASE WHEN j BETWEEN 16 AND 31 THEN bit << CAST(j - 16 AS INT) ELSE 0 END) AS INT) AS ph1,
+    CAST(SUM(CASE WHEN j BETWEEN 32 AND 47 THEN bit << CAST(j - 32 AS INT) ELSE 0 END) AS INT) AS ph2,
+    CAST(SUM(CASE WHEN j BETWEEN 48 AND 63 THEN bit << CAST(j - 48 AS INT) ELSE 0 END) AS INT) AS ph3
+  FROM bits GROUP BY doc_id
+)
+"""
+
+MEDIA_PHASH_ORACLE = _PHASH_SIG_SQL + "SELECT * FROM sig"
+
+MEDIA_PHASH_DEDUP_ORACLE = _PHASH_SIG_SQL + """
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.ph0, b.ph0)) + bit_count(xor(a.ph1, b.ph1))
+            + bit_count(xor(a.ph2, b.ph2)) + bit_count(xor(a.ph3, b.ph3)) AS INT)
+           AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
 QUERIES = [
     Query("media_decode_meta", media_decode_meta, MEDIA_DECODE_META_ORACLE,
           "extension: multimodal decode (mapInPandas)", ("multimodal",)),
@@ -112,6 +191,12 @@ QUERIES = [
           "extension: multimodal frame sampling", ("multimodal",)),
     Query("media_features", media_features, MEDIA_FEATURES_ORACLE,
           "extension: multimodal feature extraction", ("multimodal",)),
+    Query("media_phash", media_phash, MEDIA_PHASH_ORACLE,
+          "extension: multimodal perceptual hash (full value oracle)",
+          ("multimodal",)),
+    Query("media_phash_dedup", media_phash_dedup, MEDIA_PHASH_DEDUP_ORACLE,
+          "extension: media near-dup pairs (pigeonhole chunk buckets)",
+          ("multimodal", "dedup")),
 ]
 
 

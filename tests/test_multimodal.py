@@ -135,3 +135,89 @@ def test_media_features_check_survives_short_docs(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(M, "load", fake_load)
     (row,) = M.media_features_check(spark, "ignored").collect()
     assert row["violations"] == 0
+
+
+def _py_phash(data: bytes):
+    """Independent pure-Python reference (no numpy): cell sums by
+    position mod 64, integer cross-multiply threshold, little-endian
+    bit pack into four 16-bit chunks."""
+    L = len(data)
+    s, n = [0] * 64, [0] * 64
+    for i, byte in enumerate(data):
+        s[i % 64] += byte
+        n[i % 64] += 1
+    t = sum(s)
+    bits = [1 if s[j] * L > t * n[j] else 0 for j in range(64)]
+    return tuple(
+        sum(bits[16 * c + k] << k for k in range(16)) for c in range(4)
+    )
+
+
+def test_perceptual_hash_matches_pure_python_and_excludes_short(spark):
+    """The numpy mapInPandas path must agree bit-for-bit with a
+    loop-and-ints reference, and payloads under PHASH_MIN_BYTES (or
+    NULL) must emit no row — the oracle's WHERE clause in operator
+    form."""
+    from flink_kafka_spark.operators.multimodal import (
+        PHASH_MIN_BYTES,
+        perceptual_hash,
+    )
+
+    texts = {
+        1: "x" * 63,                       # one short of the bound -> excluded
+        2: "y" * 64,                       # exactly at the bound -> kept
+        3: "the quick brown fox jumps over the lazy dog " * 5,
+        4: None,                           # NULL payload -> excluded
+        5: "".join(chr(32 + (i * 7) % 95) for i in range(300)),
+    }
+    df = spark.createDataFrame(
+        [(i, t.encode() if t is not None else None) for i, t in texts.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.ph0, r.ph1, r.ph2, r.ph3) for r in perceptual_hash(df).collect()}
+    assert set(got) == {2, 3, 5}
+    for doc_id in got:
+        assert got[doc_id] == _py_phash(texts[doc_id].encode()), doc_id
+        assert all(0 <= c <= 0xFFFF for c in got[doc_id])
+    assert len(texts[1]) == PHASH_MIN_BYTES - 1  # the bound itself is pinned
+
+
+def test_phash_pairs_pigeonhole_is_complete(spark):
+    """Planted corpus: the bucketed pair search must emit EXACTLY the
+    all-pairs Hamming<=3 set — pigeonhole over 4x16-bit chunks is a
+    completeness guarantee, not a recall heuristic. Includes identical
+    payloads (Hamming 0), single-flip neighbors, and far pairs."""
+    from flink_kafka_spark.operators.multimodal import perceptual_hash, phash_pairs
+
+    base = "".join(chr(32 + (i * 11) % 95) for i in range(256))
+    variants = {
+        10: base,
+        11: base,                                  # exact dup of 10
+        12: base[:-1] + ("!" if base[-1] != "!" else "?"),  # near dup
+        13: base[:128] + base[:128][::-1],         # related but farther
+        14: "z" * 256,                             # constant payload
+        15: "".join(chr(32 + (i * 29) % 95) for i in range(256)),
+    }
+    df = spark.createDataFrame(
+        [(i, t.encode()) for i, t in variants.items()], "doc_id long, payload binary"
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in phash_pairs(df, max_hamming=3).collect()}
+
+    sigs = {i: _py_phash(t.encode()) for i, t in variants.items()}
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    ids = sorted(sigs)
+    want = {
+        (a, b): hamming(sigs[a], sigs[b])
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if hamming(sigs[a], sigs[b]) <= 3
+    }
+    assert got == want
+    assert (10, 11) in got and got[(10, 11)] == 0  # the planted exact dup
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_pairs(df, max_hamming=4)

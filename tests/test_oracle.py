@@ -81,7 +81,8 @@ def test_driver_window_covers_every_family():
                      "mixture_resample", "dataset_split", "stratified_cap",
                      "weighted_sample", "snapshot_diff",
                      "corpus_shuffle"],
-        "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check"],
+        "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check",
+                       "media_phash", "media_phash_dedup"],
     }
     for fam, members in families.items():
         in_window = [m for m in members if m in DRIVER_WINDOW and QUERIES[m].oracle]

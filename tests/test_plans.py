@@ -405,6 +405,10 @@ PLAN_BOUNDS = {
     # both sides are docs×8 and full_outer can't broadcast, so the SMJ
     # co-partition IS the intended plan; check-only, never in bench
     "media_features_check": (3, 2),
+    "media_phash": (0, 0),  # narrow mapInPandas over a pushed 2-col scan
+    # persisted signature table read by both self-join sides (one
+    # payload-hash pass); 1 exchange = the pair-distinct
+    "media_phash_dedup": (1, 0),
 }
 
 
