@@ -1006,6 +1006,37 @@ def main() -> None:
             for r in trows
         ), [r for r in trows if r["keep"] != 1][:3]
 
+    # media perceptual-hash dedup at the full doc count: 128-byte
+    # pseudo-random payloads, doc 10k+9 a VERBATIM byte copy of doc
+    # 10k+1 — so exactly n/10 Hamming-0 pairs are planted, and a
+    # random cross-pair needs a 64-bit hash within Hamming 3 of
+    # another (P ~ 2.4e-15/pair: unreachable at ~1e9 pairs). The
+    # probe therefore asserts the EXACT pair set, which exercises
+    # both pigeonhole completeness (no planted pair missed) and
+    # bucket precision (no phantom pair) at scale; the timing's
+    # subject is the single payload-hash pass + chunk-bucket join.
+    from flink_kafka_spark.operators.multimodal import phash_pairs
+
+    t0 = time.perf_counter()
+    media = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.encode(
+            F.expr(
+                "concat_ws('', transform(sequence(0, 127), c -> "
+                "char(32 + pmod(xxhash64(id - CASE WHEN pmod(id, 10) = 9 "
+                "THEN 8 ELSE 0 END, c), 95))))"
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    ph = phash_pairs(media, max_hamming=3)
+    bad = ph.filter(
+        "NOT (pmod(id_a, 10) = 1 AND id_b = id_a + 8 AND hamming = 0)"
+    ).count()
+    n_ph_pairs = ph.count()
+    timings[f"media_phash_dedup_{n_docs}"] = round(time.perf_counter() - t0, 2)
+    assert bad == 0 and n_ph_pairs == n_docs // 10, (bad, n_ph_pairs)
+
     print(
         json.dumps(
             {
