@@ -976,44 +976,85 @@ def simhash(df: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     return normalized_tokens(df).select(id_col, _simhash("tokens").alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs. Scale path: bucket on 4 × 16-bit chunks
-    (any pair within Hamming ≤ 3 of 64 bits shares at least one exact
-    16-bit chunk — pigeonhole) → equi-join per chunk, then exact
-    Hamming filter via bit_count(xor)."""
-    sh = simhash(df, id_col)
-    chunks = sh.select(
+def chunked_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    chunk_cols: "list[str]",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Shared pigeonhole pair search over a signature table whose hash
+    is pre-split into equal-width integer ``chunk_cols``: any pair
+    within Hamming ≤ len(chunk_cols) - 1 of the full hash must agree
+    EXACTLY on at least one chunk, so bucketing by each chunk is
+    complete, never heuristic. Backs :func:`simhash_pairs` (one int64
+    split 4×16) and the media perceptual hash (4 int16 columns) — one
+    implementation, one set of fixes.
+
+    Returns (id_a, id_b, hamming) distinct; Hamming = summed
+    ``bit_count(xor)`` over the chunk pairs."""
+    k = len(chunk_cols)
+    if max_hamming > k - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming}: pigeonhole completeness over {k} "
+            f"chunks holds only for max_hamming <= {k - 1}"
+        )
+    chunks = sig.select(
         id_col,
-        "simhash",
+        *chunk_cols,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_id"),
-                    F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-                )
-                for c in range(4)
+                F.struct(F.lit(c).alias("chunk_id"), F.col(col).alias("chunk"))
+                for c, col in enumerate(chunk_cols)
             ])
         ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk")
+    ).select(id_col, *chunk_cols, "ch.chunk_id", "ch.chunk")
     a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk_id", "chunk"
+        F.col(id_col).alias("id_a"),
+        *[F.col(col).alias(f"_a{c}") for c, col in enumerate(chunk_cols)],
+        "chunk_id",
+        "chunk",
     )
     b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk_id", "chunk"
+        F.col(id_col).alias("id_b"),
+        *[F.col(col).alias(f"_b{c}") for c, col in enumerate(chunk_cols)],
+        "chunk_id",
+        "chunk",
     )
+    hamming = sum(F.bit_count(F.expr(f"_a{c} ^ _b{c}")) for c in range(k))
     # Hamming filter BEFORE the pair dedup: a pair colliding in k of
-    # the 4 chunks appears k times, so the distinct must shuffle
+    # the chunks appears k times, so the distinct must shuffle
     # whatever precedes it — filtering first means it shuffles only
     # the true near-dups (tiny) instead of every chunk collision;
     # bit_count on the duplicate rows is trivial map-side CPU.
     return (
         a.join(b, ["chunk_id", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.expr("sim_a ^ sim_b")))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs. Scale path: bucket on 4 × 16-bit chunks
+    (any pair within Hamming ≤ 3 of 64 bits shares at least one exact
+    16-bit chunk — pigeonhole) → equi-join per chunk, then exact
+    Hamming filter via bit_count(xor); see
+    :func:`chunked_hamming_pairs` (max_hamming > 3 now raises — the
+    old code silently returned incomplete pairs past the pigeonhole
+    bound)."""
+    sh = simhash(df, id_col).select(
+        id_col,
+        *[
+            F.shiftright("simhash", c * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("int")
+            .alias(f"sh{c}")
+            for c in range(4)
+        ],
+    )
+    return chunked_hamming_pairs(sh, id_col, [f"sh{c}" for c in range(4)], max_hamming)
 
 
 def embedding_cosine_pairs(

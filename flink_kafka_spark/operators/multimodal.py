@@ -316,54 +316,22 @@ def phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     all-pairs); the Hamming filter runs BEFORE the pair-distinct so the
     final shuffle carries true near-dups, not every bucket collision.
     """
-    if max_hamming > 3:
+    from ..caching import track
+    from .dedup import chunked_hamming_pairs
+
+    if max_hamming > 3:  # validate before registering the persist below
         raise ValueError(
             f"max_hamming={max_hamming}: pigeonhole completeness over 4 chunks "
             "of a 64-bit hash holds only for max_hamming <= 3"
         )
-    from ..caching import track
-
     # Both sides of the chunk-bucket self-join consume the signature
     # table; unpersisted, each side re-decodes and re-hashes every
     # PAYLOAD (the dominant cost at 100 TB — real decode is far heavier
     # than this fake). Signatures are 5 ints/doc, so the persist is
     # ~free; released at the next query boundary (caching contract).
     sig = track(perceptual_hash(media).persist())
-    chunks = sig.select(
-        "doc_id",
-        "ph0",
-        "ph1",
-        "ph2",
-        "ph3",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_id"), F.col(f"ph{c}").alias("chunk")
-                )
-                for c in range(4)
-            ])
-        ).alias("ch"),
-    ).select("doc_id", "ph0", "ph1", "ph2", "ph3", "ch.chunk_id", "ch.chunk")
-    a = chunks.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"ph{c}").alias(f"a{c}") for c in range(4)],
-        "chunk_id",
-        "chunk",
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"ph{c}").alias(f"b{c}") for c in range(4)],
-        "chunk_id",
-        "chunk",
-    )
-    hamming = sum(F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in range(4))
-    return (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
+    return chunked_hamming_pairs(
+        sig, "doc_id", ["ph0", "ph1", "ph2", "ph3"], max_hamming
     )
 
 
