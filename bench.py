@@ -227,9 +227,11 @@ BENCH_QUERIES = [
     # entry yet — guardrail skips until the next justified re-record.
     "t_closeness_audit",
     # round-15: media perceptual-hash near-dup (one payload-hash pass,
-    # persisted signatures, pigeonhole chunk buckets). No baseline
-    # entry yet — guardrail skips.
+    # persisted signatures, pigeonhole chunk buckets) and its
+    # incremental batch-vs-reference twin. No baseline entries yet —
+    # guardrail skips.
     "media_phash_dedup",
+    "media_phash_incremental",
 ]
 
 

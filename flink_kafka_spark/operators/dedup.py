@@ -981,6 +981,7 @@ def chunked_hamming_pairs(
     id_col: str,
     chunk_cols: "list[str]",
     max_hamming: int = 3,
+    other: "DataFrame | None" = None,
 ) -> DataFrame:
     """Shared pigeonhole pair search over a signature table whose hash
     is pre-split into equal-width integer ``chunk_cols``: any pair
@@ -990,6 +991,13 @@ def chunked_hamming_pairs(
     split 4×16) and the media perceptual hash (4 int16 columns) — one
     implementation, one set of fixes.
 
+    ``other=None``: pairs WITHIN ``sig`` (``id_a < id_b``).
+    ``other`` given: pairs BETWEEN ``sig`` (→ ``id_a``) and ``other``
+    (→ ``id_b``, same ``id_col``/``chunk_cols`` schema), never within
+    either side — the incremental shape (tonight's batch against the
+    stored reference index). No ordering filter applies; callers with
+    overlapping id spaces own that semantics.
+
     Returns (id_a, id_b, hamming) distinct; Hamming = summed
     ``bit_count(xor)`` over the chunk pairs."""
     k = len(chunk_cols)
@@ -998,38 +1006,40 @@ def chunked_hamming_pairs(
             f"max_hamming={max_hamming}: pigeonhole completeness over {k} "
             f"chunks holds only for max_hamming <= {k - 1}"
         )
-    chunks = sig.select(
-        id_col,
-        *chunk_cols,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(c).alias("chunk_id"), F.col(col).alias("chunk"))
-                for c, col in enumerate(chunk_cols)
-            ])
-        ).alias("ch"),
-    ).select(id_col, *chunk_cols, "ch.chunk_id", "ch.chunk")
-    a = chunks.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(col).alias(f"_a{c}") for c, col in enumerate(chunk_cols)],
-        "chunk_id",
-        "chunk",
-    )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(col).alias(f"_b{c}") for c, col in enumerate(chunk_cols)],
-        "chunk_id",
-        "chunk",
-    )
+
+    def _explode(frame, side, alias):
+        return frame.select(
+            F.col(id_col).alias(alias),
+            *[F.col(col).alias(f"_{side}{c}") for c, col in enumerate(chunk_cols)],
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(c).alias("chunk_id"), F.col(col).alias("chunk"))
+                    for c, col in enumerate(chunk_cols)
+                ])
+            ).alias("ch"),
+        ).select(alias, *[f"_{side}{c}" for c in range(k)], "ch.chunk_id", "ch.chunk")
+
+    a = _explode(sig, "a", "id_a")
+    b = _explode(other if other is not None else sig, "b", "id_b")
     hamming = sum(F.bit_count(F.expr(f"_a{c} ^ _b{c}")) for c in range(k))
+    if other is None:
+        joined = a.join(b, ["chunk_id", "chunk"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+    else:
+        # cross mode's contract: ``sig`` is the (small) batch, ``other``
+        # the stored reference index — broadcast the batch-side buckets
+        # onto the reference instead of shuffling the corpus-sized
+        # side's buckets (post-persist stats are unknown, so without
+        # the hint the static plan degrades to SMJ)
+        joined = a.hint("broadcast").join(b, ["chunk_id", "chunk"])
     # Hamming filter BEFORE the pair dedup: a pair colliding in k of
     # the chunks appears k times, so the distinct must shuffle
     # whatever precedes it — filtering first means it shuffles only
     # the true near-dups (tiny) instead of every chunk collision;
     # bit_count on the duplicate rows is trivial map-side CPU.
     return (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming.cast("int"))
+        joined.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()

@@ -335,6 +335,66 @@ def phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def phash_incremental(
+    batch: DataFrame,
+    reference: DataFrame,
+    max_hamming: int = 3,
+    ref_sig: "DataFrame | None" = None,
+) -> DataFrame:
+    """Incremental media dedup: every hashable batch payload flagged
+    novel or near-duplicate of the reference corpus by perceptual
+    hash — the media twin of
+    :func:`~flink_kafka_spark.operators.dedup.incremental_dedup`
+    (dedup tonight's image crawl against the corpus already trained
+    on, without re-running all-corpus dedup).
+
+    Output, one row per batch doc with payload >= PHASH_MIN_BYTES
+    (shorter/NULL payloads are unhashable — the perceptual_hash
+    precondition, NOT a verdict): ``(doc_id, is_novel, n_ref_dups,
+    best_ref_id, best_hamming)``; best = lowest Hamming, ties to
+    lowest reference id. ``WHERE is_novel = 1`` is the appendable
+    batch.
+
+    Scale design (100 TB reference, small-ish batch): pass a STORED
+    :func:`perceptual_hash` frame as ``ref_sig`` on the production
+    path — the reference is decoded and hashed once per corpus
+    version, and each nightly run moves only (chunk, id) buckets of
+    the 5-int signatures through the cross join; candidates are
+    chunk-bucket collisions BETWEEN the corpora (pigeonhole-complete
+    for Hamming <= 3, never all-pairs, never within either side)."""
+    from ..caching import track
+    from .dedup import chunked_hamming_pairs
+
+    cols = ["ph0", "ph1", "ph2", "ph3"]
+    if ref_sig is None:
+        ref_sig = perceptual_hash(reference)
+    # two consumers (chunk join + verdict base): hash the batch once
+    bsig = track(perceptual_hash(batch).persist())
+    matches = chunked_hamming_pairs(
+        bsig, "doc_id", cols, max_hamming, other=ref_sig
+    )
+    per = matches.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref_dups"),
+        F.min("hamming").cast("int").alias("best_hamming"),
+        F.min_by(F.col("id_b"), F.struct(F.col("hamming"), F.col("id_b"))).alias(
+            "best_ref_id"
+        ),
+    )
+    return (
+        bsig.select(F.col("doc_id").alias("id_a"))
+        # per is bounded by the matched batch ids (<= batch rows of 4
+        # small ints) — broadcast instead of co-shuffling with bsig
+        .join(F.broadcast(per), "id_a", "left")
+        .select(
+            F.col("id_a").alias("doc_id"),
+            (F.col("n_ref_dups").isNull()).cast("int").alias("is_novel"),
+            F.coalesce(F.col("n_ref_dups"), F.lit(0)).cast("long").alias("n_ref_dups"),
+            "best_ref_id",
+            "best_hamming",
+        )
+    )
+
+
 # --- gated real-codec entry points -------------------------------------
 
 def decode_image(payload: bytes):

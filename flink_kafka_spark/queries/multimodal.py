@@ -10,6 +10,7 @@ functions: ``md5``/``substring``/``ascii`` operate on the same bytes).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     PHASH_MIN_BYTES,
@@ -17,6 +18,7 @@ from ..operators.multimodal import (
     extract_features,
     frame_sample,
     perceptual_hash,
+    phash_incremental,
     phash_pairs,
     synthesize_media,
 )
@@ -184,6 +186,59 @@ SELECT id_a, id_b, hamming FROM (
 """
 
 
+def media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental media dedup verdict: odd-doc_id media are 'tonight's
+    batch', even-doc_id the already-ingested reference (the
+    dedup_incremental parity-split convention, so synthetic near-dups
+    land on both sides). The reference signature index is built inside
+    (self-contained query path); production passes a stored
+    perceptual_hash frame. Integer-only hash => FULL value oracle on
+    the whole verdict frame, where the text twin is rows-only."""
+    media = synthesize_media(load(spark, sf_dir, "documents")).filter(
+        F.col("meta.byte_len") >= PHASH_MIN_BYTES
+    )
+    return phash_incremental(
+        media.filter(F.pmod("doc_id", F.lit(2)) == 1),
+        media.filter(F.pmod("doc_id", F.lit(2)) == 0),
+        max_hamming=3,
+    )
+
+
+# best_ref_id is deterministic on both engines: lowest reference id
+# among the lowest-Hamming matches (Spark: min_by over the
+# (hamming, id) struct; SQL: MIN(rid) filtered to hamming = best).
+MEDIA_PHASH_INCREMENTAL_ORACLE = _PHASH_SIG_SQL + """,
+m AS (
+  SELECT bid, rid, hamming FROM (
+    SELECT b.doc_id AS bid, r.doc_id AS rid,
+           CAST(bit_count(xor(b.ph0, r.ph0)) + bit_count(xor(b.ph1, r.ph1))
+              + bit_count(xor(b.ph2, r.ph2)) + bit_count(xor(b.ph3, r.ph3)) AS INT)
+             AS hamming
+    FROM sig b JOIN sig r ON b.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+  ) WHERE hamming <= 3
+),
+per AS (
+  SELECT bid, CAST(COUNT(*) AS BIGINT) AS n_ref_dups,
+         CAST(MIN(hamming) AS INT) AS best_hamming
+  FROM m GROUP BY bid
+),
+best AS (
+  SELECT m.bid, MIN(m.rid) AS best_ref_id
+  FROM m JOIN per ON m.bid = per.bid AND m.hamming = per.best_hamming
+  GROUP BY m.bid
+)
+SELECT s.doc_id,
+       CAST(CASE WHEN per.bid IS NULL THEN 1 ELSE 0 END AS INT) AS is_novel,
+       COALESCE(per.n_ref_dups, 0) AS n_ref_dups,
+       best.best_ref_id,
+       per.best_hamming
+FROM sig s
+LEFT JOIN per ON per.bid = s.doc_id
+LEFT JOIN best ON best.bid = s.doc_id
+WHERE s.doc_id % 2 = 1
+"""
+
+
 QUERIES = [
     Query("media_decode_meta", media_decode_meta, MEDIA_DECODE_META_ORACLE,
           "extension: multimodal decode (mapInPandas)", ("multimodal",)),
@@ -196,6 +251,10 @@ QUERIES = [
           ("multimodal",)),
     Query("media_phash_dedup", media_phash_dedup, MEDIA_PHASH_DEDUP_ORACLE,
           "extension: media near-dup pairs (pigeonhole chunk buckets)",
+          ("multimodal", "dedup")),
+    Query("media_phash_incremental", media_phash_incremental,
+          MEDIA_PHASH_INCREMENTAL_ORACLE,
+          "extension: incremental media dedup (batch vs stored reference index)",
           ("multimodal", "dedup")),
 ]
 

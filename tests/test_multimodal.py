@@ -221,3 +221,47 @@ def test_phash_pairs_pigeonhole_is_complete(spark):
 
     with _pytest.raises(ValueError):
         phash_pairs(df, max_hamming=4)
+
+
+def test_phash_incremental_verdicts_and_stored_index_path(spark):
+    """Planted cross-corpus truth: batch payloads that byte-copy a
+    reference payload come back non-novel with the right best match,
+    unique batch payloads come back novel, sub-minimum payloads get NO
+    verdict row (unhashable, not novel), and passing a STORED
+    reference signature frame (the production path that never rescans
+    the reference) yields the identical verdict frame."""
+    from flink_kafka_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_incremental,
+    )
+
+    mk = lambda seed, n=200: "".join(chr(32 + (i * seed) % 95) for i in range(n))
+    ref_rows = {100: mk(7), 102: mk(11), 104: mk(7)}        # 100 and 104 identical
+    batch_rows = {
+        1: mk(7),     # copy of refs 100 AND 104 -> 2 dups, best_ref_id 100
+        3: mk(13),    # unique -> novel
+        5: mk(11),    # copy of ref 102 -> 1 dup
+        7: "tiny",    # sub-minimum -> no verdict row
+    }
+    ref = spark.createDataFrame(
+        [(i, t.encode()) for i, t in ref_rows.items()], "doc_id long, payload binary"
+    )
+    batch = spark.createDataFrame(
+        [(i, t.encode()) for i, t in batch_rows.items()], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in phash_incremental(batch, ref).collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1].is_novel == 0 and out[1].n_ref_dups == 2
+    assert out[1].best_ref_id == 100 and out[1].best_hamming == 0
+    assert out[3].is_novel == 1 and out[3].n_ref_dups == 0
+    assert out[3].best_ref_id is None and out[3].best_hamming is None
+    assert out[5].is_novel == 0 and out[5].n_ref_dups == 1
+    assert out[5].best_ref_id == 102 and out[5].best_hamming == 0
+
+    stored = perceptual_hash(ref)
+    via_index = {
+        r.doc_id: r for r in phash_incremental(batch, ref, ref_sig=stored).collect()
+    }
+    assert {i: tuple(r) for i, r in out.items()} == {
+        i: tuple(r) for i, r in via_index.items()
+    }

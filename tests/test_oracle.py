@@ -82,7 +82,7 @@ def test_driver_window_covers_every_family():
                      "weighted_sample", "snapshot_diff",
                      "corpus_shuffle"],
         "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check",
-                       "media_phash", "media_phash_dedup"],
+                       "media_phash", "media_phash_dedup", "media_phash_incremental"],
     }
     for fam, members in families.items():
         in_window = [m for m in members if m in DRIVER_WINDOW and QUERIES[m].oracle]
@@ -125,7 +125,12 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # (the six r13 deferrals — dq_expectations, embedding_drift,
     # l_diversity_audit, zorder_layout, release_gate_snapshot,
     # seasonal_anomalies — and r14's t_closeness_audit all entered the
-    # r15 window; the never-hashed queue is empty as of r15.)
+    # r15 window.)
+    # r15: the wave (8 debt + 6 deferrals + t_closeness + 3
+    # pull-forwards) plus the same-round media_phash/media_phash_dedup
+    # registrations fill every slot, so the round's THIRD registration
+    # defers; it enters with the r16 wave.
+    "media_phash_incremental": 15,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

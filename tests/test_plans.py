@@ -409,6 +409,9 @@ PLAN_BOUNDS = {
     # persisted signature table read by both self-join sides (one
     # payload-hash pass); 1 exchange = the pair-distinct
     "media_phash_dedup": (1, 0),
+    # batch buckets broadcast onto the reference index; 2 exchanges =
+    # pair-distinct + verdict rollup, per/batch joins broadcast
+    "media_phash_incremental": (2, 0),
 }
 
 
