@@ -170,6 +170,55 @@ def incremental_dedup_stream(
     return docs_stream.writeStream.foreachBatch(_process)
 
 
+def media_phash_stream(
+    media_stream: DataFrame,
+    reference: DataFrame,
+    sink,
+    max_hamming: int = 3,
+    ref_sig: "DataFrame | None" = None,
+):
+    """Near-dup-filter an incoming MEDIA stream (doc_id, payload)
+    against a static reference corpus by perceptual hash — the
+    streaming face of operators.multimodal.phash_incremental, and the
+    media twin of :func:`incremental_dedup_stream` (an image-crawl
+    feed deduped against the training corpus as it arrives).
+
+    The pair search needs per-batch aggregation + self-scoped
+    persists, so the operator runs under ``foreachBatch`` with each
+    batch's internal persists released as its sink materializes
+    (caching.release_scope). The reference is hashed ONCE outside the
+    loop (pass a stored :func:`perceptual_hash` frame — 5 ints/doc —
+    as ``ref_sig``); each micro-batch then hashes and broadcasts only
+    its own payloads' chunk buckets.
+
+    ``sink(verdicts_df, epoch_id)`` receives the is_novel verdict
+    frame per batch (one row per HASHABLE batch payload — the
+    perceptual_hash >= PHASH_MIN_BYTES precondition). Returns the
+    configured ``DataStreamWriter`` — caller sets trigger/checkpoint
+    and ``.start()``s it.
+    """
+    from ..caching import release_scope
+    from ..operators.multimodal import perceptual_hash, phash_incremental
+
+    if ref_sig is None:
+        # persist + materialize BEFORE the loop: lazy signatures would
+        # re-decode and re-hash the ENTIRE reference corpus inside
+        # every micro-batch's action. Plain persist (not
+        # caching.track): the index must live for the query's
+        # lifetime, not until the next registered-query boundary.
+        ref_sig = perceptual_hash(reference).persist()
+        ref_sig.count()
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            verdicts = phash_incremental(
+                batch_df, reference, max_hamming, ref_sig=ref_sig
+            )
+            sink(verdicts, epoch_id)
+
+    return media_stream.writeStream.foreachBatch(_process)
+
+
 def bucket_partials_stream(
     events: DataFrame,
     key: str,

@@ -2502,3 +2502,56 @@ def test_drift_monitor_catches_downward_shift(spark, tmp_path):
     (row,) = seen[max(seen)]
     assert row["n_batch"] == 50  # every shifted row counted, none dropped
     assert row["psi"] > 1.0  # total mass displacement alarms loudly
+
+
+def test_media_phash_stream(spark, tmp_path):
+    """Streaming media near-dup filter: two micro-batches of payloads
+    against a static reference signature index — byte-copies of a
+    reference payload come back non-novel, fresh payloads novel,
+    sub-minimum payloads get NO verdict row, in BOTH batches; and the
+    per-batch release_scope must leave no tracked persists behind."""
+    import json as _json
+
+    from flink_kafka_spark import caching
+    from flink_kafka_spark.streaming.jobs import media_phash_stream
+
+    mk = lambda seed, n=200: "".join(chr(32 + (i * seed) % 95) for i in range(n))
+    reference = spark.createDataFrame(
+        [(1, mk(7).encode()), (2, mk(11).encode())], "doc_id long, payload binary"
+    )
+    b = tmp_path / "in"
+    b.mkdir()
+    (b / "f0.json").write_text(
+        _json.dumps({"doc_id": 10, "text": mk(7)}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": mk(13)}) + "\n"
+    )
+    (b / "f1.json").write_text(
+        _json.dumps({"doc_id": 20, "text": mk(11)}) + "\n"
+        + _json.dumps({"doc_id": 21, "text": "tiny"}) + "\n"
+    )
+
+    tracked_before = (len(caching._LIVE), len(caching._LIVE_RDDS))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .json(str(b))
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.collect()
+
+    q = media_phash_stream(stream, reference, sink).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    assert len(seen) == 2  # one verdict frame per file
+    verdicts = {r.doc_id: r for rows in seen.values() for r in rows}
+    assert set(verdicts) == {10, 11, 20}  # 21 is unhashable: no row
+    assert verdicts[10].is_novel == 0 and verdicts[10].best_ref_id == 1
+    assert verdicts[10].best_hamming == 0  # verbatim payload copy
+    assert verdicts[20].is_novel == 0 and verdicts[20].best_ref_id == 2
+    assert verdicts[11].is_novel == 1 and verdicts[11].best_ref_id is None
+    assert (len(caching._LIVE), len(caching._LIVE_RDDS)) == tracked_before

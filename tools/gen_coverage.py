@@ -88,7 +88,7 @@ EXTENSIONS = [
               " text->embedding->LSH near-dup (doc_semantic_pairs)"),
     ("similarity", "brute-force cosine top-k / SRP-LSH multiprobe / IVF (KMeans)"
                    " / MMR diversity re-rank"),
-    ("multimodal", "binary payload columns, mapInPandas decode/features/frames / perceptual-hash near-dup (integer-exact 64-bit signature, full cross-engine value oracle, pigeonhole chunk-bucket pair search shared with SimHash)"),
+    ("multimodal", "binary payload columns, mapInPandas decode/features/frames / perceptual-hash near-dup (integer-exact 64-bit signature, full cross-engine value oracle, pigeonhole chunk-bucket pair search shared with SimHash) / incremental media dedup vs a stored signature index (full-oracle verdict frame) + continuous streaming twin (foreachBatch, scoped persists)"),
     ("text", "lang-id / quality / token counts / fingerprints"
              " / unigram + interpolated-bigram LM perplexity proxies"
              " / hashed-linear classifier gate / vocab OOV audit"
