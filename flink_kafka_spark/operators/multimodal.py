@@ -267,28 +267,16 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     Scale: narrow Arrow ``mapInPandas`` over (doc_id, payload) — one
     numpy bincount per payload, no shuffle, payload dropped on output.
     """
-    import numpy as np
-
     def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, chunks = [], ([], [], [], [])
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload is None:
-                    continue  # NULL payload: nothing to hash (oracle: text IS NOT NULL)
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                L = arr.size
-                if L < PHASH_MIN_BYTES:
-                    continue
-                pos = np.arange(L) % 64
-                # float64 weights are exact for integer sums < 2^53
-                s = np.bincount(pos, weights=arr, minlength=64).astype(np.int64)
-                n = np.bincount(pos, minlength=64).astype(np.int64)
-                t = int(s.sum())
-                bits = (s * L) > (t * n)
-                packed = np.packbits(bits, bitorder="little").astype(np.int64)
+                sig = phash_chunks(payload)
+                if sig is None:
+                    continue  # NULL or sub-minimum payload: unhashable
                 ids.append(doc_id)
                 for c in range(4):
-                    chunks[c].append(int(packed[2 * c] | (packed[2 * c + 1] << 8)))
+                    chunks[c].append(sig[c])
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -300,6 +288,31 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(phash, PHASH_SCHEMA)
+
+
+def phash_chunks(payload) -> "tuple[int, int, int, int] | None":
+    """The perceptual-hash kernel on one payload: the four 16-bit
+    chunks of :func:`perceptual_hash`'s signature, or None for a NULL
+    or sub-:data:`PHASH_MIN_BYTES` payload (unhashable — the oracle's
+    ``text IS NOT NULL AND length >= 64`` row filter in kernel form).
+    Module-level so tests can fuzz it directly against an independent
+    reference without a Spark round-trip per example."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    L = arr.size
+    if L < PHASH_MIN_BYTES:
+        return None
+    pos = np.arange(L) % 64
+    # float64 weights are exact for integer sums < 2^53
+    s = np.bincount(pos, weights=arr, minlength=64).astype(np.int64)
+    n = np.bincount(pos, minlength=64).astype(np.int64)
+    t = int(s.sum())
+    bits = (s * L) > (t * n)
+    packed = np.packbits(bits, bitorder="little").astype(np.int64)
+    return tuple(int(packed[2 * c] | (packed[2 * c + 1] << 8)) for c in range(4))
 
 
 def phash_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -265,3 +265,35 @@ def test_phash_incremental_verdicts_and_stored_index_path(spark):
     assert {i: tuple(r) for i, r in out.items()} == {
         i: tuple(r) for i, r in via_index.items()
     }
+
+
+def test_phash_kernel_fuzz_against_pure_python_reference():
+    """Hypothesis fuzz of the numpy kernel against the loop-and-ints
+    reference: arbitrary byte payloads (including the length-64
+    boundary, long runs, and all-equal bytes where every cross-multiply
+    ties and all bits must be 0) hash identically, and sub-minimum /
+    NULL payloads return None. No Spark round-trip — the kernel is the
+    exact function the mapInPandas path applies per row."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_kafka_spark.operators.multimodal import (
+        PHASH_MIN_BYTES,
+        phash_chunks,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=512))
+    def check(payload: bytes) -> None:
+        got = phash_chunks(payload)
+        if len(payload) < PHASH_MIN_BYTES:
+            assert got is None
+            return
+        assert got == _py_phash(payload)
+        assert all(0 <= c <= 0xFFFF for c in got)
+
+    check()
+    assert phash_chunks(None) is None
+    # the all-ties degenerate: every cell mean equals the payload mean,
+    # strict > leaves every bit 0
+    assert phash_chunks(b"\x55" * 64) == (0, 0, 0, 0)
