@@ -982,6 +982,7 @@ def chunked_hamming_pairs(
     chunk_cols: "list[str]",
     max_hamming: int = 3,
     other: "DataFrame | None" = None,
+    broadcast_sig: bool = False,
 ) -> DataFrame:
     """Shared pigeonhole pair search over a signature table whose hash
     is pre-split into equal-width integer ``chunk_cols``: any pair
@@ -996,7 +997,15 @@ def chunked_hamming_pairs(
     (→ ``id_b``, same ``id_col``/``chunk_cols`` schema), never within
     either side — the incremental shape (tonight's batch against the
     stored reference index). No ordering filter applies; callers with
-    overlapping id spaces own that semantics.
+    overlapping id spaces own that semantics. ``broadcast_sig=True``
+    hints ``sig``'s exploded buckets broadcast onto ``other`` — right
+    when the batch is genuinely small against a huge reference, but
+    OFF by default: a hint is a promise AQE can't retract, and a
+    corpus-sized "batch" (the registered parity-split query, a
+    backfill run) would die on the 8 GB broadcast ceiling instead of
+    degrading to a shuffle (the pagerank ``broadcast_ranks``
+    precedent). Unhinted, AQE still broadcasts a small side at
+    runtime.
 
     Returns (id_a, id_b, hamming) distinct; Hamming = summed
     ``bit_count(xor)`` over the chunk pairs."""
@@ -1027,12 +1036,12 @@ def chunked_hamming_pairs(
             F.col("id_a") < F.col("id_b")
         )
     else:
-        # cross mode's contract: ``sig`` is the (small) batch, ``other``
-        # the stored reference index — broadcast the batch-side buckets
-        # onto the reference instead of shuffling the corpus-sized
-        # side's buckets (post-persist stats are unknown, so without
-        # the hint the static plan degrades to SMJ)
-        joined = a.hint("broadcast").join(b, ["chunk_id", "chunk"])
+        # post-persist stats are unknown, so the STATIC cross plan is
+        # an SMJ; at runtime AQE broadcasts the small side. The hint
+        # (opt-in, see docstring) forces it for known-small batches.
+        joined = (a.hint("broadcast") if broadcast_sig else a).join(
+            b, ["chunk_id", "chunk"]
+        )
     # Hamming filter BEFORE the pair dedup: a pair colliding in k of
     # the chunks appears k times, so the distinct must shuffle
     # whatever precedes it — filtering first means it shuffles only

@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -297,8 +298,6 @@ def phash_chunks(payload) -> "tuple[int, int, int, int] | None":
     ``text IS NOT NULL AND length >= 64`` row filter in kernel form).
     Module-level so tests can fuzz it directly against an independent
     reference without a Spark round-trip per example."""
-    import numpy as np
-
     if payload is None:
         return None
     arr = np.frombuffer(bytes(payload), dtype=np.uint8)
@@ -353,6 +352,7 @@ def phash_incremental(
     reference: DataFrame,
     max_hamming: int = 3,
     ref_sig: "DataFrame | None" = None,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Incremental media dedup: every hashable batch payload flagged
     novel or near-duplicate of the reference corpus by perceptual
@@ -374,17 +374,28 @@ def phash_incremental(
     version, and each nightly run moves only (chunk, id) buckets of
     the 5-int signatures through the cross join; candidates are
     chunk-bucket collisions BETWEEN the corpora (pigeonhole-complete
-    for Hamming <= 3, never all-pairs, never within either side)."""
+    for Hamming <= 3, never all-pairs, never within either side).
+    ``broadcast_batch=True`` additionally hints the batch-side buckets
+    broadcast onto the reference — opt-in for genuinely small nightly
+    batches; the default lets AQE pick, so a corpus-sized "batch" (a
+    backfill, the parity-split registered query) degrades to a shuffle
+    instead of dying on the broadcast ceiling."""
     from ..caching import track
     from .dedup import chunked_hamming_pairs
 
     cols = ["ph0", "ph1", "ph2", "ph3"]
+    if max_hamming > 3:  # validate BEFORE registering the persist below
+        raise ValueError(
+            f"max_hamming={max_hamming}: pigeonhole completeness over 4 chunks "
+            "of a 64-bit hash holds only for max_hamming <= 3"
+        )
     if ref_sig is None:
         ref_sig = perceptual_hash(reference)
     # two consumers (chunk join + verdict base): hash the batch once
     bsig = track(perceptual_hash(batch).persist())
     matches = chunked_hamming_pairs(
-        bsig, "doc_id", cols, max_hamming, other=ref_sig
+        bsig, "doc_id", cols, max_hamming, other=ref_sig,
+        broadcast_sig=broadcast_batch,
     )
     per = matches.groupBy("id_a").agg(
         F.count(F.lit(1)).cast("long").alias("n_ref_dups"),
@@ -393,11 +404,12 @@ def phash_incremental(
             "best_ref_id"
         ),
     )
+    # per is bounded by the matched batch ids — small for a nightly
+    # batch, corpus-sized for a backfill; no hint, AQE picks (the
+    # text twin's rollup-join convention)
     return (
         bsig.select(F.col("doc_id").alias("id_a"))
-        # per is bounded by the matched batch ids (<= batch rows of 4
-        # small ints) — broadcast instead of co-shuffling with bsig
-        .join(F.broadcast(per), "id_a", "left")
+        .join(per, "id_a", "left")
         .select(
             F.col("id_a").alias("doc_id"),
             (F.col("n_ref_dups").isNull()).cast("int").alias("is_novel"),

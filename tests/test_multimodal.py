@@ -266,6 +266,24 @@ def test_phash_incremental_verdicts_and_stored_index_path(spark):
         i: tuple(r) for i, r in via_index.items()
     }
 
+    # the opt-in small-batch broadcast hint changes the plan, never the rows
+    hinted = {
+        r.doc_id: r
+        for r in phash_incremental(batch, ref, broadcast_batch=True).collect()
+    }
+    assert {i: tuple(r) for i, r in out.items()} == {
+        i: tuple(r) for i, r in hinted.items()
+    }
+
+    # an invalid bound must raise BEFORE the batch-signature persist is
+    # registered (no stranded caching._LIVE entry)
+    from flink_kafka_spark import caching
+
+    tracked = len(caching._LIVE)
+    with pytest.raises(ValueError):
+        phash_incremental(batch, ref, max_hamming=4)
+    assert len(caching._LIVE) == tracked
+
 
 def test_phash_kernel_fuzz_against_pure_python_reference():
     """Hypothesis fuzz of the numpy kernel against the loop-and-ints

@@ -409,9 +409,13 @@ PLAN_BOUNDS = {
     # persisted signature table read by both self-join sides (one
     # payload-hash pass); 1 exchange = the pair-distinct
     "media_phash_dedup": (1, 0),
-    # batch buckets broadcast onto the reference index; 2 exchanges =
-    # pair-distinct + verdict rollup, per/batch joins broadcast
-    "media_phash_incremental": (2, 0),
+    # the registered query parity-splits the corpus, so its "batch" is
+    # NOT small: no broadcast hints (a corpus-sized batch must degrade
+    # to a shuffle, not die on the broadcast ceiling — the pagerank
+    # broadcast_ranks precedent); post-persist stats are unknown, so
+    # the STATIC plan shows SMJs that AQE broadcasts at runtime when a
+    # side is genuinely small (the media_features_check convention)
+    "media_phash_incremental": (3, 2),
 }
 
 
