@@ -1163,6 +1163,12 @@ CURVE_QUERIES = (
     # rows, so walls should be flat in corpus growth
     "t_closeness_audit",
     "release_gate_snapshot",
+    # r15 registrations: the media perceptual-hash family — one
+    # payload-hash pass + chunk-bucket pair join (and, incremental,
+    # the cross-corpus bucket join against the half-corpus reference)
+    # must scale with the corpus scan, never with candidate pairs
+    "media_phash_dedup",
+    "media_phash_incremental",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
