@@ -68,23 +68,42 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-15 ROTATION (full rationale in ROTATION_LEDGER.md §Round 15):
-# the r14 driver pass ran against the detached round-6-window snapshot
-# (VERDICT r14 "split-brain"), so the r14 hash set is the OLD window —
-# which makes 29 current rows twice-green (r13+r14) by the audit. OUT
-# = all 20 of them that may leave (12 checks are pinned in-window;
-# bm25_search is the retrieval family's only in-window full-oracle
-# row). IN (20): the 8 CADENCE_DEBT rows at their written r15
-# deadline, the 6 r13 CAPACITY_DEFERRED never-hashed rows, the r14
-# late registration t_closeness_audit, 3 r10-stale rows pulled
-# forward from the r16 wave (dedup_exact, mixture_resample,
-# events_dedup_late) — front-loading debt because r14 proved a
-# written schedule can fail to execute — and the two r15
-# registrations media_phash / media_phash_dedup on the
-# immediate-hash rule. The 14 rows the
-# r14 rotation moved in but the driver never hashed (tpch_q8/q13,
-# containment/span, text quality block, sampling block, source_*)
-# stay for their first hash.
+# ROUND-16 ROTATION (full rationale in ROTATION_LEDGER.md §Round 16):
+# the OUT pool is structurally tiny — the 50-row r15 window was almost
+# entirely first-hash rows, so only 9 rows are twice-green (r14+r15)
+# and 8 of them are pinned checks. Two slots were produced:
+# (1) bm25_search (twice-green, the lone eligible OUT) leaves and
+# multi_query_search enters in its place, keeping the retrieval
+# family's full-oracle anchor in-window while refreshing a row last
+# hashed r14; (2) dedup_canonicalize_skew retires to RETIRED_TWINS —
+# it is the skew-hinted row-identity twin of dedup_canonicalize
+# (tests/test_properties.py::test_canonicalize_skew_safe_path_is_row_
+# identical pins both paths identical every session) with 4 green
+# driver hashes (r7/r8/r13/r15) — freeing the slot for
+# media_phash_incremental, the registry's only never-hashed row
+# (r15 capacity deferral), which empties the never-hashed queue.
+# The 20 r10-stale rows whose 6-round cadence bound lands on r16
+# cannot fit a 2-slot wave; per the written r16 schedule they take a
+# CADENCE_DEBT deadline of r17 (tests/test_oracle.py), where the OUT
+# pool is ~34 rows (the r15 INs plus the carried first-hash rows, all
+# twice-green by then).
+#
+# CAPACITY POLICY AMENDMENT (r15 verdict item 7, adopted r16): the
+# 6-round cadence supports at most 175 full-oracle rows through a
+# 50-slot window (50 + 5*25). At 154 rows the headroom is 21, and
+# new families arrive ~5-8 rows/round. Rules, effective r16:
+# (a) REGISTRATION PACING — a round may register at most 3 new
+#     full-oracle rows (the immediate-hash rule caps this anyway:
+#     each IN needs an OUT slot, and deferrals max out at 3 rounds);
+# (b) TWIN-FIRST — a new row that is a parameterized/hinted/skew twin
+#     of an existing row MUST ship with the row-identity pytest that
+#     qualifies it for RETIRED_TWINS, and retires after its FIRST
+#     green driver hash (precedents: global_stats_fine,
+#     order_ship_interval_join_binned, dedup_canonicalize_skew);
+# (c) CEILING TRIPWIRE — when the full-oracle count reaches 170,
+#     registration freezes until retirements bring it back under;
+#     a pytest asserts the count stays <= 170
+#     (tests/test_oracle.py::test_full_oracle_count_under_ceiling).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 reference surface / joins / analytics checks (pinned)
     "uv_approx_check",
@@ -99,9 +118,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "value_drift_psi",
     "events_dedup_late",
     # deduplication family (carried first-hash rows + checks + r16
-    # pull-forward anchor)
+    # pull-forward anchor; canonicalize_skew retired r16 -> slot for
+    # the never-hashed media row at the bottom of the window)
     "dedup_exact",
-    "dedup_canonicalize_skew",
     "dedup_containment",
     "dedup_span_stats",
     "dedup_span_trim",
@@ -128,9 +147,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmv_pair_intersections",
     # joins long-tail (once-green r13 IN stays)
     "fuzzy_part_matches",
-    # retrieval family anchor (may not leave: only in-window
-    # full-oracle retrieval row)
-    "bm25_search",
+    # retrieval family anchor (bm25_search rotated out r16 after 9
+    # green hashes; multi_query_search keeps the family's full-oracle
+    # row in-window and refreshes its own r14-stale cadence)
+    "multi_query_search",
     # source analytics (carried first-hash row)
     "source_overlap",
     # sampling / release / privacy family (carried first-hash rows +
@@ -148,10 +168,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_layout",
     # multimodal family (check anchor + the r15 registrations on the
     # immediate-hash rule: full-value-oracle perceptual hash + media
-    # near-dup pairs)
+    # near-dup pairs; media_phash_incremental = the r15 capacity
+    # deferral, first hash r16 — never-hashed queue now empty)
     "media_features_check",
     "media_phash",
     "media_phash_dedup",
+    "media_phash_incremental",
 )
 
 

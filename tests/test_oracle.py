@@ -129,7 +129,9 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # r15: the wave (8 debt + 6 deferrals + t_closeness + 3
     # pull-forwards) plus the same-round media_phash/media_phash_dedup
     # registrations fill every slot, so the round's THIRD registration
-    # defers; it enters with the r16 wave.
+    # deferred; it entered the r16 window on schedule (the
+    # canonicalize_skew twin retirement produced its slot) — the
+    # never-hashed queue is empty as of r16.
     "media_phash_incremental": 15,
 }
 
@@ -149,6 +151,13 @@ RETIRED_TWINS: dict[str, str] = {
     "dedup_clusters": "composed inside dedup_canonicalize (same pairs->CC pipeline)",
     "text_stats": "narrow projection of the text-scan family (lang_id/text_quality)",
     "corpus_prep": "composition of pii_scan+repetition_stats+text_quality filters",
+    # r16: skew-hinted twin of dedup_canonicalize; the safe-path
+    # row-identity pytest (test_properties.py::
+    # test_canonicalize_skew_safe_path_is_row_identical) pins both
+    # paths identical every session, and the twin carries 4 green
+    # driver hashes (r7/r8/r13/r15). Its slot went to the registry's
+    # last never-hashed row (media_phash_incremental).
+    "dedup_canonicalize_skew": "skew-hinted row-identity twin of dedup_canonicalize",
 }
 
 # Pre-r10 cadence debt: rows whose absence already exceeded the bound
@@ -162,6 +171,32 @@ CADENCE_DEBT: dict[str, int] = {
     # doc_logprob, event_transitions, filter_threshold_sweep,
     # orders_rollup, traffic_anomalies, value_drift_psi — entered the
     # r15 window on their written deadline.)
+    # r16: the 20 r10-stale rows hit their 6-round bound in a round
+    # whose OUT pool is structurally 2 slots (the r15 window was
+    # almost entirely first-hash rows — only 9 twice-green, 8 of them
+    # pinned checks). Per the written r16 schedule
+    # (ROTATION_LEDGER.md §r16) the overflow takes a one-round debt:
+    # deadline r17, where the OUT pool is ~34 twice-green rows.
+    "bpe_merge_candidates": 17,
+    "doc_bigram_logprob": 17,
+    "doc_embedding_hash": 17,
+    "doc_semantic_pairs": 17,
+    "encoding_audit": 17,
+    "events_gapfill": 17,
+    "filter_audit": 17,
+    "k_anonymity_audit": 17,
+    "markup_strip": 17,
+    "orders_moving_revenue": 17,
+    "orders_status_pivot": 17,
+    "orders_status_unpivot": 17,
+    "tpch_q14": 17,
+    "tpch_q15": 17,
+    "tpch_q16": 17,
+    "tpch_q17": 17,
+    "tpch_q19": 17,
+    "tpch_q21": 17,
+    "tpch_q22": 17,
+    "vocab_oov_rate": 17,
 }
 
 # Re-hash cadence bound. The policy header's original "~3 rounds" is
@@ -225,3 +260,23 @@ def test_no_full_oracle_row_skips_driver_hashing_beyond_cadence():
         if absences > CADENCE_MAX_ABSENT:
             late.append(f"{name}: absent {absences} consecutive rounds")
     assert not late, "rotation cadence violated:\n" + "\n".join(sorted(late))
+
+
+def test_full_oracle_count_under_ceiling():
+    """r15 verdict item 7 / r16 capacity policy amendment: the 6-round
+    cadence mathematically supports at most 175 full-oracle rows
+    through a 50-slot twice-green window (50 + 5*25). The tripwire
+    fires at 170 — five rows of margin — freezing registration until
+    twin retirements bring the count back down. RETIRED_TWINS rows
+    don't consume cadence capacity (they never re-enter the window),
+    so they are excluded."""
+    from tests.test_oracle import RETIRED_TWINS
+
+    full_oracle = [
+        n for n, q in QUERIES.items()
+        if q.oracle is not None and n not in RETIRED_TWINS
+    ]
+    assert len(full_oracle) <= 170, (
+        f"{len(full_oracle)} full-oracle rows exceed the 170 registration "
+        "ceiling — retire twins (RETIRED_TWINS) before registering more"
+    )
