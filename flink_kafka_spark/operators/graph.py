@@ -20,6 +20,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pr_round(
+    e: DataFrame,
+    ranks: DataFrame,
+    zeros: DataFrame,
+    teleport: int,
+    damping_pct: int,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """One PageRank round: the rank-side join onto the persisted
+    (src, dst, w, wsum) edge frame, then the groupBy(dst) fold with the
+    zero-contribution rows unioned in (dangling nodes settle at the
+    teleport floor without any node-sized broadcast). Shared by the
+    iteration loop in :func:`pagerank` and the plan-audit surface
+    :func:`pagerank_loop_body` so the audited plan IS the executed
+    round, by construction."""
+    rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+    contrib = e.join(rank_side, e["src"] == ranks["node"]).select(
+        F.col("dst").alias("node"), F.expr("(r * w) div wsum").alias("c")
+    )
+    return (
+        contrib.unionByName(zeros)
+        .groupBy("node")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            "node",
+            (F.lit(teleport) + F.expr(f"({damping_pct} * s) div 100"))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+
+
+def pagerank_loop_body(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    damping_pct: int = 85,
+    unit: int = 1_000_000_000,
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """Plan-audit surface (r15 verdict item 2): the UN-CHECKPOINTED
+    frame of one iteration round, exactly as :func:`pagerank`'s loop
+    builds it (the shared :func:`_pr_round` body), applied to the
+    round-0 rank frame. ``explain()`` on the frame :func:`pagerank`
+    RETURNS sees only a localCheckpoint scan — the lineage cut that
+    keeps Catalyst analysis O(1) also blinds every plan audit to the
+    loop body, which is where PageRank's actual per-round cost (one
+    edges-sized join + one groupBy(dst) shuffle) lives. PLANS.md and
+    tests/test_plans.py explain THIS frame instead.
+
+    Builds no persist and runs no job: plan shape only. Differences vs
+    the executed loop, both plan-neutral: the real loop reads the edge
+    frame from cache (InMemoryTableScan instead of the raw scans —
+    join/exchange structure identical), and teleport/base divide by the
+    driver-scalar node count, pinned to 1 here so no count() job runs
+    (plan shape is independent of literal values)."""
+    node_frame = nodes.select(F.col(id_col).alias("node"))
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e = edges.join(F.broadcast(wsum), "src").select("src", "dst", "w", "wsum")
+    ranks = node_frame.withColumn("r", F.lit(unit).cast("long"))
+    zeros = node_frame.select("node", F.lit(0).cast("long").alias("c"))
+    teleport = (100 - damping_pct) * unit // 100
+    return _pr_round(e, ranks, zeros, teleport, damping_pct, broadcast_ranks)
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -146,21 +211,7 @@ def pagerank(
     # the driver even for a billion-node graph.
     zeros = node_frame.select("node", F.lit(0).cast("long").alias("c"))
     for i in range(iterations):
-        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = e.join(
-            rank_side, e["src"] == ranks["node"]
-        ).select(F.col("dst").alias("node"), F.expr("(r * w) div wsum").alias("c"))
-        ranks = (
-            contrib.unionByName(zeros)
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                (F.lit(teleport) + F.expr(f"({damping_pct} * s) div 100"))
-                .cast("long")
-                .alias("r"),
-            )
-        )
+        ranks = _pr_round(e, ranks, zeros, teleport, damping_pct, broadcast_ranks)
         if (i + 1) % CHK_EVERY == 0 or i + 1 == iterations:
             ranks, new_ids = _chk(ranks)
             ranks.count()  # materialize the new cut (a localCheckpoint

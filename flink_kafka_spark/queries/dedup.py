@@ -895,6 +895,48 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("source"), "rank_e9")
 
 
+def source_pagerank_loop_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-audit twin of :func:`source_pagerank` (NOT a registered
+    query — no result rows to oracle): the un-checkpointed frame of
+    one PageRank round over the same source-overlap edge set, for
+    PLANS.md and the test_plans loop-shape pins. See
+    operators/graph.py:pagerank_loop_body for why the returned frame
+    of the real query cannot be audited (localCheckpoint lineage
+    cut)."""
+    from ..operators.graph import pagerank_loop_body
+
+    docs = load(spark, sf_dir, "documents")
+    ov = source_overlap_matrix(docs)
+    e_fwd = ov.select(
+        F.col("source_a").alias("src"),
+        F.col("source_b").alias("dst"),
+        F.col("n_shared_shingles").alias("w"),
+    )
+    e_rev = ov.select(
+        F.col("source_b").alias("src"),
+        F.col("source_a").alias("dst"),
+        F.col("n_shared_shingles").alias("w"),
+    )
+    nodes = docs.select("source").distinct()
+    return pagerank_loop_body(
+        e_fwd.unionByName(e_rev), nodes, "source", PR_DAMPING_PCT, PR_UNIT
+    )
+
+
+def dedup_canonicalize_loop_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-audit twin of :func:`dedup_canonicalize`'s connected-
+    components core (NOT a registered query): one un-checkpointed
+    hash-to-min round (pointer jumping engaged — the worst-case round)
+    over the same n-gram-Jaccard pair edges. The canonicalize PLANS.md
+    row shows only the post-loop quality joins because the CC loop
+    returns a localCheckpoint; this row shows the loop body itself."""
+    from ..operators.dedup import cc_loop_body
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return cc_loop_body(pairs, src_col="id_a", dst_col="id_b", jump=True)
+
+
 def _pagerank_oracle(iterations: int, damping: int, unit: int) -> str:
     """Unrolled-CTE DuckDB replay of the integer PageRank rounds (a
     recursive CTE with aggregation in the recursive term is not

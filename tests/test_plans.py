@@ -535,3 +535,90 @@ def test_no_cartesian_or_unpinned_nested_loop_join(plan_sweep):
                 f"{BNLJ_BOUNDS.get(name, 0)} allowed"
             )
     assert not problems, "; ".join(problems)
+
+
+def test_iterative_loop_body_shapes(spark, sf_dir):
+    """r15 verdict item 2: the iterative operators (PageRank, the CC
+    hash-to-min loop) return localCheckpoint frames whose lineage is
+    CUT, so the registry sweep above audits only their residual plans
+    (0 shuffles) while the real per-round cost — one edges-sized join
+    plus one aggregate shuffle — lives in a loop body no registered
+    query's explain() can see. Pin ONE un-checkpointed round here via
+    the shared-body audit surfaces (operators/graph.py:_pr_round /
+    operators/dedup.py:_cc_round — the loop executes the SAME
+    function, so the audited plan is the executed round by
+    construction).
+
+    Auto-broadcast is disabled for the audit, which makes the pins
+    data-size-independent HINT detection: any BroadcastHashJoin left
+    in the plan comes from a forced hint. The scale contract being
+    pinned: the rank/label side of the per-round join is NEVER
+    hint-broadcast (a billion-node rank frame must shuffle, not
+    collect through the driver — the r15 broadcast_ranks default), and
+    the only hinted build in the PageRank round is the one-time wsum
+    frame. Join counts are doubled by the formatted plan's
+    tree+details sections (the BNLJ sweep's convention)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.dedup import cc_loop_body
+    from flink_kafka_spark.operators.graph import pagerank_loop_body
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + 1).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        pr = audit(pagerank_loop_body(edges, nodes))
+        pr_hinted = audit(pagerank_loop_body(edges, nodes, broadcast_ranks=True))
+        cc = audit(cc_loop_body(pairs, jump=True))
+        cc_plain = audit(cc_loop_body(pairs, jump=False))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    problems = []
+    # PageRank round: the wsum hint is the ONLY broadcast (2 = one
+    # join, doubled); the rank join stays a shuffle join (1 SMJ); the
+    # round's shuffles: agg exchange pair + the rank join's two sorts.
+    if pr["broadcasts"] != 2:
+        problems.append(
+            f"pagerank round: {pr['broadcasts']} != 2 broadcast nodes — "
+            "a hint reached the rank side (or the wsum hint was dropped)"
+        )
+    if pr["smj"] != 2 or pr["exchanges"] > 4:
+        problems.append(
+            f"pagerank round shape drifted: smj={pr['smj']} (want 2), "
+            f"exchanges={pr['exchanges']} (ceiling 4)"
+        )
+    # the canary that the mechanism detects a rank-side hint at all:
+    # the opt-in broadcast_ranks path MUST show the extra broadcast
+    if pr_hinted["broadcasts"] != 4:
+        problems.append(
+            "hint-detection canary broken: broadcast_ranks=True shows "
+            f"{pr_hinted['broadcasts']} != 4 broadcast nodes"
+        )
+    # CC round (pointer jumping engaged — worst case): label joins are
+    # NEVER hint-broadcast; 3 SMJ nodes = msgs join duplicated across
+    # the self-join's two branches (ReusedExchange collapses at
+    # runtime) + the jump join itself.
+    if cc["broadcasts"] != 0 or cc["smj"] != 6 or cc["exchanges"] > 9:
+        problems.append(
+            f"cc jumping round shape drifted: bc={cc['broadcasts']} "
+            f"(want 0), smj={cc['smj']} (want 6), "
+            f"exchanges={cc['exchanges']} (ceiling 9)"
+        )
+    # plain round: one msgs join + the min-groupBy
+    if cc_plain["broadcasts"] != 0 or cc_plain["smj"] != 2 or cc_plain["exchanges"] > 4:
+        problems.append(
+            f"cc plain round shape drifted: bc={cc_plain['broadcasts']} "
+            f"(want 0), smj={cc_plain['smj']} (want 2), "
+            f"exchanges={cc_plain['exchanges']} (ceiling 4)"
+        )
+    assert not problems, "; ".join(problems)
