@@ -1304,6 +1304,7 @@ def cc_loop_body(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     jump: bool = True,
+    cache_inputs: bool = False,
 ) -> DataFrame:
     """Plan-audit surface (r15 verdict item 2): one UN-CHECKPOINTED
     label-propagation round, exactly as :func:`_cc_labels`'s loop
@@ -1314,11 +1315,18 @@ def cc_loop_body(
     where the per-round cost (one edges-sized join + one min-groupBy
     shuffle, plus the jumping self-join) lives — PLANS.md and
     tests/test_plans.py explain THIS frame instead. ``jump=True``
-    audits the worst-case round (pointer jumping engaged). No persist,
-    no job: plan shape only (the executed loop reads ``sym`` from
-    cache — InMemoryTableScan instead of raw scans; join/exchange
-    structure identical)."""
+    audits the worst-case round (pointer jumping engaged).
+    ``cache_inputs=False`` (the pytest pins): no persist, no job, raw
+    upstream lineage. ``cache_inputs=True`` (the PLANS.md rows):
+    persists ``sym`` exactly as :func:`_cc_labels` does, so the
+    explained plan reads it as InMemoryRelation and shows ONLY the
+    per-round cost; the persist is registered with caching.track and
+    released at the next registered-query boundary."""
     sym = _sym_edges(edges, src_col, dst_col)
+    if cache_inputs:
+        from ..caching import track
+
+        sym = track(sym.persist())
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

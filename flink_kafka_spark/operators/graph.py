@@ -59,6 +59,7 @@ def pagerank_loop_body(
     damping_pct: int = 85,
     unit: int = 1_000_000_000,
     broadcast_ranks: bool = False,
+    cache_inputs: bool = False,
 ) -> DataFrame:
     """Plan-audit surface (r15 verdict item 2): the UN-CHECKPOINTED
     frame of one iteration round, exactly as :func:`pagerank`'s loop
@@ -70,15 +71,25 @@ def pagerank_loop_body(
     edges-sized join + one groupBy(dst) shuffle) lives. PLANS.md and
     tests/test_plans.py explain THIS frame instead.
 
-    Builds no persist and runs no job: plan shape only. Differences vs
-    the executed loop, both plan-neutral: the real loop reads the edge
-    frame from cache (InMemoryTableScan instead of the raw scans —
-    join/exchange structure identical), and teleport/base divide by the
+    With ``cache_inputs=False`` (the pytest pins) nothing persists and
+    no job runs: plan shape only, upstream lineage shown raw.
+    ``cache_inputs=True`` (the PLANS.md rows) persists the precomputed
+    edge and node frames exactly as :func:`pagerank` does, so the
+    explained plan reads them as InMemoryRelation and shows ONLY the
+    per-round cost — the number a capacity plan multiplies by the
+    iteration count. Either way teleport/base divide by the
     driver-scalar node count, pinned to 1 here so no count() job runs
-    (plan shape is independent of literal values)."""
+    (plan shape is independent of literal values); persists are
+    registered with caching.track and released at the next registered-
+    query boundary."""
     node_frame = nodes.select(F.col(id_col).alias("node"))
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     e = edges.join(F.broadcast(wsum), "src").select("src", "dst", "w", "wsum")
+    if cache_inputs:
+        from ..caching import track
+
+        node_frame = track(node_frame.persist())
+        e = track(e.persist())
     ranks = node_frame.withColumn("r", F.lit(unit).cast("long"))
     zeros = node_frame.select("node", F.lit(0).cast("long").alias("c"))
     teleport = (100 - damping_pct) * unit // 100

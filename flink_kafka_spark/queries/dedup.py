@@ -919,7 +919,8 @@ def source_pagerank_loop_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = docs.select("source").distinct()
     return pagerank_loop_body(
-        e_fwd.unionByName(e_rev), nodes, "source", PR_DAMPING_PCT, PR_UNIT
+        e_fwd.unionByName(e_rev), nodes, "source", PR_DAMPING_PCT, PR_UNIT,
+        cache_inputs=True,
     )
 
 
@@ -934,7 +935,9 @@ def dedup_canonicalize_loop_body(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
-    return cc_loop_body(pairs, src_col="id_a", dst_col="id_b", jump=True)
+    return cc_loop_body(
+        pairs, src_col="id_a", dst_col="id_b", jump=True, cache_inputs=True
+    )
 
 
 def _pagerank_oracle(iterations: int, damping: int, unit: int) -> str:
