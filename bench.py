@@ -232,6 +232,10 @@ BENCH_QUERIES = [
     # guardrail skips.
     "media_phash_dedup",
     "media_phash_incremental",
+    # round-16: winnowing fingerprints (MOSS selection) — zero-shuffle
+    # per-row array pipeline over one pushed scan. No baseline entry
+    # yet — guardrail skips.
+    "doc_winnow_fingerprint",
 ]
 
 

@@ -396,6 +396,96 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+#: Winnowing defaults: 4-token k-grams, 8-hash windows — guarantee
+#: threshold t = w + k - 1 = 11 shared tokens, expected density
+#: 2/(w+1) ≈ 0.22 fingerprints per token (Schleimer et al. §4).
+WINNOW_K = 4
+WINNOW_W = 8
+#: Position packing radix: positions are exact for docs up to 2^20
+#: tokens; longer docs must be pre-chunked (doc_chunk) — a 100 TB
+#: pipeline chunks long documents far below a million tokens anyway.
+_WINNOW_P = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS selection rule): hash every k-token shingle, slide
+    a w-hash window, keep the MINIMUM hash per window breaking ties to
+    the RIGHTMOST position, and emit each document's distinct selected
+    ``(fp_pos, fp_hash)`` pairs.
+
+    Why it earns a place next to :func:`fingerprint` (whole-doc hash)
+    and the shingle/MinHash family: winnowing is the CONTENT-DEFINED
+    sub-sampling used when shipping every shingle is too heavy — the
+    paper's guarantee says any verbatim token run of length
+    >= w + k - 1 shared by two documents contributes at least one
+    IDENTICAL selected fingerprint to both, so an equality join on
+    ``fp_hash`` catches every sufficiently long overlap while moving
+    only ~2/(w+1) hashes per token.
+
+    Scale shape: ZERO shuffle — tokenize, shingle, hash, window-min
+    and per-doc dedup all run inside per-row array expressions (pure
+    whole-stage codegen over one pushed 2-column scan); the final
+    explode is narrow. Cross-engine determinism: the shingle hash is
+    the first 10 hex chars of md5 (40 bits — 40+20 packed bits stay
+    inside a signed 64-bit long; the repo's DuckDB-replayable idiom) packed with the position into one BIGINT —
+    ``hash * 2^20 + (2^20 - 1 - pos)`` — so "min hash, rightmost
+    position" is a single integer ``array_min``; see ``_WINNOW_P`` for
+    the position bound. Documents with fewer than k tokens emit no
+    rows; with 1..w shingles they emit exactly one fingerprint (the
+    single all-covering window).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: k={k} and w={w} must be >= 1")
+    d = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("ws")
+    )
+    # k-gram shingles; the CASE guards the descending-sequence trap
+    # (sequence(1, 0) is [1, 0]) exactly like _shingle_expr in dedup
+    d = d.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN ws IS NULL OR size(ws) < {k} THEN array() "
+            f"ELSE transform(sequence(1, size(ws) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(ws, i, {k}))) END"
+        ).alias("sh"),
+    )
+    # packed (hash, rightmost-wins position) per shingle; transform's
+    # index is 0-based
+    d = d.select(
+        id_col,
+        F.expr(
+            f"transform(sh, (s, i) -> "
+            f"cast(conv(substr(md5(s), 1, 10), 16, 10) AS bigint) * {_WINNOW_P} "
+            f"+ ({_WINNOW_P - 1} - i))"
+        ).alias("hs"),
+    )
+    # per-window minima over full windows (one all-covering window when
+    # 0 < |hs| <= w), deduplicated per doc before the explode
+    d = d.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(hs) = 0 THEN array() "
+            f"ELSE array_distinct(transform("
+            f"sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+            f"s -> array_min(slice(hs, s, {w})))) END"
+        ).alias("fps"),
+    )
+    fp = F.explode("fps").alias("fp")
+    return d.select(id_col, fp).select(
+        id_col,
+        F.expr(f"{_WINNOW_P - 1} - (fp % {_WINNOW_P})").cast("long").alias("fp_pos"),
+        F.expr(f"fp div {_WINNOW_P}").cast("long").alias("fp_hash"),
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2347,3 +2347,62 @@ QUERIES.append(
         "ext: KMV pair-intersection set algebra over source shingle vocabularies",
     )
 )
+
+
+# --- winnowing fingerprints (r16) -----------------------------------
+# The MOSS selection rule (Schleimer/Wilkerson/Aiken, SIGMOD 2003) over
+# 4-token shingles and 8-hash windows; the oracle below hardcodes those
+# widths, so pin them against the operator's defaults.
+from ..operators.text import WINNOW_K, WINNOW_W, winnow_fingerprints  # noqa: E402
+
+assert (WINNOW_K, WINNOW_W) == (4, 8), "oracle SQL hardcodes k=4, w=8"
+
+
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct winnowing-selected (position, 40-bit hash) fingerprints
+    per document — the content-defined shingle sub-sample whose
+    equality join catches every verbatim token overlap of length
+    >= w + k - 1 = 11 while shipping ~2/(w+1) of the shingle hashes.
+    Zero-shuffle per-row array pipeline; see
+    operators/text.py:winnow_fingerprints."""
+    return winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+WINNOW_FINGERPRINT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
+  FROM toks
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(sh) + 1),
+                        i -> ('0x' || substr(md5(sh[i]), 1, 10))::BIGINT * 1048576
+                             + (1048575 - (i - 1))) AS hs
+  FROM sh
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - 7, 1) + 1),
+           s -> list_aggregate(hs[s:s+7], 'min'))) AS fps
+  FROM hs WHERE len(hs) > 0
+)
+SELECT doc_id,
+       1048575 - (fp % 1048576) AS fp_pos,
+       fp // 1048576 AS fp_hash
+FROM (SELECT doc_id, unnest(fps) AS fp FROM fps)
+"""
+
+QUERIES.append(
+    Query(
+        "doc_winnow_fingerprint",
+        doc_winnow_fingerprint,
+        WINNOW_FINGERPRINT_ORACLE,
+        "ext: winnowing fingerprints (MOSS selection rule, SIGMOD 2003)",
+    )
+)

@@ -74,7 +74,7 @@ def test_driver_window_covers_every_family():
                  "filter_threshold_sweep", "word_pmi", "heavy_hitters_check",
                  "doc_logprob", "doc_bigram_logprob", "clf_quality_score",
                  "vocab_oov_rate", "source_scorecard",
-                 "kmv_pair_intersections"],
+                 "kmv_pair_intersections", "doc_winnow_fingerprint"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
@@ -133,6 +133,13 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # canonicalize_skew twin retirement produced its slot) — the
     # never-hashed queue is empty as of r16.
     "media_phash_incremental": 15,
+    # r16: the round's ONE new full-oracle registration (capacity
+    # policy: max 3/round). The r16 window had exactly two slots, both
+    # consumed by the written schedule (multi_query_search anchor swap
+    # + media_phash_incremental's deferral deadline), so winnowing
+    # defers to the r17 wave, whose OUT pool (~34 twice-green rows vs
+    # 29 scheduled INs) has room.
+    "doc_winnow_fingerprint": 16,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -371,6 +371,9 @@ PLAN_BOUNDS = {
     # feature-hashing embedder: (id, bucket) count BEFORE the dim
     # fan-out + (id, dim) rollup — integer triples only, no join
     "doc_embedding_hash": (2, 0),
+    # winnowing fingerprints: tokenize/shingle/hash/window-min all in
+    # per-row array expressions over one pushed scan — ZERO shuffle
+    "doc_winnow_fingerprint": (0, 0),
     # composed semantic pairs: the embedder's two shuffles (duplicated
     # pre-AQE across the pair join's sides, ReuseExchange collapses) +
     # vec assembly + block equi-join; block/pair joins broadcast at

@@ -1099,3 +1099,82 @@ def test_kll_quantile_rollup_query_registered_surface(spark, sf_dir):
     for r in rows.values():
         assert r["n_subs"] >= 1
         assert r["q_50"] <= r["q_95"] <= r["q_99"]
+
+
+# --- winnowing fingerprints (r16) -----------------------------------
+
+def _py_winnow(text: str, k: int = 4, w: int = 8) -> set:
+    """Pure-Python reference of the MOSS selection rule, mirroring
+    winnow_fingerprints' packing exactly (40-bit md5-prefix hash,
+    rightmost-min tie-break via the position complement)."""
+    import hashlib
+
+    P = 1 << 20
+    toks = text.lower().split()
+    sh = (
+        [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else []
+    )
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:10], 16) * P + (P - 1 - i)
+        for i, s in enumerate(sh)
+    ]
+    if not hs:
+        return set()
+    fps = {min(hs[s : s + w]) for s in range(max(len(hs) - w + 1, 1))}
+    return {(P - 1 - (fp % P), fp // P) for fp in fps}
+
+
+def test_winnow_matches_python_reference(spark):
+    """Spark output == the reference on crafted docs covering the
+    degenerate sizes: < k tokens (no shingles -> no rows), exactly k
+    (one shingle -> one fingerprint), k..w+k-1 (one all-covering
+    window), and a long doc with repeated runs (distinct-fp dedup)."""
+    from flink_kafka_spark.operators.text import winnow_fingerprints
+
+    docs = [
+        (1, "too few"),
+        (2, "exactly four tokens here"),
+        (3, "one two three four five six seven eight nine ten eleven"),
+        (4, " ".join(f"tok{i % 13}" for i in range(60))),
+        (5, " ".join(["loop"] * 30)),  # all-identical shingles
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == _py_winnow(text), f"doc {doc_id}"
+
+
+def test_winnow_guarantee_and_coverage():
+    """The paper's two invariants, fuzzed on the pure-Python reference
+    (which test_winnow_matches_python_reference pins to the Spark
+    implementation): (1) GUARANTEE — two documents sharing a verbatim
+    run of >= w + k - 1 tokens share at least one selected fp_hash;
+    (2) COVERAGE — every w-window of shingle positions contains at
+    least one selected fingerprint position (the selection never goes
+    w positions without a sample)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    k, w = 4, 8
+    token = st.integers(0, 30).map(lambda i: f"t{i}")
+    run = st.lists(token, min_size=k + w - 1, max_size=k + w + 4)
+    ctx = st.lists(token, min_size=0, max_size=20)
+
+    @settings(max_examples=120, deadline=None)
+    @given(run=run, a_pre=ctx, a_post=ctx, b_pre=ctx, b_post=ctx)
+    def check(run, a_pre, a_post, b_pre, b_post):
+        doc_a = " ".join(a_pre + run + a_post)
+        doc_b = " ".join(b_pre + run + b_post)
+        fa, fb = _py_winnow(doc_a, k, w), _py_winnow(doc_b, k, w)
+        assert {h for _, h in fa} & {h for _, h in fb}, "guarantee violated"
+        # coverage on doc_a
+        n_sh = len(doc_a.split()) - k + 1
+        pos = sorted(p for p, _ in fa)
+        for s in range(max(n_sh - w + 1, 1)):
+            assert any(s <= p < s + w for p in pos), f"window {s} uncovered"
+
+    check()

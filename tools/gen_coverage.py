@@ -90,6 +90,9 @@ EXTENSIONS = [
                    " / MMR diversity re-rank"),
     ("multimodal", "binary payload columns, mapInPandas decode/features/frames / perceptual-hash near-dup (integer-exact 64-bit signature, full cross-engine value oracle, pigeonhole chunk-bucket pair search shared with SimHash) / incremental media dedup vs a stored signature index (full-oracle verdict frame) + continuous streaming twin (foreachBatch, scoped persists)"),
     ("text", "lang-id / quality / token counts / fingerprints"
+             " / winnowing fingerprints (MOSS rightmost-min selection,"
+             " zero-shuffle array pipeline, w+k-1 overlap guarantee"
+             " pytest-pinned)"
              " / unigram + interpolated-bigram LM perplexity proxies"
              " / hashed-linear classifier gate / vocab OOV audit"
              " / per-source scorecard + KL"
