@@ -395,6 +395,56 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 2)
             state[name] = {"driver_manifest_rows": peak.get("manifest_rows", 0)}
 
+        # --- streaming media near-dup filter (r15 verdict item 8) ---
+        # the media twin of incremental dedup: ~n/50 payloads (~180 B
+        # each) replayed in 4 micro-batches against a 1000-payload
+        # reference whose signature index is hashed ONCE before the
+        # stream starts (the stored-index pattern); half of each batch
+        # byte-collides with a reference payload (is_novel=0), half is
+        # fresh. Metric: wall time + the per-batch verdict-frame peak
+        # through the same manifest sink the monitors use.
+        from flink_kafka_spark.streaming.jobs import media_phash_stream
+
+        def _payload(key):
+            # deterministic ~180-byte payload, distinct per key value,
+            # >= PHASH_MIN_BYTES so every row is hashable
+            return F.concat_ws(
+                "-",
+                F.lit("payload"),
+                key.cast("string"),
+                F.repeat(F.concat(F.lit("x"), F.md5(key.cast("string"))), 5),
+            )
+
+        media_n = max(n // 50, 2_000)
+        media_src = os.path.join(tmp, "media")
+        mkey = F.pmod(F.xxhash64("id"), F.lit(2000))
+        spark.range(media_n).select(
+            F.to_json(
+                F.struct(F.col("id").alias("doc_id"), _payload(mkey).alias("text"))
+            ).alias("value")
+        ).repartition(4).write.mode("overwrite").text(media_src)
+        ref = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.encode(_payload(F.col("id")), "UTF-8").alias("payload"),
+        )
+        media_stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(media_src)
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        )
+        peak = {}
+        t0 = time.perf_counter()
+        run_monitor(
+            media_phash_stream(media_stream, ref, manifest_sink(peak)),
+            os.path.join(tmp, "ck_media_phash"),
+            peak,
+        )
+        timings["media_phash_stream"] = round(time.perf_counter() - t0, 2)
+        state["media_phash_stream"] = {
+            "peak_batch_verdicts": peak.get("manifest_rows", 0)
+        }
+
     print(json.dumps({"stream_bench": timings, "state": state, "n": n}))
 
 
