@@ -233,9 +233,12 @@ BENCH_QUERIES = [
     "media_phash_dedup",
     "media_phash_incremental",
     # round-16: winnowing fingerprints (MOSS selection) — zero-shuffle
-    # per-row array pipeline over one pushed scan. No baseline entry
-    # yet — guardrail skips.
+    # per-row array pipeline over one pushed scan — and the overlap
+    # detector built on the winnowed sub-sample (containment_pairs'
+    # bucket-join shape over ~2/(w+1) of the items). No baseline
+    # entries yet — guardrail skips.
     "doc_winnow_fingerprint",
+    "winnow_overlap_pairs",
 ]
 
 

@@ -74,7 +74,8 @@ def test_driver_window_covers_every_family():
                  "filter_threshold_sweep", "word_pmi", "heavy_hitters_check",
                  "doc_logprob", "doc_bigram_logprob", "clf_quality_score",
                  "vocab_oov_rate", "source_scorecard",
-                 "kmv_pair_intersections", "doc_winnow_fingerprint"],
+                 "kmv_pair_intersections", "doc_winnow_fingerprint",
+                 "winnow_overlap_pairs"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
@@ -140,6 +141,9 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # defers to the r17 wave, whose OUT pool (~34 twice-green rows vs
     # 29 scheduled INs) has room.
     "doc_winnow_fingerprint": 16,
+    # r16 registration #2 (pacing limit 3): the detector built on the
+    # winnowed sub-sample; same r17-wave entry as its producer row.
+    "winnow_overlap_pairs": 16,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -374,6 +374,11 @@ PLAN_BOUNDS = {
     # winnowing fingerprints: tokenize/shingle/hash/window-min all in
     # per-row array expressions over one pushed scan — ZERO shuffle
     "doc_winnow_fingerprint": (0, 0),
+    # overlap pairs on the winnowed sub-sample: fp distinct + per-doc
+    # sizes + hash-bucket groupBy + pair groupBy (the containment_pairs
+    # shape over ~2/(w+1) of the items); size joins must broadcast —
+    # an SMJ here means a corpus-sized build side crept in
+    "winnow_overlap_pairs": (5, 0),
     # composed semantic pairs: the embedder's two shuffles (duplicated
     # pre-AQE across the pair join's sides, ReuseExchange collapses) +
     # vec assembly + block equi-join; block/pair joins broadcast at

@@ -1178,3 +1178,31 @@ def test_winnow_guarantee_and_coverage():
             assert any(s <= p < s + w for p in pos), f"window {s} uncovered"
 
     check()
+
+
+def test_winnow_overlap_pairs_detects_planted_run(spark):
+    """End-to-end detector check: two docs sharing a verbatim
+    w + k - 1 + w = 19-token run (long enough that the shared run
+    selects >= MIN_SHARED fingerprints) surface as a pair; fully
+    disjoint-vocabulary docs never pair; the boilerplate stop filter
+    drops a hash shared by MORE than stop_df docs."""
+    from flink_kafka_spark.operators.text import winnow_overlap_pairs
+
+    run = " ".join(f"shared{i}" for i in range(19))
+    docs = [
+        (1, "alpha beta gamma " + run + " delta epsilon"),
+        (2, "one two three four five " + run + " six seven"),
+        (3, " ".join(f"only3tok{i}" for i in range(40))),
+        (4, " ".join(f"only4tok{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r for r in winnow_overlap_pairs(df).collect()}
+    assert (1, 2) in pairs, "planted 19-token run not detected"
+    assert pairs[(1, 2)].n_shared >= 2
+    assert all(p == (1, 2) for p in pairs), f"false pairs: {set(pairs) - {(1, 2)}}"
+
+    # boilerplate guard: the same doc body in stop_df+1 docs pairs
+    # nothing when every shared hash exceeds the stop frequency
+    boiler = [(i, "copy " + " ".join(f"b{j}" for j in range(30))) for i in range(7)]
+    bdf = spark.createDataFrame(boiler, "doc_id long, text string")
+    assert winnow_overlap_pairs(bdf, stop_df=5).count() == 0

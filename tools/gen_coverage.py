@@ -92,7 +92,9 @@ EXTENSIONS = [
     ("text", "lang-id / quality / token counts / fingerprints"
              " / winnowing fingerprints (MOSS rightmost-min selection,"
              " zero-shuffle array pipeline, w+k-1 overlap guarantee"
-             " pytest-pinned)"
+             " pytest-pinned) + shared-fingerprint overlap pairs"
+             " (containment_pairs' bucket-join shape over the ~2/(w+1)"
+             " winnowed sub-sample)"
              " / unigram + interpolated-bigram LM perplexity proxies"
              " / hashed-linear classifier gate / vocab OOV audit"
              " / per-source scorecard + KL"
