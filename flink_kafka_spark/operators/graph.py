@@ -59,6 +59,7 @@ def pagerank_loop_body(
     damping_pct: int = 85,
     unit: int = 1_000_000_000,
     broadcast_ranks: bool = False,
+    broadcast_wsum: bool = False,
     cache_inputs: bool = False,
 ) -> DataFrame:
     """Plan-audit surface (r15 verdict item 2): the UN-CHECKPOINTED
@@ -84,7 +85,8 @@ def pagerank_loop_body(
     query boundary."""
     node_frame = nodes.select(F.col(id_col).alias("node"))
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    e = edges.join(F.broadcast(wsum), "src").select("src", "dst", "w", "wsum")
+    wsum_side = F.broadcast(wsum) if broadcast_wsum else wsum
+    e = edges.join(wsum_side, "src").select("src", "dst", "w", "wsum")
     if cache_inputs:
         from ..caching import track
 
@@ -104,6 +106,7 @@ def pagerank(
     damping_pct: int = 85,
     unit: int = 1_000_000_000,
     broadcast_ranks: bool = False,
+    broadcast_wsum: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over ``edges (src, dst, w BIGINT)`` and
     ``nodes (id_col)``: ``iterations`` fixed rounds of
@@ -196,9 +199,20 @@ def pagerank(
     base = unit // n
     teleport = (100 - damping_pct) * base // 100
 
+    # ONE-TIME setup join of the per-src weight sums onto the edges.
+    # No broadcast hint by default (r16, the broadcast_ranks/e266ddc
+    # discipline): wsum is NODE-COUNT-sized, so a forced broadcast is
+    # a driver collect that dies on the 8 GB ceiling for a
+    # billion-node graph, while AQE broadcasts it at runtime whenever
+    # it is genuinely small (the bounded source-level query here) and
+    # degrades to a co-partitioned shuffle otherwise — and both edge
+    # frames are persisted, so either plan executes exactly once.
+    # ``broadcast_wsum=True`` exists for callers who measured a static
+    # plan where the SMJ sort on the edge side dominates setup.
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    wsum_side = F.broadcast(wsum) if broadcast_wsum else wsum
     e = track(
-        edges.join(F.broadcast(wsum), "src")
+        edges.join(wsum_side, "src")
         .select("src", "dst", "w", "wsum")
         .persist()
     )

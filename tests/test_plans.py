@@ -585,32 +585,40 @@ def test_iterative_loop_body_shapes(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try:
         pr = audit(pagerank_loop_body(edges, nodes))
-        pr_hinted = audit(pagerank_loop_body(edges, nodes, broadcast_ranks=True))
+        pr_hinted = audit(
+            pagerank_loop_body(
+                edges, nodes, broadcast_ranks=True, broadcast_wsum=True
+            )
+        )
         cc = audit(cc_loop_body(pairs, jump=True))
         cc_plain = audit(cc_loop_body(pairs, jump=False))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     problems = []
-    # PageRank round: the wsum hint is the ONLY broadcast (2 = one
-    # join, doubled); the rank join stays a shuffle join (1 SMJ); the
-    # round's shuffles: agg exchange pair + the rank join's two sorts.
-    if pr["broadcasts"] != 2:
+    # PageRank round, default hints OFF everywhere (r16: the wsum hint
+    # became opt-in too — a node-count-sized forced broadcast dies on
+    # the driver ceiling for a billion-node graph): NO broadcast node
+    # may appear; both the setup wsum join and the per-round rank join
+    # are shuffle joins the planner/AQE may upgrade at runtime.
+    if pr["broadcasts"] != 0:
         problems.append(
-            f"pagerank round: {pr['broadcasts']} != 2 broadcast nodes — "
-            "a hint reached the rank side (or the wsum hint was dropped)"
+            f"pagerank round: {pr['broadcasts']} != 0 broadcast nodes — "
+            "a forced hint reached the rank or wsum side"
         )
-    if pr["smj"] != 2 or pr["exchanges"] > 4:
+    if pr["smj"] != 4 or pr["exchanges"] > 4:
         problems.append(
-            f"pagerank round shape drifted: smj={pr['smj']} (want 2), "
+            f"pagerank round shape drifted: smj={pr['smj']} (want 4), "
             f"exchanges={pr['exchanges']} (ceiling 4)"
         )
-    # the canary that the mechanism detects a rank-side hint at all:
-    # the opt-in broadcast_ranks path MUST show the extra broadcast
-    if pr_hinted["broadcasts"] != 4:
+    # the canary that the mechanism detects forced hints at all: with
+    # BOTH opt-ins armed, both joins must show as broadcasts (4 = two
+    # joins, tree+detail doubled) and no SMJ remains
+    if pr_hinted["broadcasts"] != 4 or pr_hinted["smj"] != 0:
         problems.append(
-            "hint-detection canary broken: broadcast_ranks=True shows "
-            f"{pr_hinted['broadcasts']} != 4 broadcast nodes"
+            "hint-detection canary broken: broadcast_ranks+broadcast_wsum "
+            f"shows bc={pr_hinted['broadcasts']} (want 4), "
+            f"smj={pr_hinted['smj']} (want 0)"
         )
     # CC round (pointer jumping engaged — worst case): label joins are
     # NEVER hint-broadcast; 3 SMJ nodes = msgs join duplicated across
