@@ -441,6 +441,21 @@ def winnow_fingerprints(
     the position bound. Documents with fewer than k tokens emit no
     rows; with 1..w shingles they emit exactly one fingerprint (the
     single all-covering window).
+
+    LAMBDA-BINDING RULE (the r16 scaling-curve find): a column
+    referenced inside a higher-order-function lambda BODY is re-
+    evaluated on every lambda call once projection collapse inlines
+    its defining expression — ``transform(sequence(1, size(hs) - 7),
+    s -> array_min(slice(hs, s, 8)))`` recomputed the ENTIRE md5 hash
+    array per window start, turning the per-doc cost quadratic in
+    document length (223 s at sf0.1; invisible at pytest fixture
+    scale, caught by tools/stress.py --curve). Every stage below
+    therefore binds its input array as a lambda ARGUMENT via the
+    single-element-array idiom ``flatten(transform(array(x), t ->
+    ...))`` — a variable lookup per call instead of an expression
+    re-evaluation — 144x faster (1.55 s at sf0.1) for identical
+    output. Only a HOF's direct input is evaluated once per row;
+    anything else a lambda closes over must be bound this way.
     """
     if k < 1 or w < 1:
         raise ValueError(f"winnow_fingerprints: k={k} and w={w} must be >= 1")
@@ -448,17 +463,19 @@ def winnow_fingerprints(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("ws")
     )
     # k-gram shingles; the CASE guards the descending-sequence trap
-    # (sequence(1, 0) is [1, 0]) exactly like _shingle_expr in dedup
+    # (sequence(1, 0) is [1, 0]) exactly like _shingle_expr in dedup,
+    # and `t` binds the token array once per row (lambda-binding rule)
     d = d.select(
         id_col,
         F.expr(
-            f"CASE WHEN ws IS NULL OR size(ws) < {k} THEN array() "
-            f"ELSE transform(sequence(1, size(ws) - {k - 1}), "
-            f"i -> concat_ws(' ', slice(ws, i, {k}))) END"
+            f"flatten(transform(array(ws), t -> "
+            f"CASE WHEN t IS NULL OR size(t) < {k} THEN array() "
+            f"ELSE transform(sequence(1, size(t) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {k}))) END))"
         ).alias("sh"),
     )
     # packed (hash, rightmost-wins position) per shingle; transform's
-    # index is 0-based
+    # index is 0-based and `sh` is the HOF's direct input (one eval)
     d = d.select(
         id_col,
         F.expr(
@@ -468,14 +485,16 @@ def winnow_fingerprints(
         ).alias("hs"),
     )
     # per-window minima over full windows (one all-covering window when
-    # 0 < |hs| <= w), deduplicated per doc before the explode
+    # 0 < |hs| <= w), deduplicated per doc before the explode; `h`
+    # binds the hash array once per row (lambda-binding rule)
     d = d.select(
         id_col,
         F.expr(
-            f"CASE WHEN size(hs) = 0 THEN array() "
+            f"flatten(transform(array(hs), h -> "
+            f"CASE WHEN size(h) = 0 THEN array() "
             f"ELSE array_distinct(transform("
-            f"sequence(1, greatest(size(hs) - {w - 1}, 1)), "
-            f"s -> array_min(slice(hs, s, {w})))) END"
+            f"sequence(1, greatest(size(h) - {w - 1}, 1)), "
+            f"s -> array_min(slice(h, s, {w})))) END))"
         ).alias("fps"),
     )
     fp = F.explode("fps").alias("fp")

@@ -1169,6 +1169,12 @@ CURVE_QUERIES = (
     # must scale with the corpus scan, never with candidate pairs
     "media_phash_dedup",
     "media_phash_incremental",
+    # r16 registrations: winnowing is a zero-shuffle per-row array
+    # pipeline (wall must track the scan, alpha ~1) and the overlap
+    # detector's bucket fan-out is stop_df-bounded, so pair cost must
+    # not go quadratic as replicas multiply within-bucket doc counts
+    "doc_winnow_fingerprint",
+    "winnow_overlap_pairs",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
