@@ -1206,3 +1206,23 @@ def test_winnow_overlap_pairs_detects_planted_run(spark):
     boiler = [(i, "copy " + " ".join(f"b{j}" for j in range(30))) for i in range(7)]
     bdf = spark.createDataFrame(boiler, "doc_id long, text string")
     assert winnow_overlap_pairs(bdf, stop_df=5).count() == 0
+
+
+def test_winnow_plan_does_not_duplicate_the_hash_pipeline(spark, sf_dir):
+    """Regression pin for the r16 lambda-binding quadratic: when a
+    stage's input array is referenced inside a HOF lambda body (rather
+    than bound as the lambda's argument), projection collapse inlines
+    the defining expression into every reference and the runtime
+    re-evaluates it per lambda call — the optimized plan's tell is the
+    md5/split expression text appearing many times (4x/13x in the
+    broken shape vs 2x/5x bound). Pin the occurrence counts so a
+    refactor that un-binds a stage fails here instead of costing 144x
+    at scale (caught originally by tools/stress.py --curve, 223 s at
+    sf0.1)."""
+    from flink_kafka_spark.operators.text import winnow_fingerprints
+    from flink_kafka_spark.tables import load
+
+    df = winnow_fingerprints(load(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") <= 2, f"md5 duplicated {plan.count('md5')}x — lambda binding lost"
+    assert plan.count("split(") <= 5, f"split duplicated {plan.count('split(')}x — lambda binding lost"
