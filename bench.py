@@ -239,6 +239,9 @@ BENCH_QUERIES = [
     # entries yet — guardrail skips.
     "doc_winnow_fingerprint",
     "winnow_overlap_pairs",
+    # round-16: two-level epoch shuffle — one block exchange vs the
+    # global permutation's range machinery. No baseline entry yet.
+    "block_shuffle",
 ]
 
 

@@ -312,6 +312,56 @@ def shuffle_corpus(
     )
 
 
+def block_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42, n_blocks: int = 64
+) -> DataFrame:
+    """Two-level reproducible epoch shuffle: hash-assign each row to
+    one of ``n_blocks`` blocks, then order within the block by
+    ``md5(seed|id)`` — the 100 TB-friendly alternative to the global
+    permutation. :func:`shuffle_corpus` ranks the whole corpus (a
+    boundary-sampling pass plus a range repartition — 3 exchanges);
+    block shuffling is the standard data-loader compromise (shard
+    assignment + intra-shard order): ONE hash-partition exchange and
+    a per-partition sort, no global coordination of any kind, at the
+    cost that the reader controls block interleaving rather than
+    getting one total order (sufficient for LM training-order
+    randomization, where epoch readers stream shards anyway).
+
+    Determinism contract identical to :func:`shuffle_corpus`: block
+    assignment and in-block order derive from INDEPENDENT md5 hashes
+    of (seed, id) — prefix ``b|`` for the block hash so the two are
+    uncorrelated — with the fixed-width ``(md5, lpad(id))`` composite
+    breaking ties, so re-runs on any partitioning, any cluster size,
+    produce the identical (block_id, block_pos) for every row, and a
+    new seed is a fresh shuffle. Same NON-NULL ``id_col``
+    precondition as shuffle_corpus (concat_ws skips NULL segments;
+    the oracle's ``||`` nulls out instead).
+    """
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    from pyspark.sql.window import Window
+
+    sid = F.col(id_col).cast("string")
+    block = F.pmod(
+        F.expr(
+            f"cast(conv(substr(md5(concat_ws('|', 'b', '{seed}', "
+            f"cast({id_col} as string))), 1, 8), 16, 10) as bigint)"
+        ),
+        F.lit(n_blocks),
+    ).cast("long")
+    key = F.concat_ws(
+        "|",
+        F.md5(F.concat_ws("|", F.lit(str(seed)), sid)),
+        F.lpad(sid, 20, "0"),
+    )
+    w = Window.partitionBy("block_id").orderBy("_k")
+    return (
+        df.select(F.col(id_col), block.alias("block_id"), key.alias("_k"))
+        .withColumn("block_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_k")
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One-pass column profile (row count, nulls, distincts, min/max)
     in long form — the data-quality "describe" step before a corpus is

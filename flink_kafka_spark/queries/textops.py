@@ -2480,3 +2480,42 @@ QUERIES.append(
         "ext: overlap candidate pairs by shared winnowing fingerprints",
     )
 )
+
+
+BLOCK_SHUFFLE_BLOCKS = 64
+
+
+def block_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level reproducible epoch shuffle (extension): hash block
+    assignment + in-block md5 order — ONE exchange where the global
+    permutation (corpus_shuffle) needs a boundary-sampling pass plus a
+    range repartition; the trade a 100 TB data loader makes."""
+    from ..operators.sampling import block_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return block_shuffle(docs, "doc_id", seed=SHUFFLE_SEED, n_blocks=BLOCK_SHUFFLE_BLOCKS)
+
+
+BLOCK_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('b|{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {BLOCK_SHUFFLE_BLOCKS} AS block_id,
+         md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)) || '|'
+           || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS k
+  FROM documents
+)
+SELECT doc_id, block_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY block_id ORDER BY k) - 1 AS BIGINT)
+         AS block_pos
+FROM keyed
+"""
+
+QUERIES.append(
+    Query(
+        "block_shuffle",
+        block_shuffle_q,
+        BLOCK_SHUFFLE_ORACLE,
+        "ext: two-level reproducible epoch shuffle (block assignment + in-block order)",
+    )
+)

@@ -81,7 +81,7 @@ def test_driver_window_covers_every_family():
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
                      "mixture_resample", "dataset_split", "stratified_cap",
                      "weighted_sample", "snapshot_diff",
-                     "corpus_shuffle"],
+                     "corpus_shuffle", "block_shuffle"],
         "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check",
                        "media_phash", "media_phash_dedup", "media_phash_incremental"],
     }
@@ -144,6 +144,9 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # r16 registration #2 (pacing limit 3): the detector built on the
     # winnowed sub-sample; same r17-wave entry as its producer row.
     "winnow_overlap_pairs": 16,
+    # r16 registration #3 — the pacing limit is now exactly reached;
+    # no further full-oracle registration may land this round.
+    "block_shuffle": 16,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -324,6 +324,9 @@ PLAN_BOUNDS = {
     "mmr_rerank_check": (7, 2),
     # A-Res weighted sample: narrow key projection + one stratum window
     "weighted_sample": (1, 0),
+    # two-level epoch shuffle: ONE block hash-partition exchange + a
+    # per-partition sort — the whole point vs corpus_shuffle's 3
+    "block_shuffle": (1, 0),
     # fingerprint full-outer on id: SMJ is the intended plan — both
     # snapshot sides are corpus-sized, nothing is broadcastable
     "snapshot_diff": (2, 2),

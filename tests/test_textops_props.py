@@ -1226,3 +1226,29 @@ def test_winnow_plan_does_not_duplicate_the_hash_pipeline(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") <= 2, f"md5 duplicated {plan.count('md5')}x — lambda binding lost"
     assert plan.count("split(") <= 5, f"split duplicated {plan.count('split(')}x — lambda binding lost"
+
+
+def test_block_shuffle_determinism_and_contiguity(spark, sf_dir):
+    """The two-level epoch shuffle's contract: (a) identical
+    (block_id, block_pos) for every row regardless of input
+    partitioning; (b) positions inside each block are contiguous
+    0..n-1; (c) a different seed produces a different order (not the
+    identity re-labeling); (d) every input id appears exactly once."""
+    from flink_kafka_spark.operators.sampling import block_shuffle
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    a = {r.doc_id: (r.block_id, r.block_pos) for r in block_shuffle(docs).collect()}
+    b = {
+        r.doc_id: (r.block_id, r.block_pos)
+        for r in block_shuffle(docs.repartition(7)).collect()
+    }
+    assert a == b, "block shuffle depends on input partitioning"
+    assert len(a) == docs.count()
+    by_block: dict = {}
+    for blk, pos in a.values():
+        by_block.setdefault(blk, []).append(pos)
+    for blk, positions in by_block.items():
+        assert sorted(positions) == list(range(len(positions))), f"block {blk} gapped"
+    c = {r.doc_id: (r.block_id, r.block_pos) for r in block_shuffle(docs, seed=7).collect()}
+    assert c != a, "seed change did not move any row"

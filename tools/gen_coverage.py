@@ -142,6 +142,8 @@ EXTENSIONS = [
                             " value oracle on float inputs)"),
     ("sampling", "train/val/test split / sequence packing / mixture resample"
                  " / stratified cap / shard export / corpus shuffle"
+                 " / two-level block shuffle (one exchange; the 100 TB"
+                 " epoch-shuffle trade vs the global range sort)"
                  " / A-Res weighted sampling (Efraimidis-Spirakis)"
                  " + continuous streaming reservoir (streamed manifest =="
                  " batch sample exactly, pytest-pinned)"
