@@ -136,3 +136,41 @@ def compact_parquet(
     n = max(1, -(-total // (target_mb * 1024 * 1024)))
     df.repartition(int(n)).write.mode("overwrite").parquet(out_path)
     return int(n)
+
+
+def write_block_shuffled(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_blocks: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an epoch's training order on disk: the write-side
+    twin of ``operators.sampling.block_shuffle``. Rows are routed with
+    the SAME block/order arithmetic (shared ``block_assignment``
+    projections, so disk order and the query-side ``block_pos`` can
+    never disagree), hash-repartitioned on block_id, sorted inside
+    each task by the order key, and written as parquet partitioned by
+    ``block_id`` — a reader streams block directories in any
+    interleave and receives rows inside each block in the shuffled
+    order for free (parquet preserves within-file row order).
+
+    Cost: ONE exchange plus an in-partition sort — the data movement
+    an epoch shuffle cannot avoid, and nothing more (no global rank,
+    no boundary sampling; contrast the global-permutation exporter's
+    range machinery). Each block lands in one task, so each block
+    directory holds one file; size ``n_blocks`` so a block's rows fit
+    a task (~128-512 MB post-compression, the bucket-sizing rule
+    above)."""
+    from .operators.sampling import block_assignment
+
+    routed = block_assignment(df, id_col, seed, n_blocks)
+    (
+        routed.repartition(n_blocks, "block_id")
+        .sortWithinPartitions("block_id", "_k")
+        .drop("_k")
+        .write.mode(mode)
+        .partitionBy("block_id")
+        .parquet(path)
+    )

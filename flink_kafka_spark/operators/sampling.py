@@ -337,10 +337,28 @@ def block_shuffle(
     precondition as shuffle_corpus (concat_ws skips NULL segments;
     the oracle's ``||`` nulls out instead).
     """
-    if n_blocks < 1:
-        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
     from pyspark.sql.window import Window
 
+    w = Window.partitionBy("block_id").orderBy("_k")
+    return (
+        block_assignment(df.select(id_col), id_col, seed, n_blocks)
+        .withColumn("block_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_k")
+    )
+
+
+def block_assignment(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42, n_blocks: int = 64
+) -> DataFrame:
+    """Append the two-level-shuffle routing columns to ``df``:
+    ``block_id`` (independent md5 hash of (b|seed|id) mod n_blocks)
+    and ``_k`` (the fixed-width (md5(seed|id), lpad(id)) order key).
+    Pure projections — shared by :func:`block_shuffle` (which ranks
+    ``_k`` into block_pos) and io.write_block_shuffled (which sorts by
+    ``_k`` inside the write partitioning), so the on-disk order and
+    the query-side positions can never disagree."""
+    if n_blocks < 1:
+        raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
     sid = F.col(id_col).cast("string")
     block = F.pmod(
         F.expr(
@@ -354,12 +372,7 @@ def block_shuffle(
         F.md5(F.concat_ws("|", F.lit(str(seed)), sid)),
         F.lpad(sid, 20, "0"),
     )
-    w = Window.partitionBy("block_id").orderBy("_k")
-    return (
-        df.select(F.col(id_col), block.alias("block_id"), key.alias("_k"))
-        .withColumn("block_pos", (F.row_number().over(w) - 1).cast("long"))
-        .drop("_k")
-    )
+    return df.withColumn("block_id", block).withColumn("_k", key)
 
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:

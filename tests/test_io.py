@@ -213,3 +213,34 @@ def test_bucketed_ivf_index_join_shuffles_query_side_only(spark, sf_dir, tmp_pat
         assert len(got_rows) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_write_block_shuffled_materializes_the_epoch_order(spark, sf_dir, tmp_path):
+    """The on-disk order must equal the query-side contract: for every
+    block directory, reading its parquet back in file order yields the
+    ids in block_shuffle's block_pos order (shared block_assignment
+    arithmetic), every id appears exactly once, and payload columns
+    survive the routing."""
+    from flink_kafka_spark.io import write_block_shuffled
+    from flink_kafka_spark.operators.sampling import block_shuffle
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = str(tmp_path / "epoch0")
+    write_block_shuffled(docs, out, "doc_id", seed=42, n_blocks=8)
+
+    expected: dict = {}
+    for r in block_shuffle(docs.select("doc_id"), "doc_id", seed=42, n_blocks=8).collect():
+        expected.setdefault(r.block_id, []).append((r.block_pos, r.doc_id))
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "source", "block_id"}
+    import glob
+    import pyarrow.parquet as pq
+
+    for blk, rows in expected.items():
+        files = sorted(glob.glob(f"{out}/block_id={blk}/*.parquet"))
+        assert len(files) == 1, f"block {blk} split across {len(files)} files"
+        got = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+        want = [doc for _, doc in sorted(rows)]
+        assert got == want, f"block {blk} disk order != block_pos order"
