@@ -273,6 +273,22 @@ def export_shards(
     )
 
 
+def _shuffle_order_key(id_col: str, seed: int) -> Column:
+    """The deterministic shuffle order key shared by the global
+    permutation (:func:`shuffle_corpus`) and the two-level block
+    shuffle (:func:`block_assignment`): 32-hex md5(seed|id) then the
+    zero-padded id — fixed-width segments make the composite's
+    lexicographic order equal (md5, id) order on any engine, and ONE
+    definition keeps the two shuffles' claimed-identical determinism
+    contract (and their DuckDB oracles) from drifting apart."""
+    sid = F.col(id_col).cast("string")
+    return F.concat_ws(
+        "|",
+        F.md5(F.concat_ws("|", F.lit(str(seed)), sid)),
+        F.lpad(sid, 20, "0"),
+    )
+
+
 def shuffle_corpus(
     df: DataFrame, id_col: str = "doc_id", seed: int = 42, shard_size: int = 100
 ) -> DataFrame:
@@ -297,14 +313,7 @@ def shuffle_corpus(
     their relative positions become partitioning-dependent (and the
     DuckDB oracle's '||' yields NULL instead, diverging entirely).
     """
-    # 32-hex-digit md5 then zero-padded id: fixed-width segments make
-    # the composite's lexicographic order equal (md5, id) order on any
-    # engine
-    key = F.concat_ws(
-        "|",
-        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
-        F.lpad(F.col(id_col).cast("string"), 20, "0"),
-    )
+    key = _shuffle_order_key(id_col, seed)
     return (
         export_shards(df.withColumn("_shuffle_key", key), "_shuffle_key", shard_size)
         .withColumnRenamed("global_rn", "position")
@@ -333,7 +342,8 @@ def block_shuffle(
     uncorrelated — with the fixed-width ``(md5, lpad(id))`` composite
     breaking ties, so re-runs on any partitioning, any cluster size,
     produce the identical (block_id, block_pos) for every row, and a
-    new seed is a fresh shuffle. Same NON-NULL ``id_col``
+    new seed is a fresh shuffle. Payload columns pass through
+    untouched (the shuffle_corpus contract). Same NON-NULL ``id_col``
     precondition as shuffle_corpus (concat_ws skips NULL segments;
     the oracle's ``||`` nulls out instead).
     """
@@ -341,7 +351,7 @@ def block_shuffle(
 
     w = Window.partitionBy("block_id").orderBy("_k")
     return (
-        block_assignment(df.select(id_col), id_col, seed, n_blocks)
+        block_assignment(df, id_col, seed, n_blocks)
         .withColumn("block_pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_k")
     )
@@ -359,7 +369,6 @@ def block_assignment(
     the query-side positions can never disagree."""
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
-    sid = F.col(id_col).cast("string")
     block = F.pmod(
         F.expr(
             f"cast(conv(substr(md5(concat_ws('|', 'b', '{seed}', "
@@ -367,12 +376,9 @@ def block_assignment(
         ),
         F.lit(n_blocks),
     ).cast("long")
-    key = F.concat_ws(
-        "|",
-        F.md5(F.concat_ws("|", F.lit(str(seed)), sid)),
-        F.lpad(sid, 20, "0"),
+    return df.withColumn("block_id", block).withColumn(
+        "_k", _shuffle_order_key(id_col, seed)
     )
-    return df.withColumn("block_id", block).withColumn("_k", key)
 
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:

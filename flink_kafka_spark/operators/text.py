@@ -438,7 +438,9 @@ def winnow_fingerprints(
     inside a signed 64-bit long; the repo's DuckDB-replayable idiom) packed with the position into one BIGINT —
     ``hash * 2^20 + (2^20 - 1 - pos)`` — so "min hash, rightmost
     position" is a single integer ``array_min``; see ``_WINNOW_P`` for
-    the position bound. Documents with fewer than k tokens emit no
+    the position bound — exceeding it raises at run time via a guard
+    branch (silent fingerprint corruption is worse than a failed job;
+    pre-chunk with doc_chunk). Documents with fewer than k tokens emit no
     rows; with 1..w shingles they emit exactly one fingerprint (the
     single all-covering window).
 
@@ -470,6 +472,14 @@ def winnow_fingerprints(
         F.expr(
             f"flatten(transform(array(ws), t -> "
             f"CASE WHEN t IS NULL OR size(t) < {k} THEN array() "
+            # loud bound guard: past 2^20 shingles the packed position
+            # complement goes negative and borrows from the hash field,
+            # silently corrupting fingerprints and inverting tie-breaks
+            # — fail the job instead (the k/w ValueError's row-level twin)
+            f"WHEN size(t) - {k - 1} > {_WINNOW_P} THEN "
+            f"raise_error(concat('winnow_fingerprints: document with ', "
+            f"cast(size(t) as string), ' tokens exceeds the 2^20 position "
+            f"bound - pre-chunk long documents (doc_chunk) first')) "
             f"ELSE transform(sequence(1, size(t) - {k - 1}), "
             f"i -> concat_ws(' ', slice(t, i, {k}))) END))"
         ).alias("sh"),

@@ -284,8 +284,6 @@ def test_full_oracle_count_under_ceiling():
     twin retirements bring the count back down. RETIRED_TWINS rows
     don't consume cadence capacity (they never re-enter the window),
     so they are excluded."""
-    from tests.test_oracle import RETIRED_TWINS
-
     full_oracle = [
         n for n, q in QUERIES.items()
         if q.oracle is not None and n not in RETIRED_TWINS

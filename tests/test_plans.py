@@ -585,6 +585,7 @@ def test_iterative_loop_body_shapes(spark, sf_dir):
     pairs = docs.select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try:
         pr = audit(pagerank_loop_body(edges, nodes))
@@ -596,7 +597,11 @@ def test_iterative_loop_body_shapes(spark, sf_dir):
         cc = audit(cc_loop_body(pairs, jump=True))
         cc_plain = audit(cc_loop_body(pairs, jump=False))
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore the SESSION'S configured value, not Spark's default:
+        # conf.unset would fall back to the 10 MB ConfigEntry default
+        # instead of session.py's 64 MB, leaking a 6x-smaller broadcast
+        # threshold into every later test (session-scoped fixture)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
     problems = []
     # PageRank round, default hints OFF everywhere (r16: the wsum hint

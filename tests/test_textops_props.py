@@ -1108,9 +1108,14 @@ def _py_winnow(text: str, k: int = 4, w: int = 8) -> set:
     winnow_fingerprints' packing exactly (40-bit md5-prefix hash,
     rightmost-min tie-break via the position complement)."""
     import hashlib
+    import re
 
     P = 1 << 20
-    toks = text.lower().split()
+    # re.split(r"\\s+") mirrors Spark's split(lower(text), '\\s+')
+    # EXACTLY, including the phantom empty token a leading/trailing
+    # whitespace produces - str.split() would drop those and shift
+    # every downstream shingle position
+    toks = re.split(r"\s+", text.lower())
     sh = (
         [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
         if len(toks) >= k
@@ -1139,6 +1144,7 @@ def test_winnow_matches_python_reference(spark):
         (3, "one two three four five six seven eight nine ten eleven"),
         (4, " ".join(f"tok{i % 13}" for i in range(60))),
         (5, " ".join(["loop"] * 30)),  # all-identical shingles
+        (6, "  leading and trailing whitespace make phantom tokens  "),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got: dict = {}
@@ -1252,3 +1258,19 @@ def test_block_shuffle_determinism_and_contiguity(spark, sf_dir):
         assert sorted(positions) == list(range(len(positions))), f"block {blk} gapped"
     c = {r.doc_id: (r.block_id, r.block_pos) for r in block_shuffle(docs, seed=7).collect()}
     assert c != a, "seed change did not move any row"
+
+
+def test_winnow_rejects_over_long_documents(spark):
+    """The 2^20-token position bound fails LOUDLY: past it the packed
+    position complement would borrow from the hash field and corrupt
+    fingerprints silently, so the shingle stage raises instead."""
+    import pytest as _pytest
+
+    from flink_kafka_spark.operators.text import winnow_fingerprints
+
+    big = spark.range(1).selectExpr(
+        "id AS doc_id",
+        "array_join(array_repeat('x', 1048581), ' ') AS text",
+    )
+    with _pytest.raises(Exception, match="pre-chunk long documents"):
+        winnow_fingerprints(big).collect()
