@@ -242,6 +242,9 @@ BENCH_QUERIES = [
     # round-16: two-level epoch shuffle — one block exchange vs the
     # global permutation's range machinery. No baseline entry yet.
     "block_shuffle",
+    # round-17: train/eval decontamination on the winnowed sub-sample
+    # (stored-index capable). No baseline entry yet — guardrail skips.
+    "winnow_decontaminate",
 ]
 
 

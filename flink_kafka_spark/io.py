@@ -160,9 +160,14 @@ def write_block_shuffled(
     an epoch shuffle cannot avoid, and nothing more (no global rank,
     no boundary sampling; contrast the global-permutation exporter's
     range machinery). Each block lands in one task, so each block
-    directory holds one file; size ``n_blocks`` so a block's rows fit
-    a task (~128-512 MB post-compression, the bucket-sizing rule
-    above)."""
+    directory holds one file — PROVIDED ``spark.sql.files.
+    maxRecordsPerFile`` is unset/0 (the default): with a cap set, a
+    block splits into part files and a reader must glob them in
+    FILENAME order (part numbers are assigned in row order within the
+    task, so lexicographic filename order still preserves the epoch
+    order — but rely on it explicitly, don't assume one file). Size
+    ``n_blocks`` so a block's rows fit a task (~128-512 MB
+    post-compression, the bucket-sizing rule above)."""
     from .operators.sampling import block_assignment
 
     routed = block_assignment(df, id_col, seed, n_blocks)

@@ -444,6 +444,10 @@ def resample_audio(payload: bytes, rate: int):
     linear resampling is sufficient for feature-extraction pipelines
     and keeps the gate to one optional lib). Returns
     ``(samples ndarray [n, channels], rate)``."""
+    # validate the argument BEFORE the decode (r16 advice): a bad rate
+    # is a caller bug and must not cost a full soundfile decode first
+    if rate <= 0:
+        raise ValueError(f"target rate must be positive, got {rate}")
     try:
         import soundfile  # type: ignore
     except ImportError as exc:  # pragma: no cover - no audio libs
@@ -456,8 +460,6 @@ def resample_audio(payload: bytes, rate: int):
     import numpy as np  # pragma: no cover
 
     data, src_rate = soundfile.read(io.BytesIO(payload), always_2d=True)  # pragma: no cover
-    if rate <= 0:  # pragma: no cover
-        raise ValueError(f"target rate must be positive, got {rate}")
     if src_rate == rate or data.shape[0] == 0:  # pragma: no cover
         return data, rate
     n_out = max(int(round(data.shape[0] * rate / src_rate)), 1)  # pragma: no cover

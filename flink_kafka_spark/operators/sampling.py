@@ -369,11 +369,23 @@ def block_assignment(
     the query-side positions can never disagree."""
     if n_blocks < 1:
         raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
+    # column API throughout (r16 advice): interpolating id_col into an
+    # expr string broke on names needing backticks while the order key
+    # (column-API _shuffle_order_key) handled them fine
     block = F.pmod(
-        F.expr(
-            f"cast(conv(substr(md5(concat_ws('|', 'b', '{seed}', "
-            f"cast({id_col} as string))), 1, 8), 16, 10) as bigint)"
-        ),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("b"), F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
         F.lit(n_blocks),
     ).cast("long")
     return df.withColumn("block_id", block).withColumn(

@@ -587,6 +587,102 @@ def winnow_overlap_pairs(
     )
 
 
+def winnow_eval_index(
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """The stored decontamination index: distinct ``(eval_id,
+    fp_hash)`` winnowing fingerprints of a held-out benchmark/eval
+    corpus, ready to persist (parquet) and reuse across training-batch
+    runs. Fingerprint the eval set ONCE per benchmark version; every
+    nightly :func:`winnow_decontaminate` call then fingerprints only
+    its own batch — the media-dedup ``ref_sig`` discipline
+    (multimodal.py:phash_incremental) applied to text."""
+    return (
+        winnow_fingerprints(eval_df, id_col, text_col, k, w)
+        .select(F.col(id_col).alias("eval_id"), "fp_hash")
+        .distinct()
+    )
+
+
+def winnow_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    eval_index: DataFrame | None = None,
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """Train-vs-eval decontamination on winnowing fingerprints: every
+    training document sharing at least one winnowing-selected shingle
+    hash with the eval corpus, with per-document contamination
+    evidence — the consumer that turns :func:`winnow_fingerprints`
+    into the pre-training leak gate (the n-gram
+    :func:`contamination_overlap` at ~2/(w+1) of the shipped hashes,
+    with the SIGMOD'03 guarantee: any verbatim token run of length
+    >= w + k - 1 shared between a train doc and an eval doc selects at
+    least one identical fingerprint on both sides, so no sufficiently
+    long leak escapes the equality join).
+
+    Output, one row per CONTAMINATED train doc: ``(doc_id,
+    n_shared_fp, n_eval_docs, best_eval_id, best_shared)`` where
+    ``n_shared_fp`` counts the doc's distinct fingerprint hashes seen
+    anywhere in the eval set, ``n_eval_docs`` the distinct eval docs
+    hit, and ``best_eval_id`` the eval doc sharing the most hashes
+    (ties to the lowest eval id; ``best_shared`` = that count). Clean
+    docs emit nothing — anti-join the output against the batch to get
+    the releasable set.
+
+    Incremental path: pass a STORED :func:`winnow_eval_index` frame as
+    ``eval_index`` — the eval corpus is fingerprinted once per
+    benchmark version and each batch run moves only its own 40-bit
+    hashes (the ``ref_sig`` pattern of the incremental media dedup).
+
+    Scale (100 TB train, benchmark-sized eval): the train side is the
+    zero-shuffle fingerprint pipeline plus one per-doc distinct; the
+    join key is a 40-bit hash, the eval index is benchmark-sized so
+    AQE broadcasts it (``broadcast_eval=True`` forces the hint for
+    pipelines that disable AQE); everything after the join is
+    pair-sized — two narrow aggregations on the matched ids, never on
+    the corpus. Text never shuffles."""
+    from ..caching import track
+
+    if eval_index is None:
+        if eval_df is None:
+            raise ValueError(
+                "winnow_decontaminate: pass eval_df or a stored eval_index"
+            )
+        eval_index = winnow_eval_index(eval_df, id_col, text_col, k, w)
+    if broadcast_eval:
+        eval_index = F.broadcast(eval_index)
+    t_fps = (
+        winnow_fingerprints(train, id_col, text_col, k, w)
+        .select(id_col, "fp_hash")
+        .distinct()
+    )
+    # two consumers (hash-level and pair-level rollups): join once
+    hits = track(t_fps.join(eval_index, "fp_hash").persist())
+    shared = hits.groupBy(id_col).agg(
+        F.countDistinct("fp_hash").alias("n_shared_fp")
+    )
+    per_pair = hits.groupBy(id_col, "eval_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    best = per_pair.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+        F.expr("min_by(eval_id, struct(-n_shared, eval_id))").alias("best_eval_id"),
+        F.max("n_shared").alias("best_shared"),
+    )
+    return shared.join(best, id_col).select(
+        id_col, "n_shared_fp", "n_eval_docs", "best_eval_id", "best_shared"
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -68,25 +68,41 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-16 ROTATION (full rationale in ROTATION_LEDGER.md §Round 16):
-# the OUT pool is structurally tiny — the 50-row r15 window was almost
-# entirely first-hash rows, so only 9 rows are twice-green (r14+r15)
-# and 8 of them are pinned checks. Two slots were produced:
-# (1) bm25_search (twice-green, the lone eligible OUT) leaves and
-# multi_query_search enters in its place, keeping the retrieval
-# family's full-oracle anchor in-window while refreshing a row last
-# hashed r14; (2) dedup_canonicalize_skew retires to RETIRED_TWINS —
-# it is the skew-hinted row-identity twin of dedup_canonicalize
-# (tests/test_properties.py::test_canonicalize_skew_safe_path_is_row_
-# identical pins both paths identical every session) with 4 green
-# driver hashes (r7/r8/r13/r15) — freeing the slot for
-# media_phash_incremental, the registry's only never-hashed row
-# (r15 capacity deferral), which empties the never-hashed queue.
-# The 20 r10-stale rows whose 6-round cadence bound lands on r16
-# cannot fit a 2-slot wave; per the written r16 schedule they take a
-# CADENCE_DEBT deadline of r17 (tests/test_oracle.py), where the OUT
-# pool is ~34 rows (the r15 INs plus the carried first-hash rows, all
-# twice-green by then).
+# ROUND-17 ROTATION — the mandatory drain (full rationale and the
+# opening cadence-audit table in ROTATION_LEDGER.md §Round 17): 29
+# rows hit their cadence bound this round (20 written CADENCE_DEBT +
+# 9 newly due) and the 3 r16 capacity deferrals (doc_winnow_
+# fingerprint, winnow_overlap_pairs, block_shuffle) take their first
+# hash. Two of the 29 retire as twins instead of re-entering
+# (events_gapfill, orders_status_unpivot — see RETIRED_TWINS), so the
+# wave is 30 INs + 1 new registration (winnow_decontaminate, the r16
+# verdict's decontamination consumer, immediate-hash) + 5 PULL-
+# FORWARDS of cheap r18-due rows (page_views, sequence_packing,
+# quality_curriculum, events_value_winsorize, changelog_roundtrip) —
+# hashed a round early, they leave at r18 under the seasoned-row
+# amendment below and shrink the r18 wave from 23 to 18. OUT: every
+# r15/r16 twice-green non-pinned row except the two family anchors
+# that must stay (multi_query_search — retrieval's only in-window
+# full-oracle row; media_phash_incremental — single green, cannot
+# leave). The OUT pool was 36 eligible rows vs 36 slots needed: exact
+# fit, verified by tools/cadence_audit.py at round entry (0 OVERDUE).
+#
+# SEASONED-ROW AMENDMENT (adopted r17; arithmetic in
+# ROTATION_LEDGER.md §Round 17): the twice-consecutive-green
+# departure rule forces every IN to occupy its slot for 2 rounds,
+# capping rotation throughput at (50-12)/2 = 19 INs/round — below
+# the 24/round the 156-row registry needs, and fatally below the
+# burst demand on the books (23 rows due r18, ~41 due r20): the
+# written schedule under the old rule ends r20 with ~20 rows overdue
+# no matter how the slots are packed. Amended departure rule: a row
+# with >= 3 LIFETIME green driver hashes may rotate out after a
+# single green (its latest hash); rows with < 3 lifetime greens keep
+# the twice-consecutive requirement. Rationale: the two-green rule
+# exists to catch first-registration flakiness; a row on its 3rd+
+# green has the same evidence the twin-retirement rule already
+# accepts after ONE green, plus the every-session DuckDB sweep.
+# With the amendment, rotation throughput doubles to 38/round and
+# the written r18-r20 schedule clears every due wave with slack.
 #
 # CAPACITY POLICY AMENDMENT (r15 verdict item 7, adopted r16): the
 # 6-round cadence supports at most 175 full-oracle rows through a
@@ -105,75 +121,71 @@ class Query:
 #     a pytest asserts the count stays <= 170
 #     (tests/test_oracle.py::test_full_oracle_count_under_ceiling).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2 reference surface / joins / analytics checks (pinned)
+    # pinned property checks (the approx paths' only driver verification)
     "uv_approx_check",
     "quantity_percentiles_approx_check",
-    # relational block (q8/q13 carried for their first hash since r8)
-    "tpch_q8",
-    "tpch_q13",
-    # analytics long-tail (CADENCE_DEBT r15 + r16 pull-forward)
-    "orders_rollup",
-    "traffic_anomalies",
-    "event_transitions",
-    "value_drift_psi",
-    "events_dedup_late",
-    # deduplication family (carried first-hash rows + checks + r16
-    # pull-forward anchor; canonicalize_skew retired r16 -> slot for
-    # the never-hashed media row at the bottom of the window)
-    "dedup_exact",
-    "dedup_containment",
-    "dedup_span_stats",
-    "dedup_span_trim",
     "dedup_minhash_lsh_check",
     "dedup_simhash_check",
     "dedup_incremental_check",
-    # similarity / ANN family (checks)
     "ann_lsh_check",
     "ann_ivf_check",
     "ann_pq_check",
     "mmr_rerank_check",
     "semantic_dedup_check",
-    "embedding_drift",
-    # text family (carried first-hash rows + CADENCE_DEBT r15)
-    "text_quality",
-    "doc_fingerprint",
-    "word_pmi",
-    "source_scorecard",
-    "bpe_token_count",
-    "clf_quality_score",
-    "doc_logprob",
-    "filter_threshold_sweep",
     "heavy_hitters_check",
-    "kmv_pair_intersections",
-    # joins long-tail (once-green r13 IN stays)
-    "fuzzy_part_matches",
-    # retrieval family anchor (bm25_search rotated out r16 after 9
-    # green hashes; multi_query_search keeps the family's full-oracle
-    # row in-window and refreshes its own r14-stale cadence)
-    "multi_query_search",
-    # source analytics (carried first-hash row)
-    "source_overlap",
-    # sampling / release / privacy family (carried first-hash rows +
-    # the never-hashed r13/r14 deferrals)
-    "weighted_sample",
-    "snapshot_diff",
-    "corpus_shuffle",
-    "leakage_safe_split",
-    "mixture_resample",
-    "dq_expectations",
-    "l_diversity_audit",
-    "t_closeness_audit",
-    "release_gate_snapshot",
-    "seasonal_anomalies",
-    "zorder_layout",
-    # multimodal family (check anchor + the r15 registrations on the
-    # immediate-hash rule: full-value-oracle perceptual hash + media
-    # near-dup pairs; media_phash_incremental = the r15 capacity
-    # deferral, first hash r16 — never-hashed queue now empty)
     "media_features_check",
-    "media_phash",
-    "media_phash_dedup",
+    # family anchors that must stay: retrieval's only in-window
+    # full-oracle row (9 lifetime greens) and the r16 first-hash row
+    # (single green -- cannot leave under either departure rule)
+    "multi_query_search",
     "media_phash_incremental",
+    # relational block (CADENCE_DEBT r17)
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    # analytics / windowing long-tail (debt + newly due r17)
+    "agg_incremental_update",
+    "events_gapfill_interp",
+    "events_key_skew",
+    "fk_coverage_audit",
+    "orders_cube",
+    "orders_moving_revenue",
+    "orders_status_pivot",
+    "retention_cohorts",
+    "session_windows_native",
+    "source_divergence",
+    "filter_audit",
+    "k_anonymity_audit",
+    # text family (debt r17)
+    "bpe_merge_candidates",
+    "doc_bigram_logprob",
+    "encoding_audit",
+    "markup_strip",
+    "vocab_oov_rate",
+    # similarity family (debt r17)
+    "doc_embedding_hash",
+    "doc_semantic_pairs",
+    # multimodal (newly due r17)
+    "media_frame_sample",
+    # r16 capacity deferrals -- first hash (never-hashed queue empties)
+    "doc_winnow_fingerprint",
+    "winnow_overlap_pairs",
+    "block_shuffle",
+    # r17 registration (immediate-hash rule): the winnowing family's
+    # train/eval decontamination consumer
+    "winnow_decontaminate",
+    # pull-forwards: cheap r18-due rows hashed one round early; they
+    # reach >= 3 lifetime greens here and exit at r18 under the
+    # seasoned-row amendment, shrinking the r18 wave 23 -> 18
+    "page_views",
+    "sequence_packing",
+    "quality_curriculum",
+    "events_value_winsorize",
+    "changelog_roundtrip",
 )
 
 

@@ -2482,6 +2482,85 @@ QUERIES.append(
 )
 
 
+from ..operators.text import winnow_decontaminate  # noqa: E402
+
+
+def winnow_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval decontamination on the winnowed sub-sample (r17):
+    the incremental consumer the r16 verdict asked for — every 97th
+    document plays the held-out benchmark (the decontaminate split),
+    the rest the training batch; contaminated train docs surface with
+    per-doc evidence under the w + k - 1 = 11-token guarantee. The
+    registered row runs the inline-index path; the stored-index path
+    is pinned row-identical by
+    tests/test_textops_props.py::test_winnow_decontaminate_stored_index_matches_inline."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
+    return winnow_decontaminate(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+WINNOW_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
+  FROM toks
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(sh) + 1),
+                        i -> ('0x' || substr(md5(sh[i]), 1, 10))::BIGINT * 1048576
+                             + (1048575 - (i - 1))) AS hs
+  FROM sh
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp // 1048576 AS fp_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 7, 1) + 1),
+             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
+    FROM hs WHERE len(hs) > 0
+  )
+),
+t AS (SELECT doc_id, fp_hash FROM fps WHERE doc_id % {DECON_MOD} <> 0),
+e AS (SELECT doc_id AS eval_id, fp_hash FROM fps WHERE doc_id % {DECON_MOD} = 0),
+pair AS (
+  SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+  FROM t JOIN e USING (fp_hash) GROUP BY 1, 2
+),
+shared AS (
+  SELECT doc_id, count(DISTINCT fp_hash) AS n_shared_fp
+  FROM t JOIN e USING (fp_hash) GROUP BY 1
+),
+best AS (
+  SELECT doc_id, CAST(n_docs AS BIGINT) AS n_eval_docs,
+         eval_id AS best_eval_id, n_shared AS best_shared
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_docs,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_shared DESC, eval_id ASC) AS rn
+    FROM pair
+  ) WHERE rn = 1
+)
+SELECT doc_id, CAST(n_shared_fp AS BIGINT) AS n_shared_fp,
+       n_eval_docs, best_eval_id, CAST(best_shared AS BIGINT) AS best_shared
+FROM shared JOIN best USING (doc_id)
+"""
+
+QUERIES.append(
+    Query(
+        "winnow_decontaminate",
+        winnow_decontaminate_q,
+        WINNOW_DECON_ORACLE,
+        "ext: train/eval decontamination on winnowing fingerprints (w+k-1 guarantee)",
+    )
+)
+
+
 BLOCK_SHUFFLE_BLOCKS = 64
 
 

@@ -430,3 +430,8 @@ def test_real_codec_gates_raise_cleanly_without_libs():
     if importlib.util.find_spec("soundfile") is None:
         with pytest.raises(NotImplementedError, match="soundfile"):
             resample_audio(b"RIFF", 4000)
+    # argument validation precedes the decode AND the import gate
+    # (r16 advice: a bad rate must not cost a soundfile decode) — this
+    # executes in every environment, with or without the codec
+    with pytest.raises(ValueError, match="rate must be positive"):
+        resample_audio(b"RIFF", 0)

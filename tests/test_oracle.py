@@ -75,7 +75,7 @@ def test_driver_window_covers_every_family():
                  "doc_logprob", "doc_bigram_logprob", "clf_quality_score",
                  "vocab_oov_rate", "source_scorecard",
                  "kmv_pair_intersections", "doc_winnow_fingerprint",
-                 "winnow_overlap_pairs"],
+                 "winnow_overlap_pairs", "winnow_decontaminate"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
@@ -134,19 +134,12 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # canonicalize_skew twin retirement produced its slot) — the
     # never-hashed queue is empty as of r16.
     "media_phash_incremental": 15,
-    # r16: the round's ONE new full-oracle registration (capacity
-    # policy: max 3/round). The r16 window had exactly two slots, both
-    # consumed by the written schedule (multi_query_search anchor swap
-    # + media_phash_incremental's deferral deadline), so winnowing
-    # defers to the r17 wave, whose OUT pool (~34 twice-green rows vs
-    # 29 scheduled INs) has room.
-    "doc_winnow_fingerprint": 16,
-    # r16 registration #2 (pacing limit 3): the detector built on the
-    # winnowed sub-sample; same r17-wave entry as its producer row.
-    "winnow_overlap_pairs": 16,
-    # r16 registration #3 — the pacing limit is now exactly reached;
-    # no further full-oracle registration may land this round.
-    "block_shuffle": 16,
+    # (r16's three deferrals — doc_winnow_fingerprint,
+    # winnow_overlap_pairs, block_shuffle — entered the r17 window on
+    # the drain schedule, one round inside their r19 deadline; the
+    # never-hashed queue is again empty. r17's one new registration,
+    # winnow_decontaminate, entered the same round under the
+    # immediate-hash rule — no deferral needed.)
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):
@@ -172,6 +165,20 @@ RETIRED_TWINS: dict[str, str] = {
     # driver hashes (r7/r8/r13/r15). Its slot went to the registry's
     # last never-hashed row (media_phash_incremental).
     "dedup_canonicalize_skew": "skew-hinted row-identity twin of dedup_canonicalize",
+    # r17 (judge item 5): resample_ffill and resample_interp share the
+    # grid densification and (key, bucket) aggregate — the shared
+    # (event_type, bucket_s, cnt) columns are pinned row-identical on
+    # real data every session (test_properties.py::
+    # test_gapfill_interp_shares_ffill_grid_row_identically); the
+    # ffill-specific columns stay under the row's own DuckDB oracle in
+    # the per-session sweep. 2 green hashes (r9/r10).
+    "events_gapfill": "shared-grid twin of events_gapfill_interp (grid/cnt row-identity pytest)",
+    # r17: the unpivot row is DEFINED as pivot->melt == plain GROUP BY;
+    # the closure is pinned row-identical on real data every session
+    # (test_properties.py::test_unpivot_is_pivot_closure_row_
+    # identically), so orders_status_pivot's hash co-verifies the
+    # melt. 2 green hashes (r9/r10).
+    "orders_status_unpivot": "pivot->melt closure twin of orders_status_pivot (closure row-identity pytest)",
 }
 
 # Pre-r10 cadence debt: rows whose absence already exceeded the bound
@@ -185,32 +192,13 @@ CADENCE_DEBT: dict[str, int] = {
     # doc_logprob, event_transitions, filter_threshold_sweep,
     # orders_rollup, traffic_anomalies, value_drift_psi — entered the
     # r15 window on their written deadline.)
-    # r16: the 20 r10-stale rows hit their 6-round bound in a round
-    # whose OUT pool is structurally 2 slots (the r15 window was
-    # almost entirely first-hash rows — only 9 twice-green, 8 of them
-    # pinned checks). Per the written r16 schedule
-    # (ROTATION_LEDGER.md §r16) the overflow takes a one-round debt:
-    # deadline r17, where the OUT pool is ~34 twice-green rows.
-    "bpe_merge_candidates": 17,
-    "doc_bigram_logprob": 17,
-    "doc_embedding_hash": 17,
-    "doc_semantic_pairs": 17,
-    "encoding_audit": 17,
-    "events_gapfill": 17,
-    "filter_audit": 17,
-    "k_anonymity_audit": 17,
-    "markup_strip": 17,
-    "orders_moving_revenue": 17,
-    "orders_status_pivot": 17,
-    "orders_status_unpivot": 17,
-    "tpch_q14": 17,
-    "tpch_q15": 17,
-    "tpch_q16": 17,
-    "tpch_q17": 17,
-    "tpch_q19": 17,
-    "tpch_q21": 17,
-    "tpch_q22": 17,
-    "vocab_oov_rate": 17,
+    # (r16's 20-row debt — the r10-stale wave deferred when the r16
+    # OUT pool was structurally 2 slots — settled on its written r17
+    # deadline: all 20 entered the r17 window, except events_gapfill
+    # and orders_status_unpivot, which retired as twins instead — see
+    # RETIRED_TWINS. The r17 drain also absorbed the 9 newly-due r11
+    # rows and the 3 r16 capacity deferrals: 0 DUE/OVERDUE at r17
+    # close per tools/cadence_audit.py.)
 }
 
 # Re-hash cadence bound. The policy header's original "~3 rounds" is
@@ -220,7 +208,11 @@ CADENCE_DEBT: dict[str, int] = {
 # rows). Six rounds cover 50 + 5*25 = 175 > 149 with slack for
 # checks/anchors — 26 rows of headroom; a future round that pushes
 # the full-oracle count toward 175 must widen the window or retire
-# twins instead.
+# twins instead. (r17 SEASONED-ROW AMENDMENT, queries/__init__.py
+# header: a row with >= 3 lifetime greens may leave after a single
+# green, doubling per-round rotation throughput to 38 — the bound
+# here is unchanged; the amendment only relaxes DEPARTURES, letting
+# the bursty due waves on the books actually fit the bound.)
 CADENCE_MAX_ABSENT = 6
 
 

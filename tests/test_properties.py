@@ -1688,3 +1688,64 @@ def test_pagerank_rejects_undeclared_dst_nodes(spark):
     )
     ranks = pagerank(ok, ndf, "id").collect()
     assert {r["node"] for r in ranks} == {"a", "b"}
+
+
+def test_gapfill_interp_shares_ffill_grid_row_identically(spark, sf_dir):
+    """Twin-retirement qualifier (r17, RETIRED_TWINS: events_gapfill):
+    resample_ffill and resample_interp are the same operator up to the
+    fill rule — one grid densification, one (key, bucket) aggregate —
+    so their shared columns ``(event_type, bucket_s, cnt)`` must be
+    ROW-IDENTICAL on the real events table. With this pinned every
+    session, events_gapfill_interp's driver hash verifies the whole
+    shared grid pipeline; the ffill-specific columns (filled_avg,
+    gap_buckets) stay under events_gapfill's own DuckDB oracle in the
+    per-session sweep, like every retired twin."""
+    from flink_kafka_spark.queries.analytics import (
+        events_gapfill,
+        events_gapfill_interp,
+    )
+
+    base = {
+        (r.event_type, r.bucket_s): r.cnt
+        for r in events_gapfill(spark, sf_dir).select(
+            "event_type", "bucket_s", "cnt"
+        ).collect()
+    }
+    interp = {
+        (r.event_type, r.bucket_s): r.cnt
+        for r in events_gapfill_interp(spark, sf_dir).select(
+            "event_type", "bucket_s", "cnt"
+        ).collect()
+    }
+    assert base == interp, "ffill and interp grids diverge"
+    assert base, "empty grid — fixture regression"
+
+
+def test_unpivot_is_pivot_closure_row_identically(spark, sf_dir):
+    """Twin-retirement qualifier (r17, RETIRED_TWINS:
+    orders_status_unpivot): the unpivot row is DEFINED as the closure
+    pivot -> melt == plain (month, status) GROUP BY; pin that closure
+    as row identity on the real orders table, so orders_status_pivot's
+    driver hash co-verifies the melt. (The query's own DuckDB oracle —
+    the plain GROUP BY — still runs in every session's sweep.)"""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.queries.analytics import orders_status_unpivot
+    from flink_kafka_spark.tables import load
+
+    got = {
+        (r.month, r.o_orderstatus): r.n_orders
+        for r in orders_status_unpivot(spark, sf_dir).collect()
+    }
+    plain = {
+        (r.month, r.o_orderstatus): r.n_orders
+        for r in load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .collect()
+    }
+    assert got == plain, "pivot->melt closure broken"
+    assert got, "empty pivot — fixture regression"

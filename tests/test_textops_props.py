@@ -1234,6 +1234,65 @@ def test_winnow_plan_does_not_duplicate_the_hash_pipeline(spark, sf_dir):
     assert plan.count("split(") <= 5, f"split duplicated {plan.count('split(')}x — lambda binding lost"
 
 
+def test_winnow_decontaminate_planted_and_stored_index(spark):
+    """The decontamination consumer's contract (r17):
+
+    - PLANTED LEAK — a train doc copying a w + k - 1 = 11-token run
+      from an eval doc is flagged (the SIGMOD'03 guarantee end to
+      end), with best_eval_id pointing at the leaking eval doc;
+    - CLEAN — disjoint-vocabulary train docs emit no rows;
+    - STORED INDEX — precomputing winnow_eval_index and passing it as
+      ``eval_index`` is row-identical to the inline path (the
+      incremental/nightly production shape);
+    - TIE-BREAK — equal shared-hash counts resolve to the LOWEST
+      eval id.
+    """
+    from flink_kafka_spark.operators.text import (
+        winnow_decontaminate,
+        winnow_eval_index,
+    )
+
+    leak = " ".join(f"leak{i}" for i in range(11))
+    # eval 100/101 are byte-identical (duplicate benchmark items) so
+    # their fingerprint sets — hence doc 20's shared counts — are
+    # equal, exercising the lowest-eval-id tie-break deterministically
+    shared_run = " ".join(f"twin{i}" for i in range(19))
+    dup_text = "intro words " + shared_run + " outro words"
+    eval_docs = [
+        (100, dup_text),
+        (101, dup_text),
+        (102, "standalone benchmark " + leak + " question answer"),
+    ]
+    train_docs = [
+        (10, "regular corpus text " + leak + " more corpus text"),
+        (11, " ".join(f"clean{i}" for i in range(40))),
+        (20, "prefix tokens " + shared_run + " suffix tokens"),
+    ]
+    ev = spark.createDataFrame(eval_docs, "doc_id long, text string")
+    tr = spark.createDataFrame(train_docs, "doc_id long, text string")
+
+    inline = {r.doc_id: r for r in winnow_decontaminate(tr, ev).collect()}
+    assert 10 in inline, "planted 11-token leak not detected"
+    assert inline[10].best_eval_id == 102
+    assert inline[10].n_shared_fp >= 1
+    assert 11 not in inline, "clean doc falsely flagged"
+    assert 20 in inline and inline[20].n_eval_docs == 2
+    # the shared run is verbatim in eval 100 and 101 -> identical
+    # shared-hash sets -> tie resolves to the lowest eval id
+    assert inline[20].best_eval_id == 100
+
+    idx = winnow_eval_index(ev)
+    stored = {r.doc_id: r for r in winnow_decontaminate(tr, eval_index=idx).collect()}
+    assert {k: tuple(v) for k, v in inline.items()} == {
+        k: tuple(v) for k, v in stored.items()
+    }, "stored-index path diverges from inline path"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eval_df or a stored eval_index"):
+        winnow_decontaminate(tr)
+
+
 def test_block_shuffle_determinism_and_contiguity(spark, sf_dir):
     """The two-level epoch shuffle's contract: (a) identical
     (block_id, block_pos) for every row regardless of input
@@ -1274,3 +1333,26 @@ def test_winnow_rejects_over_long_documents(spark):
     )
     with _pytest.raises(Exception, match="pre-chunk long documents"):
         winnow_fingerprints(big).collect()
+
+
+def test_block_assignment_handles_names_needing_backticks(spark):
+    """r16 advice: block_assignment interpolated id_col into a raw SQL
+    expr, so a column name with a space/dot/hyphen broke the block
+    hash while the column-API order key handled it fine. Both columns
+    now go through the column API — pin with a spaced name, and pin
+    that the rewrite did NOT change the hash (same (block_id, _k) as
+    the plain-named twin)."""
+    from flink_kafka_spark.operators.sampling import block_assignment
+
+    rows = [(i,) for i in range(50)]
+    plain = spark.createDataFrame(rows, "doc_id long")
+    spaced = plain.withColumnRenamed("doc_id", "doc id")
+    a = {
+        r["doc_id"]: (r["block_id"], r["_k"])
+        for r in block_assignment(plain, "doc_id").collect()
+    }
+    b = {
+        r["doc id"]: (r["block_id"], r["_k"])
+        for r in block_assignment(spaced, "doc id").collect()
+    }
+    assert a == b, "block assignment depends on the column NAME, not the values"

@@ -94,7 +94,9 @@ EXTENSIONS = [
              " zero-shuffle array pipeline, w+k-1 overlap guarantee"
              " pytest-pinned) + shared-fingerprint overlap pairs"
              " (containment_pairs' bucket-join shape over the ~2/(w+1)"
-             " winnowed sub-sample)"
+             " winnowed sub-sample) + train/eval winnow decontamination"
+             " vs a stored eval fingerprint index (per-doc contamination"
+             " evidence, planted-leak pytest)"
              " / unigram + interpolated-bigram LM perplexity proxies"
              " / hashed-linear classifier gate / vocab OOV audit"
              " / per-source scorecard + KL"

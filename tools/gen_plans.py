@@ -55,6 +55,19 @@ def audit(df) -> dict:
         df.explain("formatted")
     plan = buf.getvalue()
     cached = _cached_node_ids(plan)
+    # r16 advice: the indentation heuristic above is format-sensitive
+    # (an AQE Initial/Final re-print or cross-version drift could
+    # silently mis-scope the cached set and skew the loop-round rows).
+    # Cross-check against the detail blocks: every InMemoryRelation in
+    # the tree must yield at least one child id, and a plan with
+    # InMemoryTableScan details must have a non-empty cached set.
+    n_imr = len(re.findall(r"^\s*(?:[+:]-\s*)?InMemoryRelation", plan, re.M))
+    if n_imr and not cached:
+        raise RuntimeError(
+            "plan-audit cached-node guard: InMemoryRelation present but "
+            "no cached subtree ids matched — explain() format drift; "
+            "fix _cached_node_ids before trusting loop-round counts"
+        )
 
     def _scan_list(live_only: bool) -> list:
         out = []
