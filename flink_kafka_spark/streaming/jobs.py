@@ -219,6 +219,58 @@ def media_phash_stream(
     return media_stream.writeStream.foreachBatch(_process)
 
 
+def winnow_decontaminate_stream(
+    docs_stream: DataFrame,
+    eval_df: "DataFrame | None",
+    sink,
+    eval_index: "DataFrame | None" = None,
+    k: int = 4,
+    w: int = 8,
+):
+    """Decontaminate an incoming DOCUMENT stream (doc_id, text)
+    against a static eval/benchmark corpus by winnowing fingerprints —
+    the streaming face of operators.text.winnow_decontaminate, and the
+    text twin of :func:`media_phash_stream` (a crawl feed screened for
+    benchmark leakage as it arrives, under the SIGMOD'03 w+k-1
+    verbatim-run guarantee).
+
+    Per-batch candidate aggregation + self-scoped persists →
+    ``foreachBatch`` (the media twin's reasoning verbatim). The eval
+    index is fingerprinted ONCE outside the loop — pass a stored
+    :func:`~flink_kafka_spark.operators.text.winnow_eval_index` frame
+    (distinct (eval_id, 40-bit fp_hash) pairs, benchmark-sized) as
+    ``eval_index``; lazily built indexes would re-fingerprint the
+    whole eval corpus inside every micro-batch's action, so the
+    inline path persists + materializes before the loop (plain
+    persist, not caching.track: the index outlives every
+    registered-query boundary).
+
+    ``sink(contaminated_df, epoch_id)`` receives the per-batch
+    contamination frame (one row per CONTAMINATED batch doc — clean
+    docs emit nothing; anti-join against the batch for the releasable
+    stream). Returns the configured ``DataStreamWriter`` — caller sets
+    trigger/checkpoint and ``.start()``s it."""
+    from ..caching import release_scope
+    from ..operators.text import winnow_decontaminate, winnow_eval_index
+
+    if eval_index is None:
+        if eval_df is None:
+            raise ValueError(
+                "winnow_decontaminate_stream: pass eval_df or a stored eval_index"
+            )
+        eval_index = winnow_eval_index(eval_df, k=k, w=w).persist()
+        eval_index.count()
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            flagged = winnow_decontaminate(
+                batch_df, k=k, w=w, eval_index=eval_index
+            )
+            sink(flagged, epoch_id)
+
+    return docs_stream.writeStream.foreachBatch(_process)
+
+
 def bucket_partials_stream(
     events: DataFrame,
     key: str,

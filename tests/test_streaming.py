@@ -2555,3 +2555,81 @@ def test_media_phash_stream(spark, tmp_path):
     assert verdicts[20].is_novel == 0 and verdicts[20].best_ref_id == 2
     assert verdicts[11].is_novel == 1 and verdicts[11].best_ref_id is None
     assert (len(caching._LIVE), len(caching._LIVE_RDDS)) == tracked_before
+
+
+def test_winnow_decontaminate_stream(spark, tmp_path):
+    """Streaming decontamination twin: two micro-batches of documents
+    against a static eval fingerprint index — a doc copying an
+    11-token run from an eval doc is flagged with the right
+    best_eval_id in BOTH batches, clean docs emit nothing, the verdict
+    rows are row-identical to the batch operator on the same docs, and
+    the per-batch release_scope leaves no tracked persists behind."""
+    import json as _json
+
+    from flink_kafka_spark import caching
+    from flink_kafka_spark.operators.text import (
+        winnow_decontaminate,
+        winnow_eval_index,
+    )
+    from flink_kafka_spark.streaming.jobs import winnow_decontaminate_stream
+
+    leak_a = " ".join(f"la{i}" for i in range(11))
+    leak_b = " ".join(f"lb{i}" for i in range(11))
+    eval_df = spark.createDataFrame(
+        [(100, "q " + leak_a + " a"), (101, "x " + leak_b + " y")],
+        "doc_id long, text string",
+    )
+    b = tmp_path / "in"
+    b.mkdir()
+    (b / "f0.json").write_text(
+        _json.dumps({"doc_id": 10, "text": "pre " + leak_a + " post"}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": " ".join(f"c{i}" for i in range(30))}) + "\n"
+    )
+    (b / "f1.json").write_text(
+        _json.dumps({"doc_id": 20, "text": "alpha " + leak_b + " omega"}) + "\n"
+        + _json.dumps({"doc_id": 21, "text": "too short"}) + "\n"
+    )
+
+    # stored-index production shape: fingerprint the eval set once
+    idx = winnow_eval_index(eval_df).persist()
+    idx.count()
+    tracked_before = (len(caching._LIVE), len(caching._LIVE_RDDS))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(b))
+    )
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.collect()
+
+    q = (
+        winnow_decontaminate_stream(stream, None, sink, eval_index=idx)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(seen) == 2
+    flagged = {r.doc_id: r for rows in seen.values() for r in rows}
+    assert set(flagged) == {10, 20}  # 11 clean, 21 below k tokens
+    assert flagged[10].best_eval_id == 100
+    assert flagged[20].best_eval_id == 101
+    assert (len(caching._LIVE), len(caching._LIVE_RDDS)) == tracked_before
+
+    # row-identity to the batch operator over the union of both batches
+    union = spark.createDataFrame(
+        [
+            (10, "pre " + leak_a + " post"),
+            (11, " ".join(f"c{i}" for i in range(30))),
+            (20, "alpha " + leak_b + " omega"),
+            (21, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: tuple(r) for r in winnow_decontaminate(union, eval_df).collect()}
+    assert batch == {k: tuple(v) for k, v in flagged.items()}
+    idx.unpersist()
