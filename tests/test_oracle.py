@@ -179,6 +179,13 @@ RETIRED_TWINS: dict[str, str] = {
     # identically), so orders_status_pivot's hash co-verifies the
     # melt. 2 green hashes (r9/r10).
     "orders_status_unpivot": "pivot->melt closure twin of orders_status_pivot (closure row-identity pytest)",
+    # r17 (r18-prep audit, judge's written schedule): uv_bloom SHARES
+    # unique_visitors' exact oracle (fpp < 1e-9 at this scale — the
+    # query docstring's argument) and is pinned row-identical every
+    # session (test_properties.py::
+    # test_uv_bloom_row_identical_to_unique_visitors). Retiring it now
+    # shaves the r20 wave (it was due r20, with 8 lifetime greens).
+    "uv_bloom": "Bloom-membership row-identity twin of unique_visitors (shared exact oracle)",
 }
 
 # Pre-r10 cadence debt: rows whose absence already exceeded the bound

@@ -427,6 +427,16 @@ PLAN_BOUNDS = {
     # the STATIC plan shows SMJs that AQE broadcasts at runtime when a
     # side is genuinely small (the media_features_check convention)
     "media_phash_incremental": (3, 2),
+    # winnow decontamination: both sides' fingerprint distincts + the
+    # fp_hash join + two id-level rollups over the persisted hit frame
+    # + the final id join. Post-persist stats are unknown, so the
+    # STATIC plan shows 2 SMJs that AQE broadcasts at runtime when the
+    # eval index / rollup side is genuinely small (the
+    # media_phash_incremental convention; broadcast_eval=True forces
+    # the hint for AQE-less pipelines). Every joined frame is
+    # 40-bit-hash tuples from the ~2/(w+1) winnowed sub-sample — never
+    # text, never the corpus.
+    "winnow_decontaminate": (6, 2),
 }
 
 

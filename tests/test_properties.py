@@ -1749,3 +1749,21 @@ def test_unpivot_is_pivot_closure_row_identically(spark, sf_dir):
     }
     assert got == plain, "pivot->melt closure broken"
     assert got, "empty pivot — fixture regression"
+
+
+def test_uv_bloom_row_identical_to_unique_visitors(spark, sf_dir):
+    """Twin-retirement qualifier (r17, RETIRED_TWINS: uv_bloom): the
+    Bloom-membership UV variant (the reference's
+    UvWithBloomFilter.java semantics — bit-test + count++) shares its
+    exact COUNT(DISTINCT) oracle with unique_visitors because at this
+    corpus scale the 2^22-bit filter's fpp < 1e-9: false positives
+    undercount with probability ~0 per window. Pin the two queries
+    ROW-IDENTICAL on real data every session, so unique_visitors'
+    driver hash co-verifies the Bloom path (which also keeps its own
+    oracle row in the per-session sweep)."""
+    from flink_kafka_spark.queries.streamlike import unique_visitors, uv_bloom
+
+    bloom = {tuple(r) for r in uv_bloom(spark, sf_dir).collect()}
+    exact = {tuple(r) for r in unique_visitors(spark, sf_dir).collect()}
+    assert bloom == exact, "Bloom UV diverged from exact distinct"
+    assert bloom, "empty UV frame — fixture regression"

@@ -445,6 +445,68 @@ def main() -> None:
             "peak_batch_verdicts": peak.get("manifest_rows", 0)
         }
 
+        # streaming winnow decontamination: document feed vs a stored
+        # eval fingerprint index (the text twin of the media filter).
+        # Half of each batch embeds a verbatim 19-token run lifted
+        # from one of 500 eval docs (>= w + k - 1, so the guarantee
+        # fires); the other half is clean disjoint vocabulary.
+        from flink_kafka_spark.operators.text import winnow_eval_index
+        from flink_kafka_spark.streaming.jobs import winnow_decontaminate_stream
+
+        def _run(tag, key):
+            # 19 shard-tagged tokens — the verbatim run documents share
+            return F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"{tag}t{i}e"), key.cast("string"))
+                    for i in range(19)
+                ],
+            )
+
+        doc_n = max(n // 50, 2_000)
+        eval_docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.lit("evalhead"), _run("ev", F.col("id")), F.lit("evaltail")
+            ).alias("text"),
+        )
+        dkey = F.pmod(F.xxhash64("id"), F.lit(500))
+        leaky = F.concat_ws(" ", F.lit("pre"), _run("ev", dkey), F.lit("post"))
+        clean = _run("cl", F.col("id"))
+        docs_src = os.path.join(tmp, "decon_docs")
+        spark.range(doc_n).select(
+            F.to_json(
+                F.struct(
+                    F.col("id").alias("doc_id"),
+                    F.when(F.pmod("id", F.lit(2)) == 0, leaky)
+                    .otherwise(clean)
+                    .alias("text"),
+                )
+            ).alias("value")
+        ).repartition(4).write.mode("overwrite").text(docs_src)
+        # stored-index production shape: fingerprint the eval set once
+        idx = winnow_eval_index(eval_docs).persist()
+        idx.count()
+        docs_stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(docs_src)
+        )
+        peak = {}
+        t0 = time.perf_counter()
+        run_monitor(
+            winnow_decontaminate_stream(
+                docs_stream, None, manifest_sink(peak), eval_index=idx
+            ),
+            os.path.join(tmp, "ck_winnow_decon"),
+            peak,
+        )
+        timings["winnow_decontaminate_stream"] = round(time.perf_counter() - t0, 2)
+        state["winnow_decontaminate_stream"] = {
+            "peak_batch_flagged": peak.get("manifest_rows", 0)
+        }
+        idx.unpersist()
+
     print(json.dumps({"stream_bench": timings, "state": state, "n": n}))
 
 

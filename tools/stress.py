@@ -1175,6 +1175,12 @@ CURVE_QUERIES = (
     # not go quadratic as replicas multiply within-bucket doc counts
     "doc_winnow_fingerprint",
     "winnow_overlap_pairs",
+    # r17 registration: decontamination fingerprints both sides and
+    # joins on the hash — the train side must track the scan and the
+    # join stay eval-index-bounded (replica shards keep the eval
+    # subset proportional, so matched pairs grow linearly, never
+    # cross-shard)
+    "winnow_decontaminate",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
