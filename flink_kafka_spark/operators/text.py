@@ -652,6 +652,11 @@ def winnow_decontaminate(
     the corpus. Text never shuffles."""
     from ..caching import track
 
+    if id_col in ("eval_id", "fp_hash"):
+        raise ValueError(
+            f"winnow_decontaminate: id_col={id_col!r} collides with an "
+            "internal column of the eval index — rename the id column first"
+        )
     if eval_index is None:
         if eval_df is None:
             raise ValueError(

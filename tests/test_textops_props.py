@@ -1356,3 +1356,16 @@ def test_block_assignment_handles_names_needing_backticks(spark):
         for r in block_assignment(spaced, "doc id").collect()
     }
     assert a == b, "block assignment depends on the column NAME, not the values"
+
+
+def test_winnow_decontaminate_rejects_colliding_id_column(spark):
+    """Internal-column collision guard: an id column literally named
+    eval_id or fp_hash would silently mis-join against the eval index
+    — refuse loudly instead."""
+    import pytest as _pytest
+
+    from flink_kafka_spark.operators.text import winnow_decontaminate
+
+    df = spark.createDataFrame([(1, "a b c d e")], "eval_id long, text string")
+    with _pytest.raises(ValueError, match="collides with an internal column"):
+        winnow_decontaminate(df, df, id_col="eval_id")
