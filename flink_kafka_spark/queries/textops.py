@@ -2368,8 +2368,11 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(load(spark, sf_dir, "documents"))
 
 
-WINNOW_FINGERPRINT_ORACLE = """
-WITH toks AS (
+# The k=4/w=8 winnowing fingerprint pipeline as DuckDB CTEs — ONE
+# encoding of the hash width / position packing / window slicing,
+# shared by all three winnowing oracles below so the math can never
+# drift apart between them (r17 review finding).
+_WINNOW_HS_CTES = """toks AS (
   SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
 ),
 sh AS (
@@ -2384,7 +2387,24 @@ hs AS (
                         i -> ('0x' || substr(md5(sh[i]), 1, 10))::BIGINT * 1048576
                              + (1048575 - (i - 1))) AS hs
   FROM sh
-),
+)"""
+
+# ... and the per-doc distinct HASH projection of the selected
+# fingerprints (positions dropped) the pair/decontamination consumers
+# both join on.
+_WINNOW_FPS_HASH_CTE = """fps AS (
+  SELECT DISTINCT doc_id, fp // 1048576 AS fp_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 7, 1) + 1),
+             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
+    FROM hs WHERE len(hs) > 0
+  )
+)"""
+
+WINNOW_FINGERPRINT_ORACLE = f"""
+WITH {_WINNOW_HS_CTES},
 fps AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -2424,32 +2444,8 @@ def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_OVERLAP_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
-                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
-  FROM toks
-),
-hs AS (
-  SELECT doc_id,
-         list_transform(range(1, len(sh) + 1),
-                        i -> ('0x' || substr(md5(sh[i]), 1, 10))::BIGINT * 1048576
-                             + (1048575 - (i - 1))) AS hs
-  FROM sh
-),
-fps AS (
-  SELECT DISTINCT doc_id, fp // 1048576 AS fp_hash
-  FROM (
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(
-             range(1, greatest(len(hs) - 7, 1) + 1),
-             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
-    FROM hs WHERE len(hs) > 0
-  )
-),
+WITH {_WINNOW_HS_CTES},
+{_WINNOW_FPS_HASH_CTE},
 sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
 rare AS (
   SELECT doc_id, fp_hash FROM fps
@@ -2500,32 +2496,8 @@ def winnow_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_DECON_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws FROM documents
-),
-sh AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
-                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS sh
-  FROM toks
-),
-hs AS (
-  SELECT doc_id,
-         list_transform(range(1, len(sh) + 1),
-                        i -> ('0x' || substr(md5(sh[i]), 1, 10))::BIGINT * 1048576
-                             + (1048575 - (i - 1))) AS hs
-  FROM sh
-),
-fps AS (
-  SELECT DISTINCT doc_id, fp // 1048576 AS fp_hash
-  FROM (
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(
-             range(1, greatest(len(hs) - 7, 1) + 1),
-             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
-    FROM hs WHERE len(hs) > 0
-  )
-),
+WITH {_WINNOW_HS_CTES},
+{_WINNOW_FPS_HASH_CTE},
 t AS (SELECT doc_id, fp_hash FROM fps WHERE doc_id % {DECON_MOD} <> 0),
 e AS (SELECT doc_id AS eval_id, fp_hash FROM fps WHERE doc_id % {DECON_MOD} = 0),
 pair AS (

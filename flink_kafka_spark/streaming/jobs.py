@@ -224,8 +224,8 @@ def winnow_decontaminate_stream(
     eval_df: "DataFrame | None",
     sink,
     eval_index: "DataFrame | None" = None,
-    k: int = 4,
-    w: int = 8,
+    k: "int | None" = None,
+    w: "int | None" = None,
 ):
     """Decontaminate an incoming DOCUMENT stream (doc_id, text)
     against a static eval/benchmark corpus by winnowing fingerprints —
@@ -251,8 +251,19 @@ def winnow_decontaminate_stream(
     stream). Returns the configured ``DataStreamWriter`` — caller sets
     trigger/checkpoint and ``.start()``s it."""
     from ..caching import release_scope
-    from ..operators.text import winnow_decontaminate, winnow_eval_index
+    from ..operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_decontaminate,
+        winnow_eval_index,
+    )
 
+    # resolve against the batch operator's canonical widths so a
+    # retune there moves BOTH faces together — a streaming face on
+    # stale defaults would equality-join fingerprints computed with
+    # different (k, w) and silently match nothing (r17 review finding)
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
     if eval_index is None:
         if eval_df is None:
             raise ValueError(

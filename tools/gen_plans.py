@@ -58,15 +58,15 @@ def audit(df) -> dict:
     # r16 advice: the indentation heuristic above is format-sensitive
     # (an AQE Initial/Final re-print or cross-version drift could
     # silently mis-scope the cached set and skew the loop-round rows).
-    # Cross-check against the detail blocks: every InMemoryRelation in
-    # the tree must yield at least one child id, and a plan with
-    # InMemoryTableScan details must have a non-empty cached set.
-    n_imr = len(re.findall(r"^\s*(?:[+:]-\s*)?InMemoryRelation", plan, re.M))
-    if n_imr and not cached:
+    # Cross-check prefix-immune: a bare substring probe (tree lines
+    # carry ':'/'+-' branch prefixes a line-anchored regex misses) on
+    # BOTH spellings the formatted plan uses — the tree's
+    # InMemoryRelation node and its InMemoryTableScan detail blocks.
+    if ("InMemoryRelation" in plan or "InMemoryTableScan" in plan) and not cached:
         raise RuntimeError(
-            "plan-audit cached-node guard: InMemoryRelation present but "
-            "no cached subtree ids matched — explain() format drift; "
-            "fix _cached_node_ids before trusting loop-round counts"
+            "plan-audit cached-node guard: InMemoryRelation/TableScan "
+            "present but no cached subtree ids matched — explain() format "
+            "drift; fix _cached_node_ids before trusting loop-round counts"
         )
 
     def _scan_list(live_only: bool) -> list:
