@@ -243,8 +243,10 @@ BENCH_QUERIES = [
     # global permutation's range machinery. No baseline entry yet.
     "block_shuffle",
     # round-17: train/eval decontamination on the winnowed sub-sample
-    # (stored-index capable). No baseline entry yet — guardrail skips.
+    # (stored-index capable) and its spans/excision consumer. No
+    # baseline entries yet — guardrail skips.
     "winnow_decontaminate",
+    "winnow_contaminated_spans",
 ]
 
 

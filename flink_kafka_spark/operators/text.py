@@ -688,6 +688,83 @@ def winnow_decontaminate(
     )
 
 
+def winnow_contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    eval_index: DataFrame | None = None,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """WHERE the leak is: the surgical consumer of
+    :func:`winnow_decontaminate`. For every training document sharing
+    winnowing fingerprints with the eval corpus, localize the matched
+    fingerprint POSITIONS and merge them into contiguous token spans —
+    the excision targets a pipeline cuts out of an otherwise-keepable
+    document (the winnowed-path analog of the exact n-gram
+    ``span_trim`` family).
+
+    Output, one row per (contaminated doc, span):
+    ``(doc_id, span_start, span_end, n_fps)`` — token indices, span
+    end inclusive of the last matched shingle's k tokens. Islands:
+    matched positions with a gap <= ``merge_gap`` (default
+    w + k - 1 = the guarantee length: inside one shared verbatim run
+    the selection never goes w positions without a sample, so matched
+    fps of a single run can never be farther apart than that) merge
+    into one span; a larger gap starts a new span. The span brackets
+    the SELECTED fingerprints of the leaked run, not the run's exact
+    edges — winnowing samples ~2/(w+1) of the shingles, so pad by w
+    tokens on each side before cutting if the excision must be
+    guaranteed-superset (documented trade; the matched positions are
+    always inside the shared run when contexts differ, since a
+    boundary shingle mixing run and context tokens exists on only one
+    side).
+
+    Scale: the train side is the zero-shuffle fingerprint pipeline;
+    the semi join ships 40-bit hashes against the benchmark-sized eval
+    index; the islands window partitions by doc over the MATCHED
+    positions only — a contamination-sized frame, not the corpus."""
+    from pyspark.sql.window import Window
+
+    if id_col in ("eval_id", "fp_hash", "fp_pos"):
+        raise ValueError(
+            f"winnow_contaminated_spans: id_col={id_col!r} collides with an "
+            "internal column — rename the id column first"
+        )
+    if eval_index is None:
+        if eval_df is None:
+            raise ValueError(
+                "winnow_contaminated_spans: pass eval_df or a stored eval_index"
+            )
+        eval_index = winnow_eval_index(eval_df, id_col, text_col, k, w)
+    gap = (w + k - 1) if merge_gap is None else merge_gap
+    if gap < 1:
+        raise ValueError(f"merge_gap must be >= 1, got {gap}")
+    matched = (
+        winnow_fingerprints(train, id_col, text_col, k, w)
+        .join(eval_index.select("fp_hash").distinct(), "fp_hash", "left_semi")
+        .select(id_col, "fp_pos")
+        .distinct()
+    )
+    by_pos = Window.partitionBy(id_col).orderBy("fp_pos")
+    islands = matched.withColumn(
+        "_new",
+        F.when(
+            F.col("fp_pos") - F.lag("fp_pos").over(by_pos) > F.lit(gap), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("fp_pos").cast("long").alias("span_start"),
+        (F.max("fp_pos") + (k - 1)).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+    ).select(id_col, "span_start", "span_end", "n_fps")
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2533,6 +2533,69 @@ QUERIES.append(
 )
 
 
+from ..operators.text import winnow_contaminated_spans  # noqa: E402
+
+
+def winnow_contaminated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the leak is (r17): matched fingerprint positions of every
+    contaminated train doc merged into excisable token spans (islands
+    at the w + k - 1 = 11 guarantee gap) — the surgical consumer of
+    winnow_decontaminate, over the same every-97th-doc eval split."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
+    return winnow_contaminated_spans(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+WINNOW_SPANS_ORACLE = f"""
+WITH {_WINNOW_HS_CTES},
+fpp AS (
+  SELECT doc_id,
+         1048575 - (fp % 1048576) AS fp_pos,
+         fp // 1048576 AS fp_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 7, 1) + 1),
+             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
+    FROM hs WHERE len(hs) > 0
+  )
+),
+matched AS (
+  SELECT DISTINCT doc_id, fp_pos FROM fpp
+  WHERE doc_id % {DECON_MOD} <> 0
+    AND fp_hash IN (SELECT fp_hash FROM fpp WHERE doc_id % {DECON_MOD} = 0)
+),
+gaps AS (
+  SELECT doc_id, fp_pos,
+         CASE WHEN fp_pos - lag(fp_pos)
+                     OVER (PARTITION BY doc_id ORDER BY fp_pos) > 11
+              THEN 1 ELSE 0 END AS brk
+  FROM matched
+),
+isl AS (
+  SELECT doc_id, fp_pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY fp_pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM gaps
+)
+SELECT doc_id,
+       CAST(min(fp_pos) AS BIGINT) AS span_start,
+       CAST(max(fp_pos) + 3 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_fps
+FROM isl GROUP BY doc_id, island
+"""
+
+QUERIES.append(
+    Query(
+        "winnow_contaminated_spans",
+        winnow_contaminated_spans_q,
+        WINNOW_SPANS_ORACLE,
+        "ext: excisable leaked-span localization on winnowing fingerprints",
+    )
+)
+
+
 BLOCK_SHUFFLE_BLOCKS = 64
 
 

@@ -75,7 +75,8 @@ def test_driver_window_covers_every_family():
                  "doc_logprob", "doc_bigram_logprob", "clf_quality_score",
                  "vocab_oov_rate", "source_scorecard",
                  "kmv_pair_intersections", "doc_winnow_fingerprint",
-                 "winnow_overlap_pairs", "winnow_decontaminate"],
+                 "winnow_overlap_pairs", "winnow_decontaminate",
+                 "winnow_contaminated_spans"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
@@ -136,10 +137,14 @@ CAPACITY_DEFERRED: dict[str, int] = {
     "media_phash_incremental": 15,
     # (r16's three deferrals — doc_winnow_fingerprint,
     # winnow_overlap_pairs, block_shuffle — entered the r17 window on
-    # the drain schedule, one round inside their r19 deadline; the
-    # never-hashed queue is again empty. r17's one new registration,
-    # winnow_decontaminate, entered the same round under the
-    # immediate-hash rule — no deferral needed.)
+    # the drain schedule, one round inside their r19 deadline. r17's
+    # first registration, winnow_decontaminate, entered the same
+    # round under the immediate-hash rule — no deferral needed.)
+    # r17 registration #2 (pacing 2 of 3): the spans/excision consumer
+    # of winnow_decontaminate. The r17 window is fully committed to
+    # the mandatory drain, so it defers to the r18 wave, whose written
+    # schedule (ROTATION_LEDGER §Round 17) has ~16 spare slots.
+    "winnow_contaminated_spans": 17,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -437,6 +437,11 @@ PLAN_BOUNDS = {
     # 40-bit-hash tuples from the ~2/(w+1) winnowed sub-sample — never
     # text, never the corpus.
     "winnow_decontaminate": (6, 2),
+    # spans consumer: train fingerprints -> hash semi-join against the
+    # eval index (broadcasts; the distinct eval hash frame is
+    # benchmark-sized) -> matched-position distinct -> islands window.
+    # Every post-fingerprint frame is contamination-sized.
+    "winnow_contaminated_spans": (4, 0),
 }
 
 

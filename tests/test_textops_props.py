@@ -1369,3 +1369,61 @@ def test_winnow_decontaminate_rejects_colliding_id_column(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "eval_id long, text string")
     with _pytest.raises(ValueError, match="collides with an internal column"):
         winnow_decontaminate(df, df, id_col="eval_id")
+
+
+def test_winnow_contaminated_spans_localizes_planted_runs(spark):
+    """The excision consumer's contract: a train doc leaking TWO
+    separated eval runs yields exactly two spans, each inside its
+    planted run's token extent (matched shingles are pure-run
+    shingles when contexts differ, so the span never bleeds into
+    clean context); runs closer than the merge gap collapse to one
+    span; clean docs yield nothing; stored-index path row-identical."""
+    from flink_kafka_spark.operators.text import (
+        winnow_contaminated_spans,
+        winnow_eval_index,
+    )
+
+    run_a = " ".join(f"ra{i}" for i in range(14))   # tokens 3..16
+    run_b = " ".join(f"rb{i}" for i in range(14))   # tokens 36..49
+    ctx = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    eval_df = spark.createDataFrame(
+        [(100, "eq " + run_a + " ea"), (101, "ex " + run_b + " ey")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # 3 ctx + run_a(14) + 19 ctx + run_b(14) + 3 ctx: the two
+            # leaks sit ~19 tokens apart -> separate islands at gap 11
+            (10, ctx("c", 3) + " " + run_a + " " + ctx("m", 19) + " " + run_b + " " + ctx("t", 3)),
+            (11, ctx("z", 40)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_contaminated_spans(train, eval_df).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.n_fps))
+    assert 11 not in by_doc, "clean doc produced spans"
+    spans = sorted(by_doc[10])
+    assert len(spans) == 2, f"expected two islands, got {spans}"
+    # run_a occupies token positions 3..16 (shingle starts 3..13);
+    # run_b occupies 36..49 (shingle starts 36..46)
+    s0, e0, n0 = spans[0]
+    s1, e1, n1 = spans[1]
+    assert 3 <= s0 and e0 <= 16, f"span 0 escapes run A: {spans[0]}"
+    assert 36 <= s1 and e1 <= 49, f"span 1 escapes run B: {spans[1]}"
+    assert n0 >= 1 and n1 >= 1
+
+    # stored-index path is row-identical
+    idx = winnow_eval_index(eval_df)
+    stored = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_fps)
+        for r in winnow_contaminated_spans(train, eval_index=idx).collect()
+    )
+    assert stored == sorted((10, *s) for s in spans)
+
+    # a merge_gap wide enough to bridge the 19-token gap collapses
+    # the two leaks into ONE island
+    merged = winnow_contaminated_spans(train, eval_df, merge_gap=40).collect()
+    ten = [r for r in merged if r.doc_id == 10]
+    assert len(ten) == 1 and ten[0].n_fps == n0 + n1

@@ -96,7 +96,9 @@ EXTENSIONS = [
              " (containment_pairs' bucket-join shape over the ~2/(w+1)"
              " winnowed sub-sample) + train/eval winnow decontamination"
              " vs a stored eval fingerprint index (per-doc contamination"
-             " evidence, planted-leak pytest)"
+             " evidence, planted-leak pytest; batch + streaming faces)"
+             " + excisable leaked-span localization (matched-position"
+             " islands at the guarantee gap)"
              " / unigram + interpolated-bigram LM perplexity proxies"
              " / hashed-linear classifier gate / vocab OOV audit"
              " / per-source scorecard + KL"
