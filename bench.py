@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     # baseline entries yet — guardrail skips.
     "winnow_decontaminate",
     "winnow_contaminated_spans",
+    "winnow_decontaminate_trim",
 ]
 
 

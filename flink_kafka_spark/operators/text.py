@@ -765,6 +765,84 @@ def winnow_contaminated_spans(
     ).select(id_col, "span_start", "span_end", "n_fps")
 
 
+def winnow_decontaminate_trim(
+    train: DataFrame,
+    eval_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    eval_index: DataFrame | None = None,
+    pad: int | None = None,
+) -> DataFrame:
+    """EXCISE the leak: the final step of the winnowing
+    decontamination arc (detect → localize → cut). Every training
+    document comes back with its contaminated spans removed — clean
+    docs pass through verbatim (token-rejoined), contaminated docs
+    lose the padded spans — so the output IS the releasable corpus,
+    the winnowed-path analog of the exact n-gram ``trim_duplicate_
+    spans``.
+
+    Output, one row per train doc: ``(doc_id, clean_text,
+    n_removed)`` — ``clean_text`` is the surviving tokens rejoined
+    with single spaces (whitespace-normalized, the text-family
+    convention), ``n_removed`` the token count cut.
+
+    GUARANTEED-SUPERSET PROOF (why ``pad`` defaults to w - 1): inside
+    a verbatim run of length L >= w + k - 1 shared with an eval doc,
+    every window of w shingles lying FULLY inside the run has
+    byte-identical content in both documents, hence an identical
+    minimum, hence selects a fingerprint MATCHED on both sides. So
+    matched positions cover the run interior at gaps < w (one island
+    under the w + k - 1 merge gap), the first matched position is at
+    most w - 1 shingles after the run start, and the last at most
+    w - 1 before the last run shingle. Padding the island by w - 1
+    tokens on each side therefore covers the ENTIRE run: no token of
+    any leaked run of guarantee length survives. (Shorter overlaps
+    may survive — the same documented bound as the detector.)
+
+    Scale: the span computation is the detector's contamination-sized
+    pipeline; the trim joins the corpus against the per-doc padded
+    span LISTS (contaminated docs only — broadcast-sized next to the
+    corpus) and filters tokens in a per-row HOF, so the corpus itself
+    crosses no extra shuffle and clean documents never explode."""
+    spans = winnow_contaminated_spans(
+        train, eval_df, id_col, text_col, k, w, eval_index=eval_index
+    )
+    p = (w - 1) if pad is None else pad
+    if p < 0:
+        raise ValueError(f"pad must be >= 0, got {p}")
+    per_doc = (
+        spans.select(
+            id_col,
+            F.greatest(F.col("span_start") - p, F.lit(0)).alias("_s"),
+            (F.col("span_end") + p).alias("_e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("_s", "_e")).alias("_spans"))
+    )
+    # tokens of the ORIGINAL text (same '\s+' boundaries the winnow
+    # positions were computed on; lowering never moves whitespace);
+    # the 2-arg filter lambda gets the 0-based index Spark guarantees
+    return (
+        train.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.expr(
+                f"filter(split({text_col}, '\\\\s+'), (t, i) -> "
+                f"_spans IS NULL OR NOT exists(_spans, sp -> "
+                f"i >= sp._s AND i <= sp._e))"
+            ).alias("_kept"),
+            F.size(F.split(F.col(text_col), r"\s+")).alias("_total"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
+            (F.col("_total") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2596,6 +2596,97 @@ QUERIES.append(
 )
 
 
+from ..operators.text import winnow_decontaminate_trim  # noqa: E402
+
+
+def winnow_decontaminate_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCISE the leak (r17): the releasable corpus — every train doc
+    with its contaminated spans (padded by w - 1, the
+    guaranteed-superset bound proven in the operator docstring)
+    removed; clean docs pass through token-rejoined. Same
+    every-97th-doc eval split as the detector rows."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
+    return winnow_decontaminate_trim(docs.filter(~is_eval), docs.filter(is_eval))
+
+
+WINNOW_TRIM_ORACLE = f"""
+WITH {_WINNOW_HS_CTES},
+fpp AS (
+  SELECT doc_id,
+         1048575 - (fp % 1048576) AS fp_pos,
+         fp // 1048576 AS fp_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 7, 1) + 1),
+             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
+    FROM hs WHERE len(hs) > 0
+  )
+),
+matched AS (
+  SELECT DISTINCT doc_id, fp_pos FROM fpp
+  WHERE doc_id % {DECON_MOD} <> 0
+    AND fp_hash IN (SELECT fp_hash FROM fpp WHERE doc_id % {DECON_MOD} = 0)
+),
+gaps AS (
+  SELECT doc_id, fp_pos,
+         CASE WHEN fp_pos - lag(fp_pos)
+                     OVER (PARTITION BY doc_id ORDER BY fp_pos) > 11
+              THEN 1 ELSE 0 END AS brk
+  FROM matched
+),
+isl AS (
+  SELECT doc_id, fp_pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY fp_pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM gaps
+),
+padded AS (
+  SELECT doc_id,
+         greatest(min(fp_pos) - 7, 0) AS s,
+         max(fp_pos) + 3 + 7 AS e
+  FROM isl GROUP BY doc_id, island
+),
+toks_raw AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents
+  WHERE doc_id % {DECON_MOD} <> 0
+),
+tok_pos AS (
+  SELECT doc_id, unnest(ws) AS tok,
+         generate_subscripts(ws, 1) - 1 AS pos,
+         len(ws) AS total
+  FROM toks_raw
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.pos, t.total FROM tok_pos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM padded p
+    WHERE p.doc_id = t.doc_id AND t.pos BETWEEN p.s AND p.e
+  )
+)
+SELECT r.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(len(r.ws) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks_raw r
+LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+QUERIES.append(
+    Query(
+        "winnow_decontaminate_trim",
+        winnow_decontaminate_trim_q,
+        WINNOW_TRIM_ORACLE,
+        "ext: leaked-span excision (releasable corpus, guaranteed-superset pad)",
+    )
+)
+
+
 BLOCK_SHUFFLE_BLOCKS = 64
 
 

@@ -76,7 +76,7 @@ def test_driver_window_covers_every_family():
                  "vocab_oov_rate", "source_scorecard",
                  "kmv_pair_intersections", "doc_winnow_fingerprint",
                  "winnow_overlap_pairs", "winnow_decontaminate",
-                 "winnow_contaminated_spans"],
+                 "winnow_contaminated_spans", "winnow_decontaminate_trim"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
@@ -145,6 +145,11 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # the mandatory drain, so it defers to the r18 wave, whose written
     # schedule (ROTATION_LEDGER §Round 17) has ~16 spare slots.
     "winnow_contaminated_spans": 17,
+    # r17 registration #3 — the pacing limit is now exactly reached
+    # (the r16 precedent wording applies verbatim): the excision step
+    # that turns the spans row into the releasable corpus. Same
+    # r18-wave entry as its producer.
+    "winnow_decontaminate_trim": 17,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

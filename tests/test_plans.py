@@ -442,6 +442,11 @@ PLAN_BOUNDS = {
     # benchmark-sized) -> matched-position distinct -> islands window.
     # Every post-fingerprint frame is contamination-sized.
     "winnow_contaminated_spans": (4, 0),
+    # excision: the spans pipeline + per-doc span-list rollup, then
+    # the corpus joins the contamination-sized span lists broadcast
+    # (4 BHJ at test SF) and trims in a per-row HOF — the corpus
+    # itself crosses no exchange
+    "winnow_decontaminate_trim": (4, 0),
 }
 
 

@@ -1427,3 +1427,56 @@ def test_winnow_contaminated_spans_localizes_planted_runs(spark):
     merged = winnow_contaminated_spans(train, eval_df, merge_gap=40).collect()
     ten = [r for r in merged if r.doc_id == 10]
     assert len(ten) == 1 and ten[0].n_fps == n0 + n1
+
+
+def test_winnow_decontaminate_trim_removes_every_planted_run_token(spark):
+    """The excision guarantee end to end: every token of a leaked run
+    of guarantee length (>= w + k - 1 = 11) is REMOVED under the
+    default w - 1 pad (the operator docstring's proof: run-interior
+    w-windows select identical fingerprints on both sides, so matched
+    positions cover the run at gaps < w and sit within w - 1 of each
+    edge); clean docs pass through token-identical; the doc keeps its
+    non-leaked context; an all-leak doc trims to empty. Fuzzed over
+    context lengths so the run sits at different offsets, including
+    flush at the start/end of the doc."""
+    from flink_kafka_spark.operators.text import winnow_decontaminate_trim
+
+    run = " ".join(f"rk{i}" for i in range(23))  # 2x guarantee length
+    eval_df = spark.createDataFrame(
+        [(100, "eq1 eq2 " + run + " ez1 ez2")], "doc_id long, text string"
+    )
+    cases = []
+    did = 0
+    for pre in (0, 1, 5, 12):
+        for post in (0, 3, 9):
+            did += 1
+            ctx_a = " ".join(f"a{did}x{i}" for i in range(pre))
+            ctx_b = " ".join(f"b{did}x{i}" for i in range(post))
+            text = " ".join(x for x in (ctx_a, run, ctx_b) if x)
+            cases.append((did, text, pre, post))
+    cases.append((90, " ".join(f"clean{i}" for i in range(30)), None, None))
+    train = spark.createDataFrame(
+        [(d, t) for d, t, *_ in cases], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in winnow_decontaminate_trim(train, eval_df).collect()}
+    run_toks = set(run.split())
+    for did, text, pre, post in cases:
+        r = out[did]
+        kept = r.clean_text.split() if r.clean_text else []
+        if pre is None:  # the clean doc
+            assert kept == text.split() and r.n_removed == 0
+            continue
+        assert not (set(kept) & run_toks), (
+            f"doc {did} (pre={pre}, post={post}): run tokens survived: "
+            f"{set(kept) & run_toks}"
+        )
+        assert r.n_removed >= 23
+        # surviving context is a subsequence of the original context
+        # (the pad may eat up to w-1 context tokens per side, never more)
+        orig = text.split()
+        assert all(t in orig for t in kept)
+        assert len(kept) >= max(pre - 7, 0) + max(post - 7, 0)
+    # all-leak doc: the run alone trims to the empty string
+    solo = spark.createDataFrame([(200, run)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in winnow_decontaminate_trim(solo, eval_df).collect()}
+    assert rows[200].clean_text == "" and rows[200].n_removed == 23

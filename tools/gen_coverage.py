@@ -98,7 +98,8 @@ EXTENSIONS = [
              " vs a stored eval fingerprint index (per-doc contamination"
              " evidence, planted-leak pytest; batch + streaming faces)"
              " + excisable leaked-span localization (matched-position"
-             " islands at the guarantee gap)"
+             " islands at the guarantee gap) + leak excision to the"
+             " releasable corpus (proven guaranteed-superset w-1 pad)"
              " / unigram + interpolated-bigram LM perplexity proxies"
              " / hashed-linear classifier gate / vocab OOV audit"
              " / per-source scorecard + KL"
