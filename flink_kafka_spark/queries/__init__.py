@@ -68,24 +68,29 @@ class Query:
 # and the never-hashed queue — lives in ROTATION_LEDGER.md (round-7
 # verdict item 8: the ledger was outgrowing this header).
 #
-# ROUND-17 ROTATION — the mandatory drain (full rationale and the
-# opening cadence-audit table in ROTATION_LEDGER.md §Round 17): 29
-# rows hit their cadence bound this round (20 written CADENCE_DEBT +
-# 9 newly due) and the 3 r16 capacity deferrals (doc_winnow_
-# fingerprint, winnow_overlap_pairs, block_shuffle) take their first
-# hash. Two of the 29 retire as twins instead of re-entering
-# (events_gapfill, orders_status_unpivot — see RETIRED_TWINS), so the
-# wave is 30 INs + 1 new registration (winnow_decontaminate, the r16
-# verdict's decontamination consumer, immediate-hash) + 5 PULL-
-# FORWARDS of cheap r18-due rows (page_views, sequence_packing,
-# quality_curriculum, events_value_winsorize, changelog_roundtrip) —
-# hashed a round early, they leave at r18 under the seasoned-row
-# amendment below and shrink the r18 wave from 23 to 18. OUT: every
-# r15/r16 twice-green non-pinned row except the two family anchors
-# that must stay (multi_query_search — retrieval's only in-window
-# full-oracle row; media_phash_incremental — single green, cannot
-# leave). The OUT pool was 36 eligible rows vs 36 slots needed: exact
-# fit, verified by tools/cadence_audit.py at round entry (0 OVERDUE).
+# ROUND-18 ROTATION — the written r18 wave executes exactly as
+# scheduled (ROTATION_LEDGER.md §Round 17 "WRITTEN r18-r20 SCHEDULE";
+# opening cadence-audit table in §Round 18): the 18 cadence-due rows
+# (the r12-last-hash block: basket_lift .. training_mix_snapshot,
+# tpch_q2/q9/q11/q20, source_pagerank) enter, the two r17
+# CAPACITY_DEFERRED registrations (winnow_contaminated_spans,
+# winnow_decontaminate_trim) take their first hash on their written
+# deadline, and the 4 single-green r17 first-hash rows (doc_winnow_
+# fingerprint, winnow_overlap_pairs, block_shuffle,
+# winnow_decontaminate) carry — they may not leave under either
+# departure rule. That is 12 checks + 4 carried + 2 deferrals + 18
+# due = 36 slots; the 14 spare slots take PULL-FORWARDS from the
+# 39-row r20 wave: inverted_index (the retrieval-family anchor the
+# written schedule names — multi_query_search leaves at 9 greens) +
+# the 13 cheapest bench rows (embedding_quantize, tpch_q6,
+# media_decode_meta, unique_visitors, hot_items_sql, channel_stats,
+# order_timeout, login_fail_detect, funnel_conversions,
+# ann_cosine_topk, tpch_q3, sessionize, tpch_q10), shrinking the
+# r19-entry target from 25 to the full 25-row wave remainder so r20's
+# organic due list is EMPTY. OUT: every r17 IN with >= 3 lifetime
+# greens (the seasoned-row amendment's first full-scale use) plus
+# media_phash_incremental (greens r16+r17 — the classic
+# twice-consecutive rule).
 #
 # SEASONED-ROW AMENDMENT (adopted r17; arithmetic in
 # ROTATION_LEDGER.md §Round 17): the twice-consecutive-green
@@ -134,58 +139,57 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semantic_dedup_check",
     "heavy_hitters_check",
     "media_features_check",
-    # family anchors that must stay: retrieval's only in-window
-    # full-oracle row (9 lifetime greens) and the r16 first-hash row
-    # (single green -- cannot leave under either departure rule)
-    "multi_query_search",
-    "media_phash_incremental",
-    # relational block (CADENCE_DEBT r17)
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    # analytics / windowing long-tail (debt + newly due r17)
-    "agg_incremental_update",
-    "events_gapfill_interp",
-    "events_key_skew",
-    "fk_coverage_audit",
-    "orders_cube",
-    "orders_moving_revenue",
-    "orders_status_pivot",
-    "retention_cohorts",
-    "session_windows_native",
-    "source_divergence",
-    "filter_audit",
-    "k_anonymity_audit",
-    # text family (debt r17)
-    "bpe_merge_candidates",
-    "doc_bigram_logprob",
-    "encoding_audit",
-    "markup_strip",
-    "vocab_oov_rate",
-    # similarity family (debt r17)
-    "doc_embedding_hash",
-    "doc_semantic_pairs",
-    # multimodal (newly due r17)
-    "media_frame_sample",
-    # r16 capacity deferrals -- first hash (never-hashed queue empties)
+    # carried r17 first-hash rows (single green -- may not leave under
+    # either departure rule; they reach 2 consecutive greens here and
+    # exit at r19)
     "doc_winnow_fingerprint",
     "winnow_overlap_pairs",
     "block_shuffle",
-    # r17 registration (immediate-hash rule): the winnowing family's
-    # train/eval decontamination consumer
     "winnow_decontaminate",
-    # pull-forwards: cheap r18-due rows hashed one round early; they
-    # reach >= 3 lifetime greens here and exit at r18 under the
-    # seasoned-row amendment, shrinking the r18 wave 23 -> 18
-    "page_views",
-    "sequence_packing",
-    "quality_curriculum",
-    "events_value_winsorize",
-    "changelog_roundtrip",
+    # r17 capacity deferrals -- first hash on their written r18
+    # deadline (never-hashed queue empties again)
+    "winnow_contaminated_spans",
+    "winnow_decontaminate_trim",
+    # the 18 cadence-due rows (last hashed r12; cadence_audit table in
+    # ROTATION_LEDGER.md §Round 18)
+    "basket_lift",
+    "cms_topk_estimates",
+    "customer_running_totals",
+    "event_asof_order",
+    "export_shards",
+    "kmv_set_cardinality",
+    "media_features",
+    "orders_daily_by_priority",
+    "purchase_attribution",
+    "quantity_percentiles",
+    "rfm_segments",
+    "scd2_history",
+    "source_pagerank",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q20",
+    "training_mix_snapshot",
+    # retrieval-family anchor pull-forward (multi_query_search leaves
+    # at 9 lifetime greens; the written schedule names inverted_index
+    # as the handoff anchor)
+    "inverted_index",
+    # r20-wave pull-forwards: the 13 cheapest bench rows hashed two
+    # rounds early so the r20 organic due list empties (schedule:
+    # ROTATION_LEDGER.md §Round 17/18)
+    "embedding_quantize",
+    "tpch_q6",
+    "media_decode_meta",
+    "unique_visitors",
+    "hot_items_sql",
+    "channel_stats",
+    "order_timeout",
+    "login_fail_detect",
+    "funnel_conversions",
+    "ann_cosine_topk",
+    "tpch_q3",
+    "sessionize",
+    "tpch_q10",
 )
 
 

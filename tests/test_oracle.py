@@ -140,16 +140,10 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # the drain schedule, one round inside their r19 deadline. r17's
     # first registration, winnow_decontaminate, entered the same
     # round under the immediate-hash rule — no deferral needed.)
-    # r17 registration #2 (pacing 2 of 3): the spans/excision consumer
-    # of winnow_decontaminate. The r17 window is fully committed to
-    # the mandatory drain, so it defers to the r18 wave, whose written
-    # schedule (ROTATION_LEDGER §Round 17) has ~16 spare slots.
-    "winnow_contaminated_spans": 17,
-    # r17 registration #3 — the pacing limit is now exactly reached
-    # (the r16 precedent wording applies verbatim): the excision step
-    # that turns the spans row into the releasable corpus. Same
-    # r18-wave entry as its producer.
-    "winnow_decontaminate_trim": 17,
+    # (r17 registrations #2 and #3 — winnow_contaminated_spans and
+    # winnow_decontaminate_trim, the spans/excision consumers of
+    # winnow_decontaminate — entered the r18 window on their written
+    # deadline: the never-hashed queue is empty as of r18.)
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):
