@@ -806,6 +806,13 @@ def winnow_decontaminate_trim(
     span LISTS (contaminated docs only — broadcast-sized next to the
     corpus) and filters tokens in a per-row HOF, so the corpus itself
     crosses no extra shuffle and clean documents never explode."""
+    internal = ("_spans", "_kept", "_total", "_txt", "_s", "_e")
+    if id_col in internal or text_col in internal:
+        raise ValueError(
+            f"winnow_decontaminate_trim: id_col={id_col!r}/"
+            f"text_col={text_col!r} collides with an internal column "
+            f"{internal} — rename the column first"
+        )
     spans = winnow_contaminated_spans(
         train, eval_df, id_col, text_col, k, w, eval_index=eval_index
     )
@@ -823,17 +830,21 @@ def winnow_decontaminate_trim(
     )
     # tokens of the ORIGINAL text (same '\s+' boundaries the winnow
     # positions were computed on; lowering never moves whitespace);
-    # the 2-arg filter lambda gets the 0-based index Spark guarantees
+    # the 2-arg filter lambda gets the 0-based index Spark guarantees.
+    # text_col is pre-projected to the internal alias _txt via the
+    # column API so the raw expr never interpolates a user-supplied
+    # name (backtick-safe, the block_assignment precedent)
     return (
-        train.join(per_doc, id_col, "left")
+        train.select(F.col(id_col), F.col(text_col).alias("_txt"))
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.expr(
-                f"filter(split({text_col}, '\\\\s+'), (t, i) -> "
-                f"_spans IS NULL OR NOT exists(_spans, sp -> "
-                f"i >= sp._s AND i <= sp._e))"
+                "filter(split(_txt, '\\\\s+'), (t, i) -> "
+                "_spans IS NULL OR NOT exists(_spans, sp -> "
+                "i >= sp._s AND i <= sp._e))"
             ).alias("_kept"),
-            F.size(F.split(F.col(text_col), r"\s+")).alias("_total"),
+            F.size(F.split(F.col("_txt"), r"\s+")).alias("_total"),
         )
         .select(
             id_col,

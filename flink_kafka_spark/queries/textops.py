@@ -2403,6 +2403,44 @@ _WINNOW_FPS_HASH_CTE = """fps AS (
   )
 )"""
 
+# ... and the position-bearing half — selected fingerprints unpacked
+# to (pos, hash), train-side positions matched against the eval-side
+# hash set, merged into islands at the 11-token (w + k - 1) guarantee
+# gap. ONE encoding shared by the spans and trim oracles (r17 review
+# finding: the chain had been re-inlined in both, re-opening the
+# drift the _WINNOW_HS_CTES extraction closed).
+_WINNOW_ISL_CTES = """fpp AS (
+  SELECT doc_id,
+         1048575 - (fp % 1048576) AS fp_pos,
+         fp // 1048576 AS fp_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 7, 1) + 1),
+             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
+    FROM hs WHERE len(hs) > 0
+  )
+),
+matched AS (
+  SELECT DISTINCT doc_id, fp_pos FROM fpp
+  WHERE doc_id % {mod} <> 0
+    AND fp_hash IN (SELECT fp_hash FROM fpp WHERE doc_id % {mod} = 0)
+),
+gaps AS (
+  SELECT doc_id, fp_pos,
+         CASE WHEN fp_pos - lag(fp_pos)
+                     OVER (PARTITION BY doc_id ORDER BY fp_pos) > 11
+              THEN 1 ELSE 0 END AS brk
+  FROM matched
+),
+isl AS (
+  SELECT doc_id, fp_pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY fp_pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM gaps
+)"""
+
 WINNOW_FINGERPRINT_ORACLE = f"""
 WITH {_WINNOW_HS_CTES},
 fps AS (
@@ -2548,37 +2586,7 @@ def winnow_contaminated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_SPANS_ORACLE = f"""
 WITH {_WINNOW_HS_CTES},
-fpp AS (
-  SELECT doc_id,
-         1048575 - (fp % 1048576) AS fp_pos,
-         fp // 1048576 AS fp_hash
-  FROM (
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(
-             range(1, greatest(len(hs) - 7, 1) + 1),
-             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
-    FROM hs WHERE len(hs) > 0
-  )
-),
-matched AS (
-  SELECT DISTINCT doc_id, fp_pos FROM fpp
-  WHERE doc_id % {DECON_MOD} <> 0
-    AND fp_hash IN (SELECT fp_hash FROM fpp WHERE doc_id % {DECON_MOD} = 0)
-),
-gaps AS (
-  SELECT doc_id, fp_pos,
-         CASE WHEN fp_pos - lag(fp_pos)
-                     OVER (PARTITION BY doc_id ORDER BY fp_pos) > 11
-              THEN 1 ELSE 0 END AS brk
-  FROM matched
-),
-isl AS (
-  SELECT doc_id, fp_pos,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY fp_pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM gaps
-)
+{_WINNOW_ISL_CTES.format(mod=DECON_MOD)}
 SELECT doc_id,
        CAST(min(fp_pos) AS BIGINT) AS span_start,
        CAST(max(fp_pos) + 3 AS BIGINT) AS span_end,
@@ -2612,37 +2620,7 @@ def winnow_decontaminate_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_TRIM_ORACLE = f"""
 WITH {_WINNOW_HS_CTES},
-fpp AS (
-  SELECT doc_id,
-         1048575 - (fp % 1048576) AS fp_pos,
-         fp // 1048576 AS fp_hash
-  FROM (
-    SELECT doc_id,
-           unnest(list_distinct(list_transform(
-             range(1, greatest(len(hs) - 7, 1) + 1),
-             s -> list_aggregate(hs[s:s+7], 'min')))) AS fp
-    FROM hs WHERE len(hs) > 0
-  )
-),
-matched AS (
-  SELECT DISTINCT doc_id, fp_pos FROM fpp
-  WHERE doc_id % {DECON_MOD} <> 0
-    AND fp_hash IN (SELECT fp_hash FROM fpp WHERE doc_id % {DECON_MOD} = 0)
-),
-gaps AS (
-  SELECT doc_id, fp_pos,
-         CASE WHEN fp_pos - lag(fp_pos)
-                     OVER (PARTITION BY doc_id ORDER BY fp_pos) > 11
-              THEN 1 ELSE 0 END AS brk
-  FROM matched
-),
-isl AS (
-  SELECT doc_id, fp_pos,
-         sum(brk) OVER (PARTITION BY doc_id ORDER BY fp_pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM gaps
-),
+{_WINNOW_ISL_CTES.format(mod=DECON_MOD)},
 padded AS (
   SELECT doc_id,
          greatest(min(fp_pos) - 7, 0) AS s,

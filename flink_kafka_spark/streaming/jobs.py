@@ -249,7 +249,17 @@ def winnow_decontaminate_stream(
     contamination frame (one row per CONTAMINATED batch doc — clean
     docs emit nothing; anti-join against the batch for the releasable
     stream). Returns the configured ``DataStreamWriter`` — caller sets
-    trigger/checkpoint and ``.start()``s it."""
+    trigger/checkpoint and ``.start()``s it.
+
+    CACHE LIFECYCLE (r17 review finding): the inline eval_df path
+    persists the index it builds for as long as the app runs — there
+    is no automatic unpersist because the stream that needs it has no
+    defined end. The handle is exposed as ``eval_index_handle`` on
+    the returned writer; callers who need reclamation should either
+    pass a stored ``eval_index`` (and own its lifecycle), or
+    ``writer.eval_index_handle.unpersist()`` after the query
+    terminates (``query.awaitTermination()`` / a
+    ``StreamingQueryListener`` onQueryTerminated hook)."""
     from ..caching import release_scope
     from ..operators.text import (
         WINNOW_K,
@@ -279,7 +289,11 @@ def winnow_decontaminate_stream(
             )
             sink(flagged, epoch_id)
 
-    return docs_stream.writeStream.foreachBatch(_process)
+    writer = docs_stream.writeStream.foreachBatch(_process)
+    # expose the (possibly internally persisted) index so the caller
+    # can unpersist after query termination — see CACHE LIFECYCLE
+    writer.eval_index_handle = eval_index
+    return writer
 
 
 def bucket_partials_stream(
