@@ -82,11 +82,13 @@ class Query:
 # due = 36 slots; the 14 spare slots take PULL-FORWARDS from the
 # 39-row r20 wave: inverted_index (the retrieval-family anchor the
 # written schedule names — multi_query_search leaves at 9 greens) +
-# the 13 cheapest bench rows (embedding_quantize, tpch_q6,
+# 12 cheap bench rows (embedding_quantize, tpch_q6,
 # media_decode_meta, unique_visitors, hot_items_sql, channel_stats,
 # order_timeout, login_fail_detect, funnel_conversions,
-# ann_cosine_topk, tpch_q3, sessionize, tpch_q10), shrinking the
-# r19-entry target from 25 to the full 25-row wave remainder so r20's
+# ann_cosine_topk, tpch_q3, sessionize) + release_gate_snapshot,
+# which re-hashes THIS round because its semantics changed (the r18
+# leak-gate stage — see the in-window comment), shrinking the
+# r19-entry target from 25 to the 26-row wave remainder so r20's
 # organic due list is EMPTY. OUT: every r17 IN with >= 3 lifetime
 # greens (the seasoned-row amendment's first full-scale use) plus
 # media_phash_incremental (greens r16+r17 — the classic
@@ -189,7 +191,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_cosine_topk",
     "tpch_q3",
     "sessionize",
-    "tpch_q10",
+    # r18 semantics extension re-hash (verdict item 4): the release
+    # funnel gained its sixth stage — the winnow-decontamination leak
+    # gate — so the row re-enters the window for a fresh hash on the
+    # NEW oracle the same round (the immediate-hash discipline applied
+    # to re-registration; it displaced the 14th cheap pull-forward,
+    # tpch_q10, which stays in the r19 wave)
+    "release_gate_snapshot",
 )
 
 

@@ -130,8 +130,16 @@ PLAN_BOUNDS = {
     # + the weighted t-closeness machinery's four sketch-sized
     # exchanges (operator cell re-agg, class_size, value histogram,
     # 1-row global fold; the per-class cum window and the keep join
-    # reuse existing partitioning/broadcasts) -> 1-row funnel agg
-    "release_gate_snapshot": (8, 0),
+    # reuse existing partitioning/broadcasts) -> 1-row funnel agg.
+    # r18 LEAK-GATE stage: the winnow_decontaminate chain (its own
+    # (6,2) shape) + the leaked-hash semi join feed the persisted
+    # cells frame, whose subtree the STATIC plan inlines into all 3
+    # consumers (classes / t-closeness / funnel) before the persist
+    # materializes — so static counts triple the chain (measured
+    # 14 exchanges, 10 SMJ) while the LIVE post-AQE plan is
+    # 5 exchanges / 0 SMJ / 2 broadcasts (contamination-sized sides
+    # all broadcast at runtime; PLANS.md records both)
+    "release_gate_snapshot": (14, 10),
     # one corpus shuffle (map-side-combined cell count) + the seasonal
     # window's regroup on the tiny cells frame
     "seasonal_anomalies": (2, 0),

@@ -1522,6 +1522,72 @@ def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     assert out3["l_diverse"] == 12  # upstream stages unchanged
 
 
+def test_release_gate_leak_stage_planted_and_excised(spark, monkeypatch, tmp_path):
+    """r18 leak gate, end to end: a 20-token benchmark doc (id 97 —
+    the every-97th eval split) is verbatim-embedded in 2 of the 14
+    docs of an otherwise-releasable class. The funnel's new
+    'decontaminated' stage must drop exactly those 2 (20 >= w+k-1=11,
+    so the SIGMOD'03 guarantee applies); the eval doc's own class
+    already died at k. Then the SAME planted leak is excised by
+    winnow_decontaminate_trim: no run token survives in the
+    contaminated docs' clean_text, and every clean doc passes through
+    token-identical. Ground truth is exact."""
+    from flink_kafka_spark.operators.text import winnow_decontaminate_trim
+    from flink_kafka_spark.queries import analytics as A
+
+    run = " ".join(f"e{j}" for j in range(20))  # the benchmark text
+    rows = [(97, run, "ev", "se")]              # id % 97 == 0 -> eval
+    for i in range(1, 15):
+        ctx = [f"c{i}t{j}" for j in range(6)]
+        pad = "z" * ((i % 4) * 100 + 20)        # >= 3 distinct bands
+        if i <= 2:  # contaminated: the full run verbatim, mid-doc
+            text = " ".join(ctx[:3]) + " " + run + " " + " ".join(ctx[3:])
+        else:
+            text = " ".join(ctx) + " " + pad
+        rows.append((i, text, "en", "s1"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    df = df.withColumn("n_chars", F.length("text"))
+    pq = str(tmp_path / "documents.parquet")
+    df.write.parquet(pq)
+
+    import flink_kafka_spark.tables as T
+
+    real_load = T.load
+
+    def fake_load(spark_, sf_dir_, name):
+        if name == "documents":
+            return spark_.read.parquet(pq)
+        return real_load(spark_, sf_dir_, name)
+
+    monkeypatch.setattr(A, "load", fake_load)
+    monkeypatch.setattr(A, "_RG_T", 1.0)  # t-gate pinned by the test above
+    out = {r["stage"]: r["n_docs"] for r in A.release_gate_snapshot(spark, "ignored").collect()}
+    assert out["raw"] == out["dedup_exact"] == 15
+    assert out["k_anonymous"] == 14      # ev/se is a 1-doc class
+    assert out["l_diverse"] == 14
+    assert out["t_close"] == 14
+    assert out["decontaminated"] == 12   # exactly the 2 planted leaks
+
+    # the same leak, EXCISED: trim the train side against the eval doc
+    d = spark.read.parquet(pq)
+    trimmed = {
+        r["doc_id"]: r
+        for r in winnow_decontaminate_trim(
+            d.filter(F.col("doc_id") != 97), d.filter(F.col("doc_id") == 97)
+        ).collect()
+    }
+    run_toks = set(run.split())
+    originals = {r[0]: r[1] for r in rows}
+    for i in range(1, 15):
+        kept = trimmed[i]["clean_text"].split()
+        if i <= 2:
+            assert not run_toks & set(kept), f"doc {i}: run token survived"
+            assert trimmed[i]["n_removed"] >= 20
+        else:
+            assert kept == originals[i].split(), f"doc {i}: clean doc altered"
+            assert trimmed[i]["n_removed"] == 0
+
+
 def test_release_gate_null_band_does_not_count_toward_l(spark, monkeypatch, tmp_path):
     """l_class counts NON-NULL bands only (the count_distinct
     semantics the pre-cell-frame funnel had): a class with two real
