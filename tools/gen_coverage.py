@@ -136,8 +136,10 @@ EXTENSIONS = [
                 " pre-aggregated inputs) + continuous streaming"
                 " t-closeness monitor (exact cell merges scored by the"
                 " batch gate's own code path, row-identical parity)"
-                " / full-triad release funnel compose"
-                " (release_gate_snapshot)"),
+                " / six-stage release funnel compose"
+                " (release_gate_snapshot: dedup -> k-anon -> l-div ->"
+                " t-close -> winnow leak gate, planted-leak"
+                " end-to-end pytest)"),
     ("layout", "Morton z-order clustering: exact-BIGINT z-key (scale +"
                " interleave against broadcast bounds, pure codegen) /"
                " per-bucket locality audit (footer min/max bounds) /"

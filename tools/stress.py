@@ -1181,6 +1181,14 @@ CURVE_QUERIES = (
     # subset proportional, so matched pairs grow linearly, never
     # cross-shard)
     "winnow_decontaminate",
+    # r17 registrations, curved before their r18 first hash (r17
+    # verdict item 7 — the r16 quadratic was invisible until the
+    # curve ran): span localization's islands window partitions over
+    # MATCHED positions only (contamination-sized, proportional under
+    # replica shards) and the trim's token filter is a per-row HOF —
+    # both must track the corpus scan
+    "winnow_contaminated_spans",
+    "winnow_decontaminate_trim",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
