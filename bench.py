@@ -248,6 +248,11 @@ BENCH_QUERIES = [
     "winnow_decontaminate",
     "winnow_contaminated_spans",
     "winnow_decontaminate_trim",
+    # round-18: hybrid sparse+dense retrieval — BM25 + exact-cosine
+    # candidate lists fused by integer-exact reciprocal-rank fusion
+    # (candidate-bounded frames; the walls are the two rankers). No
+    # baseline entry yet — guardrail skips.
+    "hybrid_rrf_search",
 ]
 
 

@@ -1077,6 +1077,68 @@ def bm25_search(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    merge any number of ranked candidate lists into one consensus
+    ranking by ``score(d) = Σ_lists 1/(c + rank_list(d))`` — the
+    standard hybrid-retrieval combiner (BM25 + dense ANN in a RAG /
+    training-data curation stack) because it needs no score
+    calibration between heterogeneous rankers, only ranks.
+
+    Arithmetic is integer-exact: each contribution is the e12
+    fixed-point ``10^12 div (c + rank)`` and the fusion sum stays a
+    BIGINT, so the result is bit-identical across engines and
+    addition orders (a double ``sum(1.0/(c+rank))`` over 3+ lists is
+    order-sensitive in the last ulp — exactly the nondeterminism an
+    order-insensitive value hash would flag). ``rrf_score`` is the
+    half-up 6-dp projection of that integer; ties break on the id.
+
+    Output: ``(id_col, rrf_score, n_lists, rank)`` — top-``k`` fused
+    rows, ``n_lists`` = how many input lists carried the candidate
+    (a document absent from a list simply contributes nothing, the
+    standard RRF convention).
+
+    Scale: the inputs are k-bounded candidate lists (top-N per
+    ranker), so the union + groupBy + top-k all run on frames of at
+    most ``len(rankings) × N`` rows — fusion never touches the
+    corpus; the heavy lifting stays in the upstream rankers."""
+    if not rankings:
+        raise ValueError("rrf_fuse: pass at least one ranked frame")
+    if c < 0:
+        raise ValueError(f"rrf_fuse: c must be >= 0, got {c}")
+    contrib = F.expr(f"1000000000000 div ({c} + {rank_col})").alias("_e12")
+    parts = [r.select(F.col(id_col), contrib) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.sum("_e12").cast("long").alias("_sum_e12"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    # same k-row rank-off-sorted-partition pattern (and the same
+    # implementation-detail contract note) as bm25_search above
+    top = (
+        fused.orderBy(F.col("_sum_e12").desc(), F.col(id_col).asc())
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(F.col("_sum_e12").desc(), F.col(id_col).asc())
+    )
+    return top.select(
+        id_col,
+        (
+            F.expr("(_sum_e12 + 500000) div 1000000").cast("double") / 1000000.0
+        ).alias("rrf_score"),
+        "n_lists",
+        (F.monotonically_increasing_id() + 1).cast("int").alias("rank"),
+    )
+
+
 def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus bigram language model: ``(w1, w2, n_b, n_c)`` — the
     observed count of each adjacent whitespace-token pair plus the

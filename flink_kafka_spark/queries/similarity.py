@@ -27,23 +27,31 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(queries, emb, k=TOP_K)
 
 
-ANN_TOPK_ORACLE = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-scored AS (
+# ONE DuckDB encoding of the exact-cosine scoring chain (query-filter
+# parameterized), shared by the brute-force oracle here and the
+# hybrid-RRF dense side in textops — the _WINNOW_HS_CTES discipline:
+# the cosine math can never drift between its oracle consumers.
+_ANN_SCORED_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ann_scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(
            list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) /
            (sqrt(list_sum(list_transform(range(1, 65), i -> q.v[i] * q.v[i]))) *
             sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i])))), 6) AS cosine
-  FROM (SELECT * FROM v WHERE vec_id < {N_QUERY_VECS}) q
+  FROM (SELECT * FROM v WHERE {qfilter}) q
   CROSS JOIN v c
   WHERE q.vec_id <> c.vec_id
-)
-SELECT query_id, neighbor_id, cosine, rank FROM (
+),
+ann_ranked AS (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= {TOP_K}
+  FROM ann_scored
+)"""
+
+ANN_TOPK_ORACLE = f"""
+WITH {_ANN_SCORED_CTES.format(qfilter=f"vec_id < {N_QUERY_VECS}")}
+SELECT query_id, neighbor_id, cosine, rank FROM ann_ranked
+WHERE rank <= {TOP_K}
 """
 
 

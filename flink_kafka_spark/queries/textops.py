@@ -803,8 +803,10 @@ _BM25_CONTRIBS = " + ".join(
     for i in range(len(BM25_QUERY_TERMS))
 )
 
-BM25_SEARCH_ORACLE = f"""
-WITH base AS (
+# ONE DuckDB encoding of the full BM25 ranked chain, shared by the
+# search oracle and the hybrid-RRF sparse side below (the shared-CTE
+# discipline of _WINNOW_HS_CTES / _ANN_SCORED_CTES)
+_BM25_RANKED_CTES = f"""base AS (
   SELECT doc_id,
          len(regexp_split_to_array(lower(text), '\\s+')) AS dl,
          {", ".join(_bm25_tf(i, t) for i, t in enumerate(BM25_QUERY_TERMS))}
@@ -818,14 +820,84 @@ stats AS (
 ),
 scored AS (
   SELECT doc_id, {_BM25_CONTRIBS} AS raw FROM base, stats
-)
-SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS score, rank FROM (
+),
+bm25_ranked AS (
   SELECT doc_id, raw, ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id ASC) AS rank
   FROM scored
-) WHERE rank <= {BM25_TOPK}
+)"""
+
+BM25_SEARCH_ORACLE = f"""
+WITH {_BM25_RANKED_CTES}
+SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS score, rank
+FROM bm25_ranked WHERE rank <= {BM25_TOPK}
 """
 
 QUERIES.append(Query("bm25_search", bm25_search_q, BM25_SEARCH_ORACLE, "ext: BM25 search"))
+
+
+# --- hybrid sparse+dense retrieval: reciprocal-rank fusion (r18) ------
+
+RRF_DEPTH = 50      # candidate depth taken from each ranker
+RRF_C = 60          # the SIGIR'09 paper's constant
+RRF_TOPK = 10
+RRF_DENSE_QUERY = 0  # the dense query vector (vec_id == doc_id linkage)
+
+
+def hybrid_rrf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r18): the BM25 keyword ranking and the exact
+    dense-cosine ranking for query vector 0 (the corpus linkage
+    vec_id == doc_id the doc_semantic rows already use) fused by
+    reciprocal-rank fusion at depth 50 — the standard RAG/search
+    combiner, here with integer-exact e12 fixed-point arithmetic so
+    the fused scores hash identically on every engine (operator
+    docstring: flink_kafka_spark/operators/text.py:rrf_fuse)."""
+    from ..operators.text import bm25_search, rrf_fuse
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    sparse = bm25_search(docs, BM25_QUERY_TERMS, k=RRF_DEPTH).select("doc_id", "rank")
+    dense = cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") == RRF_DENSE_QUERY), emb, k=RRF_DEPTH
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([sparse, dense], k=RRF_TOPK, c=RRF_C)
+
+
+from .similarity import _ANN_SCORED_CTES  # noqa: E402  (shared cosine chain)
+
+HYBRID_RRF_ORACLE = f"""
+WITH {_BM25_RANKED_CTES},
+{_ANN_SCORED_CTES.format(qfilter=f"vec_id = {RRF_DENSE_QUERY}")},
+lists AS (
+  SELECT doc_id, 1000000000000 // ({RRF_C} + rank) AS e12
+  FROM bm25_ranked WHERE rank <= {RRF_DEPTH}
+  UNION ALL
+  SELECT neighbor_id AS doc_id, 1000000000000 // ({RRF_C} + rank) AS e12
+  FROM ann_ranked WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT doc_id, CAST(sum(e12) AS BIGINT) AS sum_e12,
+         CAST(count(*) AS INT) AS n_lists
+  FROM lists GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST((sum_e12 + 500000) // 1000000 AS DOUBLE) / 1000000.0 AS rrf_score,
+       n_lists,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sum_e12 DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOPK}
+"""
+
+QUERIES.append(
+    Query(
+        "hybrid_rrf_search",
+        hybrid_rrf_search_q,
+        HYBRID_RRF_ORACLE,
+        "ext: hybrid sparse+dense retrieval via reciprocal-rank fusion",
+    )
+)
 
 
 EXPORT_SHARD_SIZE = 100

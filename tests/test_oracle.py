@@ -78,7 +78,7 @@ def test_driver_window_covers_every_family():
                  "winnow_overlap_pairs", "winnow_decontaminate",
                  "winnow_contaminated_spans", "winnow_decontaminate_trim"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
-                      "multi_query_search"],
+                      "multi_query_search", "hybrid_rrf_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
                      "mixture_resample", "dataset_split", "stratified_cap",
                      "weighted_sample", "snapshot_diff",
@@ -144,6 +144,13 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # winnow_decontaminate_trim, the spans/excision consumers of
     # winnow_decontaminate — entered the r18 window on their written
     # deadline: the never-hashed queue is empty as of r18.)
+    # r18 registration #1 (pacing 1 of 3): hybrid sparse+dense
+    # retrieval via integer-exact reciprocal-rank fusion. The r18
+    # window is fully committed (18 due + 2 deferral first-hashes +
+    # the release_gate_snapshot semantics re-hash), so it defers to
+    # the r19 wave, which has ~10 spare slots after the 26-row r20
+    # pull-in (ROTATION_LEDGER §Round 18).
+    "hybrid_rrf_search": 18,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -243,6 +243,11 @@ PLAN_BOUNDS = {
     # retrieval: bounded shuffles on natural keys
     "inverted_index": (1, 0),  # narrow postings: per-row array_distinct
     "bm25_search": (1, 0),
+    # r18 hybrid fusion: the two rankers' exchanges (BM25 stats fold +
+    # top-k, dense per-query rank regroup) + ONE candidate-sized
+    # fusion groupBy — the fused frames never exceed 2 x RRF_DEPTH
+    # rows, so fusion adds no corpus-scale shuffle
+    "hybrid_rrf_search": (3, 0),
     "tfidf_top_terms": (4, 0),
     "corpus_prep": (2, 0),
     # audit twin: the dedup groupBy becomes a content-hash window —
@@ -515,6 +520,10 @@ def test_plan_shapes(plan_sweep):
 BNLJ_BOUNDS = {
     # (s) scalar-broadcast class
     "basket_lift": 2, "bm25_search": 2, "doc_bigram_logprob": 2,
+    # (s) hybrid fusion inherits BOTH scalar-broadcast crosses: the
+    # BM25 1-row stats fold and the dense side's broadcast query
+    # cross (each tree+detail double-counted -> 4)
+    "hybrid_rrf_search": 4,
     "doc_logprob": 2, "events_gapfill": 2, "events_gapfill_interp": 2,
     "heavy_hitters": 2, "mixture_resample": 2, "multi_query_search": 3,
     "rfm_segments": 2, "source_divergence": 2, "tfidf_top_terms": 2,

@@ -1480,3 +1480,37 @@ def test_winnow_decontaminate_trim_removes_every_planted_run_token(spark):
     solo = spark.createDataFrame([(200, run)], "doc_id long, text string")
     rows = {r.doc_id: r for r in winnow_decontaminate_trim(solo, eval_df).collect()}
     assert rows[200].clean_text == "" and rows[200].n_removed == 23
+
+
+def test_rrf_fuse_single_list_preserves_ranking_and_scores(spark):
+    """Degenerate RRF: fusing ONE ranked list must reproduce its order
+    exactly, with score 1/(c+rank) at e12 integer precision (the
+    operator's exact-arithmetic contract)."""
+    from flink_kafka_spark.operators.text import rrf_fuse
+
+    ranking = spark.createDataFrame(
+        [(100 + i, i + 1) for i in range(20)], "doc_id long, rank int"
+    )
+    out = rrf_fuse([ranking], k=20, c=60).collect()
+    assert [r["doc_id"] for r in out] == [100 + i for i in range(20)]
+    for r in out:
+        e12 = 10**12 // (60 + r["rank"])
+        assert r["rrf_score"] == ((e12 + 500_000) // 1_000_000) / 1e6
+        assert r["n_lists"] == 1
+
+
+def test_rrf_fuse_consensus_beats_single_list_presence(spark):
+    """A doc ranked mid-list in BOTH rankers must outscore a doc that
+    tops only one (1/(60+5)+1/(60+5) > 1/(60+1)) — the consensus
+    property that makes RRF the standard hybrid combiner; ties and
+    absences follow the SIGIR'09 convention (absent list contributes
+    nothing)."""
+    from flink_kafka_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (3, 5)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 5)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=3, c=60).collect()}
+    assert out[3]["rank"] == 1 and out[3]["n_lists"] == 2
+    assert {out[1]["rank"], out[2]["rank"]} == {2, 3}
+    # doc_id tie-break between the two single-list docs (equal scores)
+    assert out[1]["rank"] == 2
