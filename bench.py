@@ -253,6 +253,10 @@ BENCH_QUERIES = [
     # (candidate-bounded frames; the walls are the two rankers). No
     # baseline entry yet — guardrail skips.
     "hybrid_rrf_search",
+    # round-18: stride-scheduled weighted source interleave (one
+    # per-source rn shuffle + the export_shards range machinery). No
+    # baseline entry yet — guardrail skips.
+    "source_interleave",
 ]
 
 

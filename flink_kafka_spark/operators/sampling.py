@@ -393,6 +393,95 @@ def block_assignment(
     )
 
 
+def source_interleave(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weights: "dict[str, int] | None" = None,
+    default_weight: int = 1,
+    seed: int = 42,
+    shard_size: int = 100,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into ONE training
+    order — stride scheduling (Waldspurger & Weihl, OSDI'94; the
+    schedule data loaders implement when mixing corpora at fixed
+    ratios WITHOUT resampling): each source's docs are shuffled
+    per-source (md5(seed|id), the shuffle_corpus key), then doc j of
+    source s is scheduled at integer virtual time
+    ``vt = j * scale div weight(s)`` — a source with weight 3
+    receives ~3 slots for every slot a weight-1 source gets,
+    deterministically spread rather than clumped (the difference from
+    :func:`mixture_resample`, which changes WHAT is sampled; this
+    changes only WHEN each doc appears, keeping every doc exactly
+    once).
+
+    Output: ``(id_col, source, src_rn, position, shard_id)`` —
+    ``src_rn`` the doc's 1-based rank inside its source's shuffled
+    stream, ``position`` the contiguous 0-based global training
+    position, ``shard_id`` = position div shard_size (the
+    export_shards contract, so the schedule writes directly as
+    ordered shards).
+
+    TOTAL-ORDER SPEC (both engines MUST rank the same key): the
+    fixed-width composite ``lpad(vt, 20) | source | lpad(id, 20)``
+    compared as a binary string. Tie order at equal vt is therefore
+    the composite's BYTE order, not tuple (source, id) order — they
+    differ when one source name prefixes another ('src1|' sorts
+    after 'src10' because '|' > '9'); the oracle encodes the same
+    composite, so the spec cannot drift. NULL sources coalesce to ''
+    (and take ``default_weight``); ``id_col`` must be non-null and
+    unique (the shuffle_corpus precondition).
+
+    Scale design: one per-source shuffle ranks src_rn (the window
+    partitions by source — salt-free because per-source streams are
+    the unit being scheduled), then the global rank reuses
+    :func:`export_shards`'s two-pass range partition — never a
+    single-partition window; weights enter as a broadcast-free CASE
+    projection."""
+    from pyspark.sql.window import Window
+
+    if default_weight < 1 or (weights and min(weights.values()) < 1):
+        raise ValueError("source_interleave: weights must be integers >= 1")
+    src = F.coalesce(F.col(source_col).cast("string"), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        src.alias("_src"),
+        _shuffle_order_key(id_col, seed).alias("_ok"),
+    )
+    w = Window.partitionBy("_src").orderBy("_ok")
+    ranked = base.withColumn("src_rn", F.row_number().over(w).cast("long"))
+    weight = F.lit(int(default_weight))
+    for s, wt in sorted((weights or {}).items()):
+        weight = F.when(F.col("_src") == s, F.lit(int(wt))).otherwise(weight)
+    # integer DIV, never float-then-floor: src_rn * scale can exceed
+    # the double mantissa on a 100 TB corpus and a last-ulp error
+    # would reorder the schedule
+    keyed = ranked.withColumn("_w", weight.cast("long")).withColumn(
+        "_vt",
+        F.expr(f"CAST((src_rn * CAST({int(scale)} AS BIGINT)) DIV _w AS BIGINT)"),
+    ).withColumn(
+        "_key",
+        F.concat_ws(
+            "|",
+            F.lpad(F.col("_vt").cast("string"), 20, "0"),
+            F.col("_src"),
+            F.lpad(F.col(id_col).cast("string"), 20, "0"),
+        ),
+    )
+    return (
+        export_shards(keyed, "_key", shard_size)
+        .withColumnRenamed("global_rn", "position")
+        .select(
+            id_col,
+            F.col("_src").alias("source"),
+            "src_rn",
+            "position",
+            "shard_id",
+        )
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One-pass column profile (row count, nulls, distincts, min/max)
     in long form — the data-quality "describe" step before a corpus is

@@ -2774,3 +2774,70 @@ QUERIES.append(
         "ext: two-level reproducible epoch shuffle (block assignment + in-block order)",
     )
 )
+
+
+# --- deterministic weighted source interleave (r18) -------------------
+
+INTERLEAVE_WEIGHTS = {"src0": 3, "src1": 2}  # the rest default to 1
+INTERLEAVE_SCALE = 1_000_000_000
+INTERLEAVE_SHARD = 100
+
+
+def source_interleave_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled training order (r18): every doc exactly once,
+    sources interleaved at 3:2:1... ratios by integer virtual time —
+    the loader-side complement of mixture_resample (which reweights by
+    sampling; this reweights only the ORDER). src0/src1 carry the
+    non-default weights, and the corpus's src1/src10 prefix pair
+    exercises the composite-key tie spec the operator documents."""
+    from ..operators.sampling import source_interleave
+
+    return source_interleave(
+        load(spark, sf_dir, "documents"),
+        weights=INTERLEAVE_WEIGHTS,
+        seed=SHUFFLE_SEED,
+        shard_size=INTERLEAVE_SHARD,
+        scale=INTERLEAVE_SCALE,
+    )
+
+
+SOURCE_INTERLEAVE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, coalesce(source, '') AS source,
+         md5('{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)) || '|'
+           || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS ok
+  FROM documents
+),
+rn AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY ok) AS BIGINT)
+           AS src_rn
+  FROM keyed
+),
+vt AS (
+  SELECT doc_id, source, src_rn,
+         (src_rn * {INTERLEAVE_SCALE}) //
+           (CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END) AS vtime
+  FROM rn
+),
+pos AS (
+  SELECT doc_id, source, src_rn,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY lpad(CAST(vtime AS VARCHAR), 20, '0') || '|' || source
+                    || '|' || lpad(CAST(doc_id AS VARCHAR), 20, '0')
+         ) - 1 AS BIGINT) AS position
+  FROM vt
+)
+SELECT doc_id, source, src_rn, position,
+       CAST(position // {INTERLEAVE_SHARD} AS BIGINT) AS shard_id
+FROM pos
+"""
+
+QUERIES.append(
+    Query(
+        "source_interleave",
+        source_interleave_q,
+        SOURCE_INTERLEAVE_ORACLE,
+        "ext: stride-scheduled deterministic weighted source interleave",
+    )
+)

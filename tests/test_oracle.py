@@ -82,7 +82,8 @@ def test_driver_window_covers_every_family():
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
                      "mixture_resample", "dataset_split", "stratified_cap",
                      "weighted_sample", "snapshot_diff",
-                     "corpus_shuffle", "block_shuffle"],
+                     "corpus_shuffle", "block_shuffle",
+                     "source_interleave"],
         "multimodal": ["media_decode_meta", "media_frame_sample", "media_features_check",
                        "media_phash", "media_phash_dedup", "media_phash_incremental"],
     }
@@ -151,6 +152,11 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # the r19 wave, which has ~10 spare slots after the 26-row r20
     # pull-in (ROTATION_LEDGER §Round 18).
     "hybrid_rrf_search": 18,
+    # r18 registration #2 (pacing 2 of 3): stride-scheduled weighted
+    # source interleave — the loader-side ordering complement of
+    # mixture_resample. Same full-window deferral as #1; the r19 wave
+    # absorbs both.
+    "source_interleave": 18,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

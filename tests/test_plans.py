@@ -243,6 +243,10 @@ PLAN_BOUNDS = {
     # retrieval: bounded shuffles on natural keys
     "inverted_index": (1, 0),  # narrow postings: per-row array_distinct
     "bm25_search": (1, 0),
+    # r18 stride interleave: per-source rn shuffle + export_shards'
+    # two-pass range machinery (range repartition + the pinned
+    # partitioning read twice pre-materialization); offsets broadcast
+    "source_interleave": (5, 0),
     # r18 hybrid fusion: the two rankers' exchanges (BM25 stats fold +
     # top-k, dense per-query rank regroup) + ONE candidate-sized
     # fusion groupBy — the fused frames never exceed 2 x RRF_DEPTH

@@ -1833,3 +1833,34 @@ def test_uv_bloom_row_identical_to_unique_visitors(spark, sf_dir):
     exact = {tuple(r) for r in unique_visitors(spark, sf_dir).collect()}
     assert bloom == exact, "Bloom UV diverged from exact distinct"
     assert bloom, "empty UV frame — fixture regression"
+
+
+def test_source_interleave_stride_ratios_and_determinism(spark):
+    """Stride-schedule invariants on planted data (weights a=3, b=2,
+    c=d=1, 30 docs each): (1) exactly-once — the output is a
+    permutation with contiguous 0-based positions; (2) the first
+    virtual-time period (Σ min(w_s) slots = 7 positions) contains
+    exactly 3 a's, 2 b's, 1 c and 1 d — the defining stride property
+    (weighted round-robin, spread not clumped); (3) per-source order
+    follows src_rn monotonically; (4) the schedule is identical on a
+    different input partitioning (determinism contract)."""
+    from flink_kafka_spark.operators.sampling import source_interleave
+
+    rows = [(100 * si + j, s) for si, s in enumerate("abcd") for j in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_interleave(df, weights={"a": 3, "b": 2}, shard_size=10).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    positions = sorted(r["position"] for r in out)
+    assert positions == list(range(len(rows)))
+    by_pos = sorted(out, key=lambda r: r["position"])
+    assert [r["source"] for r in by_pos[:7]].count("a") == 3
+    assert [r["source"] for r in by_pos[:7]].count("b") == 2
+    assert [r["source"] for r in by_pos[:7]].count("c") == 1
+    assert [r["source"] for r in by_pos[:7]].count("d") == 1
+    for s in "abcd":
+        seq = [r["src_rn"] for r in by_pos if r["source"] == s]
+        assert seq == sorted(seq), f"source {s} out of stride order"
+    out2 = source_interleave(
+        df.repartition(7), weights={"a": 3, "b": 2}, shard_size=10
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
