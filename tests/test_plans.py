@@ -131,15 +131,16 @@ PLAN_BOUNDS = {
     # exchanges (operator cell re-agg, class_size, value histogram,
     # 1-row global fold; the per-class cum window and the keep join
     # reuse existing partitioning/broadcasts) -> 1-row funnel agg.
-    # r18 LEAK-GATE stage: the winnow_decontaminate chain (its own
-    # (6,2) shape) + the leaked-hash semi join feed the persisted
-    # cells frame, whose subtree the STATIC plan inlines into all 3
-    # consumers (classes / t-closeness / funnel) before the persist
-    # materializes — so static counts triple the chain (measured
-    # 14 exchanges, 10 SMJ) while the LIVE post-AQE plan is
-    # 5 exchanges / 0 SMJ / 2 broadcasts (contamination-sized sides
-    # all broadcast at runtime; PLANS.md records both)
-    "release_gate_snapshot": (14, 10),
+    # r18 LEAK-GATE stage: ONE persisted fingerprint pass over the
+    # corpus serves both decontamination sides (the eval split is a
+    # subset of the same corpus — winnow_decontaminate's defining
+    # equality join minus its evidence rollups), and the group gate
+    # tests the REPRESENTATIVE id against the broadcast leak-sized
+    # contam set, so the funnel reads documents exactly TWICE (canon
+    # + fingerprints). Static counts still multiply the persisted
+    # cells subtree across its 3 consumers pre-materialization; the
+    # LIVE post-AQE plan is 5 exchanges / 0 SMJ / 2 broadcasts
+    "release_gate_snapshot": (10, 0),
     # one corpus shuffle (map-side-combined cell count) + the seasonal
     # window's regroup on the tiny cells frame
     "seasonal_anomalies": (2, 0),
