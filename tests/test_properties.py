@@ -1864,3 +1864,36 @@ def test_source_interleave_stride_ratios_and_determinism(spark):
         df.repartition(7), weights={"a": 3, "b": 2}, shard_size=10
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=12), min_size=2, max_size=5),
+    weights=st.lists(st.integers(min_value=1, max_value=4), min_size=5, max_size=5),
+)
+@settings(**SETTINGS)
+def test_source_interleave_virtual_time_prefix_counts_exact(spark, sizes, weights):
+    """Hypothesis pin of the stride guarantee: doc j of a weight-w
+    source sits at vt = j*scale div w, so j <= m*w  <=>  vt <= m*scale
+    (scale >= w makes the floored remainder positive for j = m*w + 1).
+    Therefore the schedule prefix up to virtual time m*scale contains
+    EXACTLY min(n_s, m*w_s) docs of every source, for every m — the
+    proportional-progress property that distinguishes stride
+    scheduling from an arbitrary deterministic interleave."""
+    from flink_kafka_spark.operators.sampling import source_interleave
+
+    scale = 1_000_000_000
+    srcs = [f"s{i}" for i in range(len(sizes))]
+    rows = [(1000 * i + j, s) for i, (s, n) in enumerate(zip(srcs, sizes)) for j in range(n)]
+    if not rows:
+        return
+    wmap = {s: weights[i] for i, s in enumerate(srcs)}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_interleave(df, weights=wmap, scale=scale).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    # recompute each row's vt from its (source, src_rn) — the spec
+    vt = {r["doc_id"]: r["src_rn"] * scale // wmap[r["source"]] for r in out}
+    for m in (1, 2, 3, 7):
+        prefix = [r for r in out if vt[r["doc_id"]] <= m * scale]
+        for s, n in zip(srcs, sizes):
+            got = sum(1 for r in prefix if r["source"] == s)
+            assert got == min(n, m * wmap[s]), (s, m, got)
