@@ -147,10 +147,23 @@ EXTENSIONS = [
     ("embedding-analytics", "per-label centroid drift vs the corpus"
                             " centroid (integer-quantized sums, full"
                             " value oracle on float inputs)"),
+    ("retrieval", "posting-list inverted index (df-filtered, narrow"
+                  " explode; query-term-restricted variant) / tf-idf"
+                  " characteristic terms (rational idf — bit-identical"
+                  " rank math) / BM25 search (literal-term tf in the"
+                  " scan projection, 1-row stats broadcast, TakeOrdered"
+                  " top-k) / multi-query batch search / hybrid"
+                  " sparse+dense reciprocal-rank fusion (SIGIR'09 RRF,"
+                  " integer-exact e12 contributions, candidate-bounded"
+                  " fusion frames — full DuckDB oracle composed from"
+                  " the shared BM25 + cosine ranked-chain CTEs)"),
     ("sampling", "train/val/test split / sequence packing / mixture resample"
                  " / stratified cap / shard export / corpus shuffle"
                  " / two-level block shuffle (one exchange; the 100 TB"
                  " epoch-shuffle trade vs the global range sort)"
+                 " / stride-scheduled weighted source interleave"
+                 " (every doc exactly once, integer virtual time,"
+                 " proportional-progress guarantee hypothesis-pinned)"
                  " / A-Res weighted sampling (Efraimidis-Spirakis)"
                  " + continuous streaming reservoir (streamed manifest =="
                  " batch sample exactly, pytest-pinned)"
