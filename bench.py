@@ -257,6 +257,10 @@ BENCH_QUERIES = [
     # per-source rn shuffle + the export_shards range machinery). No
     # baseline entry yet — guardrail skips.
     "source_interleave",
+    # round-18: one-pass multi-benchmark decontamination (two synthetic
+    # benchmark splits; corpus-scale cost independent of benchmark
+    # count). No baseline entry yet — guardrail skips.
+    "winnow_decontaminate_multi",
 ]
 
 

@@ -608,6 +608,73 @@ def winnow_eval_index(
     )
 
 
+def winnow_decontaminate_multi(
+    train: DataFrame,
+    eval_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    broadcast_eval: bool = False,
+) -> DataFrame:
+    """Decontaminate ONE training corpus against MANY benchmarks in a
+    single pass — the shape a production pre-training pipeline
+    actually runs (dozens of held-out evals, one 100 TB batch): the
+    per-benchmark generalization of :func:`winnow_decontaminate`,
+    whose evidence columns it emits PER (train doc, benchmark).
+    Running the single-benchmark detector B times would fingerprint
+    the corpus B times; here the train side is fingerprinted ONCE and
+    one 40-bit-hash join against the unioned ``(bench_id, eval_id,
+    fp_hash)`` index attributes every hit, so the corpus-scale cost
+    is independent of B. Build the index by tagging each benchmark's
+    :func:`winnow_eval_index` with a ``bench_id`` literal and
+    unioning — each benchmark fingerprinted once per version, the
+    stored-index discipline unchanged.
+
+    Output, one row per (CONTAMINATED train doc, benchmark hit):
+    ``(doc_id, bench_id, n_shared_fp, n_eval_docs, best_eval_id,
+    best_shared)`` — the single detector's columns, scoped to that
+    benchmark (restricting the index to one bench_id reproduces
+    :func:`winnow_decontaminate` row-for-row; pytest-pinned). Docs
+    clean against every benchmark emit nothing.
+
+    Scale: identical to the single detector — the train side is the
+    zero-shuffle fingerprint pipeline plus one per-doc distinct, the
+    index is benchmarks-sized (AQE broadcasts it;
+    ``broadcast_eval=True`` forces the hint), and everything after
+    the join is hit-sized, now keyed by (doc, bench) instead of doc.
+    The w + k - 1 verbatim-run guarantee applies per benchmark."""
+    from ..caching import track
+
+    if id_col in ("bench_id", "eval_id", "fp_hash"):
+        raise ValueError(
+            f"winnow_decontaminate_multi: id_col={id_col!r} collides with an "
+            "internal column of the eval index — rename the id column first"
+        )
+    if broadcast_eval:
+        eval_index = F.broadcast(eval_index)
+    t_fps = (
+        winnow_fingerprints(train, id_col, text_col, k, w)
+        .select(id_col, "fp_hash")
+        .distinct()
+    )
+    hits = track(t_fps.join(eval_index, "fp_hash").persist())
+    shared = hits.groupBy(id_col, "bench_id").agg(
+        F.countDistinct("fp_hash").alias("n_shared_fp")
+    )
+    per_pair = hits.groupBy(id_col, "bench_id", "eval_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    best = per_pair.groupBy(id_col, "bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+        F.expr("min_by(eval_id, struct(-n_shared, eval_id))").alias("best_eval_id"),
+        F.max("n_shared").alias("best_shared"),
+    )
+    return shared.join(best, [id_col, "bench_id"]).select(
+        id_col, "bench_id", "n_shared_fp", "n_eval_docs", "best_eval_id", "best_shared"
+    )
+
+
 def winnow_decontaminate(
     train: DataFrame,
     eval_df: DataFrame | None = None,

@@ -2643,6 +2643,77 @@ QUERIES.append(
 )
 
 
+DECON_MOD2 = 89  # the second synthetic benchmark's id split
+
+
+def winnow_decontaminate_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark decontamination (r18): every 97th doc plays
+    benchmark b0, every 89th benchmark b1 (a doc divisible by both
+    belongs to both — real benchmark suites overlap), the rest the
+    training batch; ONE train-side fingerprint pass attributes hits
+    per benchmark. Restricting the index to one bench reproduces the
+    single detector row-for-row (pytest-pinned)."""
+    from ..operators.text import winnow_decontaminate_multi, winnow_eval_index
+
+    docs = load(spark, sf_dir, "documents")
+    is0 = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
+    is1 = F.pmod(F.col("doc_id"), F.lit(DECON_MOD2)) == 0
+    idx = (
+        winnow_eval_index(docs.filter(is0))
+        .withColumn("bench_id", F.lit("b0"))
+        .unionByName(
+            winnow_eval_index(docs.filter(is1)).withColumn("bench_id", F.lit("b1"))
+        )
+    )
+    return winnow_decontaminate_multi(docs.filter(~is0 & ~is1), idx)
+
+
+WINNOW_DECON_MULTI_ORACLE = f"""
+WITH {_WINNOW_HS_CTES},
+{_WINNOW_FPS_HASH_CTE},
+t AS (
+  SELECT doc_id, fp_hash FROM fps
+  WHERE doc_id % {DECON_MOD} <> 0 AND doc_id % {DECON_MOD2} <> 0
+),
+e AS (
+  SELECT 'b0' AS bench_id, doc_id AS eval_id, fp_hash FROM fps
+  WHERE doc_id % {DECON_MOD} = 0
+  UNION ALL
+  SELECT 'b1', doc_id, fp_hash FROM fps WHERE doc_id % {DECON_MOD2} = 0
+),
+pair AS (
+  SELECT t.doc_id, e.bench_id, e.eval_id, count(*) AS n_shared
+  FROM t JOIN e USING (fp_hash) GROUP BY 1, 2, 3
+),
+shared AS (
+  SELECT t.doc_id, e.bench_id, count(DISTINCT fp_hash) AS n_shared_fp
+  FROM t JOIN e USING (fp_hash) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, bench_id, CAST(n_docs AS BIGINT) AS n_eval_docs,
+         eval_id AS best_eval_id, n_shared AS best_shared
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY doc_id, bench_id) AS n_docs,
+           row_number() OVER (PARTITION BY doc_id, bench_id
+                              ORDER BY n_shared DESC, eval_id ASC) AS rn
+    FROM pair
+  ) WHERE rn = 1
+)
+SELECT doc_id, bench_id, CAST(n_shared_fp AS BIGINT) AS n_shared_fp,
+       n_eval_docs, best_eval_id, CAST(best_shared AS BIGINT) AS best_shared
+FROM shared JOIN best USING (doc_id, bench_id)
+"""
+
+QUERIES.append(
+    Query(
+        "winnow_decontaminate_multi",
+        winnow_decontaminate_multi_q,
+        WINNOW_DECON_MULTI_ORACLE,
+        "ext: one-pass multi-benchmark decontamination with per-benchmark attribution",
+    )
+)
+
+
 from ..operators.text import winnow_contaminated_spans  # noqa: E402
 
 

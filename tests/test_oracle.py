@@ -76,7 +76,8 @@ def test_driver_window_covers_every_family():
                  "vocab_oov_rate", "source_scorecard",
                  "kmv_pair_intersections", "doc_winnow_fingerprint",
                  "winnow_overlap_pairs", "winnow_decontaminate",
-                 "winnow_contaminated_spans", "winnow_decontaminate_trim"],
+                 "winnow_contaminated_spans", "winnow_decontaminate_trim",
+                 "winnow_decontaminate_multi"],
         "retrieval": ["inverted_index", "tfidf_top_terms", "bm25_search",
                       "multi_query_search", "hybrid_rrf_search"],
         "sampling": ["export_shards", "profile_documents", "sequence_packing",
@@ -157,6 +158,11 @@ CAPACITY_DEFERRED: dict[str, int] = {
     # mixture_resample. Same full-window deferral as #1; the r19 wave
     # absorbs both.
     "source_interleave": 18,
+    # r18 registration #3 — the pacing limit is now exactly reached
+    # (the r16/r17 precedent wording applies verbatim): one-pass
+    # multi-benchmark decontamination with per-benchmark attribution.
+    # Same r19-wave entry as #1 and #2.
+    "winnow_decontaminate_multi": 18,
 }
 
 # Twin rows retired from re-hash cadence (r10 policy codification):

@@ -455,6 +455,10 @@ PLAN_BOUNDS = {
     # 40-bit-hash tuples from the ~2/(w+1) winnowed sub-sample — never
     # text, never the corpus.
     "winnow_decontaminate": (6, 2),
+    # the multi-benchmark generalization: same shape + the second
+    # benchmark's fingerprint branch in the unioned index; post-join
+    # frames hit-sized, keyed (doc, bench)
+    "winnow_decontaminate_multi": (7, 2),
     # spans consumer: train fingerprints -> hash semi-join against the
     # eval index (broadcasts; the distinct eval hash frame is
     # benchmark-sized) -> matched-position distinct -> islands window.

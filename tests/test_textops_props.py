@@ -1514,3 +1514,30 @@ def test_rrf_fuse_consensus_beats_single_list_presence(spark):
     assert {out[1]["rank"], out[2]["rank"]} == {2, 3}
     # doc_id tie-break between the two single-list docs (equal scores)
     assert out[1]["rank"] == 2
+
+
+def test_winnow_decontaminate_multi_single_bench_reduces_to_single(spark, sf_dir):
+    """The multi-benchmark detector restricted to ONE benchmark index
+    is the single detector, row for row — the reduction that
+    qualifies winnow_decontaminate_multi as a generalization rather
+    than a drifting reimplementation (same train frame, same index,
+    only the bench tag added)."""
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.text import (
+        winnow_decontaminate,
+        winnow_decontaminate_multi,
+        winnow_eval_index,
+    )
+    from flink_kafka_spark.queries.textops import DECON_MOD
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    idx = winnow_eval_index(ev)
+    single = sorted(map(tuple, winnow_decontaminate(train, eval_index=idx).collect()))
+    multi = winnow_decontaminate_multi(train, idx.withColumn("bench_id", F.lit("b0")))
+    assert sorted(r["bench_id"] for r in multi.select("bench_id").distinct().collect()) in ([], ["b0"])
+    reduced = sorted(map(tuple, multi.drop("bench_id").collect()))
+    assert reduced == single
