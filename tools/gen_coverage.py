@@ -96,7 +96,10 @@ EXTENSIONS = [
              " (containment_pairs' bucket-join shape over the ~2/(w+1)"
              " winnowed sub-sample) + train/eval winnow decontamination"
              " vs a stored eval fingerprint index (per-doc contamination"
-             " evidence, planted-leak pytest; batch + streaming faces)"
+             " evidence, planted-leak pytest; batch + streaming faces;"
+             " one-pass MULTI-benchmark variant with per-benchmark"
+             " attribution — corpus cost independent of benchmark"
+             " count, single-bench reduction row-identity pytest)"
              " + excisable leaked-span localization (matched-position"
              " islands at the guarantee gap) + leak excision to the"
              " releasable corpus (proven guaranteed-superset w-1 pad)"
