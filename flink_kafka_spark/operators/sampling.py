@@ -443,6 +443,12 @@ def source_interleave(
 
     if default_weight < 1 or (weights and min(weights.values()) < 1):
         raise ValueError("source_interleave: weights must be integers >= 1")
+    internal = ("_src", "_ok", "_vt", "_w", "_key", "src_rn", "position", "shard_id")
+    if id_col in internal or source_col in internal:
+        raise ValueError(
+            f"source_interleave: id_col={id_col!r}/source_col={source_col!r} "
+            f"collides with an internal/output column {internal} — rename it first"
+        )
     src = F.coalesce(F.col(source_col).cast("string"), F.lit(""))
     base = df.select(
         F.col(id_col),

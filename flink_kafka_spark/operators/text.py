@@ -1179,6 +1179,12 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: pass at least one ranked frame")
     if c < 0:
         raise ValueError(f"rrf_fuse: c must be >= 0, got {c}")
+    internal = ("_e12", "_sum_e12", "n_lists", "rrf_score")
+    if id_col in internal or rank_col in internal:
+        raise ValueError(
+            f"rrf_fuse: id_col={id_col!r}/rank_col={rank_col!r} collides "
+            f"with an internal/output column {internal} — rename it first"
+        )
     contrib = F.expr(f"1000000000000 div ({c} + {rank_col})").alias("_e12")
     parts = [r.select(F.col(id_col), contrib) for r in rankings]
     u = parts[0]

@@ -296,6 +296,44 @@ def winnow_decontaminate_stream(
     return writer
 
 
+def winnow_decontaminate_multi_stream(
+    docs_stream: DataFrame,
+    eval_index: DataFrame,
+    sink,
+    k: "int | None" = None,
+    w: "int | None" = None,
+):
+    """Screen a document stream against MANY benchmarks at once — the
+    streaming face of operators.text.winnow_decontaminate_multi, and
+    the multi-benchmark sibling of :func:`winnow_decontaminate_stream`
+    (same foreachBatch + release_scope discipline, same (k, w)
+    resolution against the batch operator's canonical widths).
+
+    ``eval_index`` MUST be a stored ``(bench_id, eval_id, fp_hash)``
+    frame (union of per-benchmark winnow_eval_index frames, each
+    tagged with a bench_id literal) — there is no inline path because
+    the multi operator's whole point is that the benchmark suite is
+    fingerprinted once per version while each micro-batch
+    fingerprints only itself. The caller owns the index's persist
+    lifecycle (the single stream's CACHE LIFECYCLE note applies).
+
+    ``sink(hits_df, epoch_id)`` receives one row per (contaminated
+    batch doc, benchmark hit) with the per-benchmark evidence
+    columns; clean docs emit nothing."""
+    from ..caching import release_scope
+    from ..operators.text import WINNOW_K, WINNOW_W, winnow_decontaminate_multi
+
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        with release_scope():
+            hits = winnow_decontaminate_multi(batch_df, eval_index, k=k, w=w)
+            sink(hits, epoch_id)
+
+    return docs_stream.writeStream.foreachBatch(_process)
+
+
 def bucket_partials_stream(
     events: DataFrame,
     key: str,

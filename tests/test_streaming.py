@@ -2633,3 +2633,80 @@ def test_winnow_decontaminate_stream(spark, tmp_path):
     batch = {r.doc_id: tuple(r) for r in winnow_decontaminate(union, eval_df).collect()}
     assert batch == {k: tuple(v) for k, v in flagged.items()}
     idx.unpersist()
+
+
+def test_winnow_decontaminate_multi_stream(spark, tmp_path):
+    """Multi-benchmark streaming screen: two micro-batches against a
+    stored two-benchmark index — a doc leaking from benchmark b0 is
+    attributed to b0, one leaking from b1 to b1, a doc copying runs
+    from BOTH benchmarks emits one evidence row per benchmark, clean
+    docs emit nothing, and the hit rows are row-identical to the
+    batch multi operator over the union of both batches."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flink_kafka_spark.operators.text import (
+        winnow_decontaminate_multi,
+        winnow_eval_index,
+    )
+    from flink_kafka_spark.streaming.jobs import winnow_decontaminate_multi_stream
+
+    leak_a = " ".join(f"ma{i}" for i in range(11))
+    leak_b = " ".join(f"mb{i}" for i in range(11))
+    ev_a = spark.createDataFrame([(100, "q " + leak_a + " a")], "doc_id long, text string")
+    ev_b = spark.createDataFrame([(200, "x " + leak_b + " y")], "doc_id long, text string")
+    idx = (
+        winnow_eval_index(ev_a).withColumn("bench_id", F.lit("b0"))
+        .unionByName(winnow_eval_index(ev_b).withColumn("bench_id", F.lit("b1")))
+        .persist()
+    )
+    idx.count()
+
+    b = tmp_path / "in"
+    b.mkdir()
+    (b / "f0.json").write_text(
+        _json.dumps({"doc_id": 10, "text": "pre " + leak_a + " post"}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": " ".join(f"c{i}" for i in range(30))}) + "\n"
+    )
+    (b / "f1.json").write_text(
+        _json.dumps({"doc_id": 20, "text": "s " + leak_a + " m " + leak_b + " e"}) + "\n"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(b))
+    )
+    seen: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        seen[epoch_id] = df.collect()
+
+    q = (
+        winnow_decontaminate_multi_stream(stream, idx, sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(seen) == 2
+    hits = {(r.doc_id, r.bench_id): r for rows in seen.values() for r in rows}
+    assert set(hits) == {(10, "b0"), (20, "b0"), (20, "b1")}
+    assert hits[(10, "b0")].best_eval_id == 100
+    assert hits[(20, "b0")].best_eval_id == 100
+    assert hits[(20, "b1")].best_eval_id == 200
+
+    union = spark.createDataFrame(
+        [
+            (10, "pre " + leak_a + " post"),
+            (11, " ".join(f"c{i}" for i in range(30))),
+            (20, "s " + leak_a + " m " + leak_b + " e"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = sorted(map(tuple, winnow_decontaminate_multi(union, idx).collect()))
+    streamed = sorted(tuple(r) for rows in seen.values() for r in rows)
+    assert streamed == batch
+    idx.unpersist()

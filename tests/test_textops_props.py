@@ -1541,3 +1541,21 @@ def test_winnow_decontaminate_multi_single_bench_reduces_to_single(spark, sf_dir
     assert sorted(r["bench_id"] for r in multi.select("bench_id").distinct().collect()) in ([], ["b0"])
     reduced = sorted(map(tuple, multi.drop("bench_id").collect()))
     assert reduced == single
+
+
+def test_rrf_fuse_and_interleave_reject_colliding_columns(spark):
+    """The internal-column collision guards (the winnow-family rule
+    applied to the r18 operators): a caller whose id column happens to
+    be named like an internal/output column gets a loud error, not a
+    silently corrupted frame."""
+    import pytest
+
+    from flink_kafka_spark.operators.sampling import source_interleave
+    from flink_kafka_spark.operators.text import rrf_fuse
+
+    r = spark.createDataFrame([(1, 1)], "n_lists long, rank int")
+    with pytest.raises(ValueError, match="collides"):
+        rrf_fuse([r], id_col="n_lists")
+    d = spark.createDataFrame([(1, "a")], "position long, source string")
+    with pytest.raises(ValueError, match="collides"):
+        source_interleave(d, id_col="position")

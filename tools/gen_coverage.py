@@ -99,7 +99,8 @@ EXTENSIONS = [
              " evidence, planted-leak pytest; batch + streaming faces;"
              " one-pass MULTI-benchmark variant with per-benchmark"
              " attribution — corpus cost independent of benchmark"
-             " count, single-bench reduction row-identity pytest)"
+             " count, single-bench reduction row-identity pytest,"
+             " batch + streaming faces)"
              " + excisable leaked-span localization (matched-position"
              " islands at the guarantee gap) + leak excision to the"
              " releasable corpus (proven guaranteed-superset w-1 pad)"
