@@ -441,8 +441,17 @@ def source_interleave(
     projection."""
     from pyspark.sql.window import Window
 
-    if default_weight < 1 or (weights and min(weights.values()) < 1):
-        raise ValueError("source_interleave: weights must be integers >= 1")
+    bad = [
+        w_
+        for w_ in [default_weight, *(weights or {}).values()]
+        if not isinstance(w_, int) or isinstance(w_, bool) or w_ < 1
+    ]
+    if bad:
+        # enforce, don't truncate: int(2.9) would silently schedule a
+        # 2.9:1 mixing request as 2:1
+        raise ValueError(
+            f"source_interleave: weights must be integers >= 1, got {bad}"
+        )
     internal = ("_src", "_ok", "_vt", "_w", "_key", "src_rn", "position", "shard_id")
     if id_col in internal or source_col in internal:
         raise ValueError(
@@ -457,15 +466,26 @@ def source_interleave(
     )
     w = Window.partitionBy("_src").orderBy("_ok")
     ranked = base.withColumn("src_rn", F.row_number().over(w).cast("long"))
-    weight = F.lit(int(default_weight))
+    weight = F.lit(default_weight)
     for s, wt in sorted((weights or {}).items()):
-        weight = F.when(F.col("_src") == s, F.lit(int(wt))).otherwise(weight)
+        weight = F.when(F.col("_src") == s, F.lit(wt)).otherwise(weight)
     # integer DIV, never float-then-floor: src_rn * scale can exceed
     # the double mantissa on a 100 TB corpus and a last-ulp error
-    # would reorder the schedule
+    # would reorder the schedule. Loud BIGINT-overflow guard (the
+    # winnow_fingerprints 2^20 rule: silent schedule corruption is
+    # worse than a failed job) — past 2^63/scale per-source rows the
+    # non-ANSI product would wrap negative and sort FIRST, scrambling
+    # the epoch order with no error while the DuckDB oracle raises.
+    max_rn = (1 << 63) // int(scale)
     keyed = ranked.withColumn("_w", weight.cast("long")).withColumn(
         "_vt",
-        F.expr(f"CAST((src_rn * CAST({int(scale)} AS BIGINT)) DIV _w AS BIGINT)"),
+        F.expr(
+            f"CASE WHEN src_rn > CAST({max_rn} AS BIGINT) THEN "
+            f"raise_error(concat('source_interleave: source with ', "
+            f"cast(src_rn as string), ' rows exceeds the 2^63/scale "
+            f"virtual-time bound - lower scale or shard the source')) "
+            f"ELSE CAST((src_rn * CAST({int(scale)} AS BIGINT)) DIV _w AS BIGINT) END"
+        ),
     ).withColumn(
         "_key",
         F.concat_ws(

@@ -1179,14 +1179,30 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: pass at least one ranked frame")
     if c < 0:
         raise ValueError(f"rrf_fuse: c must be >= 0, got {c}")
-    internal = ("_e12", "_sum_e12", "n_lists", "rrf_score")
+    internal = ("_e12", "_sum_e12", "_rank", "n_lists", "rrf_score")
     if id_col in internal or rank_col in internal:
         raise ValueError(
             f"rrf_fuse: id_col={id_col!r}/rank_col={rank_col!r} collides "
             f"with an internal/output column {internal} — rename it first"
         )
-    contrib = F.expr(f"1000000000000 div ({c} + {rank_col})").alias("_e12")
-    parts = [r.select(F.col(id_col), contrib) for r in rankings]
+    # rank is pre-projected to an internal alias via the column API
+    # (backtick-safe — the winnow_decontaminate_trim precedent: never
+    # interpolate a user-supplied name into a raw expr), and NULL /
+    # non-positive ranks fail LOUDLY: in non-ANSI Spark a NULL rank
+    # would make the div NULL, F.sum would skip it, and n_lists would
+    # still count the list — a silently under-scored doc
+    contrib = F.expr(
+        f"CASE WHEN _rank IS NULL OR _rank < 1 THEN "
+        f"raise_error(concat('rrf_fuse: rank must be a positive "
+        f"integer, got ', coalesce(cast(_rank as string), 'NULL'))) "
+        f"ELSE 1000000000000 div ({c} + _rank) END"
+    ).alias("_e12")
+    parts = [
+        r.select(F.col(id_col), F.col(rank_col).alias("_rank")).select(
+            F.col(id_col), contrib
+        )
+        for r in rankings
+    ]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)

@@ -176,9 +176,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # at 9 lifetime greens; the written schedule names inverted_index
     # as the handoff anchor)
     "inverted_index",
-    # r20-wave pull-forwards: the 13 cheapest bench rows hashed two
-    # rounds early so the r20 organic due list empties (schedule:
-    # ROTATION_LEDGER.md §Round 17/18)
+    # r20-wave pull-forwards: 12 cheap bench rows hashed two rounds
+    # early so the r20 organic due list empties (schedule:
+    # ROTATION_LEDGER.md §Round 17/18; the 13th slot went to the
+    # release_gate_snapshot re-hash below — tpch_q10 stays in the
+    # r19 wave)
     "embedding_quantize",
     "tpch_q6",
     "media_decode_meta",

@@ -1623,8 +1623,11 @@ def release_gate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     # group-level gate on the REPRESENTATIVE id: every dup member
     # shares the group's lowercased text, so the min-id member is
-    # contaminated iff any member is — no third corpus scan, the
-    # leak-sized id set broadcasts onto the group frame
+    # contaminated iff any member is — no third corpus scan. No
+    # broadcast hint: contamination is leak-sized by ASSUMPTION, not
+    # construction (a widely-mirrored benchmark can flag a large
+    # corpus fraction), so AQE decides from the measured size instead
+    # of a forced driver collect that could OOM (r18 review finding)
     canon = (
         d.groupBy(F.md5(F.lower("text")).alias("h"))
         .agg(
@@ -1639,7 +1642,7 @@ def release_gate_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id"),
             ).alias("meta"),
         )
-        .join(F.broadcast(contam_ids), F.col("_rep") == F.col("_cid"), "left")
+        .join(contam_ids, F.col("_rep") == F.col("_cid"), "left")
         .select(
             "n_dups",
             "meta.lang",

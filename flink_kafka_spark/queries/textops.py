@@ -2888,7 +2888,7 @@ rn AS (
 vt AS (
   SELECT doc_id, source, src_rn,
          (src_rn * {INTERLEAVE_SCALE}) //
-           (CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END) AS vtime
+           (CASE source {" ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(INTERLEAVE_WEIGHTS.items()))} ELSE 1 END) AS vtime
   FROM rn
 ),
 pos AS (
