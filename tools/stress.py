@@ -1189,6 +1189,15 @@ CURVE_QUERIES = (
     # both must track the corpus scan
     "winnow_contaminated_spans",
     "winnow_decontaminate_trim",
+    # r18 registrations, curved before their r19 first hash (the same
+    # pre-hash discipline): fusion frames are candidate-bounded (wall
+    # should be scan-flat), the stride interleave is one rn shuffle +
+    # the range-partition rank (log-factor at worst), and the
+    # multi-benchmark detector must track the single detector's
+    # train-side scan with the index contribution flat
+    "hybrid_rrf_search",
+    "source_interleave",
+    "winnow_decontaminate_multi",
 )
 # wall(3x) / wall(1x) <= 3^ALPHA_MAX: linear is alpha=1; the margin
 # absorbs shuffle/sort log factors and timing noise, while a quadratic
