@@ -179,3 +179,44 @@ def write_block_shuffled(
         .partitionBy("block_id")
         .parquet(path)
     )
+
+
+def write_interleaved(
+    df: DataFrame,
+    path: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weights: "dict[str, int] | None" = None,
+    seed: int = 42,
+    shard_size: int = 100,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the stride-scheduled training order on disk: the
+    write-side twin of ``operators.sampling.source_interleave``. The
+    schedule (same operator, same arithmetic — disk order and the
+    query-side ``position`` can never disagree) is joined back to the
+    payload and written as parquet partitioned by ``shard_id``, rows
+    inside each shard sorted by ``position`` — a reader streaming
+    shard directories in shard_id order receives the exact weighted
+    interleave (parquet preserves within-file row order; with a
+    ``maxRecordsPerFile`` cap, glob part files in FILENAME order —
+    the write_block_shuffled contract).
+
+    Cost: the operator's rank machinery (one per-source rn shuffle +
+    the export_shards range partition) plus one shard exchange for
+    the write — the payload crosses the wire once; the
+    schedule-to-payload join is on the id and AQE-planned."""
+    from .operators.sampling import source_interleave
+
+    sched = source_interleave(
+        df, source_col, id_col, weights, seed=seed, shard_size=shard_size
+    ).select(id_col, "position", "shard_id")
+    n_shards = sched.sparkSession.sparkContext.defaultParallelism
+    (
+        df.join(sched, id_col)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "position")
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

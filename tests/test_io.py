@@ -244,3 +244,38 @@ def test_write_block_shuffled_materializes_the_epoch_order(spark, sf_dir, tmp_pa
         got = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
         want = [doc for _, doc in sorted(rows)]
         assert got == want, f"block {blk} disk order != block_pos order"
+
+
+def test_write_interleaved_materializes_the_stride_order(spark, sf_dir, tmp_path):
+    """The on-disk order must equal the query-side schedule: reading
+    each shard directory's parquet back in file order yields the ids
+    in source_interleave's position order (same operator arithmetic),
+    every id appears exactly once across shards, shard directories
+    are single-file, and payload columns survive the join."""
+    from flink_kafka_spark.io import write_interleaved
+    from flink_kafka_spark.operators.sampling import source_interleave
+    from flink_kafka_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = str(tmp_path / "mix0")
+    w = {"src0": 3, "src1": 2}
+    write_interleaved(docs, out, weights=w, seed=42, shard_size=50)
+
+    expected: dict = {}
+    for r in source_interleave(docs, weights=w, seed=42, shard_size=50).collect():
+        expected.setdefault(r.shard_id, []).append((r.position, r.doc_id))
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {"doc_id", "source", "n_chars", "position", "shard_id"} <= set(back.columns)
+    import glob
+    import pyarrow.parquet as pq
+
+    seen = []
+    for shard, rows in expected.items():
+        files = sorted(glob.glob(f"{out}/shard_id={shard}/*.parquet"))
+        assert len(files) == 1, f"shard {shard} split across {len(files)} files"
+        got = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+        want = [doc for _, doc in sorted(rows)]
+        assert got == want, f"shard {shard} disk order != position order"
+        seen.extend(got)
+    assert sorted(seen) == sorted(r.doc_id for r in docs.select("doc_id").collect())
