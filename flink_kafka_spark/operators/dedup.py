@@ -30,8 +30,19 @@ SHINGLE_STOP_DF = 200  # prune shingles appearing in more docs than this
 
 def normalized_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Lowercase, whitespace-split token array — shared normalization
-    for every text/dedup operator."""
-    return df.withColumn("tokens", F.split(F.lower(F.col(text_col)), r"\s+"))
+    for every text/dedup operator.
+
+    The input is layout-spread first (tables.spread_scan): everything
+    downstream of this projection is compute-heavy narrow work (shingle
+    HOFs, md5 per shingle) that would otherwise run inside the scan
+    stage — one task per input split, i.e. ONE core on an unsplittable
+    single-file input regardless of cluster size. On a many-file 100 TB
+    corpus the spread is a structural no-op (guide §2.5)."""
+    from ..tables import spread_scan
+
+    return spread_scan(df).withColumn(
+        "tokens", F.split(F.lower(F.col(text_col)), r"\s+")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -478,12 +489,12 @@ def minhash_lsh_pairs(
 
     from ..caching import track
 
-    # ONE full tokenize+minhash pass over the corpus (narrow apart from
-    # the helper's small-scan fan-out gate — see :func:`_lsh_bands`,
-    # whose repartition applies ONLY to this banding consumer: the
-    # verification scan below filters to candidate ids via a broadcast
-    # join, and a round-robin exchange of full corpus text ahead of
-    # that filter would shuffle everything to keep almost nothing),
+    # ONE full tokenize+minhash pass over the corpus (narrow apart
+    # from the small-scan fan-out gate, now tables.spread_scan inside
+    # normalized_tokens: on the banding pass it spreads the raw scan;
+    # on the verification pass below it sits ABOVE the broadcast semi
+    # filter, so only the surviving candidate rows are exchanged —
+    # never full corpus text shuffled to keep almost nothing),
     # consumed exactly once by the band bucketing below — so nothing
     # corpus-sized is ever persisted and there is no multi-consumer
     # cache race (round-3 verdict #2: the previous shape persisted
@@ -760,25 +771,15 @@ def _lsh_bands(
     k: int,
     bands: int,
 ) -> DataFrame:
-    """The shared banding pass: ``(out_id, band, band_hash)`` per doc,
-    with :func:`minhash_lsh_pairs`' small-scan fan-out gate — the
-    tokenize+minhash projection is the most compute-dense in the
-    engine, so a corpus arriving in fewer splits than cores is
-    repartitioned first (one cheap shuffle of raw text buys full-core
-    parallelism; the probe is ``inputFiles()`` — plan metadata, where
-    ``df.rdd.getNumPartitions()`` was driver-side plan-compilation work
-    on every invocation); at 100 TB the scan has thousands of splits
-    and the gate skips. Extracted in round 7: the expression was triplicated
-    across minhash_lsh_pairs / build_dedup_index / the batch side, and
-    the two newer copies had silently dropped the gate."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:  # non-file source (memory/stream-backed frame)
-        n_splits = 0
-    fan = df.repartition(par) if 0 < n_splits < par else df
+    """The shared banding pass: ``(out_id, band, band_hash)`` per doc.
+    The small-scan fan-out gate that lived here (round 7) moved to
+    ``tables.spread_scan`` in r18 and now runs inside
+    :func:`normalized_tokens` — one copy of the layout probe for EVERY
+    tokenize-heavy operator, same placement for this pipeline (the
+    exchange still precedes the shingle/minhash fan-out; keeping a
+    second gate here would stack a redundant exchange on top)."""
     return (
-        shingle_sets(fan, id_col, n)
+        shingle_sets(df, id_col, n)
         .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
         .select(
             F.col(id_col).alias(out_id),

@@ -246,9 +246,15 @@ def fuzzy_match_pairs(
     # equality short-circuit before the DP kernel: exact-duplicate
     # names dominate real catalogs (and any low-cardinality one —
     # measured 66% of the sf0.1 part candidates), and a string
-    # equality test is O(len) vs Levenshtein's O(len²)
+    # equality test is O(len) vs the DP kernel's cost. The kernel is
+    # the BANDED 3-arg levenshtein (Spark 3.5+): O(len·max_dist)
+    # instead of O(len²), exact for every distance <= max_dist and -1
+    # beyond — the verification filter keeps only distances <=
+    # max_dist, so surviving rows carry the identical exact distance
+    # and the -1 band is exactly the discarded set (r18 measurement:
+    # the kernel was the candidate-verify wall).
     lev = F.when(F.col("a_name") == F.col("b_name"), F.lit(0)).otherwise(
-        F.levenshtein("a_name", "b_name")
+        F.levenshtein("a_name", "b_name", max_dist)
     )
     if max_block is None:
         a = df.select(
@@ -307,7 +313,9 @@ def fuzzy_match_pairs(
             F.abs(F.length("a_name") - F.length("b_name")) <= F.lit(max_dist)
         )
         .withColumn("lev_dist", lev)
-        .filter(F.col("lev_dist") <= F.lit(max_dist))
+        # banded kernel contract: values in [0, max_dist] are exact,
+        # -1 means "beyond the band" — so >= 0 IS <= max_dist
+        .filter(F.col("lev_dist") >= 0)
         .select("a_key", "b_key", "a_name", "b_name", F.col("lev_dist").cast("int").alias("lev_dist"))
     )
 

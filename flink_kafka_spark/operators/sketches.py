@@ -114,7 +114,11 @@ def _cms_pairs_expr(item_sql: str, width: int, depth: int) -> str:
 
 
 def count_min_sketch(
-    df: DataFrame, col: str, width: int = 512, depth: int = 4
+    df: DataFrame,
+    col: str,
+    width: int = 512,
+    depth: int = 4,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of ``df[col]`` as a (r, b, c) frame: ``depth``
     hash rows of ``width`` counters; ``c`` is how many input rows
@@ -130,15 +134,29 @@ def count_min_sketch(
     shuffled state is bounded by the sketch size, never by the number
     of distinct items — the property that makes sketch > exact-groupBy
     at heavy-tail 100 TB key spaces.
+
+    ``weight_col``: build the sketch from a PRE-AGGREGATED (item,
+    count) frame — each row contributes ``weight_col`` instead of 1,
+    so ``count_min_sketch(vocab, col, weight_col="cnt")`` is
+    bit-identical to running the raw occurrence frame through, while
+    hashing each DISTINCT item once instead of once per occurrence
+    (r18: the occurrence path md5-hashed every token occurrence
+    x depth). Use it when a caller already pays the exact groupBy
+    (e.g. alongside an exact top-K baseline); the occurrence path
+    stays the default because a pure sketch pass must NOT pay a
+    vocabulary-sized shuffle at 100 TB.
     """
+    cols = [F.col(weight_col).alias("_w")] if weight_col else []
     pairs = df.select(
+        *cols,
         F.explode(
             F.expr(_cms_pairs_expr(f"cast({col} as string)", width, depth))
-        ).alias("rb")
+        ).alias("rb"),
     )
+    counter = F.sum("_w") if weight_col else F.count(F.lit(1))
     return pairs.groupBy(
         F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).agg(counter.cast("long").alias("c"))
 
 
 def cms_estimate(

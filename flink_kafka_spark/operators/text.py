@@ -461,7 +461,15 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"winnow_fingerprints: k={k} and w={w} must be >= 1")
-    d = df.select(
+    # layout spread BEFORE the per-row md5/window-min pipeline: on an
+    # unsplittable single-file input the whole fingerprint computation
+    # otherwise runs inside the one-task scan stage (one core); on a
+    # many-file corpus spread_scan is a structural no-op (guide §2.5).
+    # The two-column projection happens first so the exchange moves
+    # only (id, text), never sibling columns.
+    from ..tables import spread_scan
+
+    d = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("ws")
     )
     # k-gram shingles; the CASE guards the descending-sequence trap
@@ -1475,12 +1483,18 @@ def hashed_doc_embedding(
     triples only."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    # layout spread before the tokenize/md5 fan-out (guide §2.5): the
+    # explode + per-token md5 otherwise run inside the scan stage —
+    # one task on a single-file input; no-op on a many-file corpus
+    from ..tables import spread_scan
+
     tok = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token")
     bucket = F.expr(
         f"cast(conv(substr(md5(token), 1, 8), 16, 10) AS bigint) % {CLF_BUCKETS}"
     )
     per_bucket = (
-        df.select(F.col(id_col), tok)
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tok)
         .select(id_col, bucket.alias("_bucket"))
         .groupBy(id_col, "_bucket")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -1658,8 +1672,15 @@ def bpe_learn_merges(
         out = df.localCheckpoint(eager=False)
         return out, frozenset(persistent_rdd_ids(sc) - before)
 
+    # layout spread before the corpus explode (guide §2.5): the
+    # split/explode + map-side combine feeding the vocab shuffle
+    # otherwise run as one task on a single-file input; no-op on a
+    # many-file corpus
+    from ..tables import spread_scan
+
     vocab = (
-        docs.select(F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"))
+        spread_scan(docs.select(F.col(text_col).alias("_t")))
+        .select(F.explode(F.split(F.lower("_t"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
@@ -1779,10 +1800,21 @@ def bpe_apply_merges(
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-    words = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"),
-    ).where(F.col("w") != "")
+    # layout spread before BOTH corpus passes (guide §2.5): the
+    # split/explode projections — and, on the probe pass, the join
+    # probe plus the per-doc partial aggregation under an AQE
+    # broadcast — otherwise run as one scan task on a single-file
+    # input; no-op on a many-file corpus
+    from ..tables import spread_scan
+
+    words = (
+        spread_scan(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
     vocab_toks = (
         words.select("w")
         .distinct()

@@ -1201,9 +1201,13 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab²-sized pair frame never moves to one partition; only the
     ≤ PMI_TOPK surviving rows pay a (bounded) rank window."""
     from ..caching import track
+    from ..tables import spread_scan
 
+    # layout spread before the per-doc distinct/sort and the vocab²
+    # pair fan-out (guide §2.5) — single-file inputs otherwise run the
+    # whole pre-shuffle pipeline on one core; no-op on real layouts
     t = track(
-        load(spark, sf_dir, "documents")
+        spread_scan(load(spark, sf_dir, "documents").select("text"))
         .select(F.array_sort(F.array_distinct(F.split("text", " "))).alias("ws"))
         .persist()
     )
@@ -2222,22 +2226,33 @@ CMS_TOPK = 20
 
 
 def cms_topk_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch built from the VOCABULARY, not the occurrence stream
+    (r18, guide §2.3 "aggregate before you shuffle"): this query
+    already pays the full exact groupBy for its top-20 true-count
+    baseline, so the same (tok, true_c) frame feeds the sketch via
+    ``weight_col`` — each distinct token is md5-hashed depth times
+    ONCE instead of once per occurrence (~24x fewer md5 calls at
+    sf0.1: ~1.0M occurrences vs ~42K vocab), and the persisted frame
+    shrinks from occurrences to vocab. Bit-identical by the CM merge
+    property (sum of per-token counts per cell == occurrence count per
+    cell); the DuckDB oracle still replays the occurrence form. A
+    sketch-only pipeline with no exact baseline must keep the
+    occurrence path (bounded shuffle state at 100 TB) — see
+    count_min_sketch's weight_col note."""
     from ..caching import track
     from ..operators.sketches import cms_estimate, count_min_sketch
+    from ..tables import spread_scan
 
-    toks = track(
-        load(spark, sf_dir, "documents")
+    vocab = track(
+        spread_scan(load(spark, sf_dir, "documents").select("text"))
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_c"))
         .persist()
     )
-    sketch = count_min_sketch(toks, "tok", CMS_WIDTH, CMS_DEPTH)
-    top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_c"))
-        .orderBy(F.desc("true_c"), F.asc("tok"))
-        .limit(CMS_TOPK)
-    )
+    sketch = count_min_sketch(vocab, "tok", CMS_WIDTH, CMS_DEPTH, weight_col="true_c")
+    top = vocab.orderBy(F.desc("true_c"), F.asc("tok")).limit(CMS_TOPK)
     est = cms_estimate(sketch, top, "tok", CMS_WIDTH, CMS_DEPTH)
     return est.select(
         "tok",

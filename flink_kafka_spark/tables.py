@@ -59,6 +59,51 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Fan a narrow input across the cluster before compute-heavy
+    per-row work — the optimization guide's input-layout remedy ("one
+    huge unsplittable file … repartition immediately after the read",
+    §2.5), taken CONDITIONALLY on the frame's actual scan partitioning.
+
+    Why: the testdata tables are single-file, single-row-group parquet,
+    so every scan stage is ONE task — a compute-heavy narrow pipeline
+    (md5 shingles, winnowing window-min HOFs, tokenization) serializes
+    on one core of the whole cluster before its first exchange. A real
+    100 TB corpus arrives as thousands of splittable files: there the
+    scan already yields >= default-parallelism tasks and this helper
+    returns the frame UNCHANGED — no exchange is added on well-laid-out
+    input (the check reads the frame's planned partition count, never a
+    config constant, so the decision adapts to whatever layout and core
+    count the session actually has).
+
+    The spread moves the raw input rows once, BEFORE any shingle/
+    fingerprint fan-out multiplies them, and uses a round-robin
+    repartition (deterministic under task retry via Spark's
+    sort-before-repartition, SPARK-23207). Result identity: every
+    consumer aggregates/joins downstream with partition-order-
+    insensitive semantics (count/min/max/sum on integers, sort_array'd
+    collect_list/collect_set, distinct) — pinned per query by the
+    DuckDB oracles at three SFs.
+
+    The layout probe is ``inputFiles()`` — plan metadata, following
+    the precedent set by the MinHash banding gate (operators/dedup.py
+    ``_lsh_bands``, now delegated here): ``df.rdd.getNumPartitions()``
+    would be driver-side plan-compilation work on every invocation.
+    Known trade, inherited from that gate: the probe counts FILES, not
+    row groups, so one enormous multi-row-group file would be spread
+    even though its scan already splits — acceptable, because the
+    repartition it adds is of rows the pipeline was about to fan out
+    anyway, while the common large-corpus case (many files) is a
+    guaranteed no-op. Frames not backed by files (memory/stream
+    sources) report zero files and are left unchanged."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file source (memory/stream-backed frame)
+        n_splits = 0
+    return df.repartition(par) if 0 < n_splits < par else df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views with the same names DuckDB's oracle uses,
     so a single ANSI-SQL string can run on both engines."""

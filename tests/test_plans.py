@@ -23,6 +23,15 @@ from flink_kafka_spark.queries import all_queries  # noqa: E402
 # number after the fact. SMJ ceilings > 0 are deliberate and commented;
 # everywhere else a sort-merge join means a broadcast degraded.
 PLAN_BOUNDS = {
+    # r18 NOTE on "+spread" annotations below: tables.spread_scan (the
+    # guide-§2.5 unsplittable-input remedy, centralized from the r7
+    # _lsh_bands gate) adds ONE round-robin exchange per corpus
+    # tokenize/fingerprint pass when — and only when — the input
+    # arrives in fewer file splits than cores, which is always true of
+    # the single-file test fixtures this audit runs on and never true
+    # of a many-file 100 TB corpus. Each affected pin below rises by
+    # exactly its number of spread-gated passes; the underlying
+    # shuffle structure is unchanged.
     # single groupBy: scan + one shuffle
     "tpch_q1": (1, 0),
     "tpch_q6": (1, 0),  # partial agg -> 1-row single-partition exchange -> final
@@ -84,7 +93,7 @@ PLAN_BOUNDS = {
     # a driver constant); the fold runs on the distinct-vocab frame
     # (one w-shuffle), broadcast-joins n_toks back to the unshuffled
     # occurrence stream, then the per-doc groupBy
-    "bpe_tokenize_stats": (2, 0),
+    "bpe_tokenize_stats": (4, 0),  # +spread x2 (learn vocab pass + apply words pass)
     # corpus histogram shuffle + single-partition window over the
     # <=10001-row score frame (the no-global-sort quantile design)
     "quality_curriculum": (2, 0),
@@ -100,7 +109,7 @@ PLAN_BOUNDS = {
     # frames (tag-union membership shuffle + pair rollup) with every
     # join a broadcast — zero SMJ by construction (the full-outer
     # formulation could never broadcast; r13 rewrote it to union+max)
-    "kmv_pair_intersections": (11, 0),
+    "kmv_pair_intersections": (13, 0),  # +spread x2 (hashed + thresholds shingle passes)
     # (set, sub) HLL cell shuffle + sketch-bytes rollup shuffle
     "uv_hll_rollup": (2, 0),
     # (set, sub) KLL cell shuffle + sketch-bytes merge shuffle — the
@@ -140,7 +149,7 @@ PLAN_BOUNDS = {
     # + fingerprints). Static counts still multiply the persisted
     # cells subtree across its 3 consumers pre-materialization; the
     # LIVE post-AQE plan is 5 exchanges / 0 SMJ / 2 broadcasts
-    "release_gate_snapshot": (10, 0),
+    "release_gate_snapshot": (11, 0),  # +spread (winnow fingerprint pass)
     # one corpus shuffle (map-side-combined cell count) + the seasonal
     # window's regroup on the tiny cells frame
     "seasonal_anomalies": (2, 0),
@@ -223,7 +232,7 @@ PLAN_BOUNDS = {
     "heavy_hitters_check": (9, 0),
     # pair-count shuffle + vocab-bounded broadcast joins + global rank
     # window over the pair frame
-    "word_pmi": (4, 0),
+    "word_pmi": (5, 0),  # +spread (distinct-word array pass)
     # extensions: narrow projections must stay shuffle-free
     "text_stats": (0, 0),
     "dataset_split": (0, 0),
@@ -262,7 +271,7 @@ PLAN_BOUNDS = {
     # survivor-manifest persist feeding the mixture totals; benchmark
     # shingles and per-source thresholds must stay broadcast — three
     # narrow corpus scans total (gates, shingle branch, bench branch)
-    "training_mix_snapshot": (7, 0),
+    "training_mix_snapshot": (9, 0),  # +spread x2 (decontaminate shingle passes)
     "encoding_audit": (0, 0),  # pure regexp projection
     "markup_strip": (0, 0),  # chained-regexp projection
     # composed: query construction (r12 doc_filter pushdown inside
@@ -276,16 +285,16 @@ PLAN_BOUNDS = {
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
-    "dedup_ngram_jaccard": (4, 0),  # narrow shingles + bucket pairing
+    "dedup_ngram_jaccard": (5, 0),  # narrow shingles + bucket pairing; +spread
     # containment twin: identical bucket-pairing plan (shared shingle
     # scan, stop-shingle pruning before fan-out), different score
-    "dedup_containment": (4, 0),
-    "dedup_prune_stats": (2, 0),
+    "dedup_containment": (5, 0),  # +spread
+    "dedup_prune_stats": (3, 0),  # +spread
     # bench headline (not in DRIVER_WINDOW itself): fan-out repartition
     # + band-bucket groupBy + candidate distinct; everything else
     # broadcasts. This pin would have caught the round-4 regression.
-    "dedup_minhash_lsh": (3, 0),
-    "dedup_simhash_check": (4, 0),
+    "dedup_minhash_lsh": (5, 0),  # +spread x2 (banding pass + post-semi verify pass)
+    "dedup_simhash_check": (6, 0),  # +spread x2 (query + exact-baseline passes)
     # CC runs to convergence while the plan is BUILT (iterative
     # localCheckpoint loop); the residual plan joins the BROADCAST
     # label set (near-dup-graph-sized) against the corpus — zero
@@ -302,23 +311,23 @@ PLAN_BOUNDS = {
     "dedup_embedding_cosine": (0, 0),  # block-key broadcast equi-join
     # span stats: md5-span occ groupBy + span_h window + doc rollup —
     # three narrow (hash, id, count) shuffles, final join broadcasts
-    "dedup_span_stats": (3, 0),
+    "dedup_span_stats": (5, 0),  # +spread x2 (n_spans + explode passes)
     # span trim: one span_h window shuffle + one doc collect_list
     # shuffle; the token rebuild joins per-doc position arrays back
     # via broadcast — span/token text never shuffles
-    "dedup_span_trim": (2, 0),
+    "dedup_span_trim": (4, 0),  # +spread x2 (same two passes)
     # incremental: the band equi-join between the two corpora's
     # (band, band_hash, id) frames is big-big BY DESIGN (SMJ is the
     # intended plan — neither snapshot broadcasts at 100 TB); the
     # second SMJ is the doc-level rollup left join, which AQE
     # broadcast-swaps at runtime when matches are small. 2 of the 5
     # exchanges are the small-scan fan-out gate (skips at scale).
-    "dedup_incremental": (5, 2),
+    "dedup_incremental": (7, 2),  # +spread x2 (batch + reference banding)
     # check sweep composes matches (executed ONCE, persisted for its
     # three consumers) + exact twin + rollup (same class as
     # dedup_minhash_lsh_check: stats-less derived-frame SMJs are
     # expected inside *_check verification queries)
-    "dedup_incremental_check": (21, 4),
+    "dedup_incremental_check": (26, 4),  # +spread x5 (all banding/verify passes)
     # ANN family: exact baselines are one top-k shuffle; the *_check
     # sweeps compare approx vs exact so they carry both plans' shuffles
     # (SMJ between two derived frames without stats is expected there)
@@ -327,7 +336,7 @@ PLAN_BOUNDS = {
     "ann_cosine_topk_lsh": (1, 0),
     "ann_cosine_topk_ivf": (1, 0),
     "ann_cosine_topk_pq": (1, 0),
-    "dedup_simhash": (1, 0),
+    "dedup_simhash": (3, 0),  # +spread x2 (token pass per consumer)
     # SemDeDup: the cell self-join and the id-key prune join are both
     # corpus×corpus BY DESIGN (neither side broadcasts at 100 TB; with
     # one cell-key regroup feeding the per-cell BLAS applyInPandas —
@@ -359,10 +368,10 @@ PLAN_BOUNDS = {
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
     "ann_pq_check": (12, 4),
-    "dedup_minhash_lsh_check": (15, 2),
+    "dedup_minhash_lsh_check": (19, 2),  # +spread x4 (both query + baseline passes)
     "uv_approx_check": (6, 2),
     # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
-    "decontaminate": (2, 0),
+    "decontaminate": (4, 0),  # +spread x2 (train + eval shingle passes)
     # leakage-safe split: CC runs while the plan is BUILT; the residual
     # plan is broadcast label join + broadcast anti-join + bucket
     # projection — same zero-shuffle class as dedup_clusters
@@ -391,15 +400,15 @@ PLAN_BOUNDS = {
     "vocab_oov_rate": (2, 0),
     # feature-hashing embedder: (id, bucket) count BEFORE the dim
     # fan-out + (id, dim) rollup — integer triples only, no join
-    "doc_embedding_hash": (2, 0),
+    "doc_embedding_hash": (3, 0),  # +spread (token/bucket pass)
     # winnowing fingerprints: tokenize/shingle/hash/window-min all in
     # per-row array expressions over one pushed scan — ZERO shuffle
-    "doc_winnow_fingerprint": (0, 0),
+    "doc_winnow_fingerprint": (1, 0),  # zero-shuffle pipeline +spread
     # overlap pairs on the winnowed sub-sample: fp distinct + per-doc
     # sizes + hash-bucket groupBy + pair groupBy (the containment_pairs
     # shape over ~2/(w+1) of the items); size joins must broadcast —
     # an SMJ here means a corpus-sized build side crept in
-    "winnow_overlap_pairs": (5, 0),
+    "winnow_overlap_pairs": (6, 0),  # +spread (fingerprint pass)
     # composed semantic pairs: the embedder's two shuffles (duplicated
     # pre-AQE across the pair join's sides, ReuseExchange collapses) +
     # vec assembly + block equi-join; block/pair joins broadcast at
@@ -454,21 +463,21 @@ PLAN_BOUNDS = {
     # the hint for AQE-less pipelines). Every joined frame is
     # 40-bit-hash tuples from the ~2/(w+1) winnowed sub-sample — never
     # text, never the corpus.
-    "winnow_decontaminate": (6, 2),
+    "winnow_decontaminate": (8, 2),  # +spread x2 (train + eval fingerprint passes)
     # the multi-benchmark generalization: same shape + the second
     # benchmark's fingerprint branch in the unioned index; post-join
     # frames hit-sized, keyed (doc, bench)
-    "winnow_decontaminate_multi": (7, 2),
+    "winnow_decontaminate_multi": (10, 2),  # +spread x3 (train + 2 benchmark splits)
     # spans consumer: train fingerprints -> hash semi-join against the
     # eval index (broadcasts; the distinct eval hash frame is
     # benchmark-sized) -> matched-position distinct -> islands window.
     # Every post-fingerprint frame is contamination-sized.
-    "winnow_contaminated_spans": (4, 0),
+    "winnow_contaminated_spans": (5, 0),  # +spread
     # excision: the spans pipeline + per-doc span-list rollup, then
     # the corpus joins the contamination-sized span lists broadcast
     # (4 BHJ at test SF) and trims in a per-row HOF — the corpus
     # itself crosses no exchange
-    "winnow_decontaminate_trim": (4, 0),
+    "winnow_decontaminate_trim": (5, 0),  # +spread
 }
 
 
