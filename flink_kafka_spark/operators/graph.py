@@ -86,7 +86,13 @@ def pagerank_loop_body(
     node_frame = nodes.select(F.col(id_col).alias("node"))
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     wsum_side = F.broadcast(wsum) if broadcast_wsum else wsum
-    e = edges.join(wsum_side, "src").select("src", "dst", "w", "wsum")
+    # mirror pagerank()'s src pre-partitioning so the audited round
+    # IS the executed round (the shared-_pr_round contract)
+    e = (
+        edges.join(wsum_side, "src")
+        .select("src", "dst", "w", "wsum")
+        .repartition("src")
+    )
     if cache_inputs:
         from ..caching import track
 
@@ -211,9 +217,18 @@ def pagerank(
     # plan where the SMJ sort on the edge side dominates setup.
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     wsum_side = F.broadcast(wsum) if broadcast_wsum else wsum
+    # pre-partitioned on src before the persist (r18, guide §2.4
+    # "two operations keyed the same way can share one exchange") —
+    # the CC loop's _sym_edges discipline applied here: every round
+    # joins the rank frame on e.src, so a persisted hash(src) layout
+    # lets the planner satisfy the join's edge-side distribution from
+    # the cache instead of re-exchanging the (billion-edge at scale)
+    # frame each of the `iterations` rounds; one extra setup exchange
+    # buys `iterations` elided ones
     e = track(
         edges.join(wsum_side, "src")
         .select("src", "dst", "w", "wsum")
+        .repartition("src")
         .persist()
     )
     ranks = node_frame.withColumn("r", F.lit(base).cast("long"))

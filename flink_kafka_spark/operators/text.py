@@ -957,8 +957,15 @@ def inverted_index(
     """
     from pyspark.sql.window import Window
 
+    from ..tables import spread_scan
+
     ws = F.split(F.lower(F.col(text_col)), r"\s+")
-    postings = df.select(F.col(id_col), F.explode(F.array_distinct(ws)).alias("term"))
+    # layout spread before the tokenize/array_distinct/explode (guide
+    # §2.5): single-file inputs otherwise build the whole posting
+    # stream on one core; no-op on a many-file corpus
+    postings = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(F.array_distinct(ws)).alias("term")
+    )
     if terms is not None:
         postings = postings.join(
             F.broadcast(terms.select("term").distinct()), "term", "left_semi"
@@ -1097,12 +1104,20 @@ def bm25_search(
     the driver — never a single-partition window). Total cost: two
     narrow passes over the scan + k rows.
     """
+    from ..tables import spread_scan
+
     ws = f"split(lower({text_col}), '\\\\s+')"
     tf_cols = [
         F.expr(f"size(filter({ws}, t -> t = '{t}'))").alias(f"tf_{i}")
         for i, t in enumerate(query_terms)
     ]
-    base = df.select(F.col(id_col), F.expr(f"size({ws})").alias("dl"), *tf_cols)
+    # layout spread (guide §2.5): BOTH narrow passes below (the 1-row
+    # stats agg and the scored projection) re-run this tokenize-heavy
+    # scan — on a single-file input each would run on one core.
+    # Integer tf/dl sums only, so the spread is result-invisible.
+    base = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.expr(f"size({ws})").alias("dl"), *tf_cols
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

@@ -251,8 +251,8 @@ PLAN_BOUNDS = {
     "media_features": (0, 0),
     "stratified_cap": (1, 0),  # one shuffle on the stratum key
     # retrieval: bounded shuffles on natural keys
-    "inverted_index": (1, 0),  # narrow postings: per-row array_distinct
-    "bm25_search": (1, 0),
+    "inverted_index": (2, 0),  # narrow postings: per-row array_distinct; +spread
+    "bm25_search": (3, 0),  # +spread x2 (both narrow passes inline the gated scan pre-AQE)
     # r18 stride interleave: per-source rn shuffle + export_shards'
     # two-pass range machinery (range repartition + the pinned
     # partitioning read twice pre-materialization); offsets broadcast
@@ -261,7 +261,7 @@ PLAN_BOUNDS = {
     # top-k, dense per-query rank regroup) + ONE candidate-sized
     # fusion groupBy — the fused frames never exceed 2 x RRF_DEPTH
     # rows, so fusion adds no corpus-scale shuffle
-    "hybrid_rrf_search": (3, 0),
+    "hybrid_rrf_search": (5, 0),  # +spread x2 (bm25 passes; cosine side unchanged)
     "tfidf_top_terms": (4, 0),
     "corpus_prep": (2, 0),
     # audit twin: the dedup groupBy becomes a content-hash window —
@@ -281,7 +281,7 @@ PLAN_BOUNDS = {
     # + index(2) + score groupBy + topk window + the persisted query
     # frame's barrier; queries/dfreq must stay broadcast (smj would
     # mean a build side grew corpus-sized)
-    "multi_query_search": (9, 0),
+    "multi_query_search": (10, 0),  # +spread (restricted postings pass)
     # dedup family: candidate generation must stay bucketed —
     # exchange growth here means a corpus-sized shuffle crept in
     "dedup_exact": (1, 0),
