@@ -1649,6 +1649,65 @@ def strip_markup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def _bpe_merge_step(syms: "Column | str", left: str, right: str) -> Column:
+    """One greedy left-to-right non-overlapping merge of the adjacent
+    symbol pair ``(left, right)`` into ``left+right`` over a symbol
+    array — THE merge semantics of BPE, shared by the trainer
+    (:func:`bpe_learn_merges`) and the tokenizer
+    (:func:`bpe_apply_merges`) so the two cannot drift.
+
+    Two result-identical formulations, chosen per pair at plan-build
+    time (left/right are driver-side constants):
+
+    - ``left != right`` (every learned merge in practice): two
+      candidate positions can never be adjacent — overlap at i, i+1
+      would need syms[i+1] = right = left — so greedy consumes EVERY
+      candidate and each element's fate is decidable from its
+      neighbors alone: emit left+right where (x, next) match, drop x
+      where (prev, x) match, keep x otherwise. O(1) per element
+      (two neighbor probes) vs the fold's O(len) accumulator copy per
+      element — the r18 opt-round rewrite; the fold's no-chaining
+      argument (a freshly merged element equals left+right, never bare
+      left) holds here as "merges happen only at original candidate
+      positions".
+
+    - ``left == right``: runs of the same symbol make consumption
+      sequential (aaa -> [aa, a] — position 1 is a candidate but its
+      left half was consumed), so only the fold encodes the
+      dependency. try_element_at: plain element_at THROWS on the
+      empty accumulator under Spark 4's ANSI default.
+
+    ``F.get`` (0-based, NULL on any out-of-range index including
+    negative) keeps the neighbor probes total at both array ends.
+    Symbol arrays never contain NULL (symbols come from substring/
+    concat of non-NULL words), so NULL is a safe drop marker."""
+    a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+    if left == right:
+        return F.aggregate(
+            syms,
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == a) & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    col = F.col(syms) if isinstance(syms, str) else syms
+    return F.filter(
+        F.transform(
+            col,
+            lambda x, i: F.when(
+                (x == a) & (F.get(col, i + F.lit(1)) == b), ab
+            )
+            .when(
+                (x == b) & (F.get(col, i - F.lit(1)) == a),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(x),
+        ),
+        lambda v: v.isNotNull(),
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame, n_merges: int = 8, text_col: str = "text"
 ) -> DataFrame:
@@ -1742,20 +1801,7 @@ def bpe_learn_merges(
                 break
             left, right = top[0]["l"], top[0]["r"]
             merges.append((rnd, left, right, int(top[0]["freq"])))
-            a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
-            merged = F.aggregate(
-                "syms",
-                F.expr("cast(array() as array<string>)"),
-                # greedy left-to-right non-overlap: a freshly merged tail
-                # element equals left+right, never bare `left` (right is
-                # non-empty), so it cannot chain into a second merge.
-                # try_element_at: plain element_at THROWS on the empty
-                # accumulator under Spark 4's ANSI default
-                lambda acc, x: F.when(
-                    (F.try_element_at(acc, F.lit(-1)) == a) & (x == b),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
-                ).otherwise(F.concat(acc, F.array(x))),
-            )
+            merged = _bpe_merge_step("syms", left, right)
             seqs, new_ids = _chk(seqs.select(merged.alias("syms"), "wf"))
             prev_ids, cur_ids = cur_ids, new_ids
     finally:
@@ -1783,13 +1829,15 @@ def bpe_apply_merges(
     artifact a tokenizer change is judged by.
 
     Scale shape: the merge table is a driver-side constant (tens to
-    ~100k entries; here the handful the trainer emits), folded into
-    ONE composed JVM expression — ``n_merges`` chained aggregate()
-    folds over each word's symbol array. The fold runs on the
-    DISTINCT-word frame (the trainer's own collapse, r10 verdict
-    item 3): a word seen a billion times is folded once and its token
-    count joins back to the occurrence stream, so fold work scales
-    with |vocab|, not corpus size. The join ships only (word, n_toks)
+    ~100k entries; here the handful the trainer emits), applied as
+    ``n_merges`` chained JVM merge expressions in rank order — one
+    projection layer per merge, each the shared
+    :func:`_bpe_merge_step` (vectorized neighbor-probe rewrite for
+    left != right, the greedy fold for left == right). The rewrite
+    runs on the DISTINCT-word frame (the trainer's own collapse, r10
+    verdict item 3): a word seen a billion times is rewritten once and
+    its token count joins back to the occurrence stream, so merge work
+    scales with |vocab|, not corpus size. The join ships only (word, n_toks)
     pairs — AQE turns it into a broadcast probe whenever the vocab
     fits an executor, leaving the occurrence stream unshuffled; at
     vocabularies past broadcast size it degrades to a narrow
@@ -1803,18 +1851,6 @@ def bpe_apply_merges(
     corpus-sized frame — the span_dup_stats trade, decided the same
     way: two narrow parquet passes beat a corpus-sized cache."""
     syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    for left, right in merges:
-        a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
-        syms = F.aggregate(
-            syms,
-            F.expr("cast(array() as array<string>)"),
-            # same greedy non-overlap fold as the trainer: a freshly
-            # merged tail equals left+right, never bare `left`
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == a) & (x == b),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
     # layout spread before BOTH corpus passes (guide §2.5): the
     # split/explode projections — and, on the probe pass, the join
     # probe plus the per-doc partial aggregation under an AQE
@@ -1830,10 +1866,23 @@ def bpe_apply_merges(
         )
         .where(F.col("w") != "")
     )
-    vocab_toks = (
-        words.select("w")
-        .distinct()
-        .select("w", F.size(syms).cast("long").alias("n_toks"))
+    # one SELECT LAYER per merge, each referencing the previous
+    # symbol column as an attribute (r18 opt round): the vectorized
+    # _bpe_merge_step probes its input array three times (transform
+    # source + two neighbor F.get lookups), so composing merges as one
+    # nested expression would triplicate the whole subtree per rank —
+    # 3^n_merges analyzer work. As layered projections each level is
+    # analyzed once, and CollapseProject leaves them alone (the
+    # producer column is non-cheap and referenced three times).
+    vocab_toks = words.select("w").distinct().select("w", syms.alias("_s"))
+    for left, right in merges:
+        # the trainer's own merge semantics, rank order (see
+        # _bpe_merge_step for the vectorized/fold split)
+        vocab_toks = vocab_toks.select(
+            "w", _bpe_merge_step("_s", left, right).alias("_s")
+        )
+    vocab_toks = vocab_toks.select(
+        "w", F.size("_s").cast("long").alias("n_toks")
     )
     per_word = words.join(vocab_toks, "w").select(
         id_col, "n_toks", F.length("w").alias("n_chars")

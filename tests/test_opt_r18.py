@@ -68,6 +68,48 @@ class TestBandedLevenshtein:
         assert got == _rows(ref)
 
 
+class TestVectorizedBpeMergeStep:
+    """_bpe_merge_step's vectorized (left != right) formulation must be
+    element-for-element identical to the greedy fold it replaced —
+    including run pathologies, both-ends candidates and symbols that
+    already contain the pair string."""
+
+    FOLD_CASES = [
+        ["a", "b"], ["a", "b", "a", "b"], ["a", "a", "b"],
+        ["b", "a", "b", "a", "b"], ["a"], [], ["b", "b", "a"],
+        ["ab", "a", "b"], ["a", "ab", "b"], ["a", "b", "b"],
+        ["c", "a", "b", "c", "a", "b", "a"],
+    ]
+
+    @pytest.mark.parametrize("pair", [("a", "b"), ("b", "a"), ("ab", "a"), ("a", "ab"), ("c", "a")])
+    def test_matches_fold(self, spark, pair):
+        from flink_kafka_spark.operators.text import _bpe_merge_step
+
+        left, right = pair
+        a, b, ab = F.lit(left), F.lit(right), F.lit(left + right)
+        fold = F.aggregate(
+            "syms",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == a) & (x == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(ab)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        df = spark.createDataFrame([(s,) for s in self.FOLD_CASES], "syms array<string>")
+        rows = df.select(
+            _bpe_merge_step("syms", left, right).alias("vec"), fold.alias("fold")
+        ).collect()
+        for r in rows:
+            assert r["vec"] == r["fold"]
+
+    def test_equal_pair_uses_fold_for_run_greediness(self, spark):
+        # left == right falls back to the fold: aaa -> [aa, a]
+        from flink_kafka_spark.operators.text import _bpe_merge_step
+
+        df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+        assert df.select(_bpe_merge_step("syms", "a", "a").alias("m")).first()["m"] == ["aa", "a"]
+
+
 class TestWeightedCms:
     """count_min_sketch(weight_col=...) over the pre-aggregated vocab
     must be cell-for-cell identical to the occurrence-stream sketch
