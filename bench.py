@@ -2,11 +2,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 two JSON lines: first the full detail record {"metric": ..., "value":
-total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...} (also
-written to BENCH_DETAIL.json), then a compact summary line (same
-fields minus the per-query maps) guaranteed to fit the driver's
-2,000-byte stdout tail — the driver parses the LAST line, and the
-per-query maps outgrew the tail at 75 queries (r10: `parsed: null`).
+total_sec, "unit": "sec", "queries": {name: sec}, "sf": ..., "cpus":
+N} (also written to BENCH_DETAIL.json), then a compact summary line
+guaranteed to fit the driver's 2,000-byte stdout tail — the driver
+parses the LAST line, and the full per-query maps outgrew the tail at
+75 queries (r10: `parsed: null`). Since r19 the compact line carries
+the most-expensive-first PREFIX of the per-query seconds map that fits
+the byte budget (plus "queries_omitted"), so the driver's PERF
+round-over-round and 32-vs-8-core scaling comparisons get real
+per-query data again (r18 verdict item 3) without risking the parse.
 
 Each query executes fully via the `noop` sink (no driver-side collect,
 no result materialization cost in the timing).
@@ -290,6 +294,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
+    # the session's REAL core count (local[N] => N), recorded in both
+    # output lines so the driver can (a) join per-query seconds across
+    # its 32-core and low-core runs and (b) see which run is which
+    # (r18 verdict item 3)
+    cpus = spark.sparkContext.defaultParallelism
     # The CC-backed queries release their localCheckpoint-backed label
     # RDDs at every query boundary BY DESIGN (caching.py contract:
     # checkpoint blocks are invisible to DataFrame unpersist, so the
@@ -363,7 +372,6 @@ def main() -> None:
     # the regression gate and the vs_baseline annotation can never
     # read different file states within one run
     baseline = _load_baseline(sf)
-    regressions = _regressions(timings, calibration, baseline)
     detail = {
         "metric": "headline queries wall time",
         "value": round(sum(timings.values()), 3),
@@ -371,10 +379,27 @@ def main() -> None:
         "queries": timings,
         "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
     }
-    vs = _vs_baseline(timings, calibration, baseline)
-    if vs:
-        detail["vs_baseline"] = vs
+    # The vs-baseline guardrail is only meaningful at the baseline's
+    # core count: at a lower count the calibration workload SPEEDS UP
+    # (fewer tasks, less scheduling overhead) while real queries slow
+    # down, so cal-unit ratios explode — the driver's 8-core r18 run
+    # produced 45 bogus "regressions" exactly this way (r18 verdict
+    # item 5). Skip the comparison entirely on a mismatched run and
+    # say so in the output instead of emitting noise.
+    base_cpus = baseline[2]
+    if base_cpus is not None and cpus != base_cpus:
+        regressions = {}
+        detail["vs_baseline_skipped"] = (
+            f"cpus={cpus} != baseline cpus={base_cpus} — calibration "
+            "ratios are not comparable across core counts"
+        )
+    else:
+        regressions = _regressions(timings, calibration, baseline)
+        vs = _vs_baseline(timings, calibration, baseline)
+        if vs:
+            detail["vs_baseline"] = vs
     if leaked:
         detail["leaked_persists"] = leaked
         print(f"PERSISTENT RDDs leaked after: {leaked}", file=sys.stderr)
@@ -402,12 +427,21 @@ def main() -> None:
 
 
 def _compact_line(detail: dict) -> dict:
-    """The driver-facing summary: everything in `detail` except the
-    per-query maps, which live in the preceding stdout line and the
-    committed BENCH_DETAIL.json. tests/test_bench_contract.py pins this
-    line's serialized size under the driver's 2,000-byte tail even at
-    worst-case field widths, so BENCH_QUERIES growth can't re-break the
-    driver's parse."""
+    """The driver-facing summary LAST line. tests/test_bench_contract.py
+    pins this line's serialized size under the driver's 2,000-byte tail
+    even at worst-case field widths, so BENCH_QUERIES growth can't
+    re-break the driver's parse.
+
+    Per-query seconds (r18 verdict item 3 — PERF had n_common 0 for two
+    rounds because the last line carried no "queries" map): the FULL
+    95-entry map cannot fit — its names alone serialize past 1,850
+    bytes — so the line carries the most-expensive-first prefix that
+    fits the byte budget, with "queries_omitted" counting the cut
+    (every omitted row is cheaper than every kept one, and the full map
+    is the preceding stdout line + BENCH_DETAIL.json). Most-expensive-
+    first is the informative order: the omitted tail is sub-second
+    rows whose round-over-round deltas are noise at this harness's
+    ±0.2 s amplitude anyway."""
     out = {k: v for k, v in detail.items() if k != "queries"}
     out["n_queries"] = len(detail["queries"])
     out["queries_detail"] = "BENCH_DETAIL.json"
@@ -427,8 +461,30 @@ def _compact_line(detail: dict) -> dict:
         # exactly when its diagnostics are needed
         out["leaked_persists"] = sorted(leaked)[:5]
         out["leaked_truncated"] = len(leaked) - 5
+    # greedy budget fill AFTER every other field is final: kept entries
+    # are exact (name, median seconds) pairs in descending-cost order,
+    # name tiebreak for determinism
+    ranked = sorted(detail["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+    kept: dict[str, float] = {}
+    out["queries"] = kept
+    out["queries_omitted"] = len(ranked)
+    for name, sec in ranked:
+        kept[name] = sec
+        out["queries_omitted"] = len(ranked) - len(kept)
+        if len(json.dumps(out).encode()) >= SIZE_BUDGET:
+            del kept[name]
+            out["queries_omitted"] = len(ranked) - len(kept)
+            break
+    if not out["queries_omitted"]:
+        del out["queries_omitted"]
     return out
 
+
+# Byte ceiling for the LAST stdout line (the driver keeps a 2,000-byte
+# stdout tail and parses the last line; 200 bytes of headroom for the
+# trailing newline and driver-side framing). The per-query budget fill
+# in _compact_line stops just under this.
+SIZE_BUDGET = 1800
 
 REGRESSION_FACTOR = 1.5
 # Below this, medians are dominated by JVM noise: observed run-to-run
@@ -437,21 +493,28 @@ REGRESSION_FACTOR = 1.5
 MIN_BASELINE_S = 0.5
 
 
-def _load_baseline(sf: str) -> tuple[dict[str, float], float | None]:
-    """(queries, calibration_sec) from BENCH_BASELINE.json for this sf,
-    or ({}, None) when absent/mismatched."""
+def _load_baseline(sf: str) -> tuple[dict[str, float], float | None, int | None]:
+    """(queries, calibration_sec, cpus) from BENCH_BASELINE.json for
+    this sf, or ({}, None, None) when absent/mismatched. ``cpus`` is
+    the core count the baseline was recorded at (top-level field of
+    the frozen record); callers use it to suppress the guardrail on
+    runs at a different count."""
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
     if not os.path.isfile(base_path):
-        return {}, None
+        return {}, None, None
     try:
         with open(base_path) as f:
             doc = json.load(f)
         parsed = doc.get("parsed", doc)
         if str(parsed.get("sf")) != sf:
-            return {}, None
-        return parsed.get("queries", {}), parsed.get("calibration_sec")
+            return {}, None, None
+        return (
+            parsed.get("queries", {}),
+            parsed.get("calibration_sec"),
+            doc.get("cpus", parsed.get("cpus")),
+        )
     except (json.JSONDecodeError, AttributeError):
-        return {}, None
+        return {}, None, None
 
 
 def _vs_baseline(
@@ -467,7 +530,7 @@ def _vs_baseline(
     stays in 'regressions'."""
     import math
 
-    baseline, base_cal = loaded
+    baseline, base_cal = loaded[0], loaded[1]
     if not baseline:
         return {}
     per_query = {}
@@ -505,7 +568,7 @@ def _regressions(
     calibration: float,
     loaded: "tuple[dict[str, float], float | None]",
 ) -> dict[str, str]:
-    baseline, base_cal = loaded
+    baseline, base_cal = loaded[0], loaded[1]
     if not baseline:
         return {}
     out = {}

@@ -12,7 +12,7 @@ import bench
 DRIVER_TAIL_BYTES = 2000
 # headroom: the driver tail must hold the line even if every numeric
 # field lands at max width and a few regressions fire
-SIZE_BUDGET = 1800
+SIZE_BUDGET = bench.SIZE_BUDGET
 
 
 def _worst_case_detail() -> dict:
@@ -25,6 +25,7 @@ def _worst_case_detail() -> dict:
         "queries": queries,
         "calibration_sec": 99999.999,
         "sf": 0.123,
+        "cpus": 128,
         "vs_baseline": {
             "common_queries": len(queries),
             "raw_total_ratio": 99999.999,
@@ -53,7 +54,6 @@ def test_compact_line_keeps_summary_fields():
     out = bench._compact_line(_worst_case_detail())
     for key in ("metric", "value", "unit", "calibration_sec", "sf", "n_queries"):
         assert key in out
-    assert "queries" not in out
     assert out["n_queries"] == len(bench.BENCH_QUERIES)
     vs = out["vs_baseline"]
     assert "per_query" not in vs
@@ -67,6 +67,36 @@ def test_compact_line_keeps_summary_fields():
     assert out["leaked_truncated"] == len(bench.BENCH_QUERIES) - 5
 
 
+def test_compact_line_carries_budget_capped_per_query_seconds():
+    """r18 verdict item 3: the driver's PERF comparison had n_common 0
+    for two rounds because the last line carried no per-query seconds.
+    The compact line now carries the most-expensive-first prefix of the
+    per-query map that fits the byte budget, exact values, count of
+    the omitted tail."""
+    detail = _worst_case_detail()
+    # realistic distinct costs so the ranking is observable
+    detail["queries"] = {
+        name: float(len(bench.BENCH_QUERIES) - i)
+        for i, name in enumerate(bench.BENCH_QUERIES)
+    }
+    out = bench._compact_line(detail)
+    kept = out["queries"]
+    assert kept, "budget fill kept nothing despite a sub-budget base line"
+    # exact values, and every omitted row is cheaper than every kept one
+    assert all(detail["queries"][n] == v for n, v in kept.items())
+    floor = min(kept.values())
+    omitted = [n for n in detail["queries"] if n not in kept]
+    assert all(detail["queries"][n] <= floor for n in omitted)
+    assert out.get("queries_omitted", 0) == len(omitted)
+    assert len(json.dumps(out).encode()) < SIZE_BUDGET
+    # a tiny map fits whole: no omission marker
+    small = dict(detail, queries={"tpch_q1": 1.234, "tpch_q3": 0.5})
+    small.pop("regressions"), small.pop("leaked_persists"), small.pop("vs_baseline")
+    out_small = bench._compact_line(small)
+    assert out_small["queries"] == {"tpch_q1": 1.234, "tpch_q3": 0.5}
+    assert "queries_omitted" not in out_small
+
+
 def test_vs_baseline_survives_zero_timing(monkeypatch):
     """ADVICE r10: a 0.0-rounded median must not abort the bench via
     math.log(0)."""
@@ -77,6 +107,16 @@ def test_vs_baseline_survives_zero_timing(monkeypatch):
     # "q"'s zero TIMING is clamped instead of feeding math.log(0)
     assert vs["common_queries"] == 1
     assert all(v["raw"] > 0 and v["norm"] > 0 for v in vs["per_query"].values())
+
+
+def test_load_baseline_exposes_recording_cpus():
+    """The frozen baseline records the core count it was measured at;
+    bench.main() suppresses the vs-baseline guardrail when the session
+    runs at a different count (the 8-core calibration artifact, r18
+    verdict item 5)."""
+    queries, cal, cpus = bench._load_baseline("0.1")
+    assert queries and cal
+    assert cpus == 32
 
 
 def test_readme_bench_block_is_generated_and_renderable():

@@ -2,7 +2,8 @@
 """Optimization-round iteration harness (r18): time a SUBSET of
 registered queries with the bench methodology (noop sink, sf0.1,
 median of N round-robin reps, warm-up pass) and optionally dump
-``explain("formatted")`` for each into plans/r18/.
+``explain("formatted")`` for each into plans/$SPARK_GRAFT_PLANS_ROUND/
+(default r19).
 
 This is a builder tool, not the driver contract — bench.py stays the
 one true bench. Usage:
@@ -96,7 +97,7 @@ def main() -> None:
         plans_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "plans",
-            "r18",
+            os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r19"),
         )
         os.makedirs(plans_dir, exist_ok=True)
         import contextlib
