@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 SHINGLE_STOP_DF = 200  # prune shingles appearing in more docs than this
 
 
-def normalized_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+def normalized_tokens(
+    df: DataFrame, text_col: str = "text", spread: bool = True
+) -> DataFrame:
     """Lowercase, whitespace-split token array — shared normalization
     for every text/dedup operator.
 
@@ -37,10 +39,19 @@ def normalized_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     HOFs, md5 per shingle) that would otherwise run inside the scan
     stage — one task per input split, i.e. ONE core on an unsplittable
     single-file input regardless of cluster size. On a many-file 100 TB
-    corpus the spread is a structural no-op (guide §2.5)."""
+    corpus the spread is a structural no-op (guide §2.5).
+
+    ``spread=False`` is for CANDIDATE-BOUNDED passes (the exact-
+    verification side of the LSH operators): the semi-filter above
+    them keeps a handful of rows, so the spread buys no parallelism
+    and costs a round-robin exchange plus a near-empty wide stage per
+    invocation — pure dispatch overhead, amplified on a contended box
+    (the r18 driver flags on the minhash rows). On a many-file 100 TB
+    corpus the spread is a structural no-op either way, so the flag
+    only changes small-fixture plans (r19; guide §2.4)."""
     from ..tables import spread_scan
 
-    return spread_scan(df).withColumn(
+    return (spread_scan(df) if spread else df).withColumn(
         "tokens", F.split(F.lower(F.col(text_col)), r"\s+")
     )
 
@@ -334,14 +345,19 @@ def source_overlap_matrix(
     )
 
 
-def shingle_sets(df: DataFrame, id_col: str, n: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame, id_col: str, n: int = 3, spread: bool = True
+) -> DataFrame:
     """(id, shingle_arr) — the distinct word-n-gram set per doc as one
     array column, built without any shuffle: array_distinct over the
     per-row n-gram transform (a narrow map), not explode+groupBy.
     Docs with fewer than n tokens get an empty array (see
-    :func:`_shingle_expr`)."""
+    :func:`_shingle_expr`). ``spread`` threads through to
+    :func:`normalized_tokens` for callers that pre-spread the frame."""
     expr = f"array_distinct({_shingle_expr(n)})"
-    return normalized_tokens(df).select(id_col, F.expr(expr).alias("shingle_arr"))
+    return normalized_tokens(df, spread=spread).select(
+        id_col, F.expr(expr).alias("shingle_arr")
+    )
 
 
 def _splitmix64(i: int) -> int:
@@ -554,7 +570,20 @@ def minhash_lsh_pairs(
     # build wait-and-read, so an eager count() would only add a job.
     cand_ids = candidates.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     sets = track(
-        shingle_sets(df.join(F.broadcast(cand_ids), id_col, "left_semi"), id_col, n)
+        shingle_sets(
+            df.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            id_col,
+            n,
+            # NO layout spread on the verification pass (r19): it is
+            # candidate-bounded by construction — the semi-filter keeps
+            # a handful of rows — so the r18 spread bought no
+            # parallelism and cost a round-robin exchange plus a
+            # near-empty 32-task stage per invocation, exactly the
+            # dispatch-overhead shape a contended driver box amplifies.
+            # On a many-file 100 TB corpus the spread is a no-op either
+            # way, so this changes nothing at scale.
+            spread=False,
+        )
         .select(F.col(id_col).alias("_sid"), "shingle_arr")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -770,6 +799,7 @@ def _lsh_bands(
     n: int,
     k: int,
     bands: int,
+    spread: bool = True,
 ) -> DataFrame:
     """The shared banding pass: ``(out_id, band, band_hash)`` per doc.
     The small-scan fan-out gate that lived here (round 7) moved to
@@ -777,9 +807,11 @@ def _lsh_bands(
     :func:`normalized_tokens` — one copy of the layout probe for EVERY
     tokenize-heavy operator, same placement for this pipeline (the
     exchange still precedes the shingle/minhash fan-out; keeping a
-    second gate here would stack a redundant exchange on top)."""
+    second gate here would stack a redundant exchange on top).
+    ``spread=False`` for callers that pre-spread (see
+    :func:`normalized_tokens`)."""
     return (
-        shingle_sets(df, id_col, n)
+        shingle_sets(df, id_col, n, spread=spread)
         .withColumn("hash_arr", F.expr("transform(shingle_arr, s -> xxhash64(s))"))
         .select(
             F.col(id_col).alias(out_id),
@@ -857,6 +889,12 @@ def incremental_dedup_matches(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # NO layout spread on either verification pass (r19, the
+    # minhash_lsh_pairs rationale): both are candidate-bounded by the
+    # semi-filters, so the r18 per-subtree spread added two round-robin
+    # exchanges and two near-empty 32-task stages per invocation for
+    # frames of a few hundred rows — pure dispatch overhead, amplified
+    # on a contended box. No-op difference on a many-file corpus.
     b_sets = shingle_sets(
         batch.join(
             F.broadcast(candidates.select(F.col("batch_id").alias(id_col))),
@@ -865,6 +903,7 @@ def incremental_dedup_matches(
         ),
         id_col,
         n,
+        spread=False,
     ).select(F.col(id_col).alias("batch_id"), F.col("shingle_arr").alias("arr_b"))
     r_sets = shingle_sets(
         reference.join(
@@ -874,6 +913,7 @@ def incremental_dedup_matches(
         ),
         id_col,
         n,
+        spread=False,
     ).select(F.col(id_col).alias("ref_id"), F.col("shingle_arr").alias("arr_r"))
     return (
         candidates.join(b_sets, "batch_id")

@@ -293,7 +293,8 @@ PLAN_BOUNDS = {
     # bench headline (not in DRIVER_WINDOW itself): fan-out repartition
     # + band-bucket groupBy + candidate distinct; everything else
     # broadcasts. This pin would have caught the round-4 regression.
-    "dedup_minhash_lsh": (5, 0),  # +spread x2 (banding pass + post-semi verify pass)
+    "dedup_minhash_lsh": (3, 0),  # +spread x1 (banding pass; r19 dropped the
+    # post-semi verify-pass spread — candidate-bounded, see normalized_tokens)
     "dedup_simhash_check": (6, 0),  # +spread x2 (query + exact-baseline passes)
     # CC runs to convergence while the plan is BUILT (iterative
     # localCheckpoint loop); the residual plan joins the BROADCAST
@@ -322,12 +323,14 @@ PLAN_BOUNDS = {
     # second SMJ is the doc-level rollup left join, which AQE
     # broadcast-swaps at runtime when matches are small. 2 of the 5
     # exchanges are the small-scan fan-out gate (skips at scale).
-    "dedup_incremental": (7, 2),  # +spread x2 (batch + reference banding)
+    "dedup_incremental": (5, 2),  # +spread x2 (batch + reference banding;
+    # r19 dropped the two verify-pass spreads — candidate-bounded)
     # check sweep composes matches (executed ONCE, persisted for its
     # three consumers) + exact twin + rollup (same class as
     # dedup_minhash_lsh_check: stats-less derived-frame SMJs are
     # expected inside *_check verification queries)
-    "dedup_incremental_check": (26, 4),  # +spread x5 (all banding/verify passes)
+    "dedup_incremental_check": (24, 4),  # +spread x3 (banding passes only
+    # since r19; the sweep's exact twin keeps its own corpus spreads)
     # ANN family: exact baselines are one top-k shuffle; the *_check
     # sweeps compare approx vs exact so they carry both plans' shuffles
     # (SMJ between two derived frames without stats is expected there)
@@ -368,7 +371,8 @@ PLAN_BOUNDS = {
     "ann_lsh_check": (12, 4),
     "ann_ivf_check": (12, 4),
     "ann_pq_check": (12, 4),
-    "dedup_minhash_lsh_check": (19, 2),  # +spread x4 (both query + baseline passes)
+    "dedup_minhash_lsh_check": (18, 2),  # +spread x3 (r19: the query's
+    # verify-pass spread dropped — candidate-bounded)
     "uv_approx_check": (6, 2),
     # text/decontam: broadcast benchmark shingles + one (id,1) shuffle
     "decontaminate": (4, 0),  # +spread x2 (train + eval shingle passes)

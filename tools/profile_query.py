@@ -125,15 +125,68 @@ def profile(names: list[str], sf_dir: str, reps: int) -> None:
                 f"shR={s['shuffleReadBytes'] >> 10}K shW={s['shuffleWriteBytes'] >> 10}K "
                 f" {nm}"
             )
+        if "--sql" in sys.argv:
+            _sql_nodes(app_id, t0, t1)
+
+
+def _sql_nodes(app_id: str, t0: float, t1: float) -> None:
+    """Operator-level attribution: SQL executions submitted inside the
+    query window, their plan nodes ranked by reported operator time."""
+    import re
+
+    execs = [
+        e
+        for e in _api(f"applications/{app_id}/sql?length=200&planDescription=false")
+        if t0 <= _ms(e["submissionTime"]) / 1 <= t1 or (
+            _ms(e["submissionTime"]) >= t0 and e.get("status") != "RUNNING"
+            and _ms(e["submissionTime"]) <= t1
+        )
+    ]
+    def total_sec(metrics, keys=("time total", "total time", "duration")):
+        out = 0.0
+        for m in metrics:
+            if any(k in m["name"] for k in keys):
+                v = m["value"].split("\n")[0].strip()
+                mm = re.match(r"([\d.]+)\s*(ms|s|m|h)", v)
+                if mm:
+                    mul = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}[mm.group(2)]
+                    out += float(mm.group(1)) * mul
+        return out
+
+    nodes = []
+    for e in execs:
+        for n in e.get("nodes", []):
+            sec = total_sec(n.get("metrics", []))
+            rows = next(
+                (
+                    m["value"]
+                    for m in n.get("metrics", [])
+                    if m["name"] == "number of output rows"
+                ),
+                "",
+            )
+            if sec > 0.005:
+                nodes.append((sec, e["id"], n["nodeName"], rows.split("\n")[0]))
+    nodes.sort(reverse=True)
+    print("  -- SQL plan nodes by operator time --")
+    for sec, eid, nm, rows in nodes[:15]:
+        print(f"  {sec:7.2f}s  exec={eid:<4} rows={rows:<12} {nm[:70]}")
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.1"
     reps = 3
-    for i, a in enumerate(sys.argv):
-        if a == "--sf":
-            sf_dir = sys.argv[i + 1]
-        if a == "--reps":
-            reps = int(sys.argv[i + 1])
-    profile(args, sf_dir, reps)
+    names: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            sf_dir, i = argv[i + 1], i + 2
+        elif argv[i] == "--reps":
+            reps, i = int(argv[i + 1]), i + 2
+        elif argv[i] == "--sql":
+            i += 1
+        else:
+            names.append(argv[i])
+            i += 1
+    profile(names, sf_dir, reps)
