@@ -260,7 +260,18 @@ def export_shards(
     for pid, n in sizes:
         offsets.append((pid, acc))
         acc += n
-    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    # pandas/Arrow construction => a true LocalTableScan; the plain
+    # list path parallelizes into defaultParallelism pickled slices,
+    # so the broadcast build paid a wide stage of Python-worker
+    # round-trips to read a handful of offset rows (r19)
+    import pandas as pd
+
+    off_df = df.sparkSession.createDataFrame(
+        pd.DataFrame(offsets, columns=["_pid", "_offset"]).astype(
+            {"_pid": "int32", "_offset": "int64"}
+        ),
+        "_pid int, _offset long",
+    )
     w = Window.partitionBy("_pid").orderBy(F.col(order_col).asc())
     return (
         parts.withColumn("_rn", F.row_number().over(w))

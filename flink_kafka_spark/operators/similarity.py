@@ -153,8 +153,17 @@ def build_ivf_index(
     The (n_cells, seed) parameters are baked into the stored cells;
     ``nprobe`` stays a query-time knob."""
     assigned, centroids = ivf_cells(corpus, id_col, vec_col, n_cells, seed)
+    # pandas/Arrow construction => LocalTableScan (the list path
+    # parallelizes into pickled slices whose every read is a wide
+    # stage of Python-worker round-trips, r19); nested double arrays
+    # cross Arrow cleanly
+    import pandas as pd
+
     cent = corpus.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+        pd.DataFrame(
+            {"cell": range(len(centroids)), "centroid": [list(c) for c in centroids]}
+        ).astype({"cell": "int32"}),
+        "cell int, centroid array<double>",
     )
     return assigned.select("cell", id_col, "v"), cent
 

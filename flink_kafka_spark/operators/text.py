@@ -1709,8 +1709,11 @@ def _bpe_merge_step(syms: "Column | str", left: str, right: str) -> Column:
 
 
 def bpe_learn_merges(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
-) -> DataFrame:
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    return_vocab_state: bool = False,
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Iterative BPE merge training (the loop behind
     :func:`queries.textops.bpe_merge_candidates`'s single round):
     start from character-level symbol sequences over the WEIGHTED
@@ -1735,8 +1738,19 @@ def bpe_learn_merges(
     round materializes — the block store holds at most two vocabulary
     frames, and nothing survives past the return (the merge table is a
     LocalRelation).
+
+    ``return_vocab_state=True`` additionally returns the trainer's
+    FINAL per-word symbol frame ``(w, syms)`` — the vocabulary with
+    every learned merge already applied, which is exactly what a
+    tokenizer applying this merge table to the same corpus would
+    recompute from scratch (r19, guide §1.2 "don't compute things you
+    throw away": the learn-then-tokenize query paid the whole vocab
+    rewrite — distinct + one projection layer per merge — twice). The
+    state frame is backed by the final round's checkpoint blocks,
+    registered with caching.track_rdds for release at the next query
+    boundary; consume it within the same query.
     """
-    from ..caching import persistent_rdd_ids, unpersist_rdds
+    from ..caching import persistent_rdd_ids, track_rdds, unpersist_rdds
 
     spark = docs.sparkSession
     sc = spark.sparkContext
@@ -1759,8 +1773,13 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
+    # carry the word itself through the rounds only when the caller
+    # wants the final state — the plain trainer's frames stay as lean
+    # as before
+    state_cols = ["w"] if return_vocab_state else []
     seqs, cur_ids = _chk(
         vocab.select(
+            *state_cols,
             F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
                 "syms"
             ),
@@ -1802,16 +1821,47 @@ def bpe_learn_merges(
             left, right = top[0]["l"], top[0]["r"]
             merges.append((rnd, left, right, int(top[0]["freq"])))
             merged = _bpe_merge_step("syms", left, right)
-            seqs, new_ids = _chk(seqs.select(merged.alias("syms"), "wf"))
+            seqs, new_ids = _chk(
+                seqs.select(*state_cols, merged.alias("syms"), "wf")
+            )
             prev_ids, cur_ids = cur_ids, new_ids
-    finally:
-        # the returned merge table is a LocalRelation — no symbol frame
-        # outlives the trainer (unpersisting a never-materialized lazy
-        # checkpoint is a no-op)
+    except BaseException:
         unpersist_rdds(sc, prev_ids | cur_ids)
-    return spark.createDataFrame(
-        merges or [], "round long, left string, right string, freq long"
+        raise
+    # Build the merge table through the pandas/Arrow path: it becomes
+    # a true LocalTableScan. createDataFrame over a plain Python list
+    # parallelizes it into defaultParallelism pickled slices instead —
+    # every consumer action then pays a 32-task stage whose tasks each
+    # round-trip a Python worker to unpickle a handful of rows
+    # (measured r19: 1.3 s per action for 8 rows; a coalesce(1) over
+    # it serializes those worker round-trips and is 6x worse again;
+    # the LocalTableScan is ~20x faster than either and never touches
+    # an executor).
+    import pandas as pd
+
+    merge_table = spark.createDataFrame(
+        pd.DataFrame(merges, columns=["round", "left", "right", "freq"]).astype(
+            {"round": "int64", "freq": "int64"}
+            if merges
+            # dtyped empty frame: all-object empty pandas falls off the
+            # Arrow path back to the parallelized-RDD plan
+            else {"round": "int64", "left": "str", "right": "str", "freq": "int64"}
+        ),
+        "round long, left string, right string, freq long",
     )
+    if return_vocab_state:
+        # the final round's checkpoint is LAZY and still unmaterialized
+        # here — recomputing it later needs the PREVIOUS round's blocks
+        # too, so BOTH frames stay tracked until the next query
+        # boundary (releasing prev here reproduced
+        # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the consumer's job)
+        track_rdds(prev_ids | cur_ids, sc=sc)
+        return merge_table, seqs.select("w", "syms")
+    # the returned merge table is a LocalRelation — no symbol frame
+    # outlives the trainer (unpersisting a never-materialized lazy
+    # checkpoint is a no-op)
+    unpersist_rdds(sc, prev_ids | cur_ids)
+    return merge_table
 
 
 def bpe_apply_merges(
@@ -1851,21 +1901,7 @@ def bpe_apply_merges(
     corpus-sized frame — the span_dup_stats trade, decided the same
     way: two narrow parquet passes beat a corpus-sized cache."""
     syms = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    # layout spread before BOTH corpus passes (guide §2.5): the
-    # split/explode projections — and, on the probe pass, the join
-    # probe plus the per-doc partial aggregation under an AQE
-    # broadcast — otherwise run as one scan task on a single-file
-    # input; no-op on a many-file corpus
-    from ..tables import spread_scan
-
-    words = (
-        spread_scan(docs.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"),
-        )
-        .where(F.col("w") != "")
-    )
+    words = _bpe_words(docs, id_col, text_col)
     # one SELECT LAYER per merge, each referencing the previous
     # symbol column as an attribute (r18 opt round): the vectorized
     # _bpe_merge_step probes its input array three times (transform
@@ -1884,6 +1920,35 @@ def bpe_apply_merges(
     vocab_toks = vocab_toks.select(
         "w", F.size("_s").cast("long").alias("n_toks")
     )
+    return _bpe_doc_stats(words, vocab_toks, id_col)
+
+
+def _bpe_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The occurrence stream both tokenizer paths probe: (id, word),
+    normalized exactly like the trainer's vocabulary (lowercase,
+    whitespace split, empties dropped). Layout-spread first (guide
+    §2.5): the split/explode projection — and the join probe plus the
+    per-doc partial aggregation under an AQE broadcast — otherwise run
+    as one scan task on a single-file input; no-op on a many-file
+    corpus."""
+    from ..tables import spread_scan
+
+    return (
+        spread_scan(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(text_col), r"\s+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+
+
+def _bpe_doc_stats(words: DataFrame, vocab_toks: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc token accounting from the occurrence stream and a
+    (w, n_toks) vocabulary — the shared probe half of both tokenizer
+    paths. The join ships only (word, n_toks) pairs; AQE broadcasts
+    the vocab whenever it fits an executor, leaving the occurrence
+    stream unshuffled."""
     per_word = words.join(vocab_toks, "w").select(
         id_col, "n_toks", F.length("w").alias("n_chars")
     )
@@ -1892,3 +1957,33 @@ def bpe_apply_merges(
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
     )
+
+
+def bpe_train_and_tokenize(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges and tokenize the SAME corpus with
+    them, in one composition — result-identical to
+    ``bpe_apply_merges(docs, [learned merges])`` but without the
+    tokenizer's vocabulary rewrite: the trainer's final symbol frame
+    already IS the vocabulary with every merge applied (r19, guide
+    §1.2 — the previous composition re-ran the distinct-vocab scan
+    plus one merge projection layer per rank, the single biggest stage
+    of the learn-then-tokenize query, to recompute state the trainer
+    had just discarded). Token counts come straight from
+    ``size(syms)`` of the trainer state; only the occurrence-stream
+    probe pass is paid on top of training.
+
+    ``bpe_apply_merges`` remains THE tokenizer for a shipped merge
+    table over a different corpus; this composition exists for the
+    train-and-evaluate-on-the-training-corpus shape, where vocabulary
+    equality makes the reuse exact (identity pinned by
+    tests/test_opt_r19.py against the two-step composition)."""
+    _, state = bpe_learn_merges(
+        docs, n_merges, text_col, return_vocab_state=True
+    )
+    vocab_toks = state.select("w", F.size("syms").cast("long").alias("n_toks"))
+    return _bpe_doc_stats(_bpe_words(docs, id_col, text_col), vocab_toks, id_col)

@@ -2311,14 +2311,14 @@ QUERIES.append(
 # word) plus the invariant tests below the operator.
 
 def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import bpe_apply_merges, bpe_learn_merges
+    """Train-then-tokenize on one corpus: since r19 the fused
+    composition reuses the trainer's final vocabulary state instead of
+    re-deriving it through every merge layer (result-identical —
+    pinned against the two-step composition in tests/test_opt_r19.py)."""
+    from ..operators.text import bpe_train_and_tokenize
 
     docs = load(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"])
-        for r in bpe_learn_merges(docs, n_merges=BPE_TRAIN_ROUNDS).collect()
-    ]
-    return bpe_apply_merges(docs, merges)
+    return bpe_train_and_tokenize(docs, n_merges=BPE_TRAIN_ROUNDS)
 
 
 QUERIES.append(

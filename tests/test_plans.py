@@ -93,7 +93,9 @@ PLAN_BOUNDS = {
     # a driver constant); the fold runs on the distinct-vocab frame
     # (one w-shuffle), broadcast-joins n_toks back to the unshuffled
     # occurrence stream, then the per-doc groupBy
-    "bpe_tokenize_stats": (4, 0),  # +spread x2 (learn vocab pass + apply words pass)
+    "bpe_tokenize_stats": (2, 0),  # +spread x1 (apply words pass); r19: the
+    # tokenizer reuses the trainer's final vocab state, so the apply-side
+    # distinct-vocab exchange and its spread are gone from the plan
     # corpus histogram shuffle + single-partition window over the
     # <=10001-row score frame (the no-global-sort quantile design)
     "quality_curriculum": (2, 0),
