@@ -367,35 +367,59 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
 
     All arithmetic is fixed-point integer on the portable md5-prefix
     hash, so results are bit-identical across engines, partitionings
-    and runs. Scale shape: one tiny per-set stats frame (|sets| rows,
-    broadcast), two broadcast joins fanning the pair list onto the
-    sketches, then a tag-union membership groupBy and a pair rollup
-    over O(k × pairs) rows — all broadcasts or hash shuffles, zero
-    sorts, never touching the original data. State is
-    bounded by |sets|² pairs like the overlap matrix; the operator is
-    for set-level (source/domain/day) sketches, not per-document ones.
+    and runs. Scale shape (r19): ONE k-bounded groupBy collapses the
+    sketch frame to |sets| rows of (sorted hash array, n_kept, h_max);
+    the pair matrix is a broadcast cross of that frame against itself
+    and every count the estimators need is array set algebra inside
+    the pair projection — zero further shuffles, zero sorts, never
+    touching the original data. State is bounded by |sets|² pairs
+    (each carrying two k-long arrays) like the overlap matrix; the
+    operator is for set-level (source/domain/day) sketches, not
+    per-document ones.
 
     Returns ``(set_a, set_b, est_a, est_b, est_union,
     est_intersection, est_a_minus_b, est_b_minus_a)`` with
     set_a < set_b."""
+    # ONE k-bounded aggregation collapses each set's sketch to a
+    # sorted hash ARRAY (k longs — the sketch is k-row by contract),
+    # and the whole pair algebra becomes array set-ops inside the pair
+    # projection (r19, guide §2.3/§2.4): the previous shape broadcast
+    # the pair list onto the flat minima frame twice, unioned
+    # 2 x |pairs| x k rows and paid a (pair, h) hash shuffle plus a
+    # pair rollup shuffle to count memberships that
+    # array_intersect/size answer directly — per-pair work is
+    # identical, the corpus-independent shuffles are gone, and the
+    # persisted multi-consumer minima frame (three subtrees before)
+    # has a single consumer, so the sketch pipeline runs once inline
+    # with no persist at all. Sketch hashes are distinct per set by
+    # construction, so intersect/size over the filtered arrays ARE the
+    # set counts the row form aggregated.
     from ..caching import track
 
-    # minima feeds three subtrees (stats, the a-side join, the b-side
-    # join): persist the k×|sets|-row sketch frame so a caller passing
-    # the lazy kmv_minima plan pays its corpus scan once, not three
-    # times (the misra_gries multi-consumer pattern; released at the
-    # next query boundary by caching)
-    minima = track(minima.persist())
-    stats = minima.groupBy("s").agg(
-        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_max")
+    # persist the |sets|-row ARRAY frame (not the k x |sets| minima
+    # the old shape cached): the cross join consumes it twice (a-side
+    # and b-side), and without the cache each side would re-run the
+    # whole lazy kmv_minima corpus pipeline. Lazy persist, two
+    # consumers in one job — the block-manager's per-block locks make
+    # the second build wait-and-read (the minhash sets pattern).
+    kept = track(
+        minima.groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("h_max"),
+        )
+        .persist()
     )
-    a = stats.select(
+    a = kept.select(
         F.col("s").alias("set_a"),
+        F.col("hs").alias("hs_a"),
         F.col("n_kept").alias("n_a"),
         F.col("h_max").alias("hmax_a"),
     )
-    b = stats.select(
+    b = kept.select(
         F.col("s").alias("set_b"),
+        F.col("hs").alias("hs_b"),
         F.col("n_kept").alias("n_b"),
         F.col("h_max").alias("hmax_b"),
     )
@@ -410,6 +434,8 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
             "n_b",
             "hmax_a",
             "hmax_b",
+            "hs_a",
+            "hs_b",
             (exact_a & exact_b).alias("both_exact"),
             # θ over the inexact sides only; CMS_SPACE (> any hash)
             # when a side is exact so least() ignores it, and when
@@ -420,44 +446,26 @@ def kmv_pair_intersections(minima: DataFrame, k: int = 128) -> DataFrame:
             ).alias("theta"),
         )
     )
-    pairs_b = F.broadcast(pairs.select("set_a", "set_b", "theta"))
-    ma = pairs_b.join(
-        minima.select(F.col("s").alias("set_a"), "h"), "set_a"
-    ).select("set_a", "set_b", "h", "theta")
-    mb = pairs_b.join(
-        minima.select(F.col("s").alias("set_b"), "h"), "set_b"
-    ).select("set_a", "set_b", "h", "theta")
-    # membership sample as union + tag-max groupBy rather than a
-    # FULL OUTER join: a full outer can never broadcast, so Spark
-    # sort-merge-joins two pair x k frames (two sorts + two
-    # exchanges); the union form is ONE hash shuffle on the same keys
-    # with map-side partial max, no sorts, and lets the θ filter run
-    # BEFORE the shuffle. Semantics identical: per (pair, h), ia/ib
-    # record which sketches contain h — what the outer join's
-    # null-coalesced tags encoded.
-    sample = (
-        ma.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
-        .unionByName(
-            mb.withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1))
-        )
-        .where(F.col("h") <= F.col("theta"))
-        .groupBy("set_a", "set_b", "h")
-        .agg(F.max("in_a").alias("ia"), F.max("in_b").alias("ib"))
-        .groupBy("set_a", "set_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_s"),
-            F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
-            F.sum(F.col("ia") * (1 - F.col("ib"))).alias("n_only_a"),
-            F.sum((1 - F.col("ia")) * F.col("ib")).alias("n_only_b"),
-        )
+    # the membership sample S = distinct union-hashes <= θ, split into
+    # both/only-a/only-b — straight set algebra on the filtered arrays
+    fa = F.filter(F.col("hs_a"), lambda h: h <= F.col("theta"))
+    fb = F.filter(F.col("hs_b"), lambda h: h <= F.col("theta"))
+    sample = pairs.select(
+        "*",
+        F.size(F.array_intersect(fa, fb)).alias("n_both"),
+        F.size(fa).alias("_sz_a"),
+        F.size(fb).alias("_sz_b"),
+    ).select(
+        "*",
+        (F.col("_sz_a") + F.col("_sz_b") - F.col("n_both")).alias("n_s"),
+        (F.col("_sz_a") - F.col("n_both")).alias("n_only_a"),
+        (F.col("_sz_b") - F.col("n_both")).alias("n_only_b"),
     )
     est_union = F.when(F.col("both_exact"), F.col("n_s")).otherwise(
         F.expr(f"cast(n_s - 1 as bigint) * cast({CMS_SPACE} as bigint) div theta")
     )
-    # sample is |pairs| rows — broadcast it onto the stats frame so
-    # the terminal join never sorts
     return (
-        pairs.join(F.broadcast(sample), ["set_a", "set_b"])
+        sample
         .withColumn("est_union", est_union.cast("long"))
         .select(
             "set_a",

@@ -107,11 +107,11 @@ PLAN_BOUNDS = {
     # a broadcast
     "kmv_set_cardinality": (15, 0),
     # sketch-only pair algebra: corpus shuffle stops at the per-source
-    # kmv_minima window; everything after runs on k x |sets| sketch
-    # frames (tag-union membership shuffle + pair rollup) with every
-    # join a broadcast — zero SMJ by construction (the full-outer
-    # formulation could never broadcast; r13 rewrote it to union+max)
-    "kmv_pair_intersections": (13, 0),  # +spread x2 (hashed + thresholds shingle passes)
+    # kmv_minima window; since r19 everything after runs on the
+    # |sets|-row sorted-hash-ARRAY frame (one k-bounded groupBy, then
+    # array set-ops inside the pair projection) — the tag-union
+    # membership shuffle and pair rollup are gone from the plan
+    "kmv_pair_intersections": (5, 0),  # +spread x2 (hashed + thresholds shingle passes)
     # (set, sub) HLL cell shuffle + sketch-bytes rollup shuffle
     "uv_hll_rollup": (2, 0),
     # (set, sub) KLL cell shuffle + sketch-bytes merge shuffle — the
