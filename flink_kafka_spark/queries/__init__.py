@@ -127,6 +127,27 @@ class Query:
 #     registration freezes until retirements bring it back under;
 #     a pytest asserts the count stays <= 170
 #     (tests/test_oracle.py::test_full_oracle_count_under_ceiling).
+# ROUND-19 ROTATION — the written r19 wave (ROTATION_LEDGER.md
+# §Round 17 "WRITTEN r18-r20 SCHEDULE"; §Round 18 "r19 wave absorbs
+# all three deferrals"): organic due = 0 this round; every non-check
+# r18 row except the three carries below leaves — the 4 carried r17
+# winnow rows at two consecutive greens (r17+r18, the classic rule),
+# the 18 r18-due rows, inverted_index and the 12 cheap pull-forwards
+# after their single r18 green under the seasoned-row amendment
+# (every one an r12-or-earlier registrant with >= 3 lifetime greens).
+# IN: the full 26-row r20 wave (r14-last-hash block) so r20's organic
+# due list is EMPTY, plus the three r18 CAPACITY_DEFERRED
+# registrations on first hash (deadline r21 — absorbed early per the
+# written plan). CARRIED: winnow_contaminated_spans /
+# winnow_decontaminate_trim (single r18 green — may not leave under
+# either rule; they reach two consecutive greens here and exit at
+# r20) and release_gate_snapshot (single green on its CHANGED r18
+# oracle — lifetime greens predate the semantics change, so the
+# seasoned amendment is not applied to it; prudence over throughput).
+# The 6 remaining slots pull forward bm25_search (the whole r21
+# organic wave) and 5 r22-wave rows, led by kmv_pair_intersections —
+# restructured THIS round (array pair algebra), so its fresh hash
+# puts the rewrite under the driver's own verification immediately.
 DRIVER_WINDOW: tuple[str, ...] = (
     # pinned property checks (the approx paths' only driver verification)
     "uv_approx_check",
@@ -141,65 +162,55 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semantic_dedup_check",
     "heavy_hitters_check",
     "media_features_check",
-    # carried r17 first-hash rows (single green -- may not leave under
+    # carried r18 first-hash rows (single green — may not leave under
     # either departure rule; they reach 2 consecutive greens here and
-    # exit at r19)
-    "doc_winnow_fingerprint",
-    "winnow_overlap_pairs",
-    "block_shuffle",
-    "winnow_decontaminate",
-    # r17 capacity deferrals -- first hash on their written r18
-    # deadline (never-hashed queue empties again)
+    # exit at r20)
     "winnow_contaminated_spans",
     "winnow_decontaminate_trim",
-    # the 18 cadence-due rows (last hashed r12; cadence_audit table in
-    # ROTATION_LEDGER.md §Round 18)
-    "basket_lift",
-    "cms_topk_estimates",
-    "customer_running_totals",
-    "event_asof_order",
-    "export_shards",
-    "kmv_set_cardinality",
-    "media_features",
-    "orders_daily_by_priority",
-    "purchase_attribution",
-    "quantity_percentiles",
-    "rfm_segments",
-    "scd2_history",
-    "source_pagerank",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q20",
-    "training_mix_snapshot",
-    # retrieval-family anchor pull-forward (multi_query_search leaves
-    # at 9 lifetime greens; the written schedule names inverted_index
-    # as the handoff anchor)
-    "inverted_index",
-    # r20-wave pull-forwards: 12 cheap bench rows hashed two rounds
-    # early so the r20 organic due list empties (schedule:
-    # ROTATION_LEDGER.md §Round 17/18; the 13th slot went to the
-    # release_gate_snapshot re-hash below — tpch_q10 stays in the
-    # r19 wave)
-    "embedding_quantize",
-    "tpch_q6",
-    "media_decode_meta",
-    "unique_visitors",
-    "hot_items_sql",
-    "channel_stats",
-    "order_timeout",
-    "login_fail_detect",
-    "funnel_conversions",
-    "ann_cosine_topk",
-    "tpch_q3",
-    "sessionize",
-    # r18 semantics extension re-hash (verdict item 4): the release
-    # funnel gained its sixth stage — the winnow-decontamination leak
-    # gate — so the row re-enters the window for a fresh hash on the
-    # NEW oracle the same round (the immediate-hash discipline applied
-    # to re-registration; it displaced the 14th cheap pull-forward,
-    # tpch_q10, which stays in the r19 wave)
+    # carried re-registration (single green on the r18-changed oracle)
     "release_gate_snapshot",
+    # the r18 capacity deferrals — first hash, ahead of their r21
+    # deadline (never-hashed queue empties)
+    "hybrid_rrf_search",
+    "source_interleave",
+    "winnow_decontaminate_multi",
+    # the 26-row r20 wave (last hashed r14), entered a round early so
+    # the r20 organic due list is empty
+    "click_blacklist",
+    "dataset_split",
+    "decontaminate",
+    "dedup_canonicalize",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "doc_chunk",
+    "global_stats",
+    "hot_items_topn",
+    "hot_sources_topn",
+    "lang_id",
+    "order_line_reconciliation",
+    "order_ship_interval_join",
+    "pii_redact",
+    "pii_scan",
+    "profile_documents",
+    "repetition_stats",
+    "stratified_cap",
+    "tfidf_top_terms",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q18",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    # r21-wave pull-forward (its whole organic wave)
+    "bm25_search",
+    # r22-wave pull-forwards: the r19-restructured sketch row first,
+    # then cheap rows to spread the r22 burst
+    "kmv_pair_intersections",
+    "dq_expectations",
+    "doc_fingerprint",
+    "events_dedup_late",
+    "orders_rollup",
 )
 
 
