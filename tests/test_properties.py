@@ -6,6 +6,8 @@ fixed fixtures can't (ties, duplicates, boundary gaps, empty keys).
 Examples are kept small and few (each runs a Spark job); the Python
 oracles are deliberately naive O(n²) code."""
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -34,6 +36,7 @@ events_strategy = st.lists(
 
 @given(events=events_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow  # slow tier (r19): login_fail_detect's full DuckDB oracle runs in the default sweep
 def test_consecutive_alert_matches_python(spark, events):
     base = 1_700_000_000
     rows = [
@@ -68,6 +71,7 @@ order_strategy = st.lists(
 
 @given(events=order_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow  # slow tier (r19): order_timeout's full DuckDB oracle runs in the default sweep
 def test_create_pay_timeout_matches_python(spark, events):
     base = 1_700_000_000
     rows = [
@@ -104,6 +108,7 @@ pair_strategy = st.tuples(
 
 @given(data=pair_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow  # slow tier (r19): order_ship_interval_join's full DuckDB oracle runs in the default sweep
 def test_interval_join_matches_python(spark, data):
     lefts, rights = data
     base = 1_700_000_000
@@ -192,6 +197,7 @@ def test_canonicalize_keeps_best_quality_not_min_id(spark):
     assert all(v == 1 for v in per_cluster.values())
 
 
+@pytest.mark.slow  # slow tier (r19): both canonicalize rows' full DuckDB oracles run in the default sweep
 def test_canonicalize_skew_safe_path_is_row_identical(spark):
     """The skew_safe=True plan (min_by partial aggregation + broadcast
     winner join, for boilerplate mega-clusters that would skew the rank
@@ -398,6 +404,7 @@ def test_trim_duplicated_spans_excises_non_owner_regions(spark):
     assert (out[4].n_tokens, out[4].n_removed_tokens, out[4].cleaned_text) == (20, 20, "")
 
 
+@pytest.mark.slow  # slow tier (r19): dedup_incremental_check's invariant oracle runs in the default sweep
 def test_incremental_dedup_flags_cross_corpus_dups_only(spark):
     """Incremental dedup: a batch doc near-duplicating a REFERENCE doc
     is flagged with the right best match; a batch doc that only
@@ -438,6 +445,7 @@ span_corpus_strategy = st.lists(
 
 @given(corpus=span_corpus_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow  # slow tier (r19): dedup_span_stats/_trim full DuckDB oracles run in the default sweep
 def test_span_stats_and_trim_match_python(spark, corpus):
     """span_dup_stats and trim_duplicated_spans vs a naive Python
     oracle on arbitrary tiny-vocab corpora (4 tokens, so 3-token span
@@ -486,6 +494,7 @@ def test_span_stats_and_trim_match_python(spark, corpus):
     assert got_trim == want_trim
 
 
+@pytest.mark.slow  # slow tier (r19): the bucketed-index plan pin in test_io stays default
 def test_prebuilt_dedup_index_matches_inline_banding(spark, tmp_path):
     """The production incremental-dedup path: build_dedup_index written
     to parquet, reloaded, and passed via ref_index must yield EXACTLY
@@ -749,6 +758,7 @@ def test_fuzzy_match_pairs_hot_block_cap_is_lossless(spark):
     assert pairs(max_block=10_000) == uncapped  # no block refined
 
 
+@pytest.mark.slow  # slow tier (r19): the cap is off in every registered row; dedup_minhash_lsh_check stays default
 def test_minhash_lsh_mega_bucket_cap_bounds_pairs_keeps_connectivity(spark):
     """The r13-verdict LSH hardening: a planted 10k-id boilerplate
     bucket (identical text → identical band hash in EVERY band) must
@@ -807,6 +817,7 @@ def test_minhash_lsh_mega_bucket_cap_bounds_pairs_keeps_connectivity(spark):
         } == uncapped
 
 
+@pytest.mark.slow  # slow tier (r19): value_drift_psi's full DuckDB oracle runs in the default sweep
 def test_value_drift_psi_detects_planted_shift(spark, tmp_path):
     """PSI on a constructed stream: a type whose value distribution
     jumps between halves scores far above the 0.25 'shifted' alarm
@@ -906,6 +917,7 @@ psi_strategy = st.lists(
 
 @given(samples=psi_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow  # slow tier (r19): value_drift_psi's full DuckDB oracle runs in the default sweep
 def test_value_drift_psi_matches_naive(spark, samples, tmp_path_factory):
     """The registered PSI query against a from-scratch Python
     reimplementation (global equal-width buckets from the data's own
@@ -1063,6 +1075,7 @@ def test_apply_changes_roundtrip_and_changelog_shape(spark):
     assert applied == sorted(tuple(r) for r in new.collect())
 
 
+@pytest.mark.slow  # slow tier (r19): scd2_history's full DuckDB oracle runs in the default sweep
 def test_scd2_history_constructed_runs(spark, tmp_path):
     """Constructed per-user sequences: runs open/close exactly at value
     changes, intervals tile the user's timeline ([from, to) chaining
@@ -1097,6 +1110,7 @@ def test_scd2_history_constructed_runs(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # slow tier (r19): purchase_attribution's full DuckDB oracle runs in the default sweep
 def test_purchase_attribution_last_touch(spark, tmp_path):
     """Constructed timeline: a purchase credits the most recent
     STRICTLY-preceding click (same-instant click at the purchase row's
@@ -1193,6 +1207,7 @@ def _py_pagerank(edges, nodes, iterations=12, damping=85, unit=10**9):
     return r
 
 
+@pytest.mark.slow  # slow tier (r19): source_pagerank's full DuckDB oracle runs in the default sweep
 def test_pagerank_matches_python_reference_exactly(spark):
     """Weighted graph with asymmetric weights, a dangling node (no
     out-edges) and a hub: the Spark ranks must equal the pure-Python
@@ -1216,6 +1231,7 @@ def test_pagerank_matches_python_reference_exactly(spark):
     assert got["hub"] > max(got["a"], got["b"], got["c"])
 
 
+@pytest.mark.slow  # slow tier (r19): source_pagerank's full DuckDB oracle runs in the default sweep
 def test_pagerank_star_center_dominates_and_mass_is_bounded(spark):
     from flink_kafka_spark.operators.graph import pagerank
 
@@ -1233,6 +1249,7 @@ def test_pagerank_star_center_dominates_and_mass_is_bounded(spark):
     assert sum(got.values()) <= 10**9  # floor-division only loses mass
 
 
+@pytest.mark.slow  # slow tier (r19): the loop-body plan pin (broadcasts=0) covers the discipline in test_plans
 def test_pagerank_broadcast_ranks_off_plans_no_rank_broadcast(spark, monkeypatch):
     """The billion-node scale contract, executable: with the broadcast
     threshold disabled (simulating a rank frame too big to broadcast),
@@ -1461,6 +1478,7 @@ def test_t_closeness_null_quasi_class(spark):
     assert a["keep"] == n["keep"] == 1
 
 
+@pytest.mark.slow  # slow tier (r19): release_gate_snapshot's full DuckDB oracle runs in the default sweep
 def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     """Planted funnel: duplicates collapse BEFORE class sizing (a
     class that is k-anonymous only thanks to copies must be
@@ -1522,6 +1540,7 @@ def test_release_gate_funnel_planted(spark, monkeypatch, tmp_path):
     assert out3["l_diverse"] == 12  # upstream stages unchanged
 
 
+@pytest.mark.slow  # slow tier (r19): release_gate_snapshot's full DuckDB oracle runs in the default sweep
 def test_release_gate_leak_stage_planted_and_excised(spark, monkeypatch, tmp_path):
     """r18 leak gate, end to end: a 20-token benchmark doc (id 97 —
     the every-97th eval split) is verbatim-embedded in 2 of the 14
@@ -1688,6 +1707,7 @@ tcl_strategy = st.lists(
 
 @given(rows=tcl_strategy)
 @settings(**SETTINGS)
+@pytest.mark.slow  # slow tier (r19): t_closeness_audit's full oracle + the hand-computed test stay default
 def test_t_closeness_fuzz_vs_exact_fraction_reference(spark, rows):
     """Fuzz sweep vs an exact-Fraction Python reference (ICDE 2007
     definitions): for random small corpora, every class's emitted TVD
@@ -1871,6 +1891,7 @@ def test_source_interleave_stride_ratios_and_determinism(spark):
     weights=st.lists(st.integers(min_value=1, max_value=4), min_size=5, max_size=5),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # slow tier (r19): source_interleave's full DuckDB oracle runs in the default sweep
 def test_source_interleave_virtual_time_prefix_counts_exact(spark, sizes, weights):
     """Hypothesis pin of the stride guarantee: doc j of a weight-w
     source sits at vt = j*scale div w, so j <= m*w  <=>  vt <= m*scale

@@ -1,6 +1,8 @@
 """Scale-path operators: salted aggregation equivalence and HLL++
 approximate-distinct accuracy."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_kafka_spark.operators.windows import (
@@ -41,6 +43,7 @@ def test_uv_approx_within_rsd(spark, sf_dir):
         assert abs(approx[w] - ex) <= max(0.1 * ex, 5), (w, ex, approx[w])
 
 
+@pytest.mark.slow  # slow tier (r19): dedup_simhash_check's invariant oracle runs in the default sweep
 def test_simhash_matches_python(spark, sf_dir):
     import hashlib
 

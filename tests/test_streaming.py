@@ -530,6 +530,7 @@ def test_unique_visitor_stream(spark, tmp_path):
 # --- every streaming job starts and produces a valid plan ---
 
 
+@pytest.mark.slow  # slow tier (r19): every job it smokes has an individual default-tier twin test
 def test_all_jobs_smoke(spark, tmp_path):
     """Each remaining job runs end-to-end on a minimal fixture (the
     detailed-semantics tests above cover the rest)."""
@@ -1579,6 +1580,7 @@ def test_reservoir_stream_restart_seeded_from_manifest_is_exact(spark, tmp_path)
     assert got == want
 
 
+@pytest.mark.slow  # slow tier (r19): batch kmv oracles + the manifest composition test stay default
 def test_kmv_stream_bit_matches_batch_and_restarts_exactly(spark, tmp_path):
     """The KMV monitor's merge (k smallest distinct hashes of the
     per-batch k-minima) must make the streamed sketch IDENTICAL to
@@ -1732,6 +1734,7 @@ def test_reservoir_stream_replay_after_seed_is_idempotent(spark, tmp_path):
     assert got == want  # no id occupies two ranks, nothing evicted
 
 
+@pytest.mark.slow  # slow tier (r19): batch kll bounds pytest stays default
 def test_kll_stream_exact_below_k_bounded_above_and_restarts(spark, tmp_path):
     """The KLL monitor's contract: streamed quantiles for a set whose
     total count stays <= k are EXACT order statistics equal to the
@@ -1866,6 +1869,7 @@ def test_kll_stream_replay_after_sink_crash_merges_once(spark, tmp_path):
     assert final["a"]["q_50"] == 14.0
 
 
+@pytest.mark.slow  # slow tier (r19): batch dq_expectations oracle + the remaining restart twins stay default
 def test_dq_monitor_stream_row_identical_to_batch_and_restarts(spark, tmp_path):
     """The DQ monitor's counters (integer sums, running extrema) merge
     exactly, so after ANY batch split the final emitted frame must be
@@ -2176,6 +2180,7 @@ def test_dq_merge_extreme_matches_spark_nan_ordering(spark):
     assert row["mn"] == 2.0 and math.isnan(row["mx"])
 
 
+@pytest.mark.slow  # slow tier (r19): batch embedding_drift oracle + the remaining restart twins stay default
 def test_centroid_drift_stream_row_identical_to_batch_and_restarts(spark, tmp_path):
     """The centroid monitor holds the batch operator's exact integer
     (group, dim) sums and scores them through the SAME
@@ -2240,6 +2245,7 @@ def test_centroid_drift_stream_row_identical_to_batch_and_restarts(spark, tmp_pa
     assert seen_b[max(seen_b)] == batch
 
 
+@pytest.mark.slow  # slow tier (r19): batch t_closeness oracle + the remaining restart twins stay default
 def test_t_closeness_stream_row_identical_to_batch_and_restarts(spark, tmp_path):
     """The t-closeness monitor's state is the (class, value) cell
     count table — exact integer additions — and scoring runs the batch

@@ -2,6 +2,8 @@
 coverage/overlap invariants and int8 quantization round-trip bounds —
 the structural guarantees the cell-level oracle can't express."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_kafka_spark.operators.similarity import quantize_embeddings
@@ -1371,6 +1373,7 @@ def test_winnow_decontaminate_rejects_colliding_id_column(spark):
         winnow_decontaminate(df, df, id_col="eval_id")
 
 
+@pytest.mark.slow  # slow tier (r19): winnow_contaminated_spans' full DuckDB oracle runs in the default sweep
 def test_winnow_contaminated_spans_localizes_planted_runs(spark):
     """The excision consumer's contract: a train doc leaking TWO
     separated eval runs yields exactly two spans, each inside its

@@ -5,6 +5,8 @@ and BPE merge-candidate induction."""
 
 from collections import Counter
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -297,6 +299,7 @@ def test_dedup_late_packing_bound_holds():
     assert checked, "no testdata fixture found — the guard checked nothing"
 
 
+@pytest.mark.slow  # slow tier (r19): agg_incremental_update's full DuckDB oracle runs in the default sweep
 def test_incremental_agg_handles_group_moves_adds_and_deletes(spark):
     """The fixture republish only edits text; this pins the cases it
     can't reach — an upsert MOVING an id between groups (subtract from
