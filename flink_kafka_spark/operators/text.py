@@ -1883,7 +1883,14 @@ def bpe_apply_merges(
     ``n_merges`` chained JVM merge expressions in rank order — one
     projection layer per merge, each the shared
     :func:`_bpe_merge_step` (vectorized neighbor-probe rewrite for
-    left != right, the greedy fold for left == right). The rewrite
+    left != right, the greedy fold for left == right). Practical
+    merge-count ceiling (r18 advisory): one SELECT layer per merge
+    makes logical-plan depth linear in table size, so Catalyst's
+    analyzer — not execution — becomes the wall somewhere in the
+    low thousands of merges; tables near the ~100k production scale
+    need the layering chunked with a periodic ``localCheckpoint``
+    lineage cut (the trainer's own per-round discipline), which no
+    in-repo caller requires today. The rewrite
     runs on the DISTINCT-word frame (the trainer's own collapse, r10
     verdict item 3): a word seen a billion times is rewritten once and
     its token count joins back to the occurrence stream, so merge work
