@@ -207,7 +207,7 @@ def kmv_hash_sql(val_sql: str) -> str:
 
 
 def kmv_minima(
-    df: DataFrame, set_col: str, val_sql: str, k: int = 128, margin: float = 4
+    df: DataFrame, set_col: str, val_sql: str, k: int = 128
 ) -> DataFrame:
     """Per-set K-Minimum-Values sketch (Bar-Yossef et al. 2002 /
     Beyer et al. "On Synopses for Distinct-Value Estimation", SIGMOD
@@ -220,87 +220,79 @@ def kmv_minima(
     the union, and membership of a union-sketch value v in set A is
     decidable from A's sketch alone (v <= union h_k <= A's h_k).
 
-    Scale shape: the k-min per set is NOT a per-set sort of all
-    values. A first pass sizes each set with approx_count_distinct
-    (HLL, one map-side-combined shuffle), a broadcast threshold
-    4k/n_est * 2^32 then prefilters the scan — the k smallest hashes
-    of n uniform values all sit below ~k/n * 2^32, so the 4x margin
-    keeps them with probability 1 - e^-Theta(k) — and only the
-    O(k) survivors per set reach the window sort. With the margin
-    held, the threshold only discards values ABOVE the k-th minimum
-    and the result equals the unfiltered computation (what lets a
-    DuckDB oracle skip the prefilter and still match bit-for-bit) —
-    but that equality is PROBABILISTIC, not guaranteed: if the HLL
-    size estimate ran high enough that the threshold cut below the
-    true k-th minimum, a set would surface fewer than k survivors and
-    ``kmv_est_expr``'s n_kept<k branch would report the truncated
-    count as an exact cardinality. An in-plan invariant makes that
-    miss fail loudly instead: every PREFILTERED set (thr < 2^32) must
-    keep >= k survivors, checked by a raise_error predicate that
-    shares the window's exchange (a WHERE can't be column-pruned
-    away, and the partition-count window reuses the rn sort's
-    partitioning — zero extra shuffle, zero rows touched when the
-    invariant holds).
+    Scale shape (r19, guide §2.3/§4.2 — ONE pass, EXACT): the k-min
+    per set is neither a per-set sort of all values nor the previous
+    two-pass HLL-threshold prefilter (which sized every set with
+    approx_count_distinct in a first full pass, then re-ran the whole
+    upstream pipeline for the filtered second pass — for a lazy
+    tokenize/shingle input that meant computing the corpus transform
+    twice). A single corpus pass projects only (s, h) into a
+    ``mapInPandas`` partial reducer that keeps, per task, the k
+    smallest distinct hashes of each set it sees — bounded state
+    (|sets| x k longs per task, numpy-vectorized per Arrow batch), the
+    classic aggregate-before-shuffle shape. Only those <= |tasks| x
+    |sets| x k survivors reach the one k-bounded groupBy that
+    sort-merges them to the global minima.
 
-    Operating ceiling: hashes live in 32-bit space (CMS_SPACE = 2^32),
-    so once a set's true cardinality approaches margin * 2^32 / k * k
-    ≈ margin * 2^32 the threshold falls below k representable hash
-    slots and fewer than k distinct hashes CAN survive — the invariant
-    then raises deterministically (and, inside ``kmv_stream``, kills
-    the streaming query). That raise means "cardinality out of the
-    32-bit sketch's range", not a transient HLL miss: at ~4 G distinct
-    values per set, hash collisions already bias the estimate, so the
-    right response is a wider hash space (or per-set sharding), not a
-    retry."""
+    EXACTNESS (what replaces the old probabilistic invariant): every
+    global k-minimum of set s is, within the partition that holds it,
+    among that partition's k smallest distinct hashes of s — fewer
+    than k distinct values of s can precede it anywhere, so fewer
+    precede it locally. The partial reducer therefore never discards
+    a global minimum, and the final top-k over the union of partials
+    equals the unfiltered computation BIT-FOR-BIT on every input and
+    every partitioning (what lets a DuckDB oracle compute the naive
+    ROW_NUMBER form and still match exactly; pinned by the
+    partition-independence and cross-batch-merge pytests). No size
+    estimate, no margin, no loud-failure path needed.
+
+    Operating ceiling (unchanged): hashes live in 32-bit space
+    (CMS_SPACE = 2^32), so md5-prefix collisions bias the estimate as
+    set cardinality approaches ~4 G distinct values per set — the
+    right response is a wider hash space (or per-set sharding), not
+    this sketch."""
+    import numpy as np
+
     hashed = df.select(
         F.col(set_col).alias("s"), F.expr(kmv_hash_sql(val_sql)).alias("h")
     )
-    thresholds = (
-        df.groupBy(F.col(set_col).alias("s"))
-        .agg(F.approx_count_distinct(F.expr(val_sql)).alias("n_est"))
-        .select(
-            "s",
-            # greatest(..., 1): past ~margin*k*2^32 distinct values the
-            # quotient truncates to 0 and `h < thr` would cut EVERY row
-            # — the set would silently vanish instead of tripping the
-            # survivor invariant below; thr=1 keeps the h=0 slot so the
-            # set still surfaces with n_surv < k and raises as the
-            # operating-ceiling note promises
-            F.greatest(
-                F.when(F.col("n_est") <= margin * k, F.lit(CMS_SPACE))
-                .otherwise((F.lit(margin * k) * F.lit(CMS_SPACE)) / F.col("n_est"))
-                .cast("long"),
-                F.lit(1),
-            ).alias("thr"),
-        )
-    )
-    survivors = (
-        hashed.join(F.broadcast(thresholds), "s")
-        .where(F.col("h") < F.col("thr"))
-        .select("s", "h", "thr")
-        .distinct()
-    )
-    w = Window.partitionBy("s").orderBy("h")
-    # detection limit: a set whose EVERY hash was cut (zero survivors)
-    # has no row to evaluate the predicate on — but losing all k
-    # minima needs a threshold miss e^k times rarer than losing one,
-    # so the loud path covers the failure mode that matters
-    n_surv = F.count(F.lit(1)).over(Window.partitionBy("s"))
-    prefilter_held = F.when(
-        (F.col("thr") == CMS_SPACE) | (n_surv >= k), F.lit(True)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("kmv_minima prefilter dropped below k survivors for set "),
-                F.col("s").cast("string"),
-                F.lit(f" — HLL size estimate missed the {margin}x margin"),
+    out_schema = hashed.schema
+
+    def _partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task state: set -> sorted int64 array of <= k smallest
+        # distinct hashes seen so far (merged across Arrow batches)
+        state: dict = {}
+        for pdf in batches:
+            pdf = pdf.dropna()
+            if not len(pdf):
+                continue
+            for s, grp in pdf.groupby("s", sort=False)["h"]:
+                cand = np.unique(grp.to_numpy(dtype="int64"))[:k]
+                cur = state.get(s)
+                if cur is not None:
+                    cand = np.unique(np.concatenate((cur, cand)))[:k]
+                state[s] = cand
+        if state:
+            yield pd.DataFrame(
+                {
+                    "s": np.repeat(
+                        list(state.keys()), [len(v) for v in state.values()]
+                    ),
+                    "h": np.concatenate(list(state.values())),
+                }
             )
-        ).cast("boolean")
+
+    partials = hashed.mapInPandas(_partial_topk, out_schema)
+    # one k-bounded groupBy: collect_set dedups survivors that tied
+    # across tasks, array_sort + slice keep the k global minima, and
+    # posexplode re-ranks them — rank semantics identical to the old
+    # distinct + ROW_NUMBER window (hashes are distinct within a set
+    # by construction, so ties never existed for rn to break)
+    kept = partials.groupBy("s").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
     )
-    return (
-        survivors.select("s", "h", F.row_number().over(w).alias("rn"), prefilter_held.alias("_ok"))
-        .where(F.col("_ok") & (F.col("rn") <= k))
-        .select("s", "h", "rn")
+    return kept.select("s", F.posexplode("hs")).select(
+        "s", F.col("col").alias("h"), (F.col("pos") + 1).cast("int").alias("rn")
     )
 
 

@@ -852,9 +852,9 @@ def kmv_stream(
     sketch — the fourth member of the sketch-monitor family
     (Misra-Gries counts, Count-Min frequencies, A-Res samples, KMV
     cardinalities). Each micro-batch's per-set k-minima are computed
-    DISTRIBUTED (operators.sketches.kmv_minima — HLL-threshold
-    prefilter, O(k) survivors per set), then merged into the running
-    sketch driver-side. The merge is EXACT, same shape as the
+    DISTRIBUTED (operators.sketches.kmv_minima — one-pass per-task
+    partial top-k, O(k) survivors per set per task), then merged into
+    the running sketch driver-side. The merge is EXACT, same shape as the
     reservoir's: the k smallest distinct hashes of
     kmin(A) ∪ kmin(B) are the k smallest distinct hashes of A ∪ B
     (any true union minimum is a minimum of its own side), and the

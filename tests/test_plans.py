@@ -104,14 +104,18 @@ PLAN_BOUNDS = {
     "cms_topk_estimates": (3, 0),
     # corpus shuffles: ev distinct + exact self-join baseline; the
     # other exchanges are on <= k x |types| sketch frames, every join
-    # a broadcast
-    "kmv_set_cardinality": (15, 0),
-    # sketch-only pair algebra: corpus shuffle stops at the per-source
-    # kmv_minima window; since r19 everything after runs on the
-    # |sets|-row sorted-hash-ARRAY frame (one k-bounded groupBy, then
-    # array set-ops inside the pair projection) — the tag-union
-    # membership shuffle and pair rollup are gone from the plan
-    "kmv_pair_intersections": (5, 0),  # +spread x2 (hashed + thresholds shingle passes)
+    # a broadcast. r19 one-pass kmv_minima: the HLL-threshold sizing
+    # pass (its groupBy + the distinct-vs-window re-exchange) is gone —
+    # one mapInPandas partial-top-k + one k-bounded groupBy remain
+    "kmv_set_cardinality": (13, 0),
+    # sketch-only pair algebra: ONE corpus pass (r19 one-pass
+    # kmv_minima — partial-top-k mapInPandas inside the scan stage,
+    # then a single k-bounded groupBy whose (s) partitioning the pair
+    # rollup REUSES); everything after runs on the |sets|-row
+    # sorted-hash-ARRAY frame via array set-ops inside the broadcast
+    # pair projection. 2 = spread + the minima groupBy — the second
+    # shingle pass, the HLL sizing agg and its spread are gone
+    "kmv_pair_intersections": (2, 0),  # +spread x1 (single shingle pass)
     # (set, sub) HLL cell shuffle + sketch-bytes rollup shuffle
     "uv_hll_rollup": (2, 0),
     # (set, sub) KLL cell shuffle + sketch-bytes merge shuffle — the

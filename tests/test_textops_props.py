@@ -816,9 +816,11 @@ def _py_kmv_hash(v):
 
 
 def test_kmv_minima_matches_brute_force_and_is_partition_independent(spark):
-    """The threshold prefilter must be invisible: kmv_minima == the
-    k smallest distinct hashes per set computed brute-force, and the
-    result must not depend on how the input was partitioned."""
+    """The one-pass partial-top-k reducer must be invisible:
+    kmv_minima == the k smallest distinct hashes per set computed
+    brute-force, and the result must not depend on how the input was
+    partitioned (each partition's partial keeps a superset of its
+    share of the global minima, so the final top-k is exact)."""
     from flink_kafka_spark.operators.sketches import kmv_minima
 
     rows = [("a", f"v{i}") for i in range(500)] + [("b", f"v{i}") for i in range(40)]
@@ -851,25 +853,40 @@ def test_kmv_estimate_exact_below_k_and_bounded_error_above(spark):
     assert abs(est["big"] - 5000) / 5000 < 0.5
 
 
-def test_kmv_prefilter_miss_fails_loudly_not_silently(spark):
-    """ADVICE r10: a threshold miss (fewer than k survivors for a
-    prefiltered set) must raise, never flow into kmv_est_expr's
-    n_kept<k 'exact' branch. margin=0.5 sets the threshold at the
-    expected k/2-th minimum, so on this fixed fixture roughly half
-    the true minima deterministically fall above it."""
-    import pytest
-    from pyspark.errors import SparkRuntimeException
+def test_kmv_minima_cross_batch_merge_and_null_semantics(spark):
+    """r19 one-pass internals (replaces the retired prefilter-miss
+    test: the exact partial-top-k reducer has no threshold to miss, so
+    the old loud-failure invariant is vacuous — exactness is now
+    structural and pinned by the brute-force test above). Two
+    internals need their own pin:
 
+    1. CROSS-BATCH state merge — with Arrow batches far smaller than a
+       partition, a task's reducer sees each set across MANY batches
+       and must merge partial top-ks, not emit per batch; a bug there
+       would surface extra rows or lose minima.
+    2. NULL semantics — null set values and null hashed values are
+       dropped, exactly as the old join-on-s + h<thr shape dropped
+       them."""
     from flink_kafka_spark.operators.sketches import kmv_minima
 
-    df = spark.createDataFrame(
-        [("a", f"v{i}") for i in range(5000)], "s string, v string"
-    )
-    k = 64
-    # sanity: the default margin holds on the same fixture
-    assert kmv_minima(df, "s", "v", k).count() == k
-    with pytest.raises(SparkRuntimeException, match="dropped below k survivors"):
-        kmv_minima(df, "s", "v", k, margin=0.5).count()
+    k = 16
+    rows = [("a", f"v{i}") for i in range(300)] + [("b", f"v{i}") for i in range(9)]
+    rows += [(None, "v1"), ("a", None), (None, None)]
+    df = spark.createDataFrame(rows, "s string, v string").coalesce(1)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r["s"], r["rn"]): r["h"]
+            for r in kmv_minima(df, "s", "v", k).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    want = {}
+    for s, n in (("a", 300), ("b", 9)):
+        for rn, h in enumerate(sorted({_py_kmv_hash(f"v{i}") for i in range(n)})[:k], 1):
+            want[(s, rn)] = h
+    assert got == want  # null-keyed rows gone, minima exact, merge clean
 
 
 def test_kmv_pair_intersections_exact_and_estimated_match_python_replay(spark):
