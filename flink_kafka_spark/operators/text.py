@@ -515,11 +515,28 @@ def winnow_fingerprints(
             f"s -> array_min(slice(h, s, {w})))) END))"
         ).alias("fps"),
     )
-    fp = F.explode("fps").alias("fp")
-    return d.select(id_col, fp).select(
-        id_col,
-        F.expr(f"{_WINNOW_P - 1} - (fp % {_WINNOW_P})").cast("long").alias("fp_pos"),
-        F.expr(f"fp div {_WINNOW_P}").cast("long").alias("fp_hash"),
+    # explode_OUTER + null filter instead of a plain explode (r19): a
+    # non-outer Generate lets InferFiltersFromGenerate add a
+    # `size(fps) > 0` predicate whose projection-collapsed form inlines
+    # the ENTIRE fingerprint expression (split + md5 + window-min HOFs)
+    # — the optimizer then pushes that filter below the spread
+    # exchange, so the pipeline's dominant compute ran TWICE, once
+    # serialized on the pre-spread scan task (0.65-0.8 s of single-task
+    # CPU at sf0.1, in every winnow consumer; the guide-§4.4
+    # duplicated-evaluation trap, Generate edition). The outer explode
+    # infers no filter; empty-fps docs surface one NULL row that the
+    # post-Generate isNotNull drops — row-identical output (fps
+    # elements are non-null by construction), and the plan evaluates
+    # the fingerprint expression exactly once, after the spread.
+    fp = F.explode_outer("fps").alias("fp")
+    return (
+        d.select(id_col, fp)
+        .where(F.col("fp").isNotNull())
+        .select(
+            id_col,
+            F.expr(f"{_WINNOW_P - 1} - (fp % {_WINNOW_P})").cast("long").alias("fp_pos"),
+            F.expr(f"fp div {_WINNOW_P}").cast("long").alias("fp_hash"),
+        )
     )
 
 
