@@ -961,7 +961,16 @@ def kmv_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = track(kmv_minima(ev, "t", "ud", KMV_K).persist())
     est_set = kmv_estimate(kept, KMV_K).select(F.col("s").alias("t"), "est")
-    exact_set = ev.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    # persist the |types|-row exact aggregate (r19): it feeds the pair
+    # enumeration (whose two sides each appear in the union-sketch
+    # branch AND under the final assembly) plus the ea/eb broadcast
+    # builds — unpersisted, every one of those ~5 plan occurrences
+    # re-scanned the corpus-sized ev cache and re-ran the groupBy
+    # (profiled: four extra ~1 s cache-read aggregation stages at
+    # sf0.1) for a frame that is |event types| rows at any scale
+    exact_set = track(
+        ev.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("exact")).persist()
+    )
 
     types = exact_set.select("t")
     pairs = (
