@@ -238,6 +238,19 @@ def fuzzy_match_pairs(
     (few) hot keys; cold blocks take the exact original path."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    # layout spread BEFORE the candidate join (r19, guide §2.5): at
+    # test SF the block join broadcasts its build side, so the probe
+    # side is the bare catalog scan — on an unsplittable single-file
+    # input that is ONE task, and the whole candidate fan-out plus the
+    # Levenshtein kernel ran serialized on one core (profiled: 3.3 s
+    # of single-task CPU at sf0.1, the row's entire wall). On a
+    # many-file 100 TB catalog the spread is a structural no-op. The
+    # frame is spread un-projected because ``block`` may reference any
+    # of its columns; column pruning through the round-robin exchange
+    # keeps the moved rows narrow.
+    from ..tables import spread_scan
+
+    df = spread_scan(df)
     blk = (
         block
         if block is not None

@@ -430,7 +430,12 @@ PLAN_BOUNDS = {
     # point: it means stats changed underneath the query)
     # +2 narrow exchanges since r8: the armed max_block hot-block cap
     # adds a block-count aggregation (broadcast back as the hot set)
-    "fuzzy_part_matches": (2, 0),
+    # +spread (r19): the catalog scan is spread before the candidate
+    # join (the probe side was ONE task on single-file input, with the
+    # whole Levenshtein verify serialized on it); the spread subtree
+    # appears under the hot agg and both join sides pre-AQE (4 static
+    # occurrences, ReuseExchange collapses at runtime)
+    "fuzzy_part_matches": (6, 0),
     # PSI drift: one conditional-agg (type, bucket) corpus shuffle
     # (appears twice pre-AQE — grid branch + join branch, ReuseExchange
     # collapses it) + tiny distinct/window/final aggs; grid join must
