@@ -1220,8 +1220,16 @@ def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    cw = t.select(F.explode("ws").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c_w")
+    # persist the vocab-sized doc-frequency frame (r19): it broadcasts
+    # twice (c_a and c_b renames), and unpersisted each broadcast build
+    # re-ran the token explode + groupBy over the cached corpus arrays
+    # (profiled: two identical ~4.5 s CPU stages at sf0.1) for a frame
+    # bounded by |vocabulary| at any scale
+    cw = track(
+        t.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .persist()
     )
     nd = t.agg(F.count(F.lit(1)).alias("nd"))
     scored = (

@@ -237,8 +237,11 @@ PLAN_BOUNDS = {
     # everything joinable must broadcast
     "heavy_hitters_check": (9, 0),
     # pair-count shuffle + vocab-bounded broadcast joins + global rank
-    # window over the pair frame
-    "word_pmi": (5, 0),  # +spread (distinct-word array pass)
+    # window over the pair frame. r19: the doc-frequency frame is
+    # persisted, so its explode + groupBy subtree appears once instead
+    # of once per broadcast rename (5 -> 4; one corpus token pass
+    # instead of two at any scale)
+    "word_pmi": (4, 0),  # +spread (distinct-word array pass)
     # extensions: narrow projections must stay shuffle-free
     "text_stats": (0, 0),
     "dataset_split": (0, 0),
