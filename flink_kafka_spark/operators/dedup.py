@@ -126,7 +126,14 @@ def ngram_jaccard_pairs(
     # concurrent second wait-and-read — an eager count() would only
     # spend an extra job (same pattern as the MinHash sets persist)
     sh = track(shingles(df, id_col, n).cache())
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # sizes persists too (r19): it joins the pair frame TWICE (the
+    # id_a and id_b renames), and the rename above the aggregate
+    # defeats exchange reuse — unpersisted, each side re-scanned the
+    # corpus-sized shingle cache and re-ran the groupBy for a frame
+    # that is one narrow row per doc (the signature-table class)
+    sizes = track(
+        sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")).persist()
+    )
     # Intersection counts via single-shuffle bucket pairing (the same
     # shape as the MinHash band buckets): group each shingle's ids,
     # drop stop-shingle buckets (df > stop_df) BEFORE any fan-out,
@@ -200,7 +207,10 @@ def containment_pairs(
     from ..caching import track
 
     sh = track(shingles(df, id_col, n).cache())
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # persisted for the same two-rename reason as the Jaccard twin
+    sizes = track(
+        sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")).persist()
+    )
     buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))

@@ -586,7 +586,13 @@ def winnow_overlap_pairs(
         .distinct()
         .cache()
     )
-    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    # sizes persists too (r19): it joins the pair frame twice (id_a /
+    # id_b renames) and the rename defeats exchange reuse — each side
+    # otherwise re-scans the corpus-sized fps cache for a one-narrow-
+    # row-per-doc frame (the bucket-pairing family's shared fix)
+    sizes = track(
+        fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp")).persist()
+    )
     buckets = (
         fps.groupBy("fp_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
